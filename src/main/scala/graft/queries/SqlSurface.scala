@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The shared SQL surface (SURVEY.md §2.9): the reference exposes joins,
+  * aggregates, windows, set ops and scalar functions to its users only via
+  * DuckDB SQL passthrough; our engine exposes the same surface via the
+  * DataFrame API + `spark.sql`. Each entry here is a declarative Catalyst
+  * plan — filters and projections push into the parquet scan, aggregations
+  * get map-side partial combine, and small-dimension joins broadcast.
+  *
+  * Cross-engine determinism rules (DuckDB oracle hash-compare):
+  *  - SUM/AVG over doubles go through DECIMAL (exact, engine-order-
+  *    independent) and come back as DOUBLE.
+  *  - Timestamp-derived group keys are emitted as DATE or INT.
+  *  - Every query ends in a deterministic total ORDER BY.
+  */
+object SqlSurface {
+
+  /** Exact cross-engine sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  /** Exact cross-engine sum of a derived product (≤4 true decimals). */
+  private def dsum6(c: Column): Column = sum(c.cast("decimal(22,6)")).cast("double")
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-style pricing summary: filter → groupBy → 8 aggregates →
+    * sort. Flagship: scan-heavy, map-side-combinable, no join. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
+    * customer is small → broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** TPC-H Q5-style: 6-way star join. All dims broadcast; the single big
+    * shuffle is lineitem⋈orders on orderkey. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region")
+    val n = Tables.load(spark, dir, "nation")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy(n("n_name"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** TPC-H Q6-style forecast revenue: pure scan+filter+scalar agg. The
+    * whole predicate pushes into the parquet scan (row-group pruning). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+  /** Join-kind coverage: inner/left/semi/anti in one query via per-kind
+    * counts (SURVEY §2.7 — the reference gets joins only via SQL). */
+  def joinKinds(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val big = Tables.load(spark, dir, "lineitem").filter(col("l_quantity") > 45)
+      .select(col("l_orderkey")).distinct()
+    val inner = o.join(big, o("o_orderkey") === big("l_orderkey")).count()
+    val left = o.join(big, o("o_orderkey") === big("l_orderkey"), "left").count()
+    val semi = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi").count()
+    val anti = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti").count()
+    import spark.implicits._
+    Seq(("inner", inner), ("left", left), ("semi", semi), ("anti", anti))
+      .toDF("join_kind", "n").orderBy("join_kind")
+  }
+
+  val joinKindsSql: String =
+    """WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45)
+      |SELECT * FROM (
+      |  SELECT 'inner' AS join_kind, COUNT(*) AS n FROM orders JOIN big ON o_orderkey = l_orderkey
+      |  UNION ALL
+      |  SELECT 'left', COUNT(*) FROM orders LEFT JOIN big ON o_orderkey = l_orderkey
+      |  UNION ALL
+      |  SELECT 'semi', COUNT(*) FROM orders WHERE EXISTS (SELECT 1 FROM big WHERE l_orderkey = o_orderkey)
+      |  UNION ALL
+      |  SELECT 'anti', COUNT(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM big WHERE l_orderkey = o_orderkey)
+      |) ORDER BY join_kind""".stripMargin
+
+  // ---------------------------------------------------------------- window
+  /** Window functions: rank customers by account balance within nation,
+    * keep top 3. One shuffle on the partition key, then in-partition sort. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(spark, dir, "customer")
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(desc("c_acctbal"), col("c_custkey"))
+    c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        sum(col("c_acctbal").cast("decimal(18,2)"))
+          .over(Window.partitionBy(col("c_nationkey"))).cast("double").as("nation_total"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_nationkey", "rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rn, nation_total FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_total
+      |  FROM customer) t
+      |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- rollup
+  /** Grouping sets via ROLLUP over order status/priority. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val rollupAggSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q17-ish
+  /** Correlated-aggregate subquery (TPC-H Q17 pattern): lineitems below
+    * 50% of their part's average quantity. Decorrelates to an agg+join;
+    * the per-part averages side is small → broadcast by AQE. */
+  def q17AvgSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val avgQ = l.groupBy(col("l_partkey").as("p_key"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    l.join(avgQ, l("l_partkey") === avgQ("p_key"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).cast("double").as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem l1 JOIN (
+      |  SELECT l_partkey AS p_key,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey) a ON l1.l_partkey = a.p_key
+      |WHERE l1.l_quantity < a.avg_qty * 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- having
+  /** GROUP BY + HAVING: customers with more than 10 orders. */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") > 10)
+      .orderBy(desc("n_orders"), col("o_custkey"))
+
+  val havingAggSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 10
+      |ORDER BY n_orders DESC, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- case/conditional
+  /** Conditional aggregation (CASE WHEN inside agg) per ship month. */
+  def caseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        count(when(col("l_returnflag") =!= "R", 1)).as("n_kept"),
+        dsum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(lit(0.0))).as("returned_value"))
+      .orderBy("ship_year")
+
+  val caseAggSql: String =
+    """SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+      |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+      |  COUNT(CASE WHEN l_returnflag <> 'R' THEN 1 END) AS n_kept,
+      |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
+      |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin
+
+  // ---------------------------------------------------------------- string fns
+  /** String function surface: upper/lower/substring/concat/like/length. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("%gold%") || col("p_type").startsWith("STANDARD"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_type"), 1, 8).as("type8"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey")
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_type, 1, 8) AS type8,
+      |  CONCAT(p_brand, '|', p_type) AS brand_type,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len
+      |FROM part
+      |WHERE p_name LIKE '%gold%' OR p_type LIKE 'STANDARD%'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- date fns
+  /** Date function surface: trunc/extract/diff on order dates. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(to_date(col("o_orderdate"))).as("first_day"),
+        max(to_date(col("o_orderdate"))).as("last_day"))
+      .orderBy("y", "q")
+
+  val dateFuncsSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+      |       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+      |       COUNT(*) AS n,
+      |       MIN(CAST(o_orderdate AS DATE)) AS first_day,
+      |       MAX(CAST(o_orderdate AS DATE)) AS last_day
+      |FROM orders GROUP BY 1, 2 ORDER BY y, q""".stripMargin
+
+  // ---------------------------------------------------------------- set ops
+  /** Set operations: UNION / INTERSECT / EXCEPT on projected key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey"))
+    val urgent = Tables.load(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    import spark.implicits._
+    Seq(
+      ("union", hi.union(urgent).distinct().count()),
+      ("intersect", hi.intersect(urgent).count()),
+      ("except", hi.distinct().except(urgent).count()))
+      .toDF("set_op", "n").orderBy("set_op")
+  }
+
+  val setOpsSql: String =
+    """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+      |     urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT * FROM (
+      |  SELECT 'union' AS set_op, COUNT(*) AS n FROM (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM urgent)
+      |  UNION ALL
+      |  SELECT 'intersect', COUNT(*) FROM (SELECT DISTINCT o_custkey FROM hi INTERSECT SELECT DISTINCT o_custkey FROM urgent)
+      |  UNION ALL
+      |  SELECT 'except', COUNT(*) FROM (SELECT DISTINCT o_custkey FROM hi EXCEPT SELECT DISTINCT o_custkey FROM urgent)
+      |) ORDER BY set_op""".stripMargin
+
+  // ---------------------------------------------------------------- cte + passthrough
+  /** Raw SQL passthrough (reference Q1 operator, reader.py:478-484):
+    * a CTE query run verbatim through spark.sql over registered views. */
+  def sqlPassthrough(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH monthly AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, m, total FROM monthly WHERE total > 0 ORDER BY y, m""".stripMargin)
+  }
+
+  val sqlPassthroughSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+      |         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT y, m, total FROM monthly WHERE total > 0 ORDER BY y, m""".stripMargin
+
+  // ---------------------------------------------------------------- sort/limit
+  /** Multi-column sort with mixed directions + limit (O1). */
+  def sortMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(asc("c_mktsegment"), desc("c_acctbal"), asc("c_custkey"))
+      .limit(100)
+
+  val sortMultiSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer
+      |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC LIMIT 100""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q17_avg_subquery" -> (q17AvgSubquery _),
+    "j1_join_kinds" -> (joinKinds _),
+    "w1_window_rank" -> (windowRank _),
+    "g1_rollup" -> (rollupAgg _),
+    "g2_having" -> (havingAgg _),
+    "g3_case_agg" -> (caseAgg _),
+    "f1_string_funcs" -> (stringFuncs _),
+    "f2_date_funcs" -> (dateFuncs _),
+    "e1_set_ops" -> (setOps _),
+    "o1_sort_multi" -> (sortMulti _),
+    "sql_passthrough" -> (sqlPassthrough _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q17_avg_subquery" -> q17Sql,
+    "j1_join_kinds" -> joinKindsSql,
+    "w1_window_rank" -> windowRankSql,
+    "g1_rollup" -> rollupAggSql,
+    "g2_having" -> havingAggSql,
+    "g3_case_agg" -> caseAggSql,
+    "f1_string_funcs" -> stringFuncsSql,
+    "f2_date_funcs" -> dateFuncsSql,
+    "e1_set_ops" -> setOpsSql,
+    "o1_sort_multi" -> sortMultiSql,
+    "sql_passthrough" -> sqlPassthroughSql)
+}
