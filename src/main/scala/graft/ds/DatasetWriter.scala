@@ -1,0 +1,196 @@
+package graft.ds
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{IntervalParse, SchemaUnify}
+
+/** Write modes (reference W5, `dataset/writer.py:113-124,185-256`). */
+sealed trait WriteMode
+object WriteMode {
+  /** Error if the target already holds data (`SaveMode.ErrorIfExists`). */
+  case object Raise extends WriteMode
+  /** Remove target then write. */
+  case object Overwrite extends WriteMode
+  /** Plain append. */
+  case object Append extends WriteMode
+  /** Idempotent append: write only rows not already present (W6). */
+  case object Delta extends WriteMode
+}
+
+/** Dataset writer (reference `dataset/writer.py`) re-expressed as ONE
+  * declarative `df.write` action per call: partition fan-out is
+  * `partitionBy` (executors write all partitions in parallel — not the
+  * reference's driver-side per-partition loop), count batching is
+  * `maxRecordsPerFile` (the honest Spark equivalent of LIMIT/OFFSET
+  * slices, which would be quadratic — SURVEY §7.3), time batching is a
+  * derived bucket column partitioned on, and delta mode is a left-anti
+  * join against the existing data, optionally pre-filtered to the
+  * incoming batch's timestamp window so the existing-side scan prunes to
+  * the overlapping files only — at 100 TB that window filter is the
+  * difference between scanning the whole lake and a few partitions.
+  */
+final case class DatasetWriter(
+    target: GraftDataset,
+    mode: WriteMode = WriteMode.Append,
+    batchRows: Option[Long] = None,
+    timeBatch: Option[(String, String)] = None, // (datetimeColumn, interval e.g. "1d")
+    deltaSubset: Seq[String] = Nil,
+    deltaDatetimeColumn: Option[String] = None,
+    rowGroupSize: Option[Long] = None,
+    transform: DataFrame => DataFrame = identity) {
+
+  def withMode(m: WriteMode): DatasetWriter = copy(mode = m)
+  def withBatchRows(n: Long): DatasetWriter = copy(batchRows = Some(n))
+  def withTimeBatch(tsCol: String, interval: String): DatasetWriter =
+    copy(timeBatch = Some((tsCol, interval)))
+  def withDeltaSubset(cols: String*): DatasetWriter = copy(deltaSubset = cols)
+  def withDeltaWindow(tsCol: String): DatasetWriter = copy(deltaDatetimeColumn = Some(tsCol))
+  def withTransform(f: DataFrame => DataFrame): DatasetWriter = copy(transform = f)
+
+  /** Default batch size: `min(rows, 64MiB / ncols)` rows — reference
+    * `writer.py:455-458`. Only consulted when the caller asked for
+    * batching but gave no size. */
+  def defaultBatchRows(df: DataFrame): Long =
+    math.max(1L, (64L * 1024 * 1024) / math.max(1, df.columns.length))
+
+  /** Execute the write. Returns the number of rows written. */
+  def write(spark: SparkSession, input: DataFrame): Long = {
+    val fs = target.fs(spark)
+    val targetPath = new Path(target.path)
+    val existed = fs.exists(targetPath) && target.dataFiles(spark).nonEmpty
+
+    val prepared = transform(target.pipeline(input))
+
+    val (toWrite, saveMode) = mode match {
+      case WriteMode.Raise =>
+        if (existed) throw new IllegalStateException(
+          s"target ${target.path} already exists (mode=raise)")
+        (prepared, SaveMode.ErrorIfExists)
+      case WriteMode.Overwrite => (prepared, SaveMode.Overwrite)
+      case WriteMode.Append => (prepared, SaveMode.Append)
+      case WriteMode.Delta =>
+        if (!existed) (prepared, SaveMode.Append)
+        else (deltaDiff(spark, prepared), SaveMode.Append)
+    }
+
+    // Cheap emptiness gate for delta (reference skips empty batches,
+    // writer.py:492): isEmpty is a LIMIT-1 job, not a full count.
+    if (mode == WriteMode.Delta && toWrite.isEmpty) return 0L
+
+    val withBucket = timeBatch match {
+      case Some((tsCol, interval)) =>
+        // Tumbling [start, start+interval) buckets, reference W8
+        // (`writer.py:292-385`); the bucket both batches the write and
+        // lands as a hive partition column → later scans prune on it.
+        toWrite.withColumn("__time_bucket", bucketExpr(tsCol, interval))
+      case None => toWrite
+    }
+
+    val partCols = target.partitioning ++ (if (timeBatch.isDefined) Seq("__time_bucket") else Nil)
+
+    // Row count captured via Observation during the single write job —
+    // no caching of the (potentially huge) output.
+    val obs = org.apache.spark.sql.Observation()
+    // zstd is parquet-only in vanilla Hadoop; text formats fall back to gzip.
+    val codec =
+      if (target.format != "parquet" && target.compression == "zstd") "gzip"
+      else target.compression
+    var w = withBucket.observe(obs, count(lit(1)).as("rows")).write
+      .mode(saveMode)
+      .option("compression", codec)
+    batchRows.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    rowGroupSize.foreach(n => w = w.option("parquet.block.size", (n * 128).toString))
+    if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+    target.format match {
+      case "parquet" => w.parquet(target.path)
+      case "csv" => w.option("header", "true").csv(target.path)
+      case other => w.format(other).save(target.path)
+    }
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Tumbling-window bucket label for `interval` starting at the epoch.
+    * Fixed-length intervals bucket on floored epoch-micros; calendar
+    * intervals (months/years) bucket on floored epoch-month index —
+    * mirroring the reference's generate_series fenceposts
+    * (`writer.py:343-352`: windows are [sd, ed)). */
+  private def bucketExpr(tsCol: String, interval: String) = {
+    val iv = IntervalParse.parse(interval)
+    if (iv.isCalendar) {
+      val em = (year(col(tsCol)) * 12 + month(col(tsCol)) - 1)
+      val startIdx = floor(em / iv.months) * iv.months
+      date_format(
+        make_date((startIdx / 12).cast("int"), (startIdx % 12 + 1).cast("int"), lit(1)),
+        "yyyyMMdd")
+    } else {
+      val m = iv.micros
+      date_format(
+        timestamp_micros(floor(unix_micros(col(tsCol)) / m).cast("long") * m),
+        "yyyyMMdd_HHmmss")
+    }
+  }
+
+  /** Delta diff (reference W6, `utils/table.py:135-210` +
+    * `writer.py:196-240`): keep only incoming rows absent from the
+    * existing dataset. With a `deltaSubset` the comparison is on those
+    * key columns (left-anti join); without, it's full-row set-except.
+    * `deltaDatetimeColumn` bounds BOTH sides to the incoming batch's
+    * [min(ts), max(ts)] window first. */
+  private def deltaDiff(spark: SparkSession, incoming: DataFrame): DataFrame = {
+    val existingFull = target.raw(spark)
+    val (inc, existing) = deltaDatetimeColumn match {
+      case Some(ts) =>
+        val Array(lo, hi) = incoming.agg(min(col(ts)), max(col(ts))).collect()(0) match {
+          case r => Array(r.get(0), r.get(1))
+        }
+        if (lo == null) (incoming, existingFull)
+        else (incoming, existingFull.filter(col(ts).between(lit(lo), lit(hi))))
+      case None => (incoming, existingFull)
+    }
+    if (deltaSubset.nonEmpty) {
+      val keys = deltaSubset.map(c => col(c))
+      inc.join(existing.select(keys: _*).distinct(), deltaSubset, "left_anti")
+    } else {
+      // Full-row anti-join on all common columns — same result as set
+      // EXCEPT (the reference's duckdb EXCEPT is set-semantics) but
+      // keeps incoming duplicates out via distinct on the incoming side.
+      inc.distinct().join(existing, inc.columns.toSeq, "left_anti")
+    }
+  }
+}
+
+object DatasetWriter {
+  /** Schema-unify rewrite (reference W10, `writer.py:529-571`): rewrite
+    * files whose physical schema differs from the promoted unified
+    * schema. Rewrites whole schema-groups in one distributed pass each,
+    * not file-by-file. */
+  def unifySchemaRewrite(spark: SparkSession, ds: GraftDataset, sortCols: Boolean = false): Boolean = {
+    val files = ds.dataFiles(spark)
+    if (files.isEmpty) return false
+    val perFile = files.map(f => f -> spark.read.parquet(f).schema)
+    val (unified0, equal) = SchemaUnify.unifyAll(perFile.map(_._2))
+    if (equal) return false
+    val unified = if (sortCols) SchemaUnify.sorted(unified0) else unified0
+    val fs = ds.fs(spark)
+    perFile.filter(_._2 != unified).groupBy(_._2).foreach { case (s, group) =>
+      val paths = group.map(_._1)
+      val df = spark.read.schema(s).parquet(paths: _*)
+      val aligned = unified.fields.toSeq.map { f =>
+        if (s.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      val tmp = new Path(ds.path, s"_unify_tmp_${System.nanoTime()}")
+      df.select(aligned: _*).write
+        .option("compression", ds.compression).parquet(tmp.toString)
+      // swap: delete originals, promote rewritten files
+      paths.foreach(p => fs.delete(new Path(p), false))
+      val it = fs.listStatus(tmp)
+      it.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
+        fs.rename(st.getPath, new Path(ds.path, st.getPath.getName))
+      }
+      fs.delete(tmp, true)
+    }
+    true
+  }
+}

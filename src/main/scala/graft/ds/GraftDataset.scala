@@ -1,0 +1,177 @@
+package graft.ds
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.core.SchemaUnify
+
+/** Sort spec: per-column direction (reference `utils/base.py:40-55` +
+  * `dataset/base.py:77-89`; explicit directions fix the reference's
+  * `ascending or True` bug noted in SURVEY §2.12). */
+final case class SortSpec(cols: Seq[(String, Boolean)]) {
+  def orders: Seq[Column] = cols.map { case (c, asc_) => if (asc_) asc(c) else desc(c) }
+  def sqlOrderBy: String = cols.map { case (c, a) => s"$c ${if (a) "ASC" else "DESC"}" }.mkString(", ")
+}
+object SortSpec {
+  def asc(cols: String*): SortSpec = SortSpec(cols.map(_ -> true))
+  val none: SortSpec = SortSpec(Nil)
+}
+
+/** Keyed-dedup spec (reference A2, `utils/table.py:230-288`): keep
+  * first/last row per `subset` under `presort` order. A total order is
+  * pinned (presort + remaining columns) so results are deterministic —
+  * the reference is nondeterministic without presort (SURVEY §7.3). */
+final case class DedupSpec(subset: Seq[String], presort: SortSpec = SortSpec(Nil), keepLast: Boolean = false)
+
+/** A graft dataset ≡ a directory of columnar files (reference
+  * `dataset/base.py:23-61`): (path, format, partitioning, compression,
+  * schema) + the sticky materialization pipeline (drop → dedup → sort,
+  * reference `dataset/base.py:118-142`) applied at every `df`.
+  *
+  * Scale notes: schema unification reads footers, not data, and is
+  * distributed over executors above a file-count threshold; the
+  * per-physical-schema read groups keep the scan vectorized and let
+  * Catalyst push filters/pruning into each group's parquet scan.
+  */
+final case class GraftDataset(
+    path: String,
+    format: String = "parquet",
+    partitioning: Seq[String] = Nil,
+    compression: String = "zstd",
+    schema: Option[StructType] = None,
+    sortBy: SortSpec = SortSpec(Nil),
+    dedup: Option[DedupSpec] = None,
+    distinct: Boolean = false,
+    dropCols: Seq[String] = Nil) {
+
+  def withSort(cols: (String, Boolean)*): GraftDataset = copy(sortBy = SortSpec(cols))
+  def withDedup(subset: Seq[String], presort: SortSpec = SortSpec(Nil), keepLast: Boolean = false): GraftDataset =
+    copy(dedup = Some(DedupSpec(subset, presort, keepLast)))
+  def withDrop(cols: String*): GraftDataset = copy(dropCols = cols)
+  def withDistinct: GraftDataset = copy(distinct = true)
+
+  def fs(spark: SparkSession): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
+
+  def dataFiles(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    val p = new Path(path)
+    if (!f.exists(p)) Nil
+    else {
+      val it = f.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ext = "." + (if (format == "feather") "arrow" else format)
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          (name.endsWith(ext) || name.endsWith(".parquet")))
+          buf += s.getPath.toString
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Raw load without the sticky pipeline. */
+  def raw(spark: SparkSession): DataFrame = {
+    val reader = spark.read
+    val r = schema.fold(reader)(reader.schema)
+    format match {
+      case "parquet" => r.parquet(path)
+      case "csv" => r.option("header", "true").option("inferSchema", schema.isEmpty.toString).csv(path)
+      case "json" => r.json(path)
+      case other => r.format(other).load(path)
+    }
+  }
+
+  /** Load with read-side schema unification (reference S1/S2 retry path,
+    * `reader.py:186-233`): if per-file schemas disagree, group files by
+    * physical schema, cast each group to the promoted unified schema, and
+    * union by name. Equal schemas take the single-scan fast path. */
+  def dfUnified(spark: SparkSession): DataFrame = {
+    if (format != "parquet") return pipeline(raw(spark))
+    val files = dataFiles(spark)
+    if (files.isEmpty) return pipeline(raw(spark))
+    val bySchema: Seq[(StructType, Seq[String])] = fileSchemas(spark, files)
+    if (bySchema.size <= 1) return pipeline(raw(spark))
+    val (unified, equal) = SchemaUnify.unifyAll(bySchema.map(_._1))
+    if (equal) return pipeline(raw(spark))
+    val frames = bySchema.map { case (s, fls) =>
+      val df = spark.read.schema(s).parquet(fls: _*)
+      val aligned = unified.fields.map { f =>
+        if (s.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(aligned.toIndexedSeq: _*)
+    }
+    pipeline(frames.reduce(_ unionByName _))
+  }
+
+  /** Distinct physical schemas → their file lists. Footer reads only. */
+  private def fileSchemas(spark: SparkSession, files: Seq[String]): Seq[(StructType, Seq[String])] = {
+    // Driver-side below the threshold; distributed footer read above it
+    // (each task opens one footer — O(files/parallelism) wall clock).
+    val schemas: Seq[(String, String)] =
+      if (files.size <= 64)
+        files.map(f => f -> spark.read.parquet(f).schema.json)
+      else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext.parallelize(files, math.min(files.size, 256)).map { f =>
+          val p = new Path(f)
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf.value))
+          try {
+            val mt = in.getFooter.getFileMetaData
+            val conv = new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
+            f -> conv.convert(mt.getSchema).json
+          } finally in.close()
+        }.collect().toSeq
+      }
+    schemas.groupBy(_._2).toSeq.map { case (sj, fs) =>
+      (org.apache.spark.sql.types.DataType.fromJson(sj).asInstanceOf[StructType], fs.map(_._1))
+    }
+  }
+
+  /** The sticky pipeline: drop → dedup/distinct → sort (reference
+    * `_drop_sort_distinct`, `dataset/base.py:118-142`). */
+  def pipeline(in: DataFrame): DataFrame = {
+    var df = in
+    if (dropCols.nonEmpty) df = df.drop(dropCols: _*)
+    dedup.foreach { d =>
+      // Pin a deterministic total order: presort, then all remaining
+      // columns ascending — keeps keep-first/last oracle-stable
+      // (SURVEY §7.3). keepLast flips every direction, which is exactly
+      // "last row under the presort order".
+      val presortNames = d.presort.cols.map(_._1).toSet
+      val tieBreak = df.columns.toSeq
+        .filterNot(c => d.subset.contains(c) || presortNames.contains(c))
+        .map(_ -> true)
+      val dirs = (d.presort.cols ++ tieBreak).map {
+        case (c, a) => (c, if (d.keepLast) !a else a)
+      }
+      val orderCols =
+        if (dirs.isEmpty) Seq(asc(df.columns.head))
+        else dirs.map { case (c, a) => if (a) asc(c) else desc(c) }
+      val w = Window.partitionBy(d.subset.map(col): _*).orderBy(orderCols: _*)
+      df = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    if (distinct && dedup.isEmpty) df = df.distinct()
+    if (sortBy.cols.nonEmpty) df = df.orderBy(sortBy.orders: _*)
+    df
+  }
+
+  /** Materialize under the sticky pipeline. */
+  def df(spark: SparkSession): DataFrame = dfUnified(spark)
+
+  /** Register as a SQL view (reference S5, `reader.py:252`). */
+  def register(spark: SparkSession, name: String): DataFrame = {
+    val d = df(spark)
+    d.createOrReplaceTempView(name)
+    d
+  }
+}

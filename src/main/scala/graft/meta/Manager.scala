@@ -1,0 +1,100 @@
+package graft.meta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Toml
+import graft.ds.GraftDataset
+
+/** Lake catalog (reference `datalake/manager.py:16-209`): a `_graft.toml`
+  * at the lake root listing registered datasets, plus discovery by
+  * globbing for `_dataset.toml` markers. Each dataset registers as a
+  * Spark temp view so the whole lake is queryable through `spark.sql`
+  * (the reference shares one DuckDB connection across readers —
+  * `datalake/reader.py`; one SparkSession plays that role here).
+  */
+final class Manager(spark: SparkSession, lakeRoot: String) {
+  private val rootPath = new Path(lakeRoot)
+  private def fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  val configPath = new Path(rootPath, "_graft.toml")
+
+  def readConfig(): Toml.Tbl =
+    if (!fs.exists(configPath)) Toml.Tbl.empty
+    else {
+      val in = fs.open(configPath)
+      try Toml.parse(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  private def writeConfig(t: Toml.Tbl): Unit = {
+    fs.mkdirs(rootPath)
+    val out = fs.create(configPath, true)
+    try out.write(Toml.render(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def init(name: String): Unit = {
+    val cfg = readConfig()
+    writeConfig(Toml.Tbl(cfg.v
+      .updated("graft", Toml.Tbl(
+        "name" -> Toml.Str(name),
+        "path" -> Toml.Str(lakeRoot),
+        "init" -> Toml.Str(java.time.Instant.now().toString)))
+      .updated("dataset", cfg.v.getOrElse("dataset", Toml.Tbl.empty))))
+  }
+
+  /** Register a dataset under a catalog name (`manager.py:175-180`). */
+  def addDataset(name: String, path: String, format: String = "parquet"): Unit = {
+    val cfg = readConfig()
+    val ds = Toml.getTbl(cfg, "dataset").getOrElse(Toml.Tbl.empty)
+    writeConfig(Toml.Tbl(cfg.v.updated("dataset", Toml.Tbl(ds.v.updated(name,
+      Toml.Tbl("path" -> Toml.Str(path), "format" -> Toml.Str(format)))))))
+  }
+
+  def removeDataset(name: String): Unit = {
+    val cfg = readConfig()
+    val ds = Toml.getTbl(cfg, "dataset").getOrElse(Toml.Tbl.empty)
+    writeConfig(Toml.Tbl(cfg.v.updated("dataset", Toml.Tbl(ds.v - name))))
+  }
+
+  def datasets(): Map[String, (String, String)] =
+    Toml.getTbl(readConfig(), "dataset").map(_.v.collect {
+      case (name, t: Toml.Tbl) =>
+        name -> (Toml.getStr(t, "path").getOrElse(""), Toml.getStr(t, "format").getOrElse("parquet"))
+    }.toMap).getOrElse(Map.empty)
+
+  /** Discover datasets by `_dataset.toml` markers under the lake root
+    * (`manager.py:91-114`) and register them into the catalog. */
+  def discover(): Seq[String] = {
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!fs.exists(rootPath)) return Nil
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName == "_dataset.toml") {
+        val dsRoot = st.getPath.getParent
+        val name = dsRoot.getName
+        addDataset(name, dsRoot.toString)
+        found += name
+      }
+    }
+    found.toSeq
+  }
+
+  /** Load a registered dataset (TimeFly-managed roots read `current/`). */
+  def load(name: String): GraftDataset = {
+    val (path, format) = datasets().getOrElse(name,
+      throw new NoSuchElementException(s"dataset $name not in catalog"))
+    val cur = new Path(path, "current")
+    if (fs.exists(new Path(path, "_dataset.toml")) && fs.exists(cur))
+      GraftDataset(cur.toString, format = format)
+    else GraftDataset(path, format = format)
+  }
+
+  /** Register every catalog dataset as a temp view; returns view names. */
+  def registerAll(): Seq[String] =
+    datasets().keys.toSeq.sorted.map { name =>
+      load(name).register(spark, name); name
+    }
+
+  def table(name: String): DataFrame = load(name).df(spark)
+}

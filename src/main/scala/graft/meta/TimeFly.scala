@@ -1,0 +1,139 @@
+package graft.meta
+
+import java.time.Instant
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+import scala.collection.immutable.ListMap
+import graft.core.{Naming, Toml}
+import graft.ds.GraftDataset
+
+/** Time-travel snapshot manager (reference `dataset/timefly.py`):
+  *
+  * ```
+  * <dataset>/
+  *   _dataset.toml
+  *   current/                       ← live data files
+  *   snapshot/<YYYYMMDD_HHMMSS>/    ← full copies
+  * ```
+  *
+  * Snapshot ids are second-resolution UTC stamps; time-travel resolution
+  * picks the FIRST snapshot strictly newer than the probe timestamp, else
+  * `current` (`timefly.py:337-352`). Copies are parallel FS copies; at
+  * 100 TB a manifest (file-list) snapshot is the right mechanism — noted
+  * in SURVEY §7.3 — but the reference semantics are copy-based, which we
+  * preserve here behind this interface.
+  */
+final class TimeFly(spark: SparkSession, root: String) {
+  private val rootPath = new Path(root)
+  private def fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  val configPath = new Path(rootPath, "_dataset.toml")
+  val currentPath = new Path(rootPath, "current")
+  val snapshotRoot = new Path(rootPath, "snapshot")
+
+  def currentDataset(format: String = "parquet"): GraftDataset =
+    GraftDataset(currentPath.toString, format = format)
+
+  // ----------------------------------------------------------- config IO
+  def readConfig(): Toml.Tbl =
+    if (!fs.exists(configPath)) Toml.Tbl.empty
+    else {
+      val in = fs.open(configPath)
+      try Toml.parse(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
+  def writeConfig(t: Toml.Tbl): Unit = {
+    val out = fs.create(configPath, true)
+    try out.write(Toml.render(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ----------------------------------------------------------- lifecycle
+  /** Init the layout (reference `timefly.py:130-156`); adopts data files
+    * found in the dataset root into `current/` (`timefly.py:172-174`). */
+  def init(name: String, description: String = ""): Unit = {
+    fs.mkdirs(currentPath)
+    fs.mkdirs(snapshotRoot)
+    // adopt stray data files in the root
+    fs.listStatus(rootPath).filter(_.isFile).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .foreach(p => fs.rename(p, new Path(currentPath, p.getName)))
+    val cfg = readConfig()
+    val ds = Toml.Tbl(
+      "name" -> Toml.Str(name),
+      "description" -> Toml.Str(description),
+      "path" -> Toml.Str(root),
+      "init" -> Toml.Str(Instant.now().toString))
+    writeConfig(Toml.Tbl(cfg.v
+      .updated("dataset", ds)
+      .updated("current", cfg.v.getOrElse("current", Toml.Tbl.empty))
+      .updated("snapshot", cfg.v.getOrElse("snapshot",
+        Toml.Tbl("available" -> Toml.Arr(Nil), "deleted" -> Toml.Arr(Nil))))))
+  }
+
+  /** Record the latest write config under `[current]`
+    * (reference `timefly.py:158-237`). */
+  def updateCurrent(kvs: (String, Toml.Value)*): Unit = {
+    val cfg = readConfig()
+    val cur = Toml.getTbl(cfg, "current").getOrElse(Toml.Tbl.empty)
+    val updated = kvs.foldLeft(cur.v)((m, kv) => m.updated(kv._1, kv._2))
+      .updated("latest_update", Toml.Str(Instant.now().toString))
+    writeConfig(Toml.Tbl(cfg.v.updated("current", Toml.Tbl(updated))))
+  }
+
+  def availableSnapshots(): Seq[String] =
+    Toml.getTbl(readConfig(), "snapshot").map(t => Toml.getArr(t, "available")).getOrElse(Nil).sorted
+
+  /** Copy `current/` → `snapshot/<id>/` (reference `timefly.py:245-310`). */
+  def addSnapshot(now: Instant = Instant.now()): String = {
+    val id = Naming.snapshotId(now)
+    val dst = new Path(snapshotRoot, id)
+    fs.mkdirs(snapshotRoot)
+    if (fs.exists(currentPath))
+      FileUtil.copy(fs, currentPath, fs, dst, false, spark.sparkContext.hadoopConfiguration)
+    val cfg = readConfig()
+    val snap = Toml.getTbl(cfg, "snapshot").getOrElse(Toml.Tbl.empty)
+    val avail = Toml.getArr(snap, "available") :+ id
+    val entry = Toml.Tbl("created" -> Toml.Str(now.toString))
+    writeConfig(Toml.Tbl(cfg.v.updated("snapshot", Toml.Tbl(snap.v
+      .updated("available", Toml.Arr(avail.distinct.sorted.map(Toml.Str)))
+      .updated(id, entry)))))
+    id
+  }
+
+  /** rm snapshot dir; move id available→deleted (`timefly.py:312-325`). */
+  def deleteSnapshot(id: String): Unit = {
+    fs.delete(new Path(snapshotRoot, id), true)
+    val cfg = readConfig()
+    val snap = Toml.getTbl(cfg, "snapshot").getOrElse(Toml.Tbl.empty)
+    val avail = Toml.getArr(snap, "available").filterNot(_ == id)
+    val deleted = (Toml.getArr(snap, "deleted") :+ id).distinct.sorted
+    writeConfig(Toml.Tbl(cfg.v.updated("snapshot", Toml.Tbl((snap.v - id)
+      .updated("available", Toml.Arr(avail.map(Toml.Str)))
+      .updated("deleted", Toml.Arr(deleted.map(Toml.Str)))))))
+  }
+
+  /** Restore a snapshot over `current/` (reference `timefly.py:354-387`). */
+  def loadSnapshot(id: String): Unit = {
+    val src = new Path(snapshotRoot, id)
+    require(fs.exists(src), s"snapshot $id does not exist")
+    fs.delete(currentPath, true)
+    FileUtil.copy(fs, src, fs, currentPath, false, spark.sparkContext.hadoopConfiguration)
+    updateCurrent("restored_from" -> Toml.Str(id))
+  }
+
+  /** Resolve the read path for an optional probe timestamp: first
+    * snapshot strictly after the probe, else current
+    * (`timefly.py:337-352`). */
+  def resolvePath(probe: Option[Instant]): Path = probe match {
+    case None => currentPath
+    case Some(ts) =>
+      Naming.resolveSnapshot(availableSnapshots(), ts)
+        .map(id => new Path(snapshotRoot, id))
+        .getOrElse(currentPath)
+  }
+
+  /** Time-travel read (reference `TimeFlyReader`, `reader.py:584-680`). */
+  def read(probe: Option[Instant] = None, format: String = "parquet"): GraftDataset =
+    GraftDataset(resolvePath(probe).toString, format = format)
+}

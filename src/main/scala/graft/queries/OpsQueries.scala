@@ -1,0 +1,317 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ds._
+import graft.meta.TimeFly
+
+/** Orchestration-operator queries (SURVEY §2.1/2.2/2.3/2.10): each entry
+  * drives a writer/reader/metadata operator end-to-end — write to a temp
+  * dataset, read back, reduce to a deterministic, oracle-checkable result.
+  * The oracle can't see our temp dirs, so every query's SQL twin derives
+  * the same answer from the source tables directly (e.g. a lossless
+  * round-trip must reproduce the source aggregate).
+  */
+object OpsQueries {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_q_$name").toString + "/ds"
+
+  // ---- S6: materialized view with filter/exclude/distinct/order -------
+  def s6Materialize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val v = o.filter(col("o_totalprice") > 150000)
+      .drop("o_orderpriority")
+      .distinct()
+    v.createOrReplaceTempView("hi_orders")
+    spark.table("hi_orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+  val s6Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n FROM (
+      |  SELECT DISTINCT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_totalprice > 150000)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- S7: string-path relation ---------------------------------------
+  def s7PathRelation(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT n_name, n_regionkey FROM parquet.`$dir/nation.parquet` ORDER BY n_name")
+  val s7Sql: String = "SELECT n_name, n_regionkey FROM nation ORDER BY n_name"
+
+  // ---- S4/W3: csv write + read round-trip ------------------------------
+  def s4CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("csv")
+    val ds = GraftDataset(out, format = "csv")
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, Tables.load(spark, dir, "nation"))
+    ds.df(spark).groupBy("n_regionkey").agg(count(lit(1)).as("n_nations"))
+      .select(col("n_regionkey").cast("int").as("n_regionkey"), col("n_nations"))
+      .orderBy("n_regionkey")
+  }
+  val s4Sql: String =
+    "SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+
+  // ---- W1: zstd parquet write + read round-trip ------------------------
+  def w1ParquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w1")
+    val src = Tables.load(spark, dir, "supplier")
+    DatasetWriter(GraftDataset(out, compression = "zstd"), WriteMode.Overwrite).write(spark, src)
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+  }
+  val w1Sql: String =
+    """SELECT COUNT(*) AS n,
+      |CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal FROM supplier""".stripMargin
+
+  // ---- W4: hive-partitioned write -------------------------------------
+  def w4PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w4")
+    val ds = GraftDataset(out, partitioning = Seq("o_orderstatus"))
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, Tables.load(spark, dir, "orders"))
+    spark.read.parquet(out) // hive partition discovery on read-back
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+  val w4Sql: String =
+    "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
+  // ---- W5: write modes raise/overwrite/append -------------------------
+  def w5WriteModes(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w5")
+    val ds = GraftDataset(out)
+    val region = Tables.load(spark, dir, "region")
+    val n1 = DatasetWriter(ds, WriteMode.Raise).write(spark, region)
+    val raised = try { DatasetWriter(ds, WriteMode.Raise).write(spark, region); false }
+      catch { case _: IllegalStateException => true }
+    DatasetWriter(ds, WriteMode.Append).write(spark, region)
+    val afterAppend = ds.df(spark).count()
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, region)
+    val afterOverwrite = ds.df(spark).count()
+    import spark.implicits._
+    Seq(("append_doubles", afterAppend), ("overwrite_resets", afterOverwrite),
+      ("first_write", n1), ("raise_raised", if (raised) 1L else 0L))
+      .toDF("op", "n").orderBy("op")
+  }
+  val w5Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'append_doubles' AS op, 2*COUNT(*) AS n FROM region
+      |  UNION ALL SELECT 'overwrite_resets', COUNT(*) FROM region
+      |  UNION ALL SELECT 'first_write', COUNT(*) FROM region
+      |  UNION ALL SELECT 'raise_raised', 1
+      |) ORDER BY op""".stripMargin
+
+  // ---- W6: delta write (idempotent append) ----------------------------
+  def w6DeltaWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w6")
+    val ds = GraftDataset(out)
+    val orders = Tables.load(spark, dir, "orders")
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    DatasetWriter(ds, WriteMode.Delta).write(spark, base)
+    // full set again: only the missing third may land
+    val n2 = DatasetWriter(ds, WriteMode.Delta).write(spark, orders)
+    // third delta of identical data must be a no-op
+    val n3 = DatasetWriter(ds, WriteMode.Delta).write(spark, orders)
+    // keyed delta: changed payloads on existing keys are NOT re-appended
+    val n4 = DatasetWriter(ds, WriteMode.Delta).withDeltaSubset("o_orderkey")
+      .write(spark, orders.withColumn("o_totalprice", col("o_totalprice") + 1))
+    import spark.implicits._
+    Seq(("delta_filled_gap", n2), ("delta_idempotent", n3),
+      ("keyed_delta_noop", n4), ("final_rows", ds.df(spark).count()))
+      .toDF("op", "n").orderBy("op")
+  }
+  val w6Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'delta_filled_gap' AS op, COUNT(*) AS n FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL SELECT 'delta_idempotent', 0
+      |  UNION ALL SELECT 'keyed_delta_noop', 0
+      |  UNION ALL SELECT 'final_rows', COUNT(*) FROM orders
+      |) ORDER BY op""".stripMargin
+
+  // ---- W7: count-batched write bounds file sizes ----------------------
+  def w7BatchCount(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w7")
+    val ds = GraftDataset(out)
+    val src = Tables.load(spark, dir, "lineitem").coalesce(1)
+    DatasetWriter(ds, WriteMode.Overwrite).withBatchRows(10000).write(spark, src)
+    import spark.implicits._
+    Seq(("rows", ds.df(spark).count()), ("files", ds.dataFiles(spark).size.toLong))
+      .toDF("stat", "n").orderBy("stat")
+  }
+  val w7Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'rows' AS stat, COUNT(*) AS n FROM lineitem
+      |  UNION ALL SELECT 'files', CAST(CEIL(COUNT(*) / 10000.0) AS BIGINT) FROM lineitem
+      |) ORDER BY stat""".stripMargin
+
+  // ---- W8: time-interval batched write --------------------------------
+  def w8TimeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w8")
+    val ds = GraftDataset(out)
+    DatasetWriter(ds, WriteMode.Overwrite).withTimeBatch("ts", "1d")
+      .write(spark, Tables.load(spark, dir, "events"))
+    spark.read.parquet(out)
+      .groupBy(col("__time_bucket").cast("string").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+  val w8Sql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y%m%d_%H%M%S') AS bucket, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- W11: repartition pipeline --------------------------------------
+  def w11Repartition(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmp("w11src"); val dst = tmp("w11dst")
+    DatasetWriter(GraftDataset(src), WriteMode.Overwrite)
+      .write(spark, Tables.load(spark, dir, "customer"))
+    Repartition.run(spark, GraftDataset(src),
+      GraftDataset(dst, partitioning = Seq("c_mktsegment")))
+    spark.read.parquet(dst)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+  val w11Sql: String =
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+
+  // ---- A2: sticky keep-first dedup ------------------------------------
+  def a2DedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("a2")
+    DatasetWriter(GraftDataset(out), WriteMode.Overwrite)
+      .write(spark, Tables.load(spark, dir, "lineitem"))
+    GraftDataset(out)
+      .withDedup(Seq("l_orderkey"), SortSpec(Seq("l_linenumber" -> true)))
+      .df(spark)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .orderBy("l_orderkey")
+  }
+  // The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+  // pairs, so the oracle must spell out the same deterministic tie-break
+  // our sticky dedup pins: presort column first, then every remaining
+  // column ascending in schema order.
+  val a2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber,
+      |      l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount,
+      |      l_tax, l_returnflag, l_linestatus, l_shipdate) AS rn
+      |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+
+  // ---- P6: semi-filter by composite-key membership ---------------------
+  def p6SemiFilter(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val keys = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 250000).select("o_orderkey")
+    l.join(keys, l("l_orderkey") === keys("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+  val p6Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_totalprice > 250000)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- E2: incremental view update old ∪ (new EXCEPT old) -------------
+  def e2IncrementalUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderstatus")
+    val old = o.filter(col("o_orderkey") <= 7500)
+    val fresh = o.filter(col("o_orderkey") > 2500)
+    old.union(fresh.except(old))
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+  }
+  val e2Sql: String =
+    """SELECT COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM (
+      |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 7500
+      |  UNION
+      |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey > 2500)""".stripMargin
+
+  // ---- T5/T8: TimeFly snapshot lifecycle + time travel ----------------
+  def t8TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmp("timefly")
+    val tf = new TimeFly(spark, root)
+    tf.init("ttl")
+    val cur = tf.currentDataset()
+    val orders = Tables.load(spark, dir, "orders")
+    DatasetWriter(cur, WriteMode.Overwrite).write(spark, orders.filter(col("o_orderkey") <= 5000))
+    tf.addSnapshot(Instant.parse("2020-06-01T00:00:00Z"))
+    DatasetWriter(cur, WriteMode.Append).write(spark, orders.filter(col("o_orderkey") > 5000))
+    import spark.implicits._
+    Seq(
+      ("at_2020_01", tf.read(Some(Instant.parse("2020-01-01T00:00:00Z"))).df(spark).count()),
+      ("at_2021_01", tf.read(Some(Instant.parse("2021-01-01T00:00:00Z"))).df(spark).count()),
+      ("current", tf.read(None).df(spark).count()),
+      ("snapshots", tf.availableSnapshots().size.toLong))
+      .toDF("probe", "n").orderBy("probe")
+  }
+  val t8Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'at_2020_01' AS probe, COUNT(*) AS n FROM orders WHERE o_orderkey <= 5000
+      |  UNION ALL SELECT 'at_2021_01', COUNT(*) FROM orders
+      |  UNION ALL SELECT 'current', COUNT(*) FROM orders
+      |  UNION ALL SELECT 'snapshots', 1
+      |) ORDER BY probe""".stripMargin
+
+  // ---- W10: schema-unify rewrite over heterogenous files ---------------
+  def w10UnifyRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w10")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val nation = Tables.load(spark, dir, "nation")
+    // two physically different schemas of the same logical table
+    nation.select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"))
+      .write.parquet(out + "/a")
+    nation.select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey")).write.parquet(out + "/b")
+    val flat = new org.apache.hadoop.fs.Path(out + "/flat"); fs.mkdirs(flat)
+    Seq("a", "b").foreach { sub =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/$sub"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(st => fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(flat, s"$sub-${st.getPath.getName}")))
+    }
+    val ds = GraftDataset(flat.toString)
+    DatasetWriter.unifySchemaRewrite(spark, ds)
+    spark.read.parquet(flat.toString) // plain read proves physical uniformity
+      .agg(count(lit(1)).as("n"), sum("n_nationkey").as("key_sum"),
+        count(col("n_regionkey")).as("non_null_region"))
+  }
+  val w10Sql: String =
+    """SELECT 2*COUNT(*) AS n, 2*SUM(n_nationkey) AS key_sum,
+      |COUNT(*) AS non_null_region FROM nation""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s4_csv_roundtrip" -> (s4CsvRoundtrip _),
+    "s6_materialize" -> (s6Materialize _),
+    "s7_path_relation" -> (s7PathRelation _),
+    "w1_parquet_roundtrip" -> (w1ParquetRoundtrip _),
+    "w4_partitioned_write" -> (w4PartitionedWrite _),
+    "w5_write_modes" -> (w5WriteModes _),
+    "w6_delta_write" -> (w6DeltaWrite _),
+    "w7_batch_count" -> (w7BatchCount _),
+    "w8_time_batch" -> (w8TimeBatch _),
+    "w10_unify_rewrite" -> (w10UnifyRewrite _),
+    "w11_repartition" -> (w11Repartition _),
+    "a2_dedup_first" -> (a2DedupFirst _),
+    "p6_semi_filter" -> (p6SemiFilter _),
+    "e2_incremental_update" -> (e2IncrementalUpdate _),
+    "t8_time_travel" -> (t8TimeTravel _))
+
+  val oracles: Map[String, String] = Map(
+    "s4_csv_roundtrip" -> s4Sql,
+    "s6_materialize" -> s6Sql,
+    "s7_path_relation" -> s7Sql,
+    "w1_parquet_roundtrip" -> w1Sql,
+    "w4_partitioned_write" -> w4Sql,
+    "w5_write_modes" -> w5Sql,
+    "w6_delta_write" -> w6Sql,
+    "w7_batch_count" -> w7Sql,
+    "w8_time_batch" -> w8Sql,
+    "w10_unify_rewrite" -> w10Sql,
+    "w11_repartition" -> w11Sql,
+    "a2_dedup_first" -> a2Sql,
+    "p6_semi_filter" -> p6Sql,
+    "e2_incremental_update" -> e2Sql,
+    "t8_time_travel" -> t8Sql)
+}

@@ -1,0 +1,173 @@
+package graft.ds
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class DatasetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_test_").toString
+
+  test("write modes: raise / overwrite / append (writer.py:185-256)") {
+    val dir = tmp() + "/ds"
+    val ds = GraftDataset(dir)
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(DatasetWriter(ds, WriteMode.Raise).write(spark, df) == 2)
+    intercept[IllegalStateException](DatasetWriter(ds, WriteMode.Raise).write(spark, df))
+    assert(DatasetWriter(ds, WriteMode.Append).write(spark, df) == 2)
+    assert(ds.df(spark).count() == 4)
+    assert(DatasetWriter(ds, WriteMode.Overwrite).write(spark, df) == 2)
+    assert(ds.df(spark).count() == 2)
+  }
+
+  test("delta mode is idempotent (W6: write(t); write(t) ⇒ unchanged)") {
+    val dir = tmp() + "/delta"
+    val ds = GraftDataset(dir)
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    assert(DatasetWriter(ds, WriteMode.Delta).write(spark, df) == 3)
+    assert(DatasetWriter(ds, WriteMode.Delta).write(spark, df) == 0)
+    assert(ds.df(spark).count() == 3)
+  }
+
+  test("delta with subset keys: only new keys land") {
+    val dir = tmp() + "/delta2"
+    val ds = GraftDataset(dir)
+    DatasetWriter(ds, WriteMode.Delta).withDeltaSubset("k")
+      .write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val n = DatasetWriter(ds, WriteMode.Delta).withDeltaSubset("k")
+      .write(spark, Seq((2, "CHANGED"), (3, "c")).toDF("k", "v"))
+    assert(n == 1) // only k=3 is new; k=2 exists (payload change ignored by key-delta)
+    val rows = ds.df(spark).orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("delta with datetime window bounds the comparison (writer.py:196-240)") {
+    val dir = tmp() + "/delta3"
+    val ds = GraftDataset(dir)
+    val base = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("k", "ts")
+    DatasetWriter(ds, WriteMode.Delta).write(spark, base)
+    // incoming overlaps day 2 only; row (2,…) is a dup inside the window
+    val inc = Seq(
+      (2, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (9, java.sql.Timestamp.valueOf("2024-01-02 06:00:00"))).toDF("k", "ts")
+    val n = DatasetWriter(ds, WriteMode.Delta).withDeltaWindow("ts").write(spark, inc)
+    assert(n == 1)
+    assert(ds.df(spark).count() == 3)
+  }
+
+  test("partitioned write: hive layout + row conservation (W4)") {
+    val dir = tmp() + "/part"
+    val ds = GraftDataset(dir, partitioning = Seq("p"))
+    val df = (1 to 100).map(i => (i, s"p${i % 4}")).toDF("k", "p")
+    assert(DatasetWriter(ds, WriteMode.Overwrite).write(spark, df) == 100)
+    val f = ds.fs(spark)
+    assert((0 to 3).forall(i => f.exists(new org.apache.hadoop.fs.Path(dir, s"p=p$i"))))
+    assert(ds.df(spark).count() == 100)
+  }
+
+  test("time-interval batched write buckets land as partitions (W8)") {
+    val dir = tmp() + "/timebatch"
+    val ds = GraftDataset(dir)
+    val df = (0 until 48).map(h =>
+      (h, java.sql.Timestamp.valueOf(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:30:00"))).toDF("k", "ts")
+    DatasetWriter(ds, WriteMode.Overwrite).withTimeBatch("ts", "1d").write(spark, df)
+    val f = ds.fs(spark)
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, "__time_bucket=20240101_000000")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, "__time_bucket=20240102_000000")))
+    assert(spark.read.parquet(dir).count() == 48)
+  }
+
+  test("count batching bounds file sizes via maxRecordsPerFile (W7)") {
+    val dir = tmp() + "/batch"
+    val ds = GraftDataset(dir)
+    val df = (1 to 1000).toDF("k").coalesce(1)
+    DatasetWriter(ds, WriteMode.Overwrite).withBatchRows(100).write(spark, df)
+    assert(ds.dataFiles(spark).size == 10)
+    assert(ds.df(spark).count() == 1000)
+  }
+
+  test("transform hook applies before write (W9)") {
+    val dir = tmp() + "/hook"
+    val ds = GraftDataset(dir)
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .withTransform(df => df.filter($"k" > 5))
+      .write(spark, (1 to 10).toDF("k"))
+    assert(ds.df(spark).count() == 5)
+  }
+
+  test("sticky pipeline: drop → dedup keep-first/last → sort (base.py:118-142)") {
+    val df = Seq(
+      (1, "x", 10, "junk"), (1, "y", 5, "junk"), (2, "z", 7, "junk")).toDF("k", "v", "ord", "waste")
+    val first = GraftDataset("/nonexistent", dropCols = Seq("waste"))
+      .withDedup(Seq("k"), SortSpec(Seq("ord" -> true))).copy(dropCols = Seq("waste"))
+      .pipeline(df).orderBy("k").collect()
+    assert(first.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "y"), (2, "z")))
+    val last = GraftDataset("/nonexistent")
+      .withDedup(Seq("k"), SortSpec(Seq("ord" -> true)), keepLast = true)
+      .pipeline(df).orderBy("k").collect()
+    assert(last.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "x"), (2, "z")))
+  }
+
+  test("read-side schema unification: int32 + int64 + missing cols (reader.py:186-233)") {
+    val dir = tmp() + "/unify"
+    val s1 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val s2 = StructType(Seq(StructField("a", LongType), StructField("c", DoubleType)))
+    spark.createDataFrame(
+      java.util.List.of(Row(1, "x"), Row(2, "y")), s1).write.parquet(dir + "/f1")
+    spark.createDataFrame(
+      java.util.List.of(Row(30000000000L, 1.5)), s2).write.parquet(dir + "/f2")
+    // move files into one flat dir
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val flat = new org.apache.hadoop.fs.Path(dir + "/flat")
+    f.mkdirs(flat)
+    Seq("f1", "f2").foreach { sub =>
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(st => st.getPath.getName.endsWith(".parquet"))
+        .foreach(st => f.rename(st.getPath, new org.apache.hadoop.fs.Path(flat, s"$sub-${st.getPath.getName}")))
+    }
+    val ds = GraftDataset(flat.toString)
+    val out = ds.df(spark)
+    assert(out.schema("a").dataType == LongType)
+    assert(out.columns.toSet == Set("a", "b", "c"))
+    assert(out.count() == 3)
+  }
+
+  test("schema-unify rewrite makes files physically uniform (W10)") {
+    val dir = tmp() + "/rewrite"
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val s1 = StructType(Seq(StructField("a", IntegerType)))
+    val s2 = StructType(Seq(StructField("a", LongType)))
+    spark.createDataFrame(java.util.List.of(Row(1), Row(2)), s1).write.parquet(dir + "/g1")
+    spark.createDataFrame(java.util.List.of(Row(9L)), s2).write.parquet(dir + "/g2")
+    val flat = new org.apache.hadoop.fs.Path(dir + "/flat"); f.mkdirs(flat)
+    Seq("g1", "g2").foreach { sub =>
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(st => st.getPath.getName.endsWith(".parquet"))
+        .foreach(st => f.rename(st.getPath, new org.apache.hadoop.fs.Path(flat, s"$sub-${st.getPath.getName}")))
+    }
+    val ds = GraftDataset(flat.toString)
+    assert(DatasetWriter.unifySchemaRewrite(spark, ds))
+    // after rewrite: plain spark.read works and sees one schema
+    val out = spark.read.parquet(flat.toString)
+    assert(out.schema("a").dataType == LongType)
+    assert(out.count() == 3)
+    assert(!DatasetWriter.unifySchemaRewrite(spark, ds)) // now uniform → no-op
+  }
+
+  test("repartition in-place swap preserves data (repartition.py:72-80 guard)") {
+    val dir = tmp() + "/repart"
+    val ds = GraftDataset(dir)
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, (1 to 50).map(i => (i, i % 5)).toDF("k", "p"))
+    val n = Repartition.run(spark, ds, ds.copy(partitioning = Seq("p")))
+    assert(n == 50)
+    val f = ds.fs(spark)
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, "p=0")))
+    assert(spark.read.parquet(dir).count() == 50)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.meta
+
+import java.nio.file.Files
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.ds.{DatasetWriter, GraftDataset, WriteMode}
+
+class TimeFlySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_meta_").toString
+
+  test("init creates layout + adopts stray files (timefly.py:130-174)") {
+    val root = tmp() + "/ds"
+    // stray data file in the root
+    val pre = GraftDataset(root)
+    DatasetWriter(pre, WriteMode.Overwrite).write(spark, Seq(1, 2).toDF("k"))
+    val tf = new TimeFly(spark, root)
+    tf.init("mydata", "a test dataset")
+    val f = pre.fs(spark)
+    assert(f.exists(tf.currentPath))
+    assert(f.exists(tf.configPath))
+    assert(tf.currentDataset().df(spark).count() == 2) // adopted
+  }
+
+  test("snapshot add / resolve / load / delete (timefly.py:245-387)") {
+    val root = tmp() + "/snap"
+    val tf = new TimeFly(spark, root)
+    tf.init("snapped")
+    val cur = tf.currentDataset()
+    DatasetWriter(cur, WriteMode.Overwrite).write(spark, Seq(1, 2).toDF("k"))
+    val id1 = tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z"))
+    DatasetWriter(cur, WriteMode.Append).write(spark, Seq(3).toDF("k"))
+    val id2 = tf.addSnapshot(Instant.parse("2024-06-01T00:00:00Z"))
+    assert(tf.availableSnapshots() == Seq(id1, id2))
+
+    // probe before id1 resolves to id1 (2 rows); after id2 → current (3 rows)
+    assert(tf.read(Some(Instant.parse("2023-12-01T00:00:00Z"))).df(spark).count() == 2)
+    assert(tf.read(Some(Instant.parse("2024-03-01T00:00:00Z"))).df(spark).count() == 3)
+    assert(tf.read(Some(Instant.parse("2025-01-01T00:00:00Z"))).df(spark).count() == 3)
+    assert(tf.read(None).df(spark).count() == 3)
+
+    // restore id1 over current
+    tf.loadSnapshot(id1)
+    assert(tf.read(None).df(spark).count() == 2)
+
+    tf.deleteSnapshot(id1)
+    assert(tf.availableSnapshots() == Seq(id2))
+    val cfg = tf.readConfig()
+    assert(graft.core.Toml.getArr(graft.core.Toml.getTbl(cfg, "snapshot").get, "deleted") == Seq(id1))
+  }
+}
+
+class ManagerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("catalog add/remove/discover/query (manager.py:16-209)") {
+    val lake = Files.createTempDirectory("graft_lake_").toString
+    val m = new Manager(spark, lake)
+    m.init("testlake")
+
+    // one TimeFly-managed dataset + one plain directory dataset
+    val tf = new TimeFly(spark, lake + "/sales")
+    tf.init("sales")
+    DatasetWriter(tf.currentDataset(), WriteMode.Overwrite)
+      .write(spark, Seq((1, 10.0), (2, 20.0)).toDF("id", "amt"))
+    DatasetWriter(GraftDataset(lake + "/plain"), WriteMode.Overwrite)
+      .write(spark, Seq(1, 2, 3).toDF("x"))
+
+    val discovered = m.discover()
+    assert(discovered.contains("sales"))
+    m.addDataset("plain", lake + "/plain")
+    assert(m.datasets().keySet == Set("sales", "plain"))
+
+    val views = m.registerAll()
+    assert(views == Seq("plain", "sales"))
+    assert(spark.sql("SELECT SUM(amt) FROM sales").collect()(0).getDouble(0) == 30.0)
+    assert(spark.sql("SELECT COUNT(*) FROM plain").collect()(0).getLong(0) == 3)
+
+    m.removeDataset("plain")
+    assert(m.datasets().keySet == Set("sales"))
+  }
+}
