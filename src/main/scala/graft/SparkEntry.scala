@@ -10,10 +10,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SqlSurface.queries ++ OpsQueries.queries
+    SqlSurface.queries ++ OpsQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    SqlSurface.oracles ++ OpsQueries.oracles
+    SqlSurface.oracles ++ OpsQueries.oracles ++ ExtQueries.oracles
 }

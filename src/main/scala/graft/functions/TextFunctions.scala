@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines.
+  * Everything is built from `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage-compatible) — no UDFs anywhere in the hot path, so these
+  * run at full Tungsten speed over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens, empties removed. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Word n-gram shingles (default trigram). Documents shorter than `n`
+    * words yield a single whole-document shingle. */
+  def shingles(ws: Column, n: Int = 3): Column =
+    when(size(ws) < n, array(concat_ws(" ", ws)))
+      .otherwise(transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+
+  /** Distinct shingle set (set semantics for Jaccard). */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(shingles(words(text), n))
+
+  /** MinHash signature: k independent min-hashes over a shingle set.
+    * Hash j of shingle s = xxhash64(s, j) — deterministic across runs
+    * and engines-of-this-library. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      aggregate(shingleArr, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, lit(j))))
+    }: _*)
+
+  /** LSH band keys for a minhash signature: `bands` buckets of
+    * `rowsPerBand` signature slots each, keyed by murmur3 over the slice
+    * (plus band index, so bands don't collide with each other). */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))
+    }: _*)
+
+  /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
+    * bit position, sign of the vote sum becomes the bit. Pure SQL
+    * expressions (shiftright with a lambda-bound index), fully codegen. */
+  def simhash64(tokens: Column): Column = {
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(shiftright64(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, shiftleft64(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  // shiftright/shiftleft with a Column shift amount — the Scala wrappers
+  // require a literal Int, but the underlying SQL expressions accept any
+  // expression, reachable via call_function.
+  private def shiftright64(v: Column, n: Column): Column = call_function("shiftright", v, n)
+  private def shiftleft64(v: Column, n: Column): Column = call_function("shiftleft", v, n)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------ lang id
+  /** Marker-word tables for the n-gram language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y"))
+
+  /** Count of whole-word marker matches for one language. */
+  def markerCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => markers.map(m => w === lit(m)).reduce(_ || _)))
+
+  /** Heuristic language id: argmax of marker counts with a CJK-ratio
+    * override; deterministic tie-break by language code order; "und"
+    * when nothing matches. */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val scores = LangMarkers.map { case (code, ms) => (code, markerCount(ws, ms)) }
+    val best = scores.sortBy(_._1).foldLeft((lit("und"), lit(0))) {
+      case ((bc, bs), (code, s)) => (when(s > bs, lit(code)).otherwise(bc), greatest(s, bs))
+    }._1
+    when(cjk * 2 > length(text), lit("zh")).otherwise(best)
+  }
+
+  // ------------------------------------------------------- quality score
+  /** Quality components: word count, mean word length, punctuation
+    * ratio, stopword ratio — the classic cheap pretraining filters. */
+  def qualityComponents(text: Column): Seq[(String, Column)] = {
+    val ws = words(text)
+    val nW = size(ws)
+    val nC = length(text)
+    val punct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
+    val stop = markerCount(ws, LangMarkers.flatMap(_._2))
+    Seq(
+      "n_words" -> nW,
+      "mean_word_len" -> (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nW),
+      "punct_ratio" -> (punct.cast("double") / nC),
+      "stopword_ratio" -> (stop.cast("double") / nW))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence
+    * − punctuation excess. Fixed weights; deterministic arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val comps = qualityComponents(text).toMap
+    val lenScore = when(comps("n_words").between(20, 1000), lit(0.5)).otherwise(lit(0.1))
+    val stopScore = least(comps("stopword_ratio") * lit(2.0), lit(0.3))
+    val punctPenalty = least(comps("punct_ratio") * lit(5.0), lit(0.2))
+    lenScore + stopScore - punctPenalty + lit(0.2)
+  }
+
+  // ------------------------------------------------------- token counts
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols (a cheap proxy for subword tokenizers). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  // ------------------------------------------------------- fingerprints
+  /** Canonical document fingerprint: md5 of the lower-cased,
+    * whitespace-collapsed, trimmed text. Identical content → identical
+    * fingerprint regardless of spacing/case noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " ").cast("binary"))
+
+  /** Rolling polynomial content hash over tokens (order-sensitive,
+    * unlike the shingle set): h = h*31 + xxhash64(token). */
+  def rollingHash(text: Column): Column =
+    aggregate(words(text), lit(0L), (acc, w) => acc * lit(31L) + xxhash64(w))
+}

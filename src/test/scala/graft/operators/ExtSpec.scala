@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different words about spark engines"),
+    (4L, "THE QUICK  BROWN fox jumps over the lazy dog"),  // exact mod spacing/case
+    (5L, "another unrelated text talking about parquet files")).toDF("doc_id", "text")
+
+  test("exact dedup collapses case/spacing variants, keeps lowest id") {
+    val kept = Dedup.exact(docs, "doc_id", "text").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 collapses into 1
+  }
+
+  test("ngram jaccard finds the near-dup pair exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhash LSH agrees with exact ngram jaccard on clear dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, k = 32, bands = 8,
+      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical-mod-case texts at distance 0; near-dups close; unrelated far") {
+    val sigs = docs.select($"doc_id",
+      TextFunctions.simhash64(TextFunctions.words($"text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L)) // same tokens after lower()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("ngram jaccard df-pruning keeps true pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+      maxShingleDf = Some(4)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.95f, 0.05f)), // close to 2
+    (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-1 finds the geometric neighbor") {
+    val top1 = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1(0L) == 1L)
+    assert(top1(1L) == 0L)
+    assert(top1(2L) == 3L)
+    assert(top1(3L) == 2L)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0, opposite is -1") {
+    val c = vecs.as("a").join(vecs.as("b"), lit(true))
+      .select($"a.vec_id", $"b.vec_id",
+        Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(math.abs(c((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(c((0L, 2L))) < 1e-12)
+    assert(math.abs(c((0L, 4L)) + 1.0) < 1e-12)
+  }
+
+  test("lsh buckets are deterministic and identical vectors collide") {
+    val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b == b2)
+    // opposite vectors land in complementary-ish buckets, not the same
+    assert(b(0L) != b(4L))
+  }
+}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token counts, fingerprint, language id") {
+    val df = Seq(
+      (1L, "The quick brown fox, version 2.0!"),
+      (2L, "der hund und die katze und der vogel ist nicht da"),
+      (3L, "le chat et la maison est une belle chose"),
+      (4L, "")).toDF("id", "text")
+    val out = df.select($"id",
+      TextFunctions.wsTokenCount($"text").as("ws"),
+      TextFunctions.bpeTokenCount($"text").as("bpe"),
+      TextFunctions.langId($"text").as("lang"),
+      TextFunctions.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 6)
+    // The quick brown fox , version 2 . 0 !  → 10 bpe tokens
+    assert(out(1L)._2 == 10)
+    assert(out(1L)._3 == "en")
+    assert(out(2L)._3 == "de")
+    assert(out(3L)._3 == "fr")
+    assert(out(4L)._3 == "und")
+    // fingerprint ignores case + extra spaces
+    val fps = Seq((1L, "Hello  World"), (2L, "hello world"))
+      .toDF("id", "text")
+      .select(TextFunctions.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("shingles: n-grams for long docs, whole-doc for short") {
+    val out = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+      .select($"id", TextFunctions.shingleSet($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).toSet == Set("a b c", "b c d"))
+    assert(out(2L) == Seq("a b"))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("payload table schema + decode stub + frame sampling plumbing") {
+    val docs = Seq((1L, "some media content here"), (2L, "other bytes")).toDF("doc_id", "text")
+    val payloads = Multimodal.asPayloadTable(docs, "doc_id", "text")
+    assert(payloads.schema("payload").dataType.typeName == "binary")
+    val metaFields = payloads.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.MetaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    val decoded = Multimodal.decodeStub(payloads, featureDim = 8)
+    val r = decoded.filter($"media_id" === 1L).select("width", "height", "channels").collect()(0)
+    assert(r.getInt(0) >= 64 && r.getInt(1) >= 64 && r.getInt(2) == 3)
+    assert(decoded.select(size($"features")).as[Int].collect().forall(_ == 8))
+    // deterministic: same payload → same features
+    val f1 = decoded.filter($"media_id" === 1L).select("features").as[Seq[Float]].collect()(0)
+    val f2 = Multimodal.decodeStub(payloads, 8).filter($"media_id" === 1L)
+      .select("features").as[Seq[Float]].collect()(0)
+    assert(f1 == f2)
+
+    val frames = Multimodal.sampleFrames(payloads, 4)
+    assert(frames.count() == 8)
+    assert(frames.groupBy("media_id").count().select("count").as[Long].collect().forall(_ == 4))
+  }
+}
