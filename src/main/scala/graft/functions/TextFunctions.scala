@@ -15,25 +15,36 @@ object TextFunctions {
     filter(split(lower(text), "\\s+"), w => length(w) > 0)
 
   /** Word n-gram shingles (default trigram). Documents shorter than `n`
-    * words yield a single whole-document shingle. */
+    * words yield a single whole-document shingle. Declarative built-in
+    * composition — kept as the semantic reference for [[shingleSet]]'s
+    * compiled fast path (they must agree; see TextFunctionsSpec). */
   def shingles(ws: Column, n: Int = 3): Column =
     when(size(ws) < n, array(concat_ws(" ", ws)))
       .otherwise(transform(
         sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
 
-  /** Distinct shingle set (set semantics for Jaccard). */
+  /** Distinct shingle set (set semantics for Jaccard) — single compiled
+    * pass via [[graft.plans.WordShingles]]; the equivalent
+    * `array_distinct(transform(...))` chain evaluates interpreted per
+    * element and dominated dedup runtime at corpus scale. */
   def shingleSet(text: Column, n: Int = 3): Column =
-    array_distinct(shingles(words(text), n))
+    graft.plans.GraftExpressions.shingles(
+      org.apache.spark.sql.SparkSession.active, text, n, distinct = true)
 
-  /** MinHash signature: k independent min-hashes over a shingle set.
-    * Hash j of shingle s = xxhash64(s, j) — deterministic across runs
-    * and engines-of-this-library. */
+  /** Lower-cased whitespace tokens via the same compiled tokenizer
+    * (order and duplicates preserved — SimHash weighting needs them). */
+  def tokens(text: Column): Column =
+    graft.plans.GraftExpressions.shingles(
+      org.apache.spark.sql.SparkSession.active, text, 1, distinct = false)
+
+  /** MinHash signature: k min-hashes over a shingle set, computed by the
+    * custom single-pass [[graft.plans.MinHashSig]] expression (the
+    * equivalent `aggregate(...)` composition is interpreted per element
+    * — ~100× slower at corpus scale). Deterministic across runs. */
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, lit(j))))
-    }: _*)
+    graft.plans.GraftExpressions.minhash(
+      org.apache.spark.sql.SparkSession.active, shingleArr, k)
 
   /** LSH band keys for a minhash signature: `bands` buckets of
     * `rowsPerBand` signature slots each, keyed by murmur3 over the slice
@@ -46,27 +57,9 @@ object TextFunctions {
   /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
     * bit position, sign of the vote sum becomes the bit. Pure SQL
     * expressions (shiftright with a lambda-bound index), fully codegen. */
-  def simhash64(tokens: Column): Column = {
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(shiftright64(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, shiftleft64(lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
-
-  // shiftright/shiftleft with a Column shift amount — the Scala wrappers
-  // require a literal Int, but the underlying SQL expressions accept any
-  // expression, reachable via call_function.
-  private def shiftright64(v: Column, n: Column): Column = call_function("shiftright", v, n)
-  private def shiftleft64(v: Column, n: Column): Column = call_function("shiftleft", v, n)
+  def simhash64(tokens: Column): Column =
+    graft.plans.GraftExpressions.simhash(
+      org.apache.spark.sql.SparkSession.active, tokens)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

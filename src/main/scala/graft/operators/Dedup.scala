@@ -45,7 +45,11 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
 
-    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    // The shingle table is the reuse point of the whole pipeline (posting
+    // list, both sides of the candidate join, both verify joins) — cache
+    // it once instead of re-shingling the corpus five times. Size is
+    // O(corpus tokens), the same order as the input text.
+    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")).cache()
     val posting = docs.select(col("id"), explode(col("sh")).as("s"))
     val pruned = maxShingleDf match {
       case Some(cap) =>
@@ -71,8 +75,10 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
 
     val r = k / bands
-    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
-    val sigs = docs.select(col("id"), bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk"))
+    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")).cache()
+    // Signatures are tiny (id + k longs) and feed both sides of the
+    // bucket self-join — materialize once.
+    val sigs = docs.select(col("id"), bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk")).cache()
     val buckets = sigs.select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
     val cands = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
       .filter(col("a.id") < col("b.id"))
@@ -82,16 +88,21 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs by re-joining the
-    * shingle sets by id (signatures/arrays never ride the wide shuffle). */
-  private def jaccardVerify(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+    * shingle sets by id (signatures/arrays never ride the wide shuffle).
+    * Shingle sets arrive sorted (WordShingles), so |A∩B| is a compiled
+    * merge pass and |A∪B| = |A|+|B|−|A∩B| — no per-pair hash sets. */
+  private def jaccardVerify(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
     cands
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("__inter",
+        graft.plans.GraftExpressions.intersectCount(spark, col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("__inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** SimHash near-dup pairs within a Hamming radius. Banded on 4×16-bit
     * chunks of the 64-bit signature (exact for radius ≤ 3; candidates
@@ -100,7 +111,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
 
-    val sigs = df.select(col(idCol).as("id"), simhash64(words(col(textCol))).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig")).cache()
     val chunks = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         call_function("shiftright", col("sig"), lit(c * 16)).bitwiseAND(lit(0xFFFFL))): _*))

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as double (element-wise product folded left). */
+  /** Σ aᵢ·bᵢ as double via the codegen'd [[graft.plans.VectorDot]]
+    * expression — stays inside whole-stage codegen, unlike the
+    * interpreted `aggregate(zip_with(...))` composition. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.GraftExpressions.dot(
+      org.apache.spark.sql.SparkSession.active, a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

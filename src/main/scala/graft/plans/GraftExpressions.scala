@@ -1,0 +1,312 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operator hot paths where Spark's
+  * built-ins can't run fast: `aggregate`/`zip_with` lambdas are
+  * CodegenFallback (interpreted, boxing per element), which turns a
+  * 64-float dot product into ~100 object allocations. These expressions
+  * are single-pass primitive loops; `VectorDot` additionally generates
+  * Java code so it fuses into whole-stage codegen (the 2M-pair
+  * similarity join stays in one codegen stage).
+  *
+  * Registered as SQL functions (`graft_dot`, `graft_minhash`,
+  * `graft_simhash`) via [[GraftExpressions.register]] and the
+  * [[GraftExtensions]] SparkSessionExtensions class.
+  */
+case class VectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def okType(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (okType(left) && okType(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects array<float|double> args, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    val lf = isFloat(left); val rf = isFloat(right)
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature: k min-hashes over a string array in ONE pass.
+  * Per element two xxh64 hashes h1,h2; hash_j = h1 + j*h2
+  * (Carter-Wegman), so cost is O(elements + k) not O(elements*k).
+  * Output: array<long> of length k. */
+case class MinHashSig(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects array<string>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
+      var j = 0
+      var hj = h1
+      while (j < k) {
+        if (hj < mins(j)) mins(j) = hj
+        hj += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** 64-bit SimHash over a string array in one pass: per-token xxh64,
+  * ±1 vote per bit, sign of votes → bit. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash expects array<string>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** One-pass word-n-gram shingler: lowercase, split on `\s+`, join each
+  * sliding window of `n` words with single spaces; documents shorter
+  * than `n` words yield one whole-document shingle; `distinct` keeps
+  * first occurrences (array_distinct semantics). Replaces the
+  * `transform(sequence, concat_ws(slice))` composition, whose
+  * interpreted per-element evaluation dominated the dedup pipelines.
+  */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects string, got $t")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  // Java-regex \s class, to stay byte-identical with split(lower(x),'\s+')
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0; val len = text.length
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) words += text.substring(start, i)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](words.length)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    def emit(s: String): Unit =
+      if (!distinct || seen.add(s)) out += UTF8String.fromString(s)
+    if (words.length < n) {
+      emit(words.mkString(" "))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var w = 0
+      while (w + n <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(words(w + j)); j += 1 }
+        emit(sb.toString)
+        w += 1
+      }
+    }
+    // distinct sets come out sorted so set-intersections downstream can
+    // run as allocation-free merges (SortedIntersectCount)
+    val arr = out.toArray
+    if (distinct) java.util.Arrays.sort(arr,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** |A ∩ B| for two SORTED string arrays via a single merge pass — no
+  * per-call hash set, no allocations (vs ArrayIntersect, which builds a
+  * hash set per row and dominated near-dup verification at 1M+ pairs). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_count expects two array<string>, got $l, $r")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+object GraftExpressions {
+  /** Idempotent session-level registration (also see [[GraftExtensions]]
+    * for the spark.sql.extensions path). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      { es: Seq[Expression] => VectorDot(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      { es: Seq[Expression] =>
+        val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
+        MinHashSig(es(0), k)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      { es: Seq[Expression] => SimHash64(es(0)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      { es: Seq[Expression] =>
+        val n = es(1).eval(InternalRow.empty).asInstanceOf[Int]
+        val d = es(2).eval(InternalRow.empty).asInstanceOf[Boolean]
+        WordShingles(es(0), n, d)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_intersect_count",
+      { es: Seq[Expression] => SortedIntersectCount(es(0), es(1)) }, "built-in")
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_dot", a, b)
+  }
+  def minhash(spark: SparkSession, shingles: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_minhash", shingles, org.apache.spark.sql.functions.lit(k))
+  }
+  def simhash(spark: SparkSession, tokens: Column): Column = {
+    register(spark); call_function("graft_simhash", tokens)
+  }
+  def shingles(spark: SparkSession, text: Column, n: Int, distinct: Boolean): Column = {
+    register(spark)
+    call_function("graft_shingles", text,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(distinct))
+  }
+  def intersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_intersect_count", a, b)
+  }
+}
+
+/** `SparkSessionExtensions` entry point:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` installs the
+  * custom functions in every session of a cluster deployment. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+      { es: Seq[Expression] => VectorDot(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      { es: Seq[Expression] => SimHash64(es(0)) }))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      { es: Seq[Expression] =>
+        val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
+        MinHashSig(es(0), k)
+      }))
+  }
+}
