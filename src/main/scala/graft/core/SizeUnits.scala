@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Byte-size reporting helpers (reference F5: `utils/base.py:63-75`
+  * B→PB conversion, surfaced by `disk_usage`/`buffer_size`,
+  * `dataset/reader.py:556-581`). */
+object SizeUnits {
+  private val Units = Seq("B", "KB", "MB", "GB", "TB", "PB")
+
+  /** `1536 → "1.5 KB"` — decimal thousand steps like the reference. */
+  def humanize(bytes: Long): String = {
+    var v = bytes.toDouble
+    var u = 0
+    while (v >= 1000.0 && u < Units.length - 1) { v /= 1000.0; u += 1 }
+    if (u == 0) s"${bytes} B" else f"$v%.1f ${Units(u)}"
+  }
+
+  /** Recursive directory byte size via Hadoop FS content summary. */
+  def diskUsage(conf: Configuration, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
+  def diskUsageHuman(conf: Configuration, path: String): String =
+    humanize(diskUsage(conf, path))
+}

@@ -19,7 +19,8 @@ object TextFunctions {
     * composition — kept as the semantic reference for [[shingleSet]]'s
     * compiled fast path (they must agree; see TextFunctionsSpec). */
   def shingles(ws: Column, n: Int = 3): Column =
-    when(size(ws) < n, array(concat_ws(" ", ws)))
+    when(size(ws) === 0, array().cast("array<string>"))
+      .when(size(ws) < n, array(concat_ws(" ", ws)))
       .otherwise(transform(
         sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n)))))

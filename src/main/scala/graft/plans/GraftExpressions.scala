@@ -188,7 +188,9 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     val seen = if (distinct) new java.util.HashSet[String]() else null
     def emit(s: String): Unit =
       if (!distinct || seen.add(s)) out += UTF8String.fromString(s)
-    if (words.length < n) {
+    if (words.isEmpty) {
+      // no tokens → no shingles (empty docs contribute nothing to dedup)
+    } else if (words.length < n) {
       emit(words.mkString(" "))
     } else {
       val sb = new java.lang.StringBuilder(64)

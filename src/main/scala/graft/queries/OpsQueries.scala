@@ -281,7 +281,100 @@ object OpsQueries {
     """SELECT 2*COUNT(*) AS n, 2*SUM(n_nationkey) AS key_sum,
       |COUNT(*) AS non_null_region FROM nation""".stripMargin
 
+  // ---- S3/W2: feather (Arrow IPC) write + read round-trip --------------
+  def s3FeatherRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("feather") + ".arrow"
+    graft.sources.FeatherIO.write(Tables.load(spark, dir, "nation"), out)
+    graft.sources.FeatherIO.read(spark, out)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"),
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+      .orderBy("n_regionkey")
+  }
+  val s3Sql: String =
+    """SELECT n_regionkey, COUNT(*) AS n,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---- A3: min/max scalar aggregates (delta window bounds) -------------
+  def a3MinMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(to_date(min(col("l_shipdate"))).as("lo"),
+        to_date(max(col("l_shipdate"))).as("hi"),
+        count(lit(1)).as("n"))
+  val a3Sql: String =
+    """SELECT CAST(MIN(l_shipdate) AS DATE) AS lo, CAST(MAX(l_shipdate) AS DATE) AS hi,
+      |COUNT(*) AS n FROM lineitem""".stripMargin
+
+  // ---- A4: distinct partition-tuple enumeration ------------------------
+  def a4PartitionEnum(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  val a4Sql: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---- A5: row counts / shape across tables ----------------------------
+  def a5Counts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("region", "nation", "customer", "orders", "lineitem")
+      .map(t => (t, Tables.load(spark, dir, t).count()))
+      .toDF("tbl", "n").orderBy("tbl")
+  }
+  val a5Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'region' AS tbl, COUNT(*) AS n FROM region
+      |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
+      |  UNION ALL SELECT 'customer', COUNT(*) FROM customer
+      |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+      |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+      |) ORDER BY tbl""".stripMargin
+
+  // ---- P5: cast round-trip (string-keyed delta subsets) ----------------
+  def p5Cast(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "supplier")
+      .select(
+        col("s_suppkey").cast("string").as("key_str"),
+        col("s_acctbal").cast("decimal(18,2)").cast("string").as("bal_str"),
+        col("s_nationkey").cast("long").as("nk_long"))
+      .orderBy(col("key_str"))
+  val p5Sql: String =
+    """SELECT CAST(s_suppkey AS VARCHAR) AS key_str,
+      |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str,
+      |  CAST(s_nationkey AS BIGINT) AS nk_long
+      |FROM supplier ORDER BY key_str""".stripMargin
+
+  // ---- T9/T10: lake catalog — multi-dataset SQL over the Manager -------
+  def t9Catalog(spark: SparkSession, dir: String): DataFrame = {
+    val lake = tmp("lake")
+    val m = new graft.meta.Manager(spark, lake)
+    m.init("bench_lake")
+    DatasetWriter(GraftDataset(s"$lake/cust"), WriteMode.Overwrite)
+      .write(spark, Tables.load(spark, dir, "customer"))
+    DatasetWriter(GraftDataset(s"$lake/ords"), WriteMode.Overwrite)
+      .write(spark, Tables.load(spark, dir, "orders"))
+    m.addDataset("cust", s"$lake/cust")
+    m.addDataset("ords", s"$lake/ords")
+    m.registerAll()
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM ords JOIN cust ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+  val t9Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_feather_roundtrip" -> (s3FeatherRoundtrip _),
+    "a3_minmax" -> (a3MinMax _),
+    "a4_partition_enum" -> (a4PartitionEnum _),
+    "a5_counts" -> (a5Counts _),
+    "p5_cast" -> (p5Cast _),
+    "t9_catalog" -> (t9Catalog _),
     "s4_csv_roundtrip" -> (s4CsvRoundtrip _),
     "s6_materialize" -> (s6Materialize _),
     "s7_path_relation" -> (s7PathRelation _),
@@ -299,6 +392,12 @@ object OpsQueries {
     "t8_time_travel" -> (t8TimeTravel _))
 
   val oracles: Map[String, String] = Map(
+    "s3_feather_roundtrip" -> s3Sql,
+    "a3_minmax" -> a3Sql,
+    "a4_partition_enum" -> a4Sql,
+    "a5_counts" -> a5Sql,
+    "p5_cast" -> p5Sql,
+    "t9_catalog" -> t9Sql,
     "s4_csv_roundtrip" -> s4Sql,
     "s6_materialize" -> s6Sql,
     "s7_path_relation" -> s7Sql,

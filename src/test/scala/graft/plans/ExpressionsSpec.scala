@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.functions.TextFunctions
+
+/** The compiled fast paths must agree exactly with their declarative
+  * built-in equivalents — the oracle correctness of the dedup queries
+  * rests on this. */
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val texts = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "  Leading  and   trailing   whitespace  "),
+    (3L, "one"),
+    (4L, "two words"),
+    (5L, ""),
+    (6L, "MIXED Case TOKENS mixed case tokens mixed"),
+    (7L, "a\tb\nc d  e"),
+    (8L, "dup dup dup dup dup")).toDF("id", "text")
+
+  test("WordShingles(3, distinct) == sorted array_distinct of declarative shingles") {
+    val declarative = texts.select($"id",
+      array_sort(array_distinct(TextFunctions.shingles(TextFunctions.words($"text"), 3))).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val compiled = texts.select($"id", TextFunctions.shingleSet($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(compiled == declarative)
+  }
+
+  test("WordShingles(1, keep-dups) == declarative words()") {
+    val declarative = texts.select($"id", TextFunctions.words($"text").as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    val compiled = texts.select($"id", TextFunctions.tokens($"text").as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    // words() of "" is Array("")? split of empty string gives [""] filtered by length>0 → []
+    assert(compiled == declarative)
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val pairs = texts.as("a").join(texts.as("b"), $"a.id" < $"b.id")
+      .select(
+        TextFunctions.shingleSet($"a.text", 2).as("sa"),
+        TextFunctions.shingleSet($"b.text", 2).as("sb"))
+    val both = pairs.select(
+      GraftExpressions.intersectCount(spark, $"sa", $"sb").as("fast"),
+      size(array_intersect($"sa", $"sb")).as("ref"))
+      .as[(Int, Int)].collect()
+    assert(both.forall { case (f, r) => f == r }, both.mkString(","))
+  }
+
+  test("VectorDot == aggregate(zip_with) fold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+      (3L, Array(-1.5f, 2.5f, -3.5f), Array(1.1f, -2.2f, 3.3f))).toDF("id", "a", "b")
+    val out = vecs.select(
+      GraftExpressions.dot(spark, $"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("ref"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (f, r) => f == r })
+  }
+
+  test("MinHashSig: deterministic, length k, more-similar sets share more slots") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),  // 1 word off
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("id", "text")
+    val sigs = df.select($"id",
+      TextFunctions.minhashSignature(TextFunctions.shingleSet($"text", 2), 32).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs.values.forall(_.length == 32))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(1L), sigs(2L)) > agree(sigs(1L), sigs(3L)))
+    val again = df.select($"id",
+      TextFunctions.minhashSignature(TextFunctions.shingleSet($"text", 2), 32).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs == again)
+  }
+
+  test("graft functions usable from SQL after registration") {
+    GraftExpressions.register(spark)
+    texts.createOrReplaceTempView("t_expr")
+    val n = spark.sql(
+      """SELECT graft_simhash(graft_shingles(text, 1, false)) AS h FROM t_expr""").count()
+    assert(n == 8)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.core.SizeUnits
+
+class FeatherSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("feather round-trip preserves rows and types (S3/W2)") {
+    val path = Files.createTempDirectory("graft_feather_").toString + "/t.arrow"
+    val df = Seq(
+      (1L, 10, 1.5, 2.5f, "alpha", true,
+        java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456"),
+        java.sql.Date.valueOf("2024-03-01")),
+      (2L, -7, -0.25, 0.0f, "béta ünïcode", false,
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999999"),
+        java.sql.Date.valueOf("1999-12-31")))
+      .toDF("l", "i", "d", "f", "s", "b", "ts", "dt")
+    assert(FeatherIO.write(df, path) == 2)
+    val back = FeatherIO.read(spark, path)
+    assert(back.count() == 2)
+    val r = back.orderBy("l").collect()
+    assert(r(0).getLong(0) == 1L && r(0).getInt(1) == 10 && r(0).getDouble(2) == 1.5)
+    assert(r(0).getString(4) == "alpha" && r(0).getBoolean(5))
+    assert(r(1).getString(4) == "béta ünïcode")
+    // timestamps round-trip at micro resolution (feather ts is NTZ)
+    val ts0 = r(0).getAs[java.time.LocalDateTime]("ts")
+    assert(ts0 == java.time.LocalDateTime.parse("2024-03-01T12:30:45.123456"))
+    assert(r(1).getAs[java.sql.Date]("dt").toString == "1999-12-31")
+  }
+
+  test("feather handles nulls") {
+    val path = Files.createTempDirectory("graft_feather_").toString + "/n.arrow"
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+    FeatherIO.write(df, path)
+    val back = FeatherIO.read(spark, path).orderBy("id").collect()
+    assert(back(0).getString(1) == "x")
+    assert(back(1).isNullAt(1))
+  }
+
+  test("size units humanize (F5)") {
+    assert(SizeUnits.humanize(512) == "512 B")
+    assert(SizeUnits.humanize(1536) == "1.5 KB")
+    assert(SizeUnits.humanize(2500000) == "2.5 MB")
+    assert(SizeUnits.humanize(3L * 1000 * 1000 * 1000 * 1000) == "3.0 TB")
+  }
+}
