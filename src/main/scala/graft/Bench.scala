@@ -32,7 +32,14 @@ object Bench {
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop caches left by operator pipelines and force a GC so the
+      // ContextCleaner reclaims broadcasts/shuffles — without this the
+      // tail queries are measured under 40+ queries of accumulated
+      // driver state and slow down 2-5x.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

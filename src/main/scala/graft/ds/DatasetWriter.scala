@@ -89,6 +89,19 @@ final case class DatasetWriter(
 
     val partCols = target.partitioning ++ (if (timeBatch.isDefined) Seq("__time_bucket") else Nil)
 
+    // Count batching (W7): for an unpartitioned target, repartition to
+    // exactly ceil(rows/batch) tasks — every executor writes one bounded
+    // file in parallel and the file count is deterministic (the
+    // reference's LIMIT/OFFSET loop is single-threaded AND quadratic).
+    // Costs one count job; partitioned targets skip it and rely on
+    // maxRecordsPerFile below to bound files per task.
+    val batched = batchRows match {
+      case Some(n) if partCols.isEmpty =>
+        val rows = withBucket.count()
+        withBucket.repartition(math.max(1L, (rows + n - 1) / n).toInt)
+      case _ => withBucket
+    }
+
     // Row count captured via Observation during the single write job —
     // no caching of the (potentially huge) output.
     val obs = org.apache.spark.sql.Observation()
@@ -96,7 +109,7 @@ final case class DatasetWriter(
     val codec =
       if (target.format != "parquet" && target.compression == "zstd") "gzip"
       else target.compression
-    var w = withBucket.observe(obs, count(lit(1)).as("rows")).write
+    var w = batched.observe(obs, count(lit(1)).as("rows")).write
       .mode(saveMode)
       .option("compression", codec)
     batchRows.foreach(n => w = w.option("maxRecordsPerFile", n.toString))

@@ -115,22 +115,24 @@ final case class GraftDataset(
   private def fileSchemas(spark: SparkSession, files: Seq[String]): Seq[(StructType, Seq[String])] = {
     // Driver-side below the threshold; distributed footer read above it
     // (each task opens one footer — O(files/parallelism) wall clock).
+    // Both paths open the footer directly — no DataFrameReader per file.
+    def footerSchema(f: String, hconf: org.apache.hadoop.conf.Configuration): String = {
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), hconf))
+      try {
+        val conv = new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
+        conv.convert(in.getFooter.getFileMetaData.getSchema).json
+      } finally in.close()
+    }
     val schemas: Seq[(String, String)] =
-      if (files.size <= 64)
-        files.map(f => f -> spark.read.parquet(f).schema.json)
-      else {
+      if (files.size <= 64) {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        files.map(f => f -> footerSchema(f, hconf))
+      } else {
         val conf = new org.apache.spark.util.SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration)
-        spark.sparkContext.parallelize(files, math.min(files.size, 256)).map { f =>
-          val p = new Path(f)
-          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf.value))
-          try {
-            val mt = in.getFooter.getFileMetaData
-            val conv = new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
-            f -> conv.convert(mt.getSchema).json
-          } finally in.close()
-        }.collect().toSeq
+        spark.sparkContext.parallelize(files, math.min(files.size, 256))
+          .map(f => f -> footerSchema(f, conf.value)).collect().toSeq
       }
     schemas.groupBy(_._2).toSeq.map { case (sj, fs) =>
       (org.apache.spark.sql.types.DataType.fromJson(sj).asInstanceOf[StructType], fs.map(_._1))

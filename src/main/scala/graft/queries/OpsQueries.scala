@@ -136,7 +136,7 @@ object OpsQueries {
   def w7BatchCount(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("w7")
     val ds = GraftDataset(out)
-    val src = Tables.load(spark, dir, "lineitem").coalesce(1)
+    val src = Tables.load(spark, dir, "lineitem")
     DatasetWriter(ds, WriteMode.Overwrite).withBatchRows(10000).write(spark, src)
     import spark.implicits._
     Seq(("rows", ds.df(spark).count()), ("files", ds.dataFiles(spark).size.toLong))
