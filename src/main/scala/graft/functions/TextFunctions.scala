@@ -62,6 +62,12 @@ object TextFunctions {
     graft.plans.GraftExpressions.simhash(
       org.apache.spark.sql.SparkSession.active, tokens)
 
+  /** MD5-bit SimHash — bit-identical twin exists in any SQL engine with
+    * `md5()`, so near-dup results are oracle-checkable end to end. */
+  def simhashMd5(tokens: Column): Column =
+    graft.plans.GraftExpressions.simhashMd5(
+      org.apache.spark.sql.SparkSession.active, tokens)
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

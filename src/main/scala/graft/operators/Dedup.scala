@@ -139,9 +139,10 @@ object Dedup {
     * beyond that are still verified, just possibly incomplete). */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, md5Bits: Boolean = false): DataFrame = {
 
-    val sigs = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig")).cache()
+    val hasher: Column => Column = if (md5Bits) simhashMd5 else simhash64
+    val sigs = df.select(col(idCol).as("id"), hasher(tokens(col(textCol))).as("sig")).cache()
     val chunks = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         call_function("shiftright", col("sig"), lit(c * 16)).bitwiseAND(lit(0xFFFFL))): _*))

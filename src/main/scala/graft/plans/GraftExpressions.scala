@@ -151,6 +151,56 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** 64-bit SimHash whose per-token bits come from the token's MD5 digest
+  * (bit b = bit b%8 of digest byte b/8, LSB-first) instead of xxh64.
+  * Same signature quality; the point of the MD5 variant is *engine
+  * portability*: MD5 is available bit-identically in every SQL engine,
+  * so the whole near-dup computation has an exact DuckDB/Trino twin —
+  * xxh64 exists only inside Spark. Used by the oracle-checked
+  * `x_dedup_simhash` pipeline; the xxh64 variant stays as the
+  * (marginally faster) non-portable path. */
+case class Md5SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash_md5 expects array<string>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_md5"
+
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = mdLocal.get()
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 64) {
+        if (((d(b >> 3) >> (b & 7)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5SimHash64 = copy(child = c)
+}
+
 /** One-pass word-n-gram shingler: lowercase, split on `\s+`, join each
   * sliding window of `n` words with single spaces; documents shorter
   * than `n` words yield one whole-document shingle; `distinct` keeps
@@ -261,6 +311,8 @@ object GraftExpressions {
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       { es: Seq[Expression] => SimHash64(es(0)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_md5",
+      { es: Seq[Expression] => Md5SimHash64(es(0)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       { es: Seq[Expression] =>
         val n = es(1).eval(InternalRow.empty).asInstanceOf[Int]
@@ -280,6 +332,9 @@ object GraftExpressions {
   }
   def simhash(spark: SparkSession, tokens: Column): Column = {
     register(spark); call_function("graft_simhash", tokens)
+  }
+  def simhashMd5(spark: SparkSession, tokens: Column): Column = {
+    register(spark); call_function("graft_simhash_md5", tokens)
   }
   def shingles(spark: SparkSession, text: Column, n: Int, distinct: Boolean): Column = {
     register(spark)

@@ -67,11 +67,41 @@ object ExtQueries {
         "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  // ---- SimHash near-dup (no SQL twin: xxhash64 not in DuckDB) ----------
+  // ---- SimHash near-dup -------------------------------------------------
+  /** MD5-bit SimHash (portable bit derivation → exact DuckDB twin). The
+    * banding is exact for radius ≤ 3, so the full-pairwise oracle below
+    * produces the identical pair set. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", maxHamming = 3)
+        "doc_id", "text", maxHamming = 3, md5Bits = true)
       .orderBy("id_a", "id_b")
+
+  /** DuckDB twin of [[graft.plans.Md5SimHash64]]: per-token bit b =
+    * bit b%8 (LSB-first) of md5-digest byte b/8, read out of the hex
+    * string nibble-wise; ±1 votes; sign → signature bit; pairs within
+    * Hamming distance 3 over all 64 bits. */
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until 64).map { b =>
+      val pos = 2 * (b / 8) + (if (b % 8 < 4) 2 else 1) // low nibble holds bits 0-3
+      val shift = b % 4
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val sigBits = (0 until 64).map(b => s"CASE WHEN s$b > 0 THEN 1 ELSE 0 END").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS w
+       |  FROM documents),
+       |hx AS (SELECT doc_id, md5(w) AS h FROM tok),
+       |bs AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hx GROUP BY doc_id),
+       |sig AS (SELECT doc_id, [$sigBits] AS bits FROM bs),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ---- text analysis ----------------------------------------------------
   def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -139,14 +169,33 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN (approximate; deterministic buckets — rows-only). */
-  def simLshTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH-bucketed near-duplicate retrieval — the scale path exercised on
+    * a corpus with planted exact duplicates (embeddings ∪ re-id'd copies
+    * of the first 50). Identical vectors have identical hyperplane sign
+    * bits, so LSH recall on the planted pairs is 1 *by construction*,
+    * which makes the full-pairwise oracle exact. (The general top-k ANN
+    * surface is lshCosineTopK, recall-tested in ExtSpec.) */
+  def simLshNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-        k = 5, nbits = 4)
-      .select(col("probe_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("sim_r"))
-      .orderBy("probe_id", "rank")
+    val planted = emb.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    Similarity.lshNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95, nbits = 8)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("id_a", "id_b")
   }
+  val simLshNearDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+      |d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
+      |FROM d a JOIN d b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Top-20 most-similar embedding pairs (near-dup surface over a corpus
     * with no planted dups → top-N instead of threshold). */
@@ -208,7 +257,7 @@ object ExtQueries {
     "x_dedup_simhash" -> (dedupSimhash _),
     "x_text_stats" -> (textStats _),
     "x_sim_brute_topk" -> (simBruteTopK _),
-    "x_sim_lsh_topk" -> (simLshTopK _),
+    "x_sim_lsh_neardup" -> (simLshNearDup _),
     "x_embed_top_pairs" -> (embedTopPairs _),
     "x_multimodal" -> (multimodal _),
     "x_stream_window" -> (streamWindowBatch _))
@@ -217,8 +266,10 @@ object ExtQueries {
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_ngram" -> dedupNgramSql,
     "x_dedup_minhash" -> dedupNgramSql, // LSH recall ≈ 1 → same answer
+    "x_dedup_simhash" -> dedupSimhashSql,
     "x_text_stats" -> textStatsSql,
     "x_sim_brute_topk" -> simBruteTopKSql,
+    "x_sim_lsh_neardup" -> simLshNearDupSql,
     "x_embed_top_pairs" -> embedTopPairsSql,
     "x_multimodal" -> multimodalSql,
     "x_stream_window" -> streamWindowBatchSql)

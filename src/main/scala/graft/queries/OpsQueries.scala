@@ -277,8 +277,10 @@ object OpsQueries {
       .agg(count(lit(1)).as("n"), sum("n_nationkey").as("key_sum"),
         count(col("n_regionkey")).as("non_null_region"))
   }
+  // CAST: DuckDB's SUM(int) is HUGEINT, which the driver's hasher reads
+  // as float64 — cast to BIGINT so both engines hash the same lattice.
   val w10Sql: String =
-    """SELECT 2*COUNT(*) AS n, 2*SUM(n_nationkey) AS key_sum,
+    """SELECT CAST(2*COUNT(*) AS BIGINT) AS n, CAST(2*SUM(n_nationkey) AS BIGINT) AS key_sum,
       |COUNT(*) AS non_null_region FROM nation""".stripMargin
 
   // ---- S3/W2: feather (Arrow IPC) write + read round-trip --------------

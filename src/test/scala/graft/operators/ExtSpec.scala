@@ -45,6 +45,37 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("md5 simhash agrees with the reference bit definition") {
+    // independent scala reimplementation of the bit spec: per-token bit b
+    // = bit b%8 (LSB-first) of md5-digest byte b/8; ±1 votes; sign → bit
+    def refSim(tokens: Seq[String]): Long = {
+      val votes = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      tokens.foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        (0 until 64).foreach { b =>
+          if (((d(b / 8) >> (b % 8)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
+    }
+    val got = docs.select($"doc_id",
+      TextFunctions.simhashMd5(TextFunctions.tokens($"text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    docs.select($"doc_id", $"text").as[(Long, String)].collect().foreach {
+      case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        assert(got(id) == refSim(toks), s"doc $id")
+    }
+    assert(got(1L) == got(4L)) // case/spacing-insensitive
+  }
+
+  test("md5-simhash pairs find near-dups within hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10, md5Bits = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
   test("ngram jaccard df-pruning keeps true pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
       maxShingleDf = Some(4)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -81,6 +112,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c((0L, 0L)) - 1.0) < 1e-12)
     assert(math.abs(c((0L, 2L))) < 1e-12)
     assert(math.abs(c((0L, 4L)) + 1.0) < 1e-12)
+  }
+
+  test("lsh near-dup pairs recover planted exact duplicates") {
+    val planted = vecs.withColumn("vec_id", $"vec_id" + 100)
+    val pairs = Similarity.lshNearDupPairs(vecs.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.999, nbits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every original must pair with its planted copy (identical sign bits)
+    (0L to 4L).foreach(i => assert(pairs.contains((i, i + 100L)), s"vec $i"))
   }
 
   test("lsh buckets are deterministic and identical vectors collide") {
