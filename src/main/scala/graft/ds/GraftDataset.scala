@@ -156,11 +156,27 @@ final case class GraftDataset(
       val dirs = (d.presort.cols ++ tieBreak).map {
         case (c, a) => (c, if (d.keepLast) !a else a)
       }
-      val orderCols =
-        if (dirs.isEmpty) Seq(asc(df.columns.head))
-        else dirs.map { case (c, a) => if (a) asc(c) else desc(c) }
-      val w = Window.partitionBy(d.subset.map(col): _*).orderBy(orderCols: _*)
-      df = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      // Scale path: when the pinned order is uniform (all asc, or all
+      // desc via keepLast), the winning row per key is min/max of
+      // (order-key struct, row struct) — an aggregate with MAP-SIDE
+      // PARTIAL combine, so the shuffle carries ~one candidate row per
+      // key per partition instead of every row (a window sort shuffles
+      // the whole table). Mixed explicit directions fall back to the
+      // window formulation.
+      val uniform = dirs.isEmpty || dirs.map(_._2).distinct.size == 1
+      if (uniform) {
+        val keyCols = (if (dirs.isEmpty) Seq(df.columns.head) else dirs.map(_._1)).map(col)
+        val rowStruct = struct(df.columns.map(col): _*)
+        val ranked = struct(struct(keyCols: _*).as("k"), rowStruct.as("r"))
+        val pick = if (dirs.nonEmpty && !dirs.head._2) max(ranked) else min(ranked)
+        df = df.groupBy(d.subset.map(col): _*)
+          .agg(pick.as("__m"))
+          .select(col("__m.r.*"))
+      } else {
+        val orderCols = dirs.map { case (c, a) => if (a) asc(c) else desc(c) }
+        val w = Window.partitionBy(d.subset.map(col): _*).orderBy(orderCols: _*)
+        df = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      }
     }
     if (distinct && dedup.isEmpty) df = df.distinct()
     if (sortBy.cols.nonEmpty) df = df.orderBy(sortBy.orders: _*)

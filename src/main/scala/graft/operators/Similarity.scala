@@ -56,18 +56,9 @@ object Similarity {
     * random hyperplanes. Hyperplane h component j is a deterministic
     * hash-derived value in [-1,1] — no stored model, same key on every
     * engine run. */
-  def lshBucket(vec: Column, nbits: Int): Column = {
-    val bits = (0 until nbits).map { h =>
-      // projection = Σ_j vec[j] * u(h, j), u derived from xxhash64(h, j)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, j) => v.cast("double") *
-            (xxhash64(lit(h), j).cast("double") / lit(Long.MaxValue.toDouble))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << h)
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBucket(vec: Column, nbits: Int): Column =
+    graft.plans.GraftExpressions.lshBits(
+      org.apache.spark.sql.SparkSession.active, vec, nbits)
 
   /** LSH-bucketed ANN top-k: corpus and probes are keyed by hyperplane
     * bucket; comparisons happen only within matching buckets. Recall is

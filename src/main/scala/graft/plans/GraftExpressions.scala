@@ -151,6 +151,50 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Random-hyperplane LSH sign bits for a float/double vector, computed
+  * in one compiled pass: bit h = [Σ_j v[j]·u(h,j) ≥ 0] where u(h,j) is
+  * a fixed hash-derived pseudo-random value in [-1,1] (XXH64 of the
+  * component index seeded by the hyperplane index — deterministic, no
+  * stored model, identical on every executor). Replaces an
+  * `aggregate(zip_with(...))` composition whose per-element interpreted
+  * lambdas dominated the ANN pipelines. */
+case class LshSignBits(child: Expression, nbits: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bits expects array<float|double>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bits"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var h = 0
+    while (h < nbits) {
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        proj += x * (XXH64.hashLong(j.toLong, h.toLong).toDouble / Long.MaxValue.toDouble)
+        j += 1
+      }
+      if (proj >= 0) sig |= (1L << h)
+      h += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshSignBits = copy(child = c)
+}
+
 /** 64-bit SimHash whose per-token bits come from the token's MD5 digest
   * (bit b = bit b%8 of digest byte b/8, LSB-first) instead of xxh64.
   * Same signature quality; the point of the MD5 variant is *engine
@@ -313,6 +357,11 @@ object GraftExpressions {
       { es: Seq[Expression] => SimHash64(es(0)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash_md5",
       { es: Seq[Expression] => Md5SimHash64(es(0)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bits",
+      { es: Seq[Expression] =>
+        val n = es(1).eval(InternalRow.empty).asInstanceOf[Int]
+        LshSignBits(es(0), n)
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       { es: Seq[Expression] =>
         val n = es(1).eval(InternalRow.empty).asInstanceOf[Int]
@@ -335,6 +384,10 @@ object GraftExpressions {
   }
   def simhashMd5(spark: SparkSession, tokens: Column): Column = {
     register(spark); call_function("graft_simhash_md5", tokens)
+  }
+  def lshBits(spark: SparkSession, vec: Column, nbits: Int): Column = {
+    register(spark)
+    call_function("graft_lsh_bits", vec, org.apache.spark.sql.functions.lit(nbits))
   }
   def shingles(spark: SparkSession, text: Column, n: Int, distinct: Boolean): Column = {
     register(spark)
