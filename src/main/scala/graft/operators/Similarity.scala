@@ -82,6 +82,52 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN top-k. Clustered search: every corpus
+    * vector is assigned to its nearest centroid (highest cosine, ties
+    * to the lowest centroid id); a probe compares only against the
+    * vectors of its `nprobe` nearest clusters.
+    *
+    * Scale shape: the centroid table is tiny and BROADCAST to both
+    * assignment joins, so cluster assignment is one corpus scan with
+    * no corpus-side shuffle; at write time the cluster id doubles as a
+    * hive partition key, making a probe's search touch only `nprobe`
+    * partitions of a 100 TB corpus. Centroids here are a fixed id
+    * subset (deterministic); a k-means refinement can swap in without
+    * changing the search plan. */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, nprobe: Int): DataFrame = {
+
+    val cent = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+
+    // rank centroids per vector: one broadcast-nested-loop pass
+    def centroidRanks(df: DataFrame, outId: String): DataFrame = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(desc("__csim"), col("cid"))
+      df.select(col(idCol).as(outId), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("__csim", dot(col("__v"), col("cv")) / (col("__n") * col("cn")))
+        .withColumn("__crank", row_number().over(w))
+    }
+
+    val assigned = centroidRanks(corpus, "corpus_id")
+      .filter(col("__crank") === 1)
+      .select(col("corpus_id"), col("cid"), col("__v").as("xv"), col("__n").as("xn"))
+    val probeClusters = centroidRanks(probes, "probe_id")
+      .filter(col("__crank") <= nprobe)
+      .select(col("probe_id"), col("cid"), col("__v").as("pv"), col("__n").as("pn"))
+
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("corpus_id"))
+    probeClusters.join(assigned, Seq("cid"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("xv")) / (col("pn") * col("xn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: vectors are keyed by their
     * hyperplane sign bucket and only same-bucket pairs are scored. The
     * 100 TB dedup path — candidate volume is Σ bucket² instead of n²,

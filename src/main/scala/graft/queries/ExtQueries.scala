@@ -197,6 +197,86 @@ object ExtQueries {
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest centroid once (the write-time partitioning key at scale);
+    * a probe searches only its `nprobe` nearest clusters. Deterministic
+    * end to end — centroids are a fixed subset (vec_id < 16), ties
+    * break by centroid id — so the DuckDB twin replicates the exact
+    * same cluster assignment and restricted search: the oracle checks
+    * the *approximation itself*, not just a happy path. */
+  def simIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nprobe = 2)
+      .select(col("probe_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("probe_id", "rank")
+  }
+  val simIvfTopKSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+      |probe_clusters AS (
+      |  SELECT vec_id AS probe_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT pc.probe_id, a.vec_id AS corpus_id
+      |  FROM probe_clusters pc JOIN asg a ON a.cid = pc.cid
+      |  WHERE a.vec_id <> pc.probe_id),
+      |scored AS (
+      |  SELECT c.probe_id, c.corpus_id,
+      |    list_dot_product(p.v, x.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(x.v, x.v))) AS sim
+      |  FROM cand c JOIN e p ON p.vec_id = c.probe_id JOIN e x ON x.vec_id = c.corpus_id)
+      |SELECT probe_id, rank, corpus_id, round(sim, 6) AS sim_r FROM (
+      |  SELECT probe_id, corpus_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
+  // ---- quality filter pipeline -----------------------------------------
+  /** The canonical pretraining data filter: quality score + language id
+    * gate, then per-source survivor counts — the composition every
+    * 100 TB corpus pipeline runs before tokenization. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      .filter(col("q") >= 0.6 && col("lang_pred") === "en")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  val qualityFilterSql: String = {
+    val markers = TextFunctions.LangMarkers
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter(words, w -> w IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val langCase = markers.sortBy(_._1).map { case (c, ms) => (c, cnt(ms)) }
+      .foldLeft(("'und'", "0")) { case ((bc, bs), (code, s)) =>
+        (s"CASE WHEN $s > $bs THEN '$code' ELSE $bc END", s"greatest($s, $bs)")
+      }._1
+    s"""SELECT source, COUNT(*) AS n_docs FROM (
+       |  SELECT source,
+       |    (CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END
+       |     + least(CAST(${cnt(markers.flatMap(_._2))} AS DOUBLE) / len(words) * 2.0, 0.3)
+       |     - least(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) * 5.0, 0.2)
+       |     + 0.2) AS q,
+       |    (CASE WHEN 2 * len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > length(text)
+       |          THEN 'zh' ELSE $langCase END) AS lang_pred
+       |  FROM (SELECT source, text,
+       |          list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
+       |        FROM documents))
+       |WHERE q >= 0.6 AND lang_pred = 'en'
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Top-20 most-similar embedding pairs (near-dup surface over a corpus
     * with no planted dups → top-N instead of threshold). */
   def embedTopPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -258,6 +338,8 @@ object ExtQueries {
     "x_text_stats" -> (textStats _),
     "x_sim_brute_topk" -> (simBruteTopK _),
     "x_sim_lsh_neardup" -> (simLshNearDup _),
+    "x_sim_ivf_topk" -> (simIvfTopK _),
+    "x_quality_filter" -> (qualityFilter _),
     "x_embed_top_pairs" -> (embedTopPairs _),
     "x_multimodal" -> (multimodal _),
     "x_stream_window" -> (streamWindowBatch _))
@@ -270,6 +352,8 @@ object ExtQueries {
     "x_text_stats" -> textStatsSql,
     "x_sim_brute_topk" -> simBruteTopKSql,
     "x_sim_lsh_neardup" -> simLshNearDupSql,
+    "x_sim_ivf_topk" -> simIvfTopKSql,
+    "x_quality_filter" -> qualityFilterSql,
     "x_embed_top_pairs" -> embedTopPairsSql,
     "x_multimodal" -> multimodalSql,
     "x_stream_window" -> streamWindowBatchSql)

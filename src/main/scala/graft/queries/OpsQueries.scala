@@ -254,6 +254,81 @@ object OpsQueries {
       |  UNION ALL SELECT 'snapshots', 1
       |) ORDER BY probe""".stripMargin
 
+  // ---- T6/T7: snapshot delete + restore --------------------------------
+  def t7SnapshotRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmp("tf_restore")
+    val tf = new TimeFly(spark, root)
+    tf.init("restore_demo")
+    val cur = tf.currentDataset()
+    val orders = Tables.load(spark, dir, "orders")
+    DatasetWriter(cur, WriteMode.Overwrite).write(spark, orders.filter(col("o_orderkey") <= 2500))
+    val snapA = tf.addSnapshot(Instant.parse("2020-01-01T00:00:00Z"))
+    DatasetWriter(cur, WriteMode.Overwrite).write(spark, orders)
+    val snapB = tf.addSnapshot(Instant.parse("2021-01-01T00:00:00Z"))
+    val fullCount = cur.df(spark).count()
+    tf.loadSnapshot(snapA)                       // T7: restore over current/
+    val restored = tf.currentDataset().df(spark).count()
+    tf.deleteSnapshot(snapB)                     // T6: drop + tombstone
+    import spark.implicits._
+    Seq(
+      ("full_before_restore", fullCount),
+      ("restored", restored),
+      ("snaps_left", tf.availableSnapshots().size.toLong))
+      .toDF("probe", "n").orderBy("probe")
+  }
+  val t7Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'full_before_restore' AS probe, COUNT(*) AS n FROM orders
+      |  UNION ALL SELECT 'restored', COUNT(*) FROM orders WHERE o_orderkey <= 2500
+      |  UNION ALL SELECT 'snaps_left', 1
+      |) ORDER BY probe""".stripMargin
+
+  // ---- W9: per-batch transform hook ------------------------------------
+  def w9TransformWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w9")
+    val band = when(col("o_totalprice") >= 200000, "high")
+      .when(col("o_totalprice") >= 100000, "mid").otherwise("low")
+    DatasetWriter(GraftDataset(out), WriteMode.Overwrite)
+      .withTransform(_.withColumn("price_band", band))
+      .write(spark, Tables.load(spark, dir, "orders"))
+    spark.read.parquet(out)
+      .groupBy("price_band").agg(count(lit(1)).as("n"))
+      .orderBy("price_band")
+  }
+  val w9Sql: String =
+    """SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+      |            WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS price_band,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY price_band""".stripMargin
+
+  // ---- F5: size-unit humanization --------------------------------------
+  /** Deterministic twin of disk_usage reporting: humanize(count·1000)
+    * per table (real directory byte sizes differ per engine/codec, so
+    * the oracle-checkable surface is the conversion itself; the Hadoop
+    * content-summary path is spec-tested in FeatherSpec). */
+  def f5SizeUnits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("region", "nation", "customer", "orders", "lineitem")
+      .map { t =>
+        val n = Tables.load(spark, dir, t).count()
+        (t, graft.core.SizeUnits.humanize(n * 1000))
+      }
+      .toDF("tbl", "human").orderBy("tbl")
+  }
+  val f5Sql: String =
+    """SELECT tbl, CASE
+      |    WHEN b < 1000 THEN CAST(b AS VARCHAR) || ' B'
+      |    WHEN b < 1000000 THEN printf('%.1f KB', b / 1000.0)
+      |    WHEN b < 1000000000 THEN printf('%.1f MB', b / 1000000.0)
+      |    ELSE printf('%.1f GB', b / 1000000000.0) END AS human
+      |FROM (
+      |  SELECT 'region' AS tbl, COUNT(*) * 1000 AS b FROM region
+      |  UNION ALL SELECT 'nation', COUNT(*) * 1000 FROM nation
+      |  UNION ALL SELECT 'customer', COUNT(*) * 1000 FROM customer
+      |  UNION ALL SELECT 'orders', COUNT(*) * 1000 FROM orders
+      |  UNION ALL SELECT 'lineitem', COUNT(*) * 1000 FROM lineitem
+      |) ORDER BY tbl""".stripMargin
+
   // ---- W10: schema-unify rewrite over heterogenous files ---------------
   def w10UnifyRewrite(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("w10")
@@ -391,7 +466,10 @@ object OpsQueries {
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
-    "t8_time_travel" -> (t8TimeTravel _))
+    "t8_time_travel" -> (t8TimeTravel _),
+    "t7_snapshot_restore" -> (t7SnapshotRestore _),
+    "w9_transform_write" -> (w9TransformWrite _),
+    "f5_size_units" -> (f5SizeUnits _))
 
   val oracles: Map[String, String] = Map(
     "s3_feather_roundtrip" -> s3Sql,
@@ -414,5 +492,8 @@ object OpsQueries {
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,
-    "t8_time_travel" -> t8Sql)
+    "t8_time_travel" -> t8Sql,
+    "t7_snapshot_restore" -> t7Sql,
+    "w9_transform_write" -> w9Sql,
+    "f5_size_units" -> f5Sql)
 }

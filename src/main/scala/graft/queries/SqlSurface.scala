@@ -365,7 +365,118 @@ object SqlSurface {
     """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer
       |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q4
+  /** TPC-H Q4-style order-priority check: EXISTS-correlated semi-join.
+    * Catalyst rewrites the semi-join to a shuffled hash join on
+    * o_orderkey; the date filter pushes into the orders scan. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+    val l = Tables.load(spark, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** TPC-H Q10-style returned-item report: 3-way join, revenue agg,
+    * top-20. Customer/nation broadcast; lineitem never re-shuffles
+    * after the orderkey join. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** TPC-H Q14-style promo revenue share: join + conditional agg into a
+    * single scalar ratio. Part broadcasts; one shuffle total. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-06-01") && col("l_shipdate") < lit("1996-07-01"))
+    val p = Tables.load(spark, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg((lit(100.0) *
+        dsum6(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))) /
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_revenue"))
+  }
+  val q14Sql: String =
+    """SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** TPC-H Q19-style disjunctive predicate join: OR'd brand/size/
+    * quantity clauses — exercises predicate normalization; the common
+    * p_partkey = l_partkey conjunct still drives the (broadcast) join. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    val clause = (p("p_brand") === "Brand#12" && p("p_size").between(1, 15) && l("l_quantity") <= 20) ||
+      (p("p_brand") === "Brand#23" && p("p_size").between(1, 25) && l("l_quantity").between(10, 30)) ||
+      (p("p_brand") === "Brand#15" && p("p_size").between(1, 40) && l("l_quantity") >= 25)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && clause)
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 40 AND l_quantity >= 25)""".stripMargin
+
+  // ---------------------------------------------------------------- json
+  /** Semi-structured column surface: JSON property extraction from the
+    * events.props string column (F-series scalar functions). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "f3_json_extract" -> (jsonExtract _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -383,6 +494,11 @@ object SqlSurface {
     "sql_passthrough" -> (sqlPassthrough _))
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4Sql,
+    "q10_returned_items" -> q10Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q19_disjunctive" -> q19Sql,
+    "f3_json_extract" -> jsonExtractSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

@@ -123,6 +123,27 @@ class SimilaritySpec extends AnyFunSuite {
     (0L to 4L).foreach(i => assert(pairs.contains((i, i + 100L)), s"vec $i"))
   }
 
+  test("ivf top-k equals brute force when every cluster is probed") {
+    // 5 vectors, 2 centroids (vec_id < 2), nprobe = 2 probes everything
+    // → IVF must reduce to exact search
+    val exact = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .select("probe_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding",
+        k = 2, nCentroids = 2, nprobe = 2)
+      .select("probe_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("ivf restricted search returns a subset of brute-force candidates") {
+    val ivf1 = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding",
+        k = 4, nCentroids = 2, nprobe = 1)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val all = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(ivf1.subsetOf(all))
+    assert(ivf1.nonEmpty)
+  }
+
   test("lsh buckets are deterministic and identical vectors collide") {
     val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8).as("b"))
       .as[(Long, Long)].collect().toMap
