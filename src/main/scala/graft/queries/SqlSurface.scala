@@ -471,7 +471,30 @@ object SqlSurface {
       |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- skew join
+  /** Salted join (skew mitigation): lineitem salted over 4 buckets
+    * against a replicated orders dimension — the planned-salting rewrite
+    * for hot keys that AQE can't split. Output must be bit-identical to
+    * the plain join, which is exactly what the oracle checks. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedJoin(l, o, Seq("l_orderkey"), buckets = 4)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+  val skewJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 200000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j2_skew_join" -> (skewJoin _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
@@ -494,6 +517,7 @@ object SqlSurface {
     "sql_passthrough" -> (sqlPassthrough _))
 
   val oracles: Map[String, String] = Map(
+    "j2_skew_join" -> skewJoinSql,
     "q4_order_priority" -> q4Sql,
     "q10_returned_items" -> q10Sql,
     "q14_promo_revenue" -> q14Sql,
