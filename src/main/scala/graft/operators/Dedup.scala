@@ -73,13 +73,12 @@ object Dedup {
         (k.select(explode(col("ids")).as("id")).groupBy("id").agg(count(lit(1)).as("sz")), k)
     }
 
-    // Enumerate ordered pairs inside each bucket: ids sorted, (a, b)
-    // with a < b. Bucket size ≤ cap keeps this polynomial-free.
-    val sorted = array_sort(col("ids"))
+    // Enumerate ordered pairs inside each bucket via the single-pass
+    // OrderedPairs expression (sorted ids, (a, b) with a < b). Bucket
+    // size ≤ cap keeps this polynomial-free.
     val pairs = pairSource.filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(sorted, (a, i) =>
-        transform(slice(sorted, i + lit(2), size(col("ids"))), b =>
-          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(explode(graft.plans.GraftExpressions.orderedPairs(
+        df.sparkSession, col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
     val shared = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))

@@ -308,6 +308,49 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** All ordered pairs (a, b), a < b, from an array of longs, in ONE
+  * pass: sorts a primitive copy, emits n·(n−1)/2 pair structs directly.
+  * Replaces the `transform(arr, (a,i) => transform(slice(arr, i+2, n),
+  * ...))` composition, whose interpreted lambdas clone a slice of the
+  * array per element — O(n²) allocations per bucket that dominated the
+  * inverted-index dedup under concurrent executors. */
+case class OrderedPairs(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ordered_pairs expects array<bigint>, got $t")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_ordered_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0; i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(ids(i), ids(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): OrderedPairs = copy(child = c)
+}
+
 /** |A ∩ B| for two SORTED string arrays via a single merge pass — no
   * per-call hash set, no allocations (vs ArrayIntersect, which builds a
   * hash set per row and dominated near-dup verification at 1M+ pairs). */
@@ -370,6 +413,8 @@ object GraftExpressions {
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_count",
       { es: Seq[Expression] => SortedIntersectCount(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_ordered_pairs",
+      { es: Seq[Expression] => OrderedPairs(es(0)) }, "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -396,6 +441,9 @@ object GraftExpressions {
   }
   def intersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_intersect_count", a, b)
+  }
+  def orderedPairs(spark: SparkSession, ids: Column): Column = {
+    register(spark); call_function("graft_ordered_pairs", ids)
   }
 }
 

@@ -295,6 +295,49 @@ object ExtQueries {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
 
+  // ---- sketches ---------------------------------------------------------
+  /** Sketch accuracy as a driver-checked contract: HLL++ distinct counts
+    * must land within 5% of exact (the sketch's rsd), and the GK
+    * quantile sketch within its rank-error bound. The oracle sees the
+    * exact values plus the asserted flags — a sketch drifting out of
+    * tolerance fails the hash compare. */
+  def sketchStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val row = l.agg(
+      approx_count_distinct(col("l_orderkey"), 0.05).as("hll_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("hll_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+    row.select(
+      col("exact_orders"), col("exact_parts"),
+      (abs(col("hll_orders") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.05)
+        .as("hll_orders_ok"),
+      (abs(col("hll_parts") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.05)
+        .as("hll_parts_ok"))
+  }
+  val sketchStatsSql: String =
+    """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  true AS hll_orders_ok, true AS hll_parts_ok
+      |FROM lineitem""".stripMargin
+
+  /** Exact distributed percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: linear interpolation on the sorted column). One
+    * array-argument call → one shared value map, not one per quantile.
+    * Exact percentile state is O(distinct values); the unbounded-scale
+    * path is `Sketches.approxQuantiles` (constant state, bounded rank
+    * error), which has no cross-engine twin. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("p"))
+      .select(
+        round(element_at(col("p"), 1), 4).as("p50"),
+        round(element_at(col("p"), 2), 4).as("p90"),
+        round(element_at(col("p"), 3), 4).as("p99"))
+  val percentilesSql: String =
+    """SELECT round(q[1], 4) AS p50, round(q[2], 4) AS p90, round(q[3], 4) AS p99
+      |FROM (SELECT quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS q FROM lineitem)""".stripMargin
+
   // ---- multimodal plumbing ---------------------------------------------
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -340,6 +383,8 @@ object ExtQueries {
     "x_sim_lsh_neardup" -> (simLshNearDup _),
     "x_sim_ivf_topk" -> (simIvfTopK _),
     "x_quality_filter" -> (qualityFilter _),
+    "x_sketch_stats" -> (sketchStats _),
+    "a6_percentiles" -> (percentiles _),
     "x_embed_top_pairs" -> (embedTopPairs _),
     "x_multimodal" -> (multimodal _),
     "x_stream_window" -> (streamWindowBatch _))
@@ -354,6 +399,8 @@ object ExtQueries {
     "x_sim_lsh_neardup" -> simLshNearDupSql,
     "x_sim_ivf_topk" -> simIvfTopKSql,
     "x_quality_filter" -> qualityFilterSql,
+    "x_sketch_stats" -> sketchStatsSql,
+    "a6_percentiles" -> percentilesSql,
     "x_embed_top_pairs" -> embedTopPairsSql,
     "x_multimodal" -> multimodalSql,
     "x_stream_window" -> streamWindowBatchSql)
