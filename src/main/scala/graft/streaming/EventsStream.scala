@@ -47,6 +47,39 @@ object EventsStream {
       }
       .start()
 
+  /** Exactly-once-per-key streaming dedup: drops events whose
+    * `event_id` was already seen within the watermark horizon. State is
+    * bounded — ids older than the watermark are evicted, which is the
+    * only way streaming dedup survives an unbounded stream. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom-state example that the declarative operators cannot
+    * express: emit one alert the first time a user's *cumulative*
+    * event value crosses `limit` (and never again for that user).
+    * `flatMapGroupsWithState` owns an explicit per-key state cell —
+    * the general tool when state transitions depend on arbitrary
+    * logic rather than a window shape. */
+  def thresholdAlerts(
+      spark: SparkSession, events: DataFrame, limit: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Boolean), (Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Double, Boolean)]) =>
+          val (sum0, fired0) = state.getOption.getOrElse((0.0, false))
+          val total = sum0 + rows.map(_._2).sum
+          val fire = !fired0 && total >= limit
+          state.update((total, fired0 || fire))
+          if (fire) Iterator((user, total)) else Iterator.empty
+      }
+      .toDF("user_id", "total_at_alert")
+  }
+
   /** Sessionization with custom state: gap-based sessions per user via
     * flatMapGroupsWithState would be the general tool; for the common
     * gap-session case Spark's built-in session_window keeps it

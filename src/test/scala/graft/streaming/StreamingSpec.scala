@@ -49,6 +49,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkDir).count() == nStreamed)
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    val tmp = Files.createTempDirectory("graft_sdedup_").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events").limit(200)
+    // duplicate every event id (one clean file, one replayed file)
+    ev.coalesce(1).write.parquet(s"$tmp/src")
+    ev.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val deduped = EventsStream.dedupStream(EventsStream.readEvents(spark, s"$tmp/src"))
+    val q = deduped.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 200, s"got ${out.count()}")
+    assert(out.select("event_id").distinct().count() == 200)
+  }
+
+  test("flatMapGroupsWithState fires one threshold alert per user") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_alert_").toString
+    // deterministic synthetic stream: 3 users, values sum past 100 for two
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 60.0, "{}"),
+      (2L, "2024-01-01 00:01:00", 1L, "click", 50.0, "{}"),   // user 1 crosses
+      (3L, "2024-01-01 00:02:00", 2L, "click", 30.0, "{}"),
+      (4L, "2024-01-01 00:03:00", 2L, "click", 30.0, "{}"),   // user 2 stays below
+      (5L, "2024-01-01 00:04:00", 3L, "click", 150.0, "{}"),  // user 3 crosses
+      (6L, "2024-01-01 00:05:00", 1L, "click", 999.0, "{}"))  // no second alert
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.parquet(s"$tmp/src")
+    val alerts = EventsStream.thresholdAlerts(spark,
+      EventsStream.readEvents(spark, s"$tmp/src"), limit = 100.0)
+    val q = alerts.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("user_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L), s"got $out")
+  }
+
   test("session windows: gap-based sessions per user") {
     val tmp = Files.createTempDirectory("graft_sess_").toString
     Tables.load(spark, "/root/testdata/sf0.001", "events")
