@@ -328,6 +328,23 @@ object OpsQueries {
       |  UNION ALL SELECT 'lineitem', COUNT(*) * 1000 FROM lineitem
       |) ORDER BY tbl""".stripMargin
 
+  // ---- S9: directory-flavor (bare-value) partitioning -------------------
+  def s9DirectoryPartitioning(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("dirpart")
+    val cust = Tables.load(spark, dir, "customer")
+    DirectoryPartitioning.write(spark, cust, out, Seq("c_mktsegment"))
+    val flavor = DirectoryPartitioning.inferFlavor(spark, out)
+    DirectoryPartitioning.read(spark, out, Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("n_keys"))
+      .withColumn("flavor", lit(flavor))
+      .orderBy("c_mktsegment")
+  }
+  val s9Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys,
+      |  'directory' AS flavor
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- W10: schema-unify rewrite over heterogenous files ---------------
   def w10UnifyRewrite(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("w10")
@@ -467,6 +484,7 @@ object OpsQueries {
     "e2_incremental_update" -> (e2IncrementalUpdate _),
     "t8_time_travel" -> (t8TimeTravel _),
     "t7_snapshot_restore" -> (t7SnapshotRestore _),
+    "s9_directory_partitioning" -> (s9DirectoryPartitioning _),
     "w9_transform_write" -> (w9TransformWrite _),
     "f5_size_units" -> (f5SizeUnits _))
 
@@ -493,6 +511,7 @@ object OpsQueries {
     "e2_incremental_update" -> e2Sql,
     "t8_time_travel" -> t8Sql,
     "t7_snapshot_restore" -> t7Sql,
+    "s9_directory_partitioning" -> s9Sql,
     "w9_transform_write" -> w9Sql,
     "f5_size_units" -> f5Sql)
 }

@@ -42,6 +42,45 @@ class BucketingSpec extends AnyFunSuite {
   }
 }
 
+class DirectoryPartitioningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bare-value layout round-trips and is inferred as directory flavor") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dirpart_").toString + "/ds"
+    val df = Seq((1L, "a", "x1"), (2L, "a", "x2"), (3L, "b", "x3"))
+      .toDF("id", "grp", "payload")
+    DirectoryPartitioning.write(spark, df, tmp, Seq("grp"))
+    // no col= segments anywhere
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirNames = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    assert(dirNames.sorted == Seq("a", "b"))
+    assert(DirectoryPartitioning.inferFlavor(spark, tmp) == "directory")
+    val back = DirectoryPartitioning.read(spark, tmp, Seq("grp"))
+      .select("id", "grp", "payload").as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "a", "x1"), (2L, "a", "x2"), (3L, "b", "x3")))
+  }
+
+  test("two-level bare-value layout recovers both partition columns") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dirpart2_").toString + "/ds"
+    val df = Seq((1L, "a", "p", 1.0), (2L, "b", "q", 2.0), (3L, "b", "p", 3.0))
+      .toDF("id", "g1", "g2", "v")
+    DirectoryPartitioning.write(spark, df, tmp, Seq("g1", "g2"))
+    val back = DirectoryPartitioning.read(spark, tmp, Seq("g1", "g2"))
+      .select("id", "g1", "g2").as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "a", "p"), (2L, "b", "q"), (3L, "b", "p")))
+  }
+
+  test("hive layouts are inferred as hive") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hivein_").toString + "/ds"
+    Seq((1L, "a")).toDF("id", "grp")
+      .write.partitionBy("grp").parquet(tmp)
+    assert(DirectoryPartitioning.inferFlavor(spark, tmp) == "hive")
+  }
+}
+
 class SkewJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
