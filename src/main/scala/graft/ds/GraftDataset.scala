@@ -52,6 +52,16 @@ final case class GraftDataset(
   def withDrop(cols: String*): GraftDataset = copy(dropCols = cols)
   def withDistinct: GraftDataset = copy(distinct = true)
 
+  /** Reference S8 (`cache_storage` local mirror of remote files,
+    * `base.py:30`): in Spark the executor-local persisted copy IS the
+    * cache — `DISK_ONLY` mirrors remote-object-store bytes onto local
+    * disk once, subsequent actions read locally. Lifecycle is the
+    * caller's (`unpersist()`), same as the reference's cache dir. */
+  def cached(spark: SparkSession,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.DISK_ONLY): DataFrame =
+    df(spark).persist(level)
+
   def fs(spark: SparkSession): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

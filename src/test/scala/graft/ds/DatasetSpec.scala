@@ -114,6 +114,18 @@ class DatasetSpec extends AnyFunSuite {
     assert(last.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "x"), (2, "z")))
   }
 
+  test("cached dataset persists at DISK_ONLY and serves repeat actions (S8)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cache_").toString + "/ds"
+    DatasetWriter(GraftDataset(tmp), WriteMode.Overwrite)
+      .write(spark, (1 to 100).toDF("k"))
+    val c = GraftDataset(tmp).cached(spark)
+    try {
+      assert(c.count() == 100)
+      assert(c.storageLevel.useDisk && !c.storageLevel.useMemory)
+      assert(c.count() == 100) // second action reads the local copy
+    } finally c.unpersist()
+  }
+
   test("read-side schema unification: int32 + int64 + missing cols (reader.py:186-233)") {
     val dir = tmp() + "/unify"
     val s1 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
