@@ -131,6 +131,21 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  // ------------------------------------------------------- chunking
+  /** Token-bounded chunking for context-window-sized training examples:
+    * split the whitespace token stream into consecutive runs of
+    * `maxTokens`, re-joined with single spaces (whitespace is
+    * canonicalized, as tokenizer-bound text always is). Pure built-ins
+    * → stays codegen-compatible and has an exact SQL twin. */
+  def chunkText(text: Column, maxTokens: Int): Column = {
+    val ws = words(text)
+    // empty docs chunk to nothing (sequence(0,-1) would descend!)
+    when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(ws) - 1) / maxTokens).cast("int")),
+        i => concat_ws(" ", slice(ws, i * maxTokens + 1, lit(maxTokens)))))
+  }
+
   // ------------------------------------------------------- fingerprints
   /** Canonical document fingerprint: md5 of the lower-cased,
     * whitespace-collapsed, trimmed text. Identical content → identical

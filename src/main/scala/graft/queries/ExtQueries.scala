@@ -295,6 +295,46 @@ object ExtQueries {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
 
+  // ---- chunking ---------------------------------------------------------
+  /** Context-window chunking: every document split into 40-token chunks
+    * (posexplode keeps the chunk order), fingerprinted for dedup at the
+    * chunk level — the standard shape feeding a tokenizer at 100 TB. */
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.chunkText(col("text"), 40)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        TextFunctions.wsTokenCount(col("chunk")).as("n_tokens"),
+        md5(col("chunk").cast("binary")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  val textChunksSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents WHERE doc_id < 100),
+      |c AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    array_to_string(list_slice(ws, i * 40 + 1, i * 40 + 40), ' ') AS chunk
+      |  FROM w, LATERAL unnest(range(0, CAST(ceil(len(ws) / 40.0) AS BIGINT))) AS t(i))
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens,
+      |  md5(chunk) AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Corpus vocabulary: exact top-100 tokens by document frequency —
+    * one explode + one map-side-combinable count, then a tiny top-k. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(array_distinct(TextFunctions.words(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(desc("doc_freq"), col("token"))
+      .limit(100)
+  val vocabTopKSql: String =
+    """SELECT token, COUNT(*) AS doc_freq FROM (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin
+
   // ---- sketches ---------------------------------------------------------
   /** Sketch accuracy as a driver-checked contract: HLL++ distinct counts
     * must land within 5% of exact (the sketch's rsd), and the GK
@@ -385,6 +425,8 @@ object ExtQueries {
     "x_quality_filter" -> (qualityFilter _),
     "x_sketch_stats" -> (sketchStats _),
     "a6_percentiles" -> (percentiles _),
+    "x_text_chunks" -> (textChunks _),
+    "x_vocab_topk" -> (vocabTopK _),
     "x_embed_top_pairs" -> (embedTopPairs _),
     "x_multimodal" -> (multimodal _),
     "x_stream_window" -> (streamWindowBatch _))
@@ -401,6 +443,8 @@ object ExtQueries {
     "x_quality_filter" -> qualityFilterSql,
     "x_sketch_stats" -> sketchStatsSql,
     "a6_percentiles" -> percentilesSql,
+    "x_text_chunks" -> textChunksSql,
+    "x_vocab_topk" -> vocabTopKSql,
     "x_embed_top_pairs" -> embedTopPairsSql,
     "x_multimodal" -> multimodalSql,
     "x_stream_window" -> streamWindowBatchSql)

@@ -185,6 +185,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("chunking: token-bounded chunks, remainder tail, empty doc -> no chunks") {
+    val df = Seq(
+      (1L, "a b c d e f g"),   // 7 words, chunk=3 → 3 chunks (3,3,1)
+      (2L, "x y"),             // fewer than chunk → 1 chunk
+      (3L, "   ")).toDF("doc_id", "text")
+    val chunks = df.select($"doc_id",
+      TextFunctions.chunkText($"text", 3).as("cs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks(1L) == Seq("a b c", "d e f", "g"))
+    assert(chunks(2L) == Seq("x y"))
+    assert(chunks(3L) == Nil)
+  }
+
   test("shingles: n-grams for long docs, whole-doc for short") {
     val out = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
       .select($"id", TextFunctions.shingleSet($"text", 3).as("s"))
