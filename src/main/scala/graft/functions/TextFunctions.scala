@@ -154,7 +154,11 @@ object TextFunctions {
     md5(regexp_replace(trim(lower(text)), "\\s+", " ").cast("binary"))
 
   /** Rolling polynomial content hash over tokens (order-sensitive,
-    * unlike the shingle set): h = h*31 + xxhash64(token). */
+    * unlike the shingle set): h = h·31 + xxh64(token), computed by the
+    * compiled [[graft.plans.RollingHash64]] (the `aggregate(...)`
+    * formulation throws ARITHMETIC_OVERFLOW under ANSI mode — a hash
+    * wants wraparound). */
   def rollingHash(text: Column): Column =
-    aggregate(words(text), lit(0L), (acc, w) => acc * lit(31L) + xxhash64(w))
+    graft.plans.GraftExpressions.rollingHash(
+      org.apache.spark.sql.SparkSession.active, tokens(text))
 }

@@ -245,6 +245,38 @@ case class Md5SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Md5SimHash64 = copy(child = c)
 }
 
+/** Order-sensitive rolling polynomial hash over a token array:
+  * h = h·31 + xxh64(token), with JVM wraparound. Must be a compiled
+  * expression: the `aggregate(...)` column formulation throws
+  * ARITHMETIC_OVERFLOW under ANSI mode (Spark 4 default), but
+  * wraparound is exactly what a polynomial hash wants. */
+case class RollingHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_rolling_hash expects array<string>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var h = 0L; var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      h = h * 31L + XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
+}
+
 /** One-pass word-n-gram shingler: lowercase, split on `\s+`, join each
   * sliding window of `n` words with single spaces; documents shorter
   * than `n` words yield one whole-document shingle; `distinct` keeps
@@ -415,6 +447,8 @@ object GraftExpressions {
       { es: Seq[Expression] => SortedIntersectCount(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_ordered_pairs",
       { es: Seq[Expression] => OrderedPairs(es(0)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_rolling_hash",
+      { es: Seq[Expression] => RollingHash64(es(0)) }, "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -444,6 +478,9 @@ object GraftExpressions {
   }
   def orderedPairs(spark: SparkSession, ids: Column): Column = {
     register(spark); call_function("graft_ordered_pairs", ids)
+  }
+  def rollingHash(spark: SparkSession, tokens: Column): Column = {
+    register(spark); call_function("graft_rolling_hash", tokens)
   }
 }
 

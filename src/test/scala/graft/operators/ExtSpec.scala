@@ -205,6 +205,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(1L).toSet == Set("a b c", "b c d"))
     assert(out(2L) == Seq("a b"))
   }
+
+  test("rolling hash is order-sensitive where the shingle set is not") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
+      .select($"id",
+        TextFunctions.rollingHash($"text").as("rh"),
+        TextFunctions.shingleSet($"text", 1).as("ss"))
+    val rows = df.as[(Long, Long, Seq[String])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L)._2 == rows(2L)._2)   // same token set
+    assert(rows(1L)._1 != rows(2L)._1)   // different order → different hash
+    // deterministic across evaluations
+    val again = Seq((1L, "alpha beta gamma")).toDF("id", "text")
+      .select(TextFunctions.rollingHash($"text")).as[Long].head()
+    assert(again == rows(1L)._1)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -232,5 +246,12 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(payloads, 4)
     assert(frames.count() == 8)
     assert(frames.groupBy("media_id").count().select("count").as[Long].collect().forall(_ == 4))
+
+    // resize stub records target dims and emits a bounded thumbnail
+    val resized = Multimodal.resizeStub(decoded, 32, 32)
+    val t = resized.filter($"media_id" === 1L)
+      .select("thumb_width", "thumb_height", "thumb").collect()(0)
+    assert(t.getInt(0) == 32 && t.getInt(1) == 32)
+    assert(t.getAs[Array[Byte]](2).length <= 32 * 32 / 64 + 1)
   }
 }
