@@ -56,25 +56,35 @@ object Similarity {
     * random hyperplanes. Hyperplane h component j is a deterministic
     * hash-derived value in [-1,1] — no stored model, same key on every
     * engine run. */
-  def lshBucket(vec: Column, nbits: Int): Column =
+  def lshBucket(vec: Column, nbits: Int, table: Int = 0): Column =
     graft.plans.GraftExpressions.lshBits(
-      org.apache.spark.sql.SparkSession.active, vec, nbits)
+      org.apache.spark.sql.SparkSession.active, vec, nbits, table * nbits)
 
-  /** LSH-bucketed ANN top-k: corpus and probes are keyed by hyperplane
-    * bucket; comparisons happen only within matching buckets. Recall is
-    * approximate by construction (multi-probe left to the caller via
-    * smaller nbits). */
+  /** Multi-table LSH ANN top-k: `tables` independent hyperplane sets,
+    * candidates = union of same-bucket pairs over all tables, then
+    * exact cosine + per-probe top-k. The recall/cost knob: a neighbor
+    * at angle θ survives one table with p = (1−θ/π)^nbits and the
+    * union with 1−(1−p)^tables — more tables buy recall linearly in
+    * candidate volume, never a full scan. Candidate dedup happens in
+    * the same aggregation that ranks (max over tables is a no-op since
+    * sim is identical), so no extra shuffle. */
   def lshCosineTopK(
       corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int, nbits: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      nbits: Int = 8, tables: Int = 8): DataFrame = {
 
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"), lshBucket(col(vecCol), nbits).as("bucket"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      norm(col(vecCol)).as("pn"), lshBucket(col(vecCol), nbits).as("bucket"))
-    val scored = c.join(broadcast(p), Seq("bucket"))
+    def keyed(df: DataFrame, outId: String, v: String, n: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as(v), norm(col(vecCol)).as(n),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), lshBucket(col(vecCol), nbits, t).as("b"))): _*)).as("key"))
+
+    val c = keyed(corpus, "corpus_id", "cv", "cn")
+    val p = keyed(probes, "probe_id", "pv", "pn")
+    val scored = c.join(broadcast(p), Seq("key"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .withColumn("sim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+      // a pair found in several tables has the same sim — collapse
+      .groupBy("probe_id", "corpus_id").agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("corpus_id"))
     scored
       .withColumn("rank", row_number().over(w))

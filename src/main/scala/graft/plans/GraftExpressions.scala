@@ -158,7 +158,7 @@ case class SimHash64(child: Expression)
   * stored model, identical on every executor). Replaces an
   * `aggregate(zip_with(...))` composition whose per-element interpreted
   * lambdas dominated the ANN pipelines. */
-case class LshSignBits(child: Expression, nbits: Int)
+case class LshSignBits(child: Expression, nbits: Int, offset: Int = 0)
   extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -183,7 +183,7 @@ case class LshSignBits(child: Expression, nbits: Int)
       var j = 0
       while (j < n) {
         val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-        proj += x * (XXH64.hashLong(j.toLong, h.toLong).toDouble / Long.MaxValue.toDouble)
+        proj += x * (XXH64.hashLong(j.toLong, (offset + h).toLong).toDouble / Long.MaxValue.toDouble)
         j += 1
       }
       if (proj >= 0) sig |= (1L << h)
@@ -435,7 +435,8 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_lsh_bits",
       { es: Seq[Expression] =>
         val n = es(1).eval(InternalRow.empty).asInstanceOf[Int]
-        LshSignBits(es(0), n)
+        val off = if (es.length > 2) es(2).eval(InternalRow.empty).asInstanceOf[Int] else 0
+        LshSignBits(es(0), n, off)
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       { es: Seq[Expression] =>
@@ -464,9 +465,10 @@ object GraftExpressions {
   def simhashMd5(spark: SparkSession, tokens: Column): Column = {
     register(spark); call_function("graft_simhash_md5", tokens)
   }
-  def lshBits(spark: SparkSession, vec: Column, nbits: Int): Column = {
+  def lshBits(spark: SparkSession, vec: Column, nbits: Int, offset: Int = 0): Column = {
     register(spark)
-    call_function("graft_lsh_bits", vec, org.apache.spark.sql.functions.lit(nbits))
+    call_function("graft_lsh_bits", vec,
+      org.apache.spark.sql.functions.lit(nbits), org.apache.spark.sql.functions.lit(offset))
   }
   def shingles(spark: SparkSession, text: Column, n: Int, distinct: Boolean): Column = {
     register(spark)

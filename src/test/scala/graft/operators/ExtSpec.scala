@@ -144,6 +144,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf1.nonEmpty)
   }
 
+  test("lsh top-k reaches a useful recall floor on real embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // 4 sign bits/table, 8 tables: single-table collision for these
+    // low-sim neighbors is ~0.13; the union lifts recall to
+    // 1-(1-p)^8 ≈ 0.67 while still pruning candidates per table 16x
+    val lsh = Similarity.lshCosineTopK(emb, probes, "vec_id", "embedding",
+        k = 5, nbits = 4, tables = 8)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.45, s"recall=$recall (lsh=${lsh.size}, exact=${exact.size})")
+  }
+
   test("lsh buckets are deterministic and identical vectors collide") {
     val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8).as("b"))
       .as[(Long, Long)].collect().toMap
