@@ -32,6 +32,19 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Rank scored (probe, corpus, sim) rows into per-probe top-k via the
+    * bounded-heap [[graft.plans.TopKPairs]] aggregate: map-side partial
+    * combine ships k candidates per probe per partition — a window
+    * row_number would sort EVERY scored pair through one exchange. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("probe_id")
+      .agg(graft.plans.GraftExpressions.topK(
+        scored.sparkSession, col("sim"), col("corpus_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("corpus_id"), col("p.sim").as("sim"))
+
   /** Brute-force cosine top-k: for each probe row, the k nearest corpus
     * rows (self-matches excluded). Probes are broadcast — the corpus is
     * scanned exactly once regardless of probe count. */
@@ -45,11 +58,7 @@ object Similarity {
       norm(col(vecCol)).as("pn"))
     val scored = c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
       .withColumn("sim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("corpus_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane bucket key: sign bits of `nbits` fixed pseudo-
@@ -85,11 +94,7 @@ object Similarity {
       .withColumn("sim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
       // a pair found in several tables has the same sim — collapse
       .groupBy("probe_id", "corpus_id").agg(max(col("sim")).as("sim"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("corpus_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN top-k. Clustered search: every corpus
@@ -129,13 +134,10 @@ object Similarity {
       .filter(col("__crank") <= nprobe)
       .select(col("probe_id"), col("cid"), col("__v").as("pv"), col("__n").as("pn"))
 
-    val w = Window.partitionBy(col("probe_id")).orderBy(desc("sim"), col("corpus_id"))
-    probeClusters.join(assigned, Seq("cid"))
+    val scored = probeClusters.join(assigned, Seq("cid"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .withColumn("sim", dot(col("pv"), col("xv")) / (col("pn") * col("xn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed near-duplicate pairs: vectors are keyed by their

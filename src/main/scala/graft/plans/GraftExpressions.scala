@@ -416,6 +416,87 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact bounded-heap top-k aggregate: keeps the best `k`
+  * (sim desc, id asc) pairs per group in a k-sized heap.
+  *
+  * The point is the PLAN SHAPE: as a TypedImperativeAggregate it gets
+  * map-side partial aggregation, so a probe×corpus scoring join shuffles
+  * k rows per probe per partition instead of sorting EVERY scored pair
+  * through a window exchange — the difference between O(k·probes·
+  * partitions) and O(corpus·probes) shuffle volume at 100 TB. Results
+  * are exact and deterministically tie-broken, interchangeable with the
+  * row_number window formulation (the ANN oracle queries prove it). */
+case class TopKPairs(
+    sim: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+
+  override def children: Seq[Expression] = Seq(sim, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_topk"
+
+  // head = WORST kept pair (lowest sim, then highest id) → O(log k) evict
+  private def cmp = new java.util.Comparator[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long)] =
+    new java.util.PriorityQueue[(Double, Long)](k + 1, cmp)
+
+  private def offer(q: java.util.PriorityQueue[(Double, Long)], p: (Double, Long)): Unit = {
+    if (q.size < k) q.offer(p)
+    else if (cmp.compare(p, q.peek()) > 0) { q.poll(); q.offer(p) }
+  }
+
+  override def update(q: java.util.PriorityQueue[(Double, Long)], row: InternalRow): java.util.PriorityQueue[(Double, Long)] = {
+    val s = sim.eval(row); val i = id.eval(row)
+    if (s != null && i != null)
+      offer(q, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    q
+  }
+
+  override def merge(q: java.util.PriorityQueue[(Double, Long)], other: java.util.PriorityQueue[(Double, Long)]): java.util.PriorityQueue[(Double, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) offer(q, it.next())
+    q
+  }
+
+  override def eval(q: java.util.PriorityQueue[(Double, Long)]): Any = {
+    val arr = new Array[(Double, Long)](q.size)
+    var i = arr.length - 1
+    while (i >= 0) { arr(i) = q.poll(); i -= 1 }  // drain worst-first → arr best-first
+    new GenericArrayData(arr.map(p => InternalRow(p._2, p._1): Any))
+  }
+
+  override def serialize(q: java.util.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + q.size * 16)
+    bb.putInt(q.size)
+    val it = q.iterator()
+    while (it.hasNext) { val p = it.next(); bb.putDouble(p._1); bb.putLong(p._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val q = createAggregationBuffer()
+    var i = 0
+    while (i < n) { q.offer((bb.getDouble, bb.getLong)); i += 1 }
+    q
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPairs = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPairs = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKPairs =
+    copy(sim = cs(0), id = cs(1))
+}
+
 object GraftExpressions {
   /** Idempotent session-level registration (also see [[GraftExtensions]]
     * for the spark.sql.extensions path). */
@@ -450,6 +531,11 @@ object GraftExpressions {
       { es: Seq[Expression] => OrderedPairs(es(0)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       { es: Seq[Expression] => RollingHash64(es(0)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_topk",
+      { es: Seq[Expression] =>
+        val k = es(2).eval(InternalRow.empty).asInstanceOf[Int]
+        TopKPairs(es(0), es(1), k).toAggregateExpression()
+      }, "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -483,6 +569,10 @@ object GraftExpressions {
   }
   def rollingHash(spark: SparkSession, tokens: Column): Column = {
     register(spark); call_function("graft_rolling_hash", tokens)
+  }
+  def topK(spark: SparkSession, sim: Column, id: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
   }
 }
 
