@@ -493,7 +493,41 @@ object SqlSurface {
       |WHERE o_totalprice > 200000
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- asof join
+  /** As-of join: each purchase picks up the user's most recent click at
+    * or before the purchase timestamp — the point-in-time lookup Spark
+    * lacks natively, implemented as the union+window composition (one
+    * shuffle, no pairwise blow-up). DuckDB's native ASOF JOIN is the
+    * oracle, so the exact boundary semantics (>=, per-key, backward)
+    * are verified cross-engine. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+    graft.operators.AsOfJoin.asof(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts_s"),
+        round(col("asof_click_value"), 4).as("click_value_r"))
+      .orderBy("event_id")
+  }
+  val asofJoinSql: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, MAX(value) AS click_value FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id, ts),
+      |l AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id,
+      |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |  strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_s,
+      |  round(r.click_value, 4) AS click_value_r
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j3_asof_join" -> (asofJoin _),
     "j2_skew_join" -> (skewJoin _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -517,6 +551,7 @@ object SqlSurface {
     "sql_passthrough" -> (sqlPassthrough _))
 
   val oracles: Map[String, String] = Map(
+    "j3_asof_join" -> asofJoinSql,
     "j2_skew_join" -> skewJoinSql,
     "q4_order_priority" -> q4Sql,
     "q10_returned_items" -> q10Sql,

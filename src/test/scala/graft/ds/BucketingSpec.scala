@@ -81,6 +81,31 @@ class DirectoryPartitioningSpec extends AnyFunSuite {
   }
 }
 
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asof join: backward match, exact-ts inclusion, null when none, per-key isolation") {
+    val left = Seq(
+      (1L, "u1", "2024-01-01 10:00:00"),
+      (2L, "u1", "2024-01-01 12:00:00"),
+      (3L, "u2", "2024-01-01 11:00:00"),   // u2 has no earlier right row
+      (4L, "u1", "2024-01-01 09:00:00"))   // before every right row
+      .toDF("id", "k", "ts").withColumn("ts", $"ts".cast("timestamp"))
+    val right = Seq(
+      ("u1", "2024-01-01 10:00:00", 100.0), // exact tie with left id=1 → matches
+      ("u1", "2024-01-01 11:30:00", 200.0),
+      ("u2", "2024-01-01 11:30:00", 300.0)) // after u2's left row → no match
+      .toDF("k", "ts", "v").withColumn("ts", $"ts".cast("timestamp"))
+    val out = graft.operators.AsOfJoin.asof(left, right, Seq("k"), "ts", "ts")
+      .select($"id", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(100.0)) // >= includes equal ts
+    assert(out(2L).contains(200.0)) // latest of the two earlier rows
+    assert(out(3L).isEmpty)         // other key's rows invisible
+    assert(out(4L).isEmpty)         // nothing at or before
+  }
+}
+
 class SkewJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
