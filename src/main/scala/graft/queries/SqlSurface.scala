@@ -526,7 +526,37 @@ object SqlSurface {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- range join
+  /** Range join: purchases falling inside any 2-hour post-signup window
+    * of the same user. Executed as the bucketed equi-join decomposition
+    * (hash join on (user, hour-bucket) + exact re-filter) instead of
+    * the nested-loop inequality join Spark would otherwise plan. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    val windows = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(
+        purchases, windows, Seq("user_id"), "ts", "w_start", "w_end",
+        bucketSeconds = 3600L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("in_window_value"))
+      .orderBy("user_id")
+  }
+  val rangeJoinSql: String =
+    """SELECT p.user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS in_window_value
+      |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+      |      FROM events WHERE event_type = 'signup') w
+      |  ON p.user_id = w.user_id AND p.ts >= w.s AND p.ts < w.e
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j4_range_join" -> (rangeJoin _),
     "j3_asof_join" -> (asofJoin _),
     "j2_skew_join" -> (skewJoin _),
     "q4_order_priority" -> (q4OrderPriority _),
@@ -551,6 +581,7 @@ object SqlSurface {
     "sql_passthrough" -> (sqlPassthrough _))
 
   val oracles: Map[String, String] = Map(
+    "j4_range_join" -> rangeJoinSql,
     "j3_asof_join" -> asofJoinSql,
     "j2_skew_join" -> skewJoinSql,
     "q4_order_priority" -> q4Sql,

@@ -106,6 +106,31 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 }
 
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed range join equals the naive inequality join") {
+    val pts = Seq(
+      (1L, "u1", "2024-01-01 10:30:00"), (2L, "u1", "2024-01-01 13:30:00"),
+      (3L, "u2", "2024-01-01 10:30:00"), (4L, "u1", "2024-01-01 10:00:00"),
+      (5L, "u1", "2024-01-01 12:00:00")) // == w_end → excluded ([s,e))
+      .toDF("id", "k", "ts").withColumn("ts", $"ts".cast("timestamp"))
+    val ivs = Seq(
+      ("u1", "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+      ("u2", "2024-01-01 11:00:00", "2024-01-01 12:00:00"))
+      .toDF("k", "s", "e")
+      .withColumn("s", $"s".cast("timestamp")).withColumn("e", $"e".cast("timestamp"))
+    val bucketed = graft.operators.RangeJoin.pointInInterval(
+        pts, ivs, Seq("k"), "ts", "s", "e", bucketSeconds = 1800L)
+      .select("id").as[Long].collect().toSet
+    val naive = pts.join(ivs, Seq("k"))
+      .filter($"ts" >= $"s" && $"ts" < $"e").select("id").as[Long].collect().toSet
+    assert(bucketed == naive)
+    assert(bucketed == Set(1L, 4L)) // 3: outside u2's window; 5: == end
+  }
+}
+
 class SkewJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
