@@ -583,17 +583,31 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
-      { es: Seq[Expression] => VectorDot(es(0), es(1)) }))
-    ext.injectFunction((FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      { es: Seq[Expression] => SimHash64(es(0)) }))
-    ext.injectFunction((FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      { es: Seq[Expression] =>
-        val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
-        MinHashSig(es(0), k)
-      }))
+    def inject(name: String, cls: Class[_], b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), b))
+    def intArg(es: Seq[Expression], i: Int): Int =
+      es(i).eval(InternalRow.empty).asInstanceOf[Int]
+    inject("graft_dot", classOf[VectorDot],
+      es => VectorDot(es(0), es(1)))
+    inject("graft_simhash", classOf[SimHash64],
+      es => SimHash64(es(0)))
+    inject("graft_simhash_md5", classOf[Md5SimHash64],
+      es => Md5SimHash64(es(0)))
+    inject("graft_minhash", classOf[MinHashSig],
+      es => MinHashSig(es(0), intArg(es, 1)))
+    inject("graft_shingles", classOf[WordShingles],
+      es => WordShingles(es(0), intArg(es, 1),
+        es(2).eval(InternalRow.empty).asInstanceOf[Boolean]))
+    inject("graft_intersect_count", classOf[SortedIntersectCount],
+      es => SortedIntersectCount(es(0), es(1)))
+    inject("graft_ordered_pairs", classOf[OrderedPairs],
+      es => OrderedPairs(es(0)))
+    inject("graft_rolling_hash", classOf[RollingHash64],
+      es => RollingHash64(es(0)))
+    inject("graft_lsh_bits", classOf[LshSignBits],
+      es => LshSignBits(es(0), intArg(es, 1), if (es.length > 2) intArg(es, 2) else 0))
+    inject("graft_topk", classOf[TopKPairs],
+      es => TopKPairs(es(0), es(1), intArg(es, 2)).toAggregateExpression())
   }
 }

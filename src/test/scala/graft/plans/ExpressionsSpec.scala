@@ -89,4 +89,24 @@ class ExpressionsSpec extends AnyFunSuite {
       """SELECT graft_simhash(graft_shingles(text, 1, false)) AS h FROM t_expr""").count()
     assert(n == 8)
   }
+
+  test("GraftExtensions injects every custom function into a fresh registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.GraftExtensionsTestAccess
+      .registered(ext, new SimpleFunctionRegistry)
+    val names = Seq("graft_dot", "graft_simhash", "graft_simhash_md5",
+      "graft_minhash", "graft_shingles", "graft_intersect_count",
+      "graft_ordered_pairs", "graft_rolling_hash", "graft_lsh_bits", "graft_topk")
+    names.foreach(fn => assert(reg.functionExists(FunctionIdentifier(fn)), fn))
+    // builders construct working expressions (not just names)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val dot = reg.lookupFunction(FunctionIdentifier("graft_dot"), Seq(
+      Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Array(3.0, 4.0), ArrayType(DoubleType))))
+    assert(dot.eval(null) == 11.0)
+  }
 }
