@@ -1,7 +1,7 @@
 package graft.ds
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** "Directory"-flavor partitioning: bare-value path segments
@@ -53,11 +53,17 @@ object DirectoryPartitioning {
     val glob = path + "/*" * cols.length
     val base = spark.read.parquet(glob)
     // leaf file URI: .../<v_0>/<v_1>/.../<file>; value for level i sits
-    // cols.length - i segments before the file name
+    // cols.length - i segments before the file name. Two escape layers
+    // wrap the original value: hive's %XX path escaping (from the
+    // partitionBy write) under the URI encoding of input_file_name().
+    // url_decode is a FORM decoder ('+' → space), so literal '+' must
+    // be shielded before each decode pass.
+    def decodeLayer(c: Column): Column =
+      url_decode(regexp_replace(c, "\\+", "%2B"))
     val segs = split(input_file_name(), "/")
     val n = size(segs)
     cols.zipWithIndex.foldLeft(base) { case (df, (c, i)) =>
-      df.withColumn(c, url_decode(element_at(segs, n - (cols.length - i))))
+      df.withColumn(c, decodeLayer(decodeLayer(element_at(segs, n - (cols.length - i)))))
     }
   }
 

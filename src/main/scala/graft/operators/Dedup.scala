@@ -141,7 +141,12 @@ object Dedup {
       maxHamming: Int = 3, md5Bits: Boolean = false): DataFrame = {
 
     val hasher: Column => Column = if (md5Bits) simhashMd5 else simhash64
-    val sigs = df.select(col(idCol).as("id"), hasher(tokens(col(textCol))).as("sig")).cache()
+    // zero-token docs all hash to signature 0 and would pair with each
+    // other (hamming 0) — an empty doc says nothing about duplication,
+    // so drop them (the SQL twin's unnest drops them implicitly)
+    val sigs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col("id"), hasher(col("__t")).as("sig")).cache()
     val chunks = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         call_function("shiftright", col("sig"), lit(c * 16)).bitwiseAND(lit(0xFFFFL))): _*))

@@ -74,9 +74,10 @@ object Similarity {
     * exact cosine + per-probe top-k. The recall/cost knob: a neighbor
     * at angle θ survives one table with p = (1−θ/π)^nbits and the
     * union with 1−(1−p)^tables — more tables buy recall linearly in
-    * candidate volume, never a full scan. Candidate dedup happens in
-    * the same aggregation that ranks (max over tables is a no-op since
-    * sim is identical), so no extra shuffle. */
+    * candidate volume, never a full scan. Candidate pairs found in
+    * several tables are collapsed by a pair-level aggregation (needed
+    * so a duplicate can't occupy two top-k heap slots) before the
+    * per-probe heap ranking — two partial-combine exchanges total. */
   def lshCosineTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -117,20 +118,28 @@ object Similarity {
     val cent = corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
 
-    // rank centroids per vector: one broadcast-nested-loop pass
-    def centroidRanks(df: DataFrame, outId: String): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(desc("__csim"), col("cid"))
+    // score every vector against the broadcast centroid table
+    def centroidScores(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
         .join(broadcast(cent), lit(true))
         .withColumn("__csim", dot(col("__v"), col("cv")) / (col("__n") * col("cn")))
-        .withColumn("__crank", row_number().over(w))
-    }
 
-    val assigned = centroidRanks(corpus, "corpus_id")
-      .filter(col("__crank") === 1)
-      .select(col("corpus_id"), col("cid"), col("__v").as("xv"), col("__n").as("xn"))
-    val probeClusters = centroidRanks(probes, "probe_id")
+    // corpus assignment = argmax over centroids as max(struct): the
+    // partial aggregate collapses the ×nCentroids blow-up INSIDE the
+    // broadcast-join stage, so only one row per corpus vector reaches
+    // the exchange (a row_number window would shuffle every scored
+    // row). Tie → lowest cid via the negated id in the order key.
+    val assigned = centroidScores(corpus, "corpus_id")
+      .groupBy("corpus_id")
+      .agg(max(struct(struct(col("__csim"), -col("cid")).as("k"),
+        struct(col("cid"), col("__v"), col("__n")).as("p"))).as("__m"))
+      .select(col("corpus_id"), col("__m.p.cid").as("cid"),
+        col("__m.p.__v").as("xv"), col("__m.p.__n").as("xn"))
+
+    // probes are few — the nprobe ranking window stays on the small side
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("__csim"), col("cid"))
+    val probeClusters = centroidScores(probes, "probe_id")
+      .withColumn("__crank", row_number().over(w))
       .filter(col("__crank") <= nprobe)
       .select(col("probe_id"), col("cid"), col("__v").as("pv"), col("__n").as("pn"))
 

@@ -363,6 +363,11 @@ case class OrderedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // n·(n−1)/2 in Int wraps at n ≈ 46k and a single uncapped bucket
+    // would allocate gigabytes anyway — fail with guidance, not AIOOBE
+    require(n.toLong * (n - 1) / 2 <= 10_000_000L,
+      s"graft_ordered_pairs: bucket of $n ids would emit ${n.toLong * (n - 1) / 2} pairs; " +
+        "cap bucket size upstream (e.g. Dedup.ngramJaccardPairs(maxShingleDf=...))")
     val ids = new Array[Long](n)
     var i = 0
     while (i < n) { ids(i) = arr.getLong(i); i += 1 }
@@ -430,6 +435,8 @@ case class TopKPairs(
     sim: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, s"graft_topk requires k > 0, got $k")
 
   override def children: Seq[Expression] = Seq(sim, id)
   override def nullable: Boolean = false

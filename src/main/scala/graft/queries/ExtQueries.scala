@@ -104,6 +104,26 @@ object ExtQueries {
   }
 
   // ---- text analysis ----------------------------------------------------
+  /** Shared SQL fragments mirroring TextFunctions.langId/qualityScore —
+    * built ONCE so the textStats and qualityFilter oracles cannot
+    * drift apart if the marker tables or tie-break change. */
+  private def markerCountSql(ms: Seq[String]): String =
+    s"len(list_filter(words, w -> w IN (${ms.map(m => s"'$m'").mkString(",")})))"
+  private val langCaseSql: String =
+    TextFunctions.LangMarkers.sortBy(_._1)
+      .map { case (c, ms) => (c, markerCountSql(ms)) }
+      .foldLeft(("'und'", "0")) { case ((bc, bs), (code, s)) =>
+        (s"CASE WHEN $s > $bs THEN '$code' ELSE $bc END", s"greatest($s, $bs)")
+      }._1
+  private val langPredSql: String =
+    s"""(CASE WHEN 2 * len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > length(text)
+       |        THEN 'zh' ELSE $langCaseSql END)""".stripMargin
+  private val qualitySql: String =
+    s"""(CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END
+       |     + least(CAST(${markerCountSql(TextFunctions.LangMarkers.flatMap(_._2))} AS DOUBLE) / len(words) * 2.0, 0.3)
+       |     - least(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) * 5.0, 0.2)
+       |     + 0.2)""".stripMargin
+
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val t = col("text")
     Tables.load(spark, dir, "documents").select(
@@ -116,35 +136,18 @@ object ExtQueries {
       TextFunctions.fingerprint(t).as("fp"))
       .orderBy("doc_id")
   }
-  val textStatsSql: String = {
-    val markers = TextFunctions.LangMarkers
-    def cnt(ms: Seq[String]) =
-      s"len(list_filter(words, w -> w IN (${ms.map(m => s"'$m'").mkString(",")})))"
-    val langCase = {
-      // mirror the Scala fold: iterate languages in code order, strict >
-      val scored = markers.sortBy(_._1).map { case (c, ms) => (c, cnt(ms)) }
-      // build nested CASE via greatest-chain
-      val bestExpr = scored.foldLeft(("'und'", "0")) { case ((bc, bs), (code, s)) =>
-        (s"CASE WHEN $s > $bs THEN '$code' ELSE $bc END", s"greatest($s, $bs)")
-      }._1
-      bestExpr
-    }
+  val textStatsSql: String =
     s"""SELECT doc_id,
        |  CAST(len(words) AS INT) AS n_words,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
        |  CAST(length(text) AS INT) AS n_chars_measured,
-       |  (CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END
-       |   + least(CAST(${cnt(markers.flatMap(_._2))} AS DOUBLE) / len(words) * 2.0, 0.3)
-       |   - least(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) * 5.0, 0.2)
-       |   + 0.2) AS quality,
-       |  (CASE WHEN 2 * len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > length(text)
-       |        THEN 'zh' ELSE $langCase END) AS lang_pred,
+       |  $qualitySql AS quality,
+       |  $langPredSql AS lang_pred,
        |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
        |FROM (SELECT doc_id, text,
        |        list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---- similarity search ------------------------------------------------
   /** Brute-force cosine top-k for a probe set (vec_id < 10). */
@@ -181,6 +184,11 @@ object ExtQueries {
       .withColumn("vec_id", col("vec_id") + 10000)
     Similarity.lshNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
         threshold = 0.95, nbits = 8)
+      // score the retrieval task itself: did LSH recover every planted
+      // copy? (restricting both sides to planted pairs keeps the oracle
+      // exact even if a future fixture contains natural >=0.95 pairs,
+      // which single-table LSH only finds probabilistically)
+      .filter(col("id_b") === col("id_a") + 10000)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
       .orderBy("id_a", "id_b")
   }
@@ -192,7 +200,7 @@ object ExtQueries {
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_dot_product(a.v, b.v)
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_r
-      |FROM d a JOIN d b ON a.vec_id < b.vec_id
+      |FROM d a JOIN d b ON b.vec_id = a.vec_id + 10000
       |WHERE list_dot_product(a.v, b.v)
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
@@ -254,28 +262,14 @@ object ExtQueries {
       .filter(col("q") >= 0.6 && col("lang_pred") === "en")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .orderBy("source")
-  val qualityFilterSql: String = {
-    val markers = TextFunctions.LangMarkers
-    def cnt(ms: Seq[String]) =
-      s"len(list_filter(words, w -> w IN (${ms.map(m => s"'$m'").mkString(",")})))"
-    val langCase = markers.sortBy(_._1).map { case (c, ms) => (c, cnt(ms)) }
-      .foldLeft(("'und'", "0")) { case ((bc, bs), (code, s)) =>
-        (s"CASE WHEN $s > $bs THEN '$code' ELSE $bc END", s"greatest($s, $bs)")
-      }._1
+  val qualityFilterSql: String =
     s"""SELECT source, COUNT(*) AS n_docs FROM (
-       |  SELECT source,
-       |    (CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END
-       |     + least(CAST(${cnt(markers.flatMap(_._2))} AS DOUBLE) / len(words) * 2.0, 0.3)
-       |     - least(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) * 5.0, 0.2)
-       |     + 0.2) AS q,
-       |    (CASE WHEN 2 * len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > length(text)
-       |          THEN 'zh' ELSE $langCase END) AS lang_pred
+       |  SELECT source, $qualitySql AS q, $langPredSql AS lang_pred
        |  FROM (SELECT source, text,
        |          list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
        |        FROM documents))
        |WHERE q >= 0.6 AND lang_pred = 'en'
        |GROUP BY source ORDER BY source""".stripMargin
-  }
 
   /** Top-20 most-similar embedding pairs (near-dup surface over a corpus
     * with no planted dups → top-N instead of threshold). */

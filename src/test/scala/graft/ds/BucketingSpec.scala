@@ -63,6 +63,16 @@ class DirectoryPartitioningSpec extends AnyFunSuite {
     assert(back == Set((1L, "a", "x1"), (2L, "a", "x2"), (3L, "b", "x3")))
   }
 
+  test("bare-value partition values with '+', '%', and spaces round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dirpartesc_").toString + "/ds"
+    val df = Seq((1L, "a+b"), (2L, "a%b"), (3L, "a b"), (4L, "plain"))
+      .toDF("id", "grp")
+    DirectoryPartitioning.write(spark, df, tmp, Seq("grp"))
+    val back = DirectoryPartitioning.read(spark, tmp, Seq("grp"))
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a+b"), (2L, "a%b"), (3L, "a b"), (4L, "plain")))
+  }
+
   test("two-level bare-value layout recovers both partition columns") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dirpart2_").toString + "/ds"
     val df = Seq((1L, "a", "p", 1.0), (2L, "b", "q", 2.0), (3L, "b", "p", 3.0))
