@@ -146,12 +146,17 @@ object Toml {
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inQ = false; val cur = new StringBuilder
-    s.foreach {
-      case '"' => inQ = !inQ; cur.append('"')
-      case '[' if !inQ => depth += 1; cur.append('[')
-      case ']' if !inQ => depth -= 1; cur.append(']')
-      case c if c == sep && depth == 0 && !inQ => out += cur.toString; cur.clear()
-      case c => cur.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // escaped quotes (\") do NOT toggle the string state — same rule
+      // as indexOfTopLevel, else a value like "a\",b" splits mid-string
+      if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) { inQ = !inQ; cur.append(c) }
+      else if (c == '[' && !inQ) { depth += 1; cur.append(c) }
+      else if (c == ']' && !inQ) { depth -= 1; cur.append(c) }
+      else if (c == sep && depth == 0 && !inQ) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq

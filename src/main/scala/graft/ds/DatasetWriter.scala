@@ -49,10 +49,14 @@ final case class DatasetWriter(
   def withTransform(f: DataFrame => DataFrame): DatasetWriter = copy(transform = f)
 
   /** Default batch size: `min(rows, 64MiB / ncols)` rows — reference
-    * `writer.py:455-458`. Only consulted when the caller asked for
-    * batching but gave no size. */
+    * `writer.py:455-458`. Consulted when batching was requested without
+    * a size ([[withAutoBatchRows]] → sentinel 0). */
   def defaultBatchRows(df: DataFrame): Long =
     math.max(1L, (64L * 1024 * 1024) / math.max(1, df.columns.length))
+
+  /** Request count batching at the reference's default size (resolved
+    * from the dataframe's width at write time). */
+  def withAutoBatchRows: DatasetWriter = copy(batchRows = Some(0L))
 
   /** Execute the write. Returns the number of rows written. */
   def write(spark: SparkSession, input: DataFrame): Long = {
@@ -71,12 +75,17 @@ final case class DatasetWriter(
       case WriteMode.Append => (prepared, SaveMode.Append)
       case WriteMode.Delta =>
         if (!existed) (prepared, SaveMode.Append)
-        else (deltaDiff(spark, prepared), SaveMode.Append)
+        // persist the diff: the emptiness gate below and the write
+        // itself both consume it — without this the existing-side scan
+        // + anti-join (the dominant delta cost) would execute twice
+        else (deltaDiff(spark, prepared)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), SaveMode.Append)
     }
 
-    // Cheap emptiness gate for delta (reference skips empty batches,
-    // writer.py:492): isEmpty is a LIMIT-1 job, not a full count.
-    if (mode == WriteMode.Delta && toWrite.isEmpty) return 0L
+    try {
+      // Emptiness gate for delta (reference skips empty batches,
+      // writer.py:492): isEmpty is a LIMIT-1 job over the cached diff.
+      if (mode == WriteMode.Delta && toWrite.isEmpty) return 0L
 
     val withBucket = timeBatch match {
       case Some((tsCol, interval)) =>
@@ -95,7 +104,9 @@ final case class DatasetWriter(
     // reference's LIMIT/OFFSET loop is single-threaded AND quadratic).
     // Costs one count job; partitioned targets skip it and rely on
     // maxRecordsPerFile below to bound files per task.
-    val batched = batchRows match {
+    // sentinel 0 (withAutoBatchRows) → the reference's width-derived default
+    val resolvedBatchRows = batchRows.map(n => if (n <= 0) defaultBatchRows(prepared) else n)
+    val batched = resolvedBatchRows match {
       case Some(n) if partCols.isEmpty =>
         val rows = withBucket.count()
         withBucket.repartition(math.max(1L, (rows + n - 1) / n).toInt)
@@ -112,7 +123,7 @@ final case class DatasetWriter(
     var w = batched.observe(obs, count(lit(1)).as("rows")).write
       .mode(saveMode)
       .option("compression", codec)
-    batchRows.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    resolvedBatchRows.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
     rowGroupSize.foreach(n => w = w.option("parquet.block.size", (n * 128).toString))
     if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
     target.format match {
@@ -121,6 +132,9 @@ final case class DatasetWriter(
       case other => w.format(other).save(target.path)
     }
     obs.get("rows").asInstanceOf[Long]
+    } finally {
+      if (mode == WriteMode.Delta && existed) toWrite.unpersist()
+    }
   }
 
   /** Tumbling-window bucket label for `interval` starting at the epoch.
@@ -162,13 +176,15 @@ final case class DatasetWriter(
       case None => (incoming, existingFull)
     }
     if (deltaSubset.nonEmpty) {
-      val keys = deltaSubset.map(c => col(c))
-      inc.join(existing.select(keys: _*).distinct(), deltaSubset, "left_anti")
+      // null-safe key comparison: a NULL key must match a NULL key, or
+      // the row is re-appended on every delta write (idempotency break)
+      val ex = existing.select(deltaSubset.map(col): _*).distinct()
+      val cond = deltaSubset.map(c => inc(c) <=> ex(c)).reduce(_ && _)
+      inc.join(ex, cond, "left_anti")
     } else {
-      // Full-row anti-join on all common columns — same result as set
-      // EXCEPT (the reference's duckdb EXCEPT is set-semantics) but
-      // keeps incoming duplicates out via distinct on the incoming side.
-      inc.distinct().join(existing, inc.columns.toSeq, "left_anti")
+      // set EXCEPT (the reference's duckdb EXCEPT): null-safe row
+      // equality, incoming duplicates collapse via the set semantics
+      inc.distinct().except(existing.select(inc.columns.map(col): _*))
     }
   }
 }
@@ -186,24 +202,30 @@ object DatasetWriter {
     if (equal) return false
     val unified = if (sortCols) SchemaUnify.sorted(unified0) else unified0
     val fs = ds.fs(spark)
-    perFile.filter(_._2 != unified).groupBy(_._2).foreach { case (s, group) =>
-      val paths = group.map(_._1)
-      val df = spark.read.schema(s).parquet(paths: _*)
-      val aligned = unified.fields.toSeq.map { f =>
-        if (s.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+    // group by (schema, parent dir): partition values live ONLY in the
+    // directory names, so rewritten files must land back in the same
+    // directory they came from or a hive layout loses its partitions
+    perFile.filter(_._2 != unified)
+      .groupBy { case (f, s) => (s, new Path(f).getParent) }
+      .foreach { case ((s, parent), group) =>
+        val paths = group.map(_._1)
+        val df = spark.read.schema(s).parquet(paths: _*)
+        val aligned = unified.fields.toSeq.map { f =>
+          if (s.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        val tmp = new Path(ds.path, s"_unify_tmp_${System.nanoTime()}")
+        df.select(aligned: _*).write
+          .option("compression", ds.compression).parquet(tmp.toString)
+        // swap order matters: promote the rewritten files FIRST, then
+        // delete originals — a crash between the two duplicates rows
+        // (recoverable) instead of losing the group (not recoverable)
+        fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach(st => fs.rename(st.getPath, new Path(parent, st.getPath.getName)))
+        paths.foreach(p => fs.delete(new Path(p), false))
+        fs.delete(tmp, true)
       }
-      val tmp = new Path(ds.path, s"_unify_tmp_${System.nanoTime()}")
-      df.select(aligned: _*).write
-        .option("compression", ds.compression).parquet(tmp.toString)
-      // swap: delete originals, promote rewritten files
-      paths.foreach(p => fs.delete(new Path(p), false))
-      val it = fs.listStatus(tmp)
-      it.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
-        fs.rename(st.getPath, new Path(ds.path, st.getPath.getName))
-      }
-      fs.delete(tmp, true)
-    }
     true
   }
 }

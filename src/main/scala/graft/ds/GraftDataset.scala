@@ -75,11 +75,17 @@ final case class GraftDataset(
       val it = f.listFiles(p, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       val ext = "." + (if (format == "feather") "arrow" else format)
+      // compressed text writes carry a codec suffix (part-*.csv.gz) —
+      // strip it before the format check or existence detection fails
+      // and Delta/Raise modes silently misbehave for those datasets
+      val codecSuffixes = Seq(".gz", ".zst", ".snappy", ".bz2", ".deflate", ".lz4")
       while (it.hasNext) {
         val s = it.next()
         val name = s.getPath.getName
+        val base = codecSuffixes.foldLeft(name)((n, c) =>
+          if (n.endsWith(c)) n.dropRight(c.length) else n)
         if (s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          (name.endsWith(ext) || name.endsWith(".parquet")))
+          (base.endsWith(ext) || base.endsWith(".parquet")))
           buf += s.getPath.toString
       }
       buf.toSeq

@@ -22,6 +22,12 @@ import graft.functions.TextFunctions._
   *    within Hamming distance 3 of each other shares a chunk by
   *    pigeonhole; wider radii need more/narrower chunks).
   *  - embedding cosine: see Similarity.scala.
+  *
+  * Caching note: the pipelines persist small projected intermediates
+  * (id + signature/shingle columns) that feed multiple joins. Spark has
+  * no reliable unpersist-after-lazy-result hook, so long-lived sessions
+  * running many dedup passes should `spark.catalog.clearCache()` after
+  * materializing each result (the bench harness does exactly this).
   */
 object Dedup {
 

@@ -434,19 +434,25 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 case class TopKPairs(
     sim: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, s"graft_topk requires k > 0, got $k")
 
   override def children: Seq[Expression] = Seq(sim, id)
+  // analyzer inserts casts (float→double, int→long) instead of letting
+  // update() throw ClassCastException mid-job on mistyped SQL inputs
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("id", LongType, nullable = false),
       StructField("sim", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_topk"
 
-  // head = WORST kept pair (lowest sim, then highest id) → O(log k) evict
-  private def cmp = new java.util.Comparator[(Double, Long)] {
+  // head = WORST kept pair (lowest sim, then highest id) → O(log k)
+  // evict. transient lazy: one instance per deserialized expression,
+  // not one per offered row, without riding expression serialization.
+  @transient private lazy val cmp = new java.util.Comparator[(Double, Long)] {
     override def compare(a: (Double, Long), b: (Double, Long)): Int = {
       val c = java.lang.Double.compare(a._1, b._1)
       if (c != 0) c else java.lang.Long.compare(b._2, a._2)
