@@ -151,7 +151,9 @@ object TextFunctions {
     * whitespace-collapsed, trimmed text. Identical content → identical
     * fingerprint regardless of spacing/case noise. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " ").cast("binary"))
+    // collapse BEFORE trim: trim() strips spaces only, so a leading
+    // tab/newline must first become a space to be trimmed away
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
   /** Rolling polynomial content hash over tokens (order-sensitive,
     * unlike the shingle set): h = h·31 + xxh64(token), computed by the

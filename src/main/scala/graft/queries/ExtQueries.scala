@@ -143,7 +143,7 @@ object ExtQueries {
        |  CAST(length(text) AS INT) AS n_chars_measured,
        |  $qualitySql AS quality,
        |  $langPredSql AS lang_pred,
-       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
        |FROM (SELECT doc_id, text,
        |        list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
        |      FROM documents)

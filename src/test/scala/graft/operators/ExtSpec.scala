@@ -221,6 +221,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out(2L) == Seq("a b"))
   }
 
+  test("fingerprint canonicalizes tab/newline edges, not just spaces") {
+    val fps = Seq((1L, "foo bar"), (2L, "\nfoo\tbar "), (3L, "  FOO  BAR"), (4L, "foobar"))
+      .toDF("id", "text")
+      .select($"id", TextFunctions.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(4L))
+  }
+
   test("rolling hash is order-sensitive where the shingle set is not") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
       .select($"id",
