@@ -117,4 +117,11 @@ class TomlSpec extends AnyFunSuite {
     assert(Toml.getTbl(parsed, "current").get.v("batch_size") == Toml.Int64(1000000))
     assert(Toml.getTbl(parsed, "current").get.v("ascending") == Toml.Bool(true))
   }
+
+  test("array strings with escaped quotes and separators round-trip") {
+    val t = Toml.Tbl("t" -> Toml.Tbl(
+      "xs" -> Toml.Arr(Seq(Toml.Str("a\",b"), Toml.Str("c]d"), Toml.Str("plain")))))
+    val parsed = Toml.parse(Toml.render(t))
+    assert(Toml.getArr(Toml.getTbl(parsed, "t").get, "xs") == Seq("a\",b", "c]d", "plain"))
+  }
 }

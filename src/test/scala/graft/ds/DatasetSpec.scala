@@ -61,6 +61,46 @@ class DatasetSpec extends AnyFunSuite {
     assert(ds.df(spark).count() == 3)
   }
 
+  test("delta mode stays idempotent for rows and keys containing NULLs") {
+    val out = tmp() + "/ds"
+    val df = Seq((Some(1L), Some("a")), (None, Some("b")), (Some(3L), None))
+      .toDF("k", "v")
+    val ds = GraftDataset(out)
+    DatasetWriter(ds, WriteMode.Delta).write(spark, df)
+    // full-row delta of identical data (incl. NULL columns) is a no-op
+    val n2 = DatasetWriter(ds, WriteMode.Delta).write(spark, df)
+    assert(n2 == 0L, s"null rows re-appended: $n2")
+    // keyed delta with a NULL key must also be a no-op
+    val n3 = DatasetWriter(ds, WriteMode.Delta).withDeltaSubset("k")
+      .write(spark, df.withColumn("v", org.apache.spark.sql.functions.lit("changed")))
+    assert(n3 == 0L, s"null keys re-appended: $n3")
+    assert(ds.df(spark).count() == 3)
+  }
+
+  test("delta mode detects existing data for compressed csv datasets") {
+    val out = tmp() + "/ds"
+    val ds = GraftDataset(out, format = "csv") // zstd→gzip → part-*.csv.gz
+    val df = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    DatasetWriter(ds, WriteMode.Delta).write(spark, df)
+    assert(ds.dataFiles(spark).nonEmpty, "csv.gz files invisible to dataFiles")
+    val n2 = DatasetWriter(ds, WriteMode.Delta).write(spark, df)
+    assert(n2 == 0L, "existing csv.gz dataset not detected; delta re-appended")
+  }
+
+  test("schema-unify rewrite keeps hive partition placement") {
+    val out = tmp() + "/ds"
+    // two partitions, each holding a file with a narrower schema
+    Seq((1, "A")).toDF("k", "p").write.partitionBy("p").parquet(out)
+    Seq((2L, 9L, "B")).toDF("k", "extra", "p")
+      .write.mode("append").partitionBy("p").parquet(out)
+    val ds = GraftDataset(out)
+    assert(DatasetWriter.unifySchemaRewrite(spark, ds))
+    val back = spark.read.parquet(out) // partition discovery must still work
+    assert(back.columns.toSet == Set("k", "extra", "p"))
+    val rows = back.select("k", "p").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "A"), (2L, "B")), s"partition values lost: $rows")
+  }
+
   test("partitioned write: hive layout + row conservation (W4)") {
     val dir = tmp() + "/part"
     val ds = GraftDataset(dir, partitioning = Seq("p"))
