@@ -454,6 +454,126 @@ object SqlSurface {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
       |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 40 AND l_quantity >= 25)""".stripMargin
 
+  // ---------------------------------------------------------------- q7
+  /** TPC-H Q7-style volume shipping: revenue flow between two customer
+    * nations by ship year. Nation dims broadcast twice under different
+    * aliases; the fact tables join once each. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n1 = Tables.load(spark, dir, "nation").select(
+      col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = Tables.load(spark, dir, "nation").select(
+      col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), c("c_nationkey") === n1("c_nk"))
+      .join(broadcast(n2), s("s_nationkey") === n2("s_nk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .filter(col("revenue") > 1000000)
+      .orderBy("cust_nation", "supp_nation", "l_year")
+  }
+  val q7Sql: String =
+    """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 HAVING revenue > 1000000
+      |ORDER BY cust_nation, supp_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** TPC-H Q15-style top supplier: revenue per supplier over a quarter,
+    * then the max — the "view + filter on its aggregate" shape. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+    val s = Tables.load(spark, dir, "supplier")
+    val rev = l.groupBy(col("l_suppkey"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(top), rev("total_revenue") === top("mx"))
+      .join(broadcast(s), rev("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** TPC-H Q18-style large-volume customers: orders whose lineitem
+    * quantity total exceeds a threshold — aggregate-driven semi-join
+    * back onto the fact tables. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val big = l.groupBy(col("l_orderkey").as("big_okey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 120)
+    o.join(big, o("o_orderkey") === big("big_okey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  o_totalprice, total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey AS big_okey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 120) ON o_orderkey = big_okey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** TPC-H Q22-style sales opportunity: above-average-balance customers
+    * with no RECENT orders — scalar subquery + filtered anti-join. */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val recent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+    c.join(broadcast(avgBal), c("c_acctbal") > col("ab"))
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+  val q22Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // ---------------------------------------------------------------- json
   /** Semi-structured column surface: JSON property extraction from the
     * events.props string column (F-series scalar functions). */
@@ -560,6 +680,10 @@ object SqlSurface {
     "j3_asof_join" -> (asofJoin _),
     "j2_skew_join" -> (skewJoin _),
     "q4_order_priority" -> (q4OrderPriority _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q22_no_orders" -> (q22NoOrders _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q19_disjunctive" -> (q19Disjunctive _),
@@ -585,6 +709,10 @@ object SqlSurface {
     "j3_asof_join" -> asofJoinSql,
     "j2_skew_join" -> skewJoinSql,
     "q4_order_priority" -> q4Sql,
+    "q7_volume_shipping" -> q7Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q18_large_orders" -> q18Sql,
+    "q22_no_orders" -> q22Sql,
     "q10_returned_items" -> q10Sql,
     "q14_promo_revenue" -> q14Sql,
     "q19_disjunctive" -> q19Sql,
