@@ -99,6 +99,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin family): order the shingle space by ascending
+    * document frequency (rarest first, ties by shingle), and index each
+    * document only on its first `|d| − ⌈t·|d|⌉ + 1` shingles under that
+    * global order. Any pair with J ≥ t must share a prefix shingle —
+    * completeness is the classic ssjoin prefix-filter result — so this
+    * is EXACT for the threshold, unlike the df-cap variant (which
+    * redefines Jaccard over a pruned space).
+    *
+    * Scale shape: the prefix keeps only the rarest tokens of each doc,
+    * so posting lists stay short exactly where candidate fan-out would
+    * explode; stages are (1) df count — map-combinable agg, (2) per-doc
+    * prefix — window over doc-sized groups, (3) candidate pairs inside
+    * prefix buckets, (4) exact verify on sorted sets via the merge-pass
+    * intersect. No tuning knob changes the answer, only the speed. */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+
+    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")).cache()
+    val posting = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+
+    // global rarity order; prefix length = sz − ceil(t·sz) + 1
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val prefix = posting.join(dfreq, Seq("s"))
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("s"), col("id"))
+
+    val cands = prefix.as("a").join(prefix.as("b"), Seq("s"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    jaccardVerify(cands, docs, threshold)
+  }
+
   /** MinHash + LSH near-dup pairs: k-hash signatures, `bands` bands of
     * k/bands rows; docs sharing any band bucket become candidates and
     * are verified with exact Jaccard. Output matches ngramJaccardPairs

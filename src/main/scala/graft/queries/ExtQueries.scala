@@ -35,13 +35,13 @@ object ExtQueries {
     "SELECT doc_id, lang, source FROM documents ORDER BY doc_id"
 
   // ---- n-gram Jaccard near-dup ----------------------------------------
-  /** df-pruning (shingles in >50 docs can't discriminate) keeps the
-    * inverted-index join from exploding on common shingles; near-dup
-    * pairs at j≥0.8 always share rare shingles, so the result is still
-    * exactly the full-pairwise answer (checked against the oracle). */
+  /** Prefix-filtered exact Jaccard self-join (AllPairs/PPJoin): complete
+    * for the threshold BY CONSTRUCTION, so the full-pairwise oracle is
+    * exact with no fixture-dependent argument. (The df-capped variant
+    * remains in the API as the knob for boilerplate-heavy corpora.) */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", n = 3, threshold = 0.8, maxShingleDf = Some(50))
+    Dedup.ngramJaccardPairsPrefix(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
   /** Full-pairwise oracle: same shingle sets + integer-ratio Jaccard. */

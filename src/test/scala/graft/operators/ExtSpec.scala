@@ -76,6 +76,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("prefix-filtered jaccard equals unfiltered full enumeration") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(prefix == exact)
+    assert(prefix.nonEmpty)
+  }
+
   test("ngram jaccard df-pruning keeps true pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
       maxShingleDf = Some(4)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
