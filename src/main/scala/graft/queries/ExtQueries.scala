@@ -390,6 +390,35 @@ object ExtQueries {
       |  md5(text) AS checksum, 4 AS n_frames, 8 AS feat_dim
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- cohort retention -------------------------------------------------
+  /** Weekly cohort retention: users grouped by first-seen week, counted
+    * per activity-week offset — the canonical event-analytics matrix.
+    * Two map-combinable aggregations + one broadcastable first-seen
+    * join; no window over the raw event stream. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_w"))
+    val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+    active.join(firstSeen, Seq("user_id"))
+      .withColumn("offset", (datediff(col("w"), col("cohort_w")) / 7).cast("int"))
+      .filter(col("offset").between(0, 3))
+      .groupBy(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "offset")
+  }
+  val retentionSql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      |SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort,
+      |  CAST(datediff('day', cohort_w, w) / 7 AS INT) AS "offset",
+      |  COUNT(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |WHERE datediff('day', cohort_w, w) / 7 BETWEEN 0 AND 3
+      |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
+
   // ---- streaming's batch twin ------------------------------------------
   /** The windowed-agg computation of EventsStream, run in batch — the
     * streaming execution itself is covered by StreamingSpec. */
@@ -421,6 +450,7 @@ object ExtQueries {
     "a6_percentiles" -> (percentiles _),
     "x_text_chunks" -> (textChunks _),
     "x_vocab_topk" -> (vocabTopK _),
+    "x_retention" -> (retention _),
     "x_embed_top_pairs" -> (embedTopPairs _),
     "x_multimodal" -> (multimodal _),
     "x_stream_window" -> (streamWindowBatch _))
@@ -439,6 +469,7 @@ object ExtQueries {
     "a6_percentiles" -> percentilesSql,
     "x_text_chunks" -> textChunksSql,
     "x_vocab_topk" -> vocabTopKSql,
+    "x_retention" -> retentionSql,
     "x_embed_top_pairs" -> embedTopPairsSql,
     "x_multimodal" -> multimodalSql,
     "x_stream_window" -> streamWindowBatchSql)
