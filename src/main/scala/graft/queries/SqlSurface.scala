@@ -492,6 +492,45 @@ object SqlSurface {
       |GROUP BY 1, 2, 3 HAVING revenue > 1000000
       |ORDER BY cust_nation, supp_nation, l_year""".stripMargin
 
+  // ---------------------------------------------------------------- q8
+  /** TPC-H Q8-style market share: NATION_3's share of EUROPE-customer
+    * revenue by order year — conditional ratio over a 6-table join,
+    * every dimension broadcast. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n1 = Tables.load(spark, dir, "nation").select(
+      col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val n2 = Tables.load(spark, dir, "nation").select(
+      col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), c("c_nationkey") === n1("c_nk"))
+      .join(broadcast(r), n1("c_rk") === r("r_regionkey"))
+      .join(broadcast(n2), s("s_nationkey") === n2("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum6(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+        dsum6(vol)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+  val q8Sql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS mkt_share
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   // ---------------------------------------------------------------- q15
   /** TPC-H Q15-style top supplier: revenue per supplier over a quarter,
     * then the max — the "view + filter on its aggregate" shape. */
@@ -681,6 +720,7 @@ object SqlSurface {
     "j2_skew_join" -> (skewJoin _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q22_no_orders" -> (q22NoOrders _),
@@ -710,6 +750,7 @@ object SqlSurface {
     "j2_skew_join" -> skewJoinSql,
     "q4_order_priority" -> q4Sql,
     "q7_volume_shipping" -> q7Sql,
+    "q8_market_share" -> q8Sql,
     "q15_top_supplier" -> q15Sql,
     "q18_large_orders" -> q18Sql,
     "q22_no_orders" -> q22Sql,
