@@ -419,6 +419,41 @@ object ExtQueries {
       |WHERE datediff('day', cohort_w, w) / 7 BETWEEN 0 AND 3
       |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
 
+  // ---- conversion funnel ------------------------------------------------
+  /** Signup → purchase-within-7-days funnel, composed from the
+    * RangeJoin operator (signup windows as intervals, purchases as
+    * points) — the interval join that would otherwise plan as a
+    * nested loop. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("s_start"))
+      .withColumn("s_end", col("s_start") + expr("INTERVAL 7 DAYS"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val converted = graft.operators.RangeJoin.pointInInterval(
+        purchases, signups, Seq("user_id"), "ts", "s_start", "s_end",
+        bucketSeconds = 86400L)
+      .select("user_id").distinct()
+    val nS = signups.count(); val nC = converted.count()
+    import spark.implicits._
+    Seq(("signups", nS), ("converted_7d", nC))
+      .toDF("stage", "n").orderBy("stage")
+  }
+  val funnelSql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(ts) AS st FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |conv AS (
+      |  SELECT DISTINCT s.user_id FROM s JOIN events p
+      |    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      |   AND p.ts >= st AND p.ts < st + INTERVAL 7 DAY)
+      |SELECT * FROM (
+      |  SELECT 'signups' AS stage, COUNT(*) AS n FROM s
+      |  UNION ALL SELECT 'converted_7d', COUNT(*) FROM conv
+      |) ORDER BY stage""".stripMargin
+
   // ---- streaming's batch twin ------------------------------------------
   /** The windowed-agg computation of EventsStream, run in batch — the
     * streaming execution itself is covered by StreamingSpec. */
@@ -451,6 +486,7 @@ object ExtQueries {
     "x_text_chunks" -> (textChunks _),
     "x_vocab_topk" -> (vocabTopK _),
     "x_retention" -> (retention _),
+    "x_funnel" -> (funnel _),
     "x_embed_top_pairs" -> (embedTopPairs _),
     "x_multimodal" -> (multimodal _),
     "x_stream_window" -> (streamWindowBatch _))
@@ -470,6 +506,7 @@ object ExtQueries {
     "x_text_chunks" -> textChunksSql,
     "x_vocab_topk" -> vocabTopKSql,
     "x_retention" -> retentionSql,
+    "x_funnel" -> funnelSql,
     "x_embed_top_pairs" -> embedTopPairsSql,
     "x_multimodal" -> multimodalSql,
     "x_stream_window" -> streamWindowBatchSql)
