@@ -454,6 +454,35 @@ object ExtQueries {
       |  UNION ALL SELECT 'converted_7d', COUNT(*) FROM conv
       |) ORDER BY stage""".stripMargin
 
+  // ---- sessionization (batch twin of EventsStream.sessionAgg) ----------
+  /** Gap-based sessions per user via `session_window` in batch. The
+    * DuckDB twin is the classic gaps-and-islands rewrite (lag + running
+    * break-sum), so the session semantics — half-open [start,
+    * last+gap), break at diff ≥ gap — are verified cross-engine. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        date_format(col("s.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+  val sessionsSql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   // ---- streaming's batch twin ------------------------------------------
   /** The windowed-agg computation of EventsStream, run in batch — the
     * streaming execution itself is covered by StreamingSpec. */
@@ -487,6 +516,7 @@ object ExtQueries {
     "x_vocab_topk" -> (vocabTopK _),
     "x_retention" -> (retention _),
     "x_funnel" -> (funnel _),
+    "x_sessions" -> (sessions _),
     "x_embed_top_pairs" -> (embedTopPairs _),
     "x_multimodal" -> (multimodal _),
     "x_stream_window" -> (streamWindowBatch _))
@@ -507,6 +537,7 @@ object ExtQueries {
     "x_vocab_topk" -> vocabTopKSql,
     "x_retention" -> retentionSql,
     "x_funnel" -> funnelSql,
+    "x_sessions" -> sessionsSql,
     "x_embed_top_pairs" -> embedTopPairsSql,
     "x_multimodal" -> multimodalSql,
     "x_stream_window" -> streamWindowBatchSql)
