@@ -118,11 +118,20 @@ object Toml {
     sb.toString
   }
 
+  /** A quote is escaped iff preceded by an ODD number of backslashes —
+    * `\\"` is an escaped backslash then a real quote, not an escaped
+    * quote (a string value ending in '\' would otherwise never close). */
+  private def isRealQuote(s: String, i: Int): Boolean = {
+    var bs = 0; var j = i - 1
+    while (j >= 0 && s.charAt(j) == '\\') { bs += 1; j -= 1 }
+    bs % 2 == 0
+  }
+
   private def indexOfTopLevel(s: String, ch: Char): Int = {
     var i = 0; var inQ = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) inQ = !inQ
+      if (c == '"' && isRealQuote(s, i)) inQ = !inQ
       else if (c == ch && !inQ) return i
       i += 1
     }
@@ -151,7 +160,7 @@ object Toml {
       val c = s.charAt(i)
       // escaped quotes (\") do NOT toggle the string state — same rule
       // as indexOfTopLevel, else a value like "a\",b" splits mid-string
-      if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) { inQ = !inQ; cur.append(c) }
+      if (c == '"' && isRealQuote(s, i)) { inQ = !inQ; cur.append(c) }
       else if (c == '[' && !inQ) { depth += 1; cur.append(c) }
       else if (c == ']' && !inQ) { depth -= 1; cur.append(c) }
       else if (c == sep && depth == 0 && !inQ) { out += cur.toString; cur.clear() }

@@ -222,7 +222,12 @@ object DatasetWriter {
         // (recoverable) instead of losing the group (not recoverable)
         fs.listStatus(tmp)
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .foreach(st => fs.rename(st.getPath, new Path(parent, st.getPath.getName)))
+          .foreach { st =>
+            val dst = new Path(parent, st.getPath.getName)
+            // rename returns false instead of throwing on some FSes —
+            // deleting originals after a silent false would lose the group
+            require(fs.rename(st.getPath, dst), s"unify rewrite: rename ${st.getPath} -> $dst failed")
+          }
         paths.foreach(p => fs.delete(new Path(p), false))
         fs.delete(tmp, true)
       }

@@ -53,17 +53,24 @@ object DirectoryPartitioning {
     val glob = path + "/*" * cols.length
     val base = spark.read.parquet(glob)
     // leaf file URI: .../<v_0>/<v_1>/.../<file>; value for level i sits
-    // cols.length - i segments before the file name. Two escape layers
-    // wrap the original value: hive's %XX path escaping (from the
-    // partitionBy write) under the URI encoding of input_file_name().
-    // url_decode is a FORM decoder ('+' → space), so literal '+' must
-    // be shielded before each decode pass.
-    def decodeLayer(c: Column): Column =
-      url_decode(regexp_replace(c, "\\+", "%2B"))
+    // cols.length - i segments before the file name. Up to two escape
+    // layers wrap the original value: hive's %XX path escaping (when
+    // this module's write() produced the layout) under the URI encoding
+    // of input_file_name(). url_decode is a FORM decoder ('+' → space),
+    // so literal '+' is shielded before each pass; the hive layer is
+    // only decoded when the segment is fully %XX-well-formed, so bare
+    // layouts from external writers (stray '%' in values) pass through
+    // unchanged instead of crashing. (A raw external value that *looks*
+    // hive-escaped, e.g. 'a%20b', is inherently ambiguous on disk.)
+    def shield(c: Column): Column = regexp_replace(c, "\\+", "%2B")
+    val wellFormed = "^(?:[^%]|%[0-9A-Fa-f]{2})*$"
+    def decodeHiveLayer(c: Column): Column =
+      when(c.rlike(wellFormed), url_decode(shield(c))).otherwise(c)
     val segs = split(input_file_name(), "/")
     val n = size(segs)
     cols.zipWithIndex.foldLeft(base) { case (df, (c, i)) =>
-      df.withColumn(c, decodeLayer(decodeLayer(element_at(segs, n - (cols.length - i)))))
+      val uriDecoded = url_decode(shield(element_at(segs, n - (cols.length - i))))
+      df.withColumn(c, decodeHiveLayer(uriDecoded))
     }
   }
 

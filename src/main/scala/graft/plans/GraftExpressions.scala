@@ -363,10 +363,11 @@ case class OrderedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    // n·(n−1)/2 in Int wraps at n ≈ 46k and a single uncapped bucket
-    // would allocate gigabytes anyway — fail with guidance, not AIOOBE
-    require(n.toLong * (n - 1) / 2 <= 10_000_000L,
-      s"graft_ordered_pairs: bucket of $n ids would emit ${n.toLong * (n - 1) / 2} pairs; " +
+    // n·(n−1)/2 wraps Int at n ≈ 46k — fail with guidance instead of a
+    // NegativeArraySizeException. (Slow-but-correct large buckets below
+    // the wrap bound are the caller's choice; see maxShingleDf.)
+    require(n < 46341,
+      s"graft_ordered_pairs: bucket of $n ids would overflow pair enumeration; " +
         "cap bucket size upstream (e.g. Dedup.ngramJaccardPairs(maxShingleDf=...))")
     val ids = new Array[Long](n)
     var i = 0

@@ -436,10 +436,12 @@ object ExtQueries {
         purchases, signups, Seq("user_id"), "ts", "s_start", "s_end",
         bucketSeconds = 86400L)
       .select("user_id").distinct()
-    val nS = signups.count(); val nC = converted.count()
-    import spark.implicits._
-    Seq(("signups", nS), ("converted_7d", nC))
-      .toDF("stage", "n").orderBy("stage")
+    // lazy like every other registry entry: both stage counts ride one
+    // union plan instead of two eager driver count() jobs
+    signups.agg(count(lit(1)).as("n")).select(lit("signups").as("stage"), col("n"))
+      .unionByName(converted.agg(count(lit(1)).as("n"))
+        .select(lit("converted_7d").as("stage"), col("n")))
+      .orderBy("stage")
   }
   val funnelSql: String =
     """WITH s AS (

@@ -124,4 +124,13 @@ class TomlSpec extends AnyFunSuite {
     val parsed = Toml.parse(Toml.render(t))
     assert(Toml.getArr(Toml.getTbl(parsed, "t").get, "xs") == Seq("a\",b", "c]d", "plain"))
   }
+
+  test("strings ending in a backslash round-trip (escaped-backslash quote rule)") {
+    val t = Toml.Tbl("t" -> Toml.Tbl(
+      "xs" -> Toml.Arr(Seq(Toml.Str("a\\"), Toml.Str("b"))),
+      "k" -> Toml.Str("tail\\")))
+    val parsed = Toml.parse(Toml.render(t))
+    assert(Toml.getArr(Toml.getTbl(parsed, "t").get, "xs") == Seq("a\\", "b"))
+    assert(Toml.getStr(Toml.getTbl(parsed, "t").get, "k").contains("tail\\"))
+  }
 }

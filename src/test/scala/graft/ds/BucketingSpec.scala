@@ -73,6 +73,16 @@ class DirectoryPartitioningSpec extends AnyFunSuite {
     assert(back == Set((1L, "a+b"), (2L, "a%b"), (3L, "a b"), (4L, "plain")))
   }
 
+  test("externally-written bare layout with stray % passes through undecoded") {
+    // simulate a layout NOT produced by our write() (no hive escaping):
+    // a directory literally named '100%'
+    val root = java.nio.file.Files.createTempDirectory("graft_dirext_").toString + "/ds"
+    Seq((1L, "v")).toDF("id", "payload").write.parquet(root + "/100%")
+    val back = DirectoryPartitioning.read(spark, root, Seq("grp"))
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "100%")))
+  }
+
   test("two-level bare-value layout recovers both partition columns") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dirpart2_").toString + "/ds"
     val df = Seq((1L, "a", "p", 1.0), (2L, "b", "q", 2.0), (3L, "b", "p", 3.0))
