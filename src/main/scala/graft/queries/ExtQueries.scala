@@ -315,6 +315,38 @@ object ExtQueries {
       |  md5(chunk) AS chunk_fp
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Chunk-level dedup profile: chunk the corpus, fingerprint every
+    * chunk, and measure duplication AT THE CHUNK LEVEL — the dedup
+    * granularity most pretraining pipelines actually apply (documents
+    * sharing boilerplate paragraphs dedup partially, not wholesale). */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.chunkText(col("text"), 40)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("fp"))
+    val perFp = chunks.groupBy("fp")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+    perFp.agg(
+      sum(col("n")).cast("long").as("total_chunks"),
+      count(lit(1)).as("distinct_chunks"),
+      sum(when(col("n") > 1, col("n")).otherwise(lit(0))).cast("long").as("dup_chunk_copies"),
+      count(when(col("n_docs") > 1, 1)).as("fps_across_docs"))
+  }
+  val chunkDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, md5(array_to_string(list_slice(ws, i * 40 + 1, i * 40 + 40), ' ')) AS fp
+      |  FROM w, LATERAL unnest(range(0, CAST(ceil(len(ws) / 40.0) AS BIGINT))) AS t(i)
+      |  WHERE len(ws) > 0),
+      |p AS (SELECT fp, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM c GROUP BY fp)
+      |SELECT CAST(SUM(n) AS BIGINT) AS total_chunks,
+      |  COUNT(*) AS distinct_chunks,
+      |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_chunk_copies,
+      |  COUNT(CASE WHEN n_docs > 1 THEN 1 END) AS fps_across_docs
+      |FROM p""".stripMargin
+
   /** Corpus vocabulary: exact top-100 tokens by document frequency —
     * one explode + one map-side-combinable count, then a tiny top-k. */
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
@@ -515,6 +547,7 @@ object ExtQueries {
     "x_sketch_stats" -> (sketchStats _),
     "a6_percentiles" -> (percentiles _),
     "x_text_chunks" -> (textChunks _),
+    "x_chunk_dedup" -> (chunkDedup _),
     "x_vocab_topk" -> (vocabTopK _),
     "x_retention" -> (retention _),
     "x_funnel" -> (funnel _),
@@ -536,6 +569,7 @@ object ExtQueries {
     "x_sketch_stats" -> sketchStatsSql,
     "a6_percentiles" -> percentilesSql,
     "x_text_chunks" -> textChunksSql,
+    "x_chunk_dedup" -> chunkDedupSql,
     "x_vocab_topk" -> vocabTopKSql,
     "x_retention" -> retentionSql,
     "x_funnel" -> funnelSql,
