@@ -115,8 +115,20 @@ object Similarity {
       idCol: String, vecCol: String,
       k: Int, nCentroids: Int, nprobe: Int): DataFrame = {
 
-    val cent = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+    ivfTopKWith(corpus, probes, idCol, vecCol, k,
+      corpus.filter(col(idCol) < nCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")),
+      nprobe)
+  }
+
+  /** IVF search against an explicit centroid table (`cid`, `cv`) — the
+    * entry point for [[kmeansRefine]]d centroids. */
+  def ivfTopKWith(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, centroids: DataFrame, nprobe: Int): DataFrame = {
+
+    val cent = centroids.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
 
     // score every vector against the broadcast centroid table
     def centroidScores(df: DataFrame, outId: String): DataFrame =
@@ -147,6 +159,42 @@ object Similarity {
       .filter(col("corpus_id") =!= col("probe_id"))
       .withColumn("sim", dot(col("pv"), col("xv")) / (col("pn") * col("xn")))
     rankTopK(scored, k)
+  }
+
+  /** Deterministic Lloyd (k-means) refinement for IVF centroids: each
+    * iteration assigns every vector to its nearest centroid (same
+    * partial-agg argmax as ivfTopK — no corpus-replicating shuffle) and
+    * recomputes centroids as element-wise means. Per-dimension means
+    * come from a posexplode → map-combinable avg (64× row blow-up
+    * collapses map-side); empty clusters keep their previous centroid.
+    * Output schema matches the `centroids` input, so the refined table
+    * drops straight into [[ivfTopK]]'s search plan. */
+  def kmeansRefine(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      iters: Int = 1): DataFrame = {
+
+    var cent = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cv"))
+    (1 to iters).foreach { _ =>
+      val scored = corpus
+        .select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+        .join(broadcast(cent.withColumn("cn", norm(col("cv")))), lit(true))
+        .withColumn("__csim", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
+      val assigned = scored.groupBy("vid")
+        .agg(max(struct(struct(col("__csim"), -col("cid")).as("k"),
+          struct(col("cid"), col("v")).as("p"))).as("__m"))
+        .select(col("__m.p.cid").as("cid"), col("__m.p.v").as("v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("newCv"))
+      cent = cent.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("newCv"), col("cv")).as("cv"))
+    }
+    cent.select(col("cid").as(cidCol), col("cv").as(cvecCol))
   }
 
   /** LSH-bucketed near-duplicate pairs: vectors are keyed by their

@@ -123,6 +123,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c((0L, 4L)) + 1.0) < 1e-12)
   }
 
+  test("kmeans refinement moves centroids to cluster means and plugs into ivf") {
+    // two clear direction-clusters; init centroids = one member of each
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.95f, 0.05f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)), (11L, Array(0.0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val init = data.filter($"vec_id".isin(0L, 10L))
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val refined = Similarity.kmeansRefine(data, "vec_id", "embedding",
+        init, "cid", "cv", iters = 2)
+      .as[(Long, Seq[Float])].collect().toMap
+    // centroid 0 ≈ mean of cluster {0,1,2}; centroid 10 ≈ mean of {10,11}
+    val c0 = refined(0L); val c10 = refined(10L)
+    assert(math.abs(c0.head - (1.0f + 0.9f + 0.95f) / 3) < 1e-6, c0)
+    assert(math.abs(c10(1) - (1.0f + 0.9f) / 2) < 1e-6, c10)
+    // refined centroids drop into the IVF search plan
+    val hits = Similarity.ivfTopKWith(data, data, "vec_id", "embedding",
+        k = 2, refined.toSeq.map { case (i, v) => (i, v.toArray) }.toDF("cid", "cv"),
+        nprobe = 1)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // same-cluster neighbors are found within one probed cluster
+    assert(hits.contains((0L, 1L)) && hits.contains((10L, 11L)))
+  }
+
   test("lsh near-dup pairs recover planted exact duplicates") {
     val planted = vecs.withColumn("vec_id", $"vec_id" + 100)
     val pairs = Similarity.lshNearDupPairs(vecs.unionByName(planted),
