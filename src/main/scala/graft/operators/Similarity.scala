@@ -217,12 +217,13 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: top-N most-similar distinct
-    * pairs (id_a < id_b) — thresholded variants are a filter away. Uses
-    * the LSH buckets to avoid full pairwise when the corpus is large;
-    * with few/no planted dups callers should prefer topPairs for a
-    * deterministic non-empty result. */
-  def embeddingNearDupPairs(
+  /** Brute-force all-pairs cosine (id_a < id_b, sim ≥ threshold) — a
+    * SMALL-CORPUS DIAGNOSTIC only. The inequality-only join condition
+    * plans as a broadcast-nested-loop/cartesian product over n·(n−1)/2
+    * pairs; it exists to validate the bucketed paths on fixtures, never
+    * to run at scale. Use [[lshTopPairs]] (global top-N) or
+    * [[lshNearDupPairs]] (thresholded) for anything large. */
+  def bruteForcePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
 
@@ -231,5 +232,63 @@ object Similarity {
       .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
+  /** Global top-N most-similar pairs over the whole corpus, from
+    * multi-table LSH candidates — no all-pairs join anywhere in the
+    * plan. Reference semantics: pydala has no ANN operator; this is the
+    * extension surface's "most-similar pairs" report re-expressed as a
+    * bucketed plan.
+    *
+    * Shape: each vector is keyed by `tables` independent hyperplane
+    * sign buckets (explode → one equi-JOIN on the (table, bucket)
+    * key — a shuffled hash/sort-merge join, never a nested loop); a
+    * pair colliding in several tables is emitted only from the FIRST
+    * table where its buckets agree (a zip_with/exists filter over the
+    * earlier bucket columns both sides already carry), so no
+    * dedup exchange is needed; survivors feed ONE global
+    * [[graft.plans.TopKPairs]] bounded heap, so the final exchange
+    * carries ≤ n·partitions rows, not the candidate volume.
+    *
+    * Exactness is per-fixture, not guaranteed: a true top-N pair is
+    * found iff it collides in ≥1 table (probability
+    * 1−(1−p^nbits)^tables, p = 1−θ/π). `nbits` is the cost knob
+    * (selectivity), `tables` the recall knob. The fixture queries use
+    * coarse buckets tuned (and oracle-verified) to capture the exact
+    * top-N; at 100 TB, near-dup sims are high (p → 1) and `nbits`
+    * rises to keep Σ bucket² ≪ n².
+    *
+    * Pair identity rides the heap as `(id_a << 32) | id_b`, so ids
+    * must fit in 31 bits (2 B rows per *partition block* of a larger
+    * corpus — shard the id space above that). */
+  def lshTopPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      n: Int, nbits: Int = 2, tables: Int = 16): DataFrame = {
+
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nm"),
+        array((0 until tables).map(t => lshBucket(col(vecCol), nbits, t)): _*).as("bs"))
+      .withColumn("key", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), element_at(col("bs"), t + 1).as("b"))): _*)))
+
+    val firstTableOnly = !exists(
+      zip_with(slice(col("a.bs"), lit(1), col("a.key.t")),
+               slice(col("b.bs"), lit(1), col("b.key.t")),
+               (x, y) => x === y),
+      identity[Column])
+
+    val cand = v.as("a").join(v.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .filter(firstTableOnly)
+      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.nm") * col("b.nm")))
+      .select(col("sim"), shiftleft(col("a.id"), 32).bitwiseOR(col("b.id")).as("pid"))
+
+    cand
+      .agg(graft.plans.GraftExpressions.topK(spark, col("sim"), col("pid"), n).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "p")))
+      .select(shiftright(col("p.id"), 32).as("id_a"),
+        col("p.id").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
+        col("p.sim").as("sim"))
   }
 }

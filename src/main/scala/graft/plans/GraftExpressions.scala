@@ -482,9 +482,13 @@ case class TopKPairs(
   }
 
   override def eval(q: java.util.PriorityQueue[(Double, Long)]): Any = {
-    val arr = new Array[(Double, Long)](q.size)
+    // drain a COPY (the Collection ctor keeps q's comparator): window
+    // aggregation calls eval repeatedly against the same growing buffer,
+    // so draining q itself would truncate every later frame
+    val c = new java.util.PriorityQueue[(Double, Long)](q)
+    val arr = new Array[(Double, Long)](c.size)
     var i = arr.length - 1
-    while (i >= 0) { arr(i) = q.poll(); i -= 1 }  // drain worst-first → arr best-first
+    while (i >= 0) { arr(i) = c.poll(); i -= 1 }  // drain worst-first → arr best-first
     new GenericArrayData(arr.map(p => InternalRow(p._2, p._1): Any))
   }
 

@@ -272,12 +272,15 @@ object ExtQueries {
        |GROUP BY source ORDER BY source""".stripMargin
 
   /** Top-20 most-similar embedding pairs (near-dup surface over a corpus
-    * with no planted dups → top-N instead of threshold). */
+    * with no planted dups → top-N instead of threshold). Runs the
+    * LSH-bucketed plan — candidates come from multi-table hyperplane
+    * buckets and one global bounded heap, never an all-pairs join; the
+    * oracle below is the EXACT all-pairs top-20, so the hash match
+    * proves the bucket parameters capture it on this fixture. */
   def embedTopPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = -2.0)
+    Similarity.lshTopPairs(emb, "vec_id", "embedding", n = 20, nbits = 2, tables = 16)
       .orderBy(desc("sim"), col("id_a"), col("id_b"))
-      .limit(20)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }
   val embedTopPairsSql: String =

@@ -202,6 +202,46 @@ class SimilaritySpec extends AnyFunSuite {
     // opposite vectors land in complementary-ish buckets, not the same
     assert(b(0L) != b(4L))
   }
+
+  test("lsh top pairs matches brute-force top-20 on real embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = -2.0)
+      .orderBy(desc("sim"), $"id_a", $"id_b").limit(20)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    val lsh = Similarity.lshTopPairs(emb, "vec_id", "embedding",
+        n = 20, nbits = 2, tables = 16)
+      .orderBy(desc("sim"), $"id_a", $"id_b")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(lsh == exact)
+  }
+
+  test("lsh top pairs plan has no nested-loop or cartesian join") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = Similarity.lshTopPairs(emb, "vec_id", "embedding", n = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the brute-force diagnostic, by contrast, IS a nested loop — the
+    // rename is honest about it
+    val brute = Similarity.bruteForcePairs(emb, "vec_id", "embedding", -2.0)
+      .queryExecution.executedPlan.toString
+    assert(brute.contains("BroadcastNestedLoopJoin") || brute.contains("CartesianProduct"))
+  }
+
+  test("graft_topk eval is non-destructive (window-aggregate safe)") {
+    // running top-2 over an expanding window: every frame must rank from
+    // the SAME buffer — a destructive eval truncates later frames
+    val rows = Seq((1, 0.1, 10L), (1, 0.9, 11L), (1, 0.5, 12L))
+      .toDF("g", "sim", "id")
+    rows.createOrReplaceTempView("topk_win")
+    graft.plans.GraftExpressions.register(spark)
+    val out = spark.sql(
+      """SELECT size(graft_topk(sim, id, 2) OVER
+        |  (PARTITION BY g ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS n
+        |FROM topk_win""".stripMargin)
+      .as[Int].collect().sorted.toSeq
+    assert(out == Seq(1, 2, 2), out)
+  }
 }
 
 class TextFunctionsSpec extends AnyFunSuite {
