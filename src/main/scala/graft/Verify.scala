@@ -22,6 +22,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dedup/ANN pipelines persist small signature projections; drop
+      // them between queries so 73 runs don't accumulate executor storage
+      spark.catalog.clearCache()
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       Verify.oracleJson(SparkEntry.oracleSql))

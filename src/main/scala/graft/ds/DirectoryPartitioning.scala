@@ -39,7 +39,12 @@ object DirectoryPartitioning {
           case i => name.substring(i + 1)
         }
         val target = if (bare == name) st.getPath else {
-          val t = new Path(dir, bare); fs.rename(st.getPath, t); t
+          val t = new Path(dir, bare)
+          // a silent rename failure would leave a col=value directory
+          // that read() later decodes as the partition VALUE
+          require(fs.rename(st.getPath, t),
+            s"directory-partitioning rename failed: ${st.getPath} -> $t")
+          t
         }
         strip(target, level + 1)
       }

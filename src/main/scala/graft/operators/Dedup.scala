@@ -64,7 +64,9 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
 
-    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    // cast keeps the API open to int/short doc ids: the OrderedPairs
+    // pair-enumeration expression below type-checks array<bigint> only
+    val docs = df.select(col(idCol).cast("long").as("id"), shingleSet(col(textCol), n).as("sh"))
     val posting = docs.select(col("id"), explode(col("sh")).as("s"))
     val buckets = posting.groupBy("s").agg(collect_list(col("id")).as("ids"))
     val kept = maxShingleDf.fold(buckets)(cap => buckets.filter(size(col("ids")) <= cap))

@@ -366,7 +366,9 @@ object ExtQueries {
 
   // ---- sketches ---------------------------------------------------------
   /** Sketch accuracy as a driver-checked contract: HLL++ distinct counts
-    * must land within 5% of exact (the sketch's rsd), and the GK
+    * must land within 3× the sketch's rsd of exact (rsd is a standard
+    * deviation, not a bound — 1×rsd would legitimately fail ~32% of the
+    * time on an unlucky fixture; 3σ holds w.p. ~99.7%), and the GK
     * quantile sketch within its rank-error bound. The oracle sees the
     * exact values plus the asserted flags — a sketch drifting out of
     * tolerance fails the hash compare. */
@@ -379,9 +381,9 @@ object ExtQueries {
       countDistinct(col("l_partkey")).as("exact_parts"))
     row.select(
       col("exact_orders"), col("exact_parts"),
-      (abs(col("hll_orders") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.05)
+      (abs(col("hll_orders") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.15)
         .as("hll_orders_ok"),
-      (abs(col("hll_parts") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.05)
+      (abs(col("hll_parts") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.15)
         .as("hll_parts_ok"))
   }
   val sketchStatsSql: String =

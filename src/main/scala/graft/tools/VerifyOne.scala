@@ -18,6 +18,7 @@ object VerifyOne {
     names.foreach { name =>
       graft.SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.catalog.clearCache()
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
       graft.Verify.oracleJson(graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))))
