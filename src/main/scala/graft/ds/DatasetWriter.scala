@@ -197,18 +197,21 @@ object DatasetWriter {
   def unifySchemaRewrite(spark: SparkSession, ds: GraftDataset, sortCols: Boolean = false): Boolean = {
     val files = ds.dataFiles(spark)
     if (files.isEmpty) return false
-    val perFile = files.map(f => f -> spark.read.parquet(f).schema)
-    val (unified0, equal) = SchemaUnify.unifyAll(perFile.map(_._2))
+    // distributed direct footer reads (GraftDataset.fileSchemas goes
+    // executor-parallel above 64 files) — one driver-side DataFrameReader
+    // per file here would serialize 100k footer jobs through the driver
+    val bySchema = ds.fileSchemas(spark, files)
+    val (unified0, equal) = SchemaUnify.unifyAll(bySchema.map(_._1))
     if (equal) return false
     val unified = if (sortCols) SchemaUnify.sorted(unified0) else unified0
     val fs = ds.fs(spark)
     // group by (schema, parent dir): partition values live ONLY in the
     // directory names, so rewritten files must land back in the same
     // directory they came from or a hive layout loses its partitions
-    perFile.filter(_._2 != unified)
-      .groupBy { case (f, s) => (s, new Path(f).getParent) }
-      .foreach { case ((s, parent), group) =>
-        val paths = group.map(_._1)
+    bySchema.filter(_._1 != unified)
+      .flatMap { case (s, fls) =>
+        fls.groupBy(f => new Path(f).getParent).toSeq.map { case (p, g) => (s, p, g) } }
+      .foreach { case (s, parent, paths) =>
         val df = spark.read.schema(s).parquet(paths: _*)
         val aligned = unified.fields.toSeq.map { f =>
           if (s.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

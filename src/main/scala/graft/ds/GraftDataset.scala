@@ -127,8 +127,10 @@ final case class GraftDataset(
     pipeline(frames.reduce(_ unionByName _))
   }
 
-  /** Distinct physical schemas → their file lists. Footer reads only. */
-  private def fileSchemas(spark: SparkSession, files: Seq[String]): Seq[(StructType, Seq[String])] = {
+  /** Distinct physical schemas → their file lists. Footer reads only.
+    * Shared with [[DatasetWriter.unifySchemaRewrite]] so both the read
+    * retry and the rewrite use the same distributed listing. */
+  private[ds] def fileSchemas(spark: SparkSession, files: Seq[String]): Seq[(StructType, Seq[String])] = {
     // Driver-side below the threshold; distributed footer read above it
     // (each task opens one footer — O(files/parallelism) wall clock).
     // Both paths open the footer directly — no DataFrameReader per file.

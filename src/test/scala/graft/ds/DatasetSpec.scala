@@ -212,6 +212,27 @@ class DatasetSpec extends AnyFunSuite {
     assert(!DatasetWriter.unifySchemaRewrite(spark, ds)) // now uniform → no-op
   }
 
+  test("schema-unify rewrite over >64 files takes the distributed listing path") {
+    // 80 single-row int32 files + 1 int64 file: fileSchemas switches to
+    // the executor-parallel footer scan above 64 files, and the rewrite
+    // must promote all 81 to int64
+    val dir = tmp() + "/rewrite_many"
+    val s1 = StructType(Seq(StructField("a", IntegerType)))
+    val s2 = StructType(Seq(StructField("a", LongType)))
+    spark.createDataFrame(
+      java.util.List.of((1 to 80).map(i => Row(i)): _*), s1)
+      .coalesce(1).write.option("maxRecordsPerFile", 1).parquet(dir)
+    spark.createDataFrame(java.util.List.of(Row(99L)), s2)
+      .write.mode("append").parquet(dir)
+    val ds = GraftDataset(dir)
+    assert(ds.dataFiles(spark).size > 64)
+    assert(DatasetWriter.unifySchemaRewrite(spark, ds))
+    val out = spark.read.parquet(dir)
+    assert(out.schema("a").dataType == LongType)
+    assert(out.count() == 81)
+    assert(!DatasetWriter.unifySchemaRewrite(spark, ds))
+  }
+
   test("repartition in-place swap preserves data (repartition.py:72-80 guard)") {
     val dir = tmp() + "/repart"
     val ds = GraftDataset(dir)
