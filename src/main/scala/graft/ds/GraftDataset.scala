@@ -62,6 +62,19 @@ final case class GraftDataset(
         org.apache.spark.storage.StorageLevel.DISK_ONLY): DataFrame =
     df(spark).persist(level)
 
+  /** Reference export edge (`to_arrow`/`to_pandas`/`to_polars`,
+    * `utils/table.py:8-92`): the dataset's pipeline result as Arrow IPC
+    * stream bytes any Arrow consumer (pyarrow/pandas/polars) maps
+    * directly. Driver-side and driver-memory-bounded by design, exactly
+    * like the reference's in-memory Table — the 100 TB interchange path
+    * is parquet, this is the last-mile edge for small results. */
+  def collectAsArrow(spark: SparkSession): Array[Byte] =
+    graft.sources.FeatherIO.collectAsArrow(df(spark))
+
+  /** Same edge, streamed to a file (IPC stream format). */
+  def toArrowStream(spark: SparkSession, outPath: String): Long =
+    graft.sources.FeatherIO.writeStream(df(spark), outPath)
+
   def fs(spark: SparkSession): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

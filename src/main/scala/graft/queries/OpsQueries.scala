@@ -388,6 +388,26 @@ object OpsQueries {
       |  string_agg(n_name, ',' ORDER BY n_name) AS names
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---- S10: Arrow IPC stream export (the to_arrow/to_polars edge) ------
+  /** Round-trips customer through the Arrow IPC STREAM format (the
+    * interchange bytes pyarrow/pandas/polars consume) and aggregates the
+    * read-back — proves the export edge preserves values and nulls.
+    * Decimal-lattice sum keeps the double aggregation cross-engine
+    * deterministic (same pattern as t9). */
+  def s10ArrowExport(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowstream") + ".arrows"
+    graft.sources.FeatherIO.writeStream(Tables.load(spark, dir, "customer"), out)
+    graft.sources.FeatherIO.readStream(spark, out)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+      .orderBy("c_mktsegment")
+  }
+  val s10Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- A3: min/max scalar aggregates (delta window bounds) -------------
   def a3MinMax(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
@@ -463,6 +483,7 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s3_feather_roundtrip" -> (s3FeatherRoundtrip _),
+    "s10_arrow_export" -> (s10ArrowExport _),
     "a3_minmax" -> (a3MinMax _),
     "a4_partition_enum" -> (a4PartitionEnum _),
     "a5_counts" -> (a5Counts _),
@@ -490,6 +511,7 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "s3_feather_roundtrip" -> s3Sql,
+    "s10_arrow_export" -> s10Sql,
     "a3_minmax" -> a3Sql,
     "a4_partition_enum" -> a4Sql,
     "a5_counts" -> a5Sql,

@@ -41,6 +41,32 @@ object FeatherIO {
     new Field(f.name, new FieldType(f.nullable, t, null), Nil.asJava)
   }
 
+  /** Batch-populate `root` from collected rows and drive any Arrow IPC
+    * writer (file or stream format) through start/writeBatch/end. */
+  private def writeRows(rows: Array[Row], schema: StructType,
+      root: VectorSchemaRoot,
+      writer: org.apache.arrow.vector.ipc.ArrowWriter): Unit = {
+    writer.start()
+    val batchSize = 65536
+    rows.grouped(batchSize).foreach { batch =>
+      root.setRowCount(batch.length)
+      schema.fields.zipWithIndex.foreach { case (f, ci) =>
+        val vec = root.getVector(ci)
+        vec.reset()
+        var ri = 0
+        batch.foreach { row =>
+          if (row.isNullAt(ci)) vec.asInstanceOf[FieldVector].setNull(ri)
+          else setValue(vec, ri, f.dataType, row)
+          ri += 1
+        }
+        vec.setValueCount(batch.length)
+      }
+      root.setRowCount(batch.length)
+      writer.writeBatch()
+    }
+    writer.end()
+  }
+
   /** Write a DataFrame to one Arrow IPC (feather v2) file. Driver-side
     * by design — see class doc. */
   def write(df: DataFrame, path: String): Long = {
@@ -54,29 +80,70 @@ object FeatherIO {
     val out = fs.create(new Path(path), true)
     val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
     try {
-      writer.start()
-      val batchSize = 65536
-      rows.grouped(batchSize).foreach { batch =>
-        root.setRowCount(batch.length)
-        schema.fields.zipWithIndex.foreach { case (f, ci) =>
-          val vec = root.getVector(ci)
-          vec.reset()
-          var ri = 0
-          batch.foreach { row =>
-            if (row.isNullAt(ci)) vec.asInstanceOf[FieldVector].setNull(ri)
-            else setValue(vec, ri, f.dataType, row)
-            ri += 1
-          }
-          vec.setValueCount(batch.length)
-        }
-        root.setRowCount(batch.length)
-        writer.writeBatch()
-      }
-      writer.end()
+      writeRows(rows, schema, root, writer)
       rows.length.toLong
     } finally {
       writer.close(); root.close(); allocator.close(); out.close()
     }
+  }
+
+  /** Write a DataFrame as an Arrow IPC STREAM file — the wire format
+    * `pyarrow.ipc.open_stream` / polars `read_ipc_stream` / pandas (via
+    * pyarrow) consume directly. This is the reference's
+    * `to_arrow`/`to_pandas`/`to_polars` edge (`utils/table.py:8-92`)
+    * re-expressed for an engine with no shared process memory: the
+    * interchange artifact is IPC bytes, not an in-process Table. */
+  def writeStream(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path), true)
+    try writeStreamTo(df, Channels.newChannel(out))
+    finally out.close()
+  }
+
+  /** Collect a DataFrame as in-memory Arrow IPC stream bytes — the
+    * closest JVM analog of the reference's `to_arrow()`: hand the byte
+    * array to any Arrow consumer. Driver-side; bounded by driver memory
+    * exactly like the reference's in-memory Table. */
+  def collectAsArrow(df: DataFrame): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeStreamTo(df, Channels.newChannel(bos))
+    bos.toByteArray
+  }
+
+  private def writeStreamTo(df: DataFrame, ch: java.nio.channels.WritableByteChannel): Long = {
+    val schema = df.schema
+    val rows = df.collect()
+    val allocator = new RootAllocator()
+    val arrowSchema = new ArrowSchema(schema.fields.map(toArrowField).toList.asJava)
+    val root = VectorSchemaRoot.create(arrowSchema, allocator)
+    val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, ch)
+    try {
+      writeRows(rows, schema, root, writer)
+      rows.length.toLong
+    } finally {
+      writer.close(); root.close(); allocator.close()
+    }
+  }
+
+  /** Read an Arrow IPC STREAM file (sequential format — plain input
+    * stream, no seeking) back into a DataFrame. */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path))
+    val allocator = new RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, allocator)
+    try readAll(spark, reader)
+    finally { reader.close(); allocator.close(); in.close() }
+  }
+
+  /** Parse in-memory IPC stream bytes (the [[collectAsArrow]] inverse). */
+  def readArrowBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val allocator = new RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), allocator)
+    try readAll(spark, reader)
+    finally { reader.close(); allocator.close() }
   }
 
   private def setValue(vec: ValueVector, ri: Int, dt: DataType, row: Row): Unit = {
@@ -127,24 +194,27 @@ object FeatherIO {
     }
     val allocator = new RootAllocator()
     val reader = new ArrowFileReader(channel, allocator)
-    try {
-      val root = reader.getVectorSchemaRoot
-      val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq.map(fromArrowField))
-      val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (reader.loadNextBatch()) {
-        val n = root.getRowCount
-        var ri = 0
-        while (ri < n) {
-          rows += Row.fromSeq(sparkSchema.fields.toSeq.zipWithIndex.map { case (f, ci) =>
-            getValue(root.getVector(ci), ri, f.dataType)
-          })
-          ri += 1
-        }
+    try readAll(spark, reader)
+    finally { reader.close(); allocator.close() }
+  }
+
+  /** Drain any Arrow IPC reader (file or stream format) to a DataFrame. */
+  private def readAll(spark: SparkSession,
+      reader: org.apache.arrow.vector.ipc.ArrowReader): DataFrame = {
+    val root = reader.getVectorSchemaRoot
+    val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq.map(fromArrowField))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (reader.loadNextBatch()) {
+      val n = root.getRowCount
+      var ri = 0
+      while (ri < n) {
+        rows += Row.fromSeq(sparkSchema.fields.toSeq.zipWithIndex.map { case (f, ci) =>
+          getValue(root.getVector(ci), ri, f.dataType)
+        })
+        ri += 1
       }
-      spark.createDataFrame(rows.asJava, sparkSchema)
-    } finally {
-      reader.close(); allocator.close()
     }
+    spark.createDataFrame(rows.asJava, sparkSchema)
   }
 
   private def fromArrowField(f: Field): StructField = {

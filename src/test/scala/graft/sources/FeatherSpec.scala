@@ -41,6 +41,37 @@ class FeatherSpec extends AnyFunSuite {
     assert(back(1).isNullAt(1))
   }
 
+  test("arrow IPC stream export round-trips values, nulls, and schema") {
+    val path = Files.createTempDirectory("graft_arrows_").toString + "/x.arrows"
+    val df = Seq((1L, Some(1.5), Some("alpha")), (2L, None, None))
+      .toDF("id", "v", "s")
+    assert(FeatherIO.writeStream(df, path) == 2)
+    val back = FeatherIO.readStream(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "s"))
+    val r = back.orderBy("id").collect()
+    assert(r(0).getDouble(1) == 1.5 && r(0).getString(2) == "alpha")
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2))
+  }
+
+  test("collectAsArrow bytes parse back to the same rows") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null)).toDF("id", "s")
+    val bytes = FeatherIO.collectAsArrow(df)
+    assert(bytes.length > 0)
+    val back = FeatherIO.readArrowBytes(spark, bytes)
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, null)))
+  }
+
+  test("dataset-level arrow export runs the sticky pipeline first") {
+    val dir = Files.createTempDirectory("graft_arrows_ds_").toString + "/ds"
+    Seq((2, "b"), (1, "a"), (1, "a")).toDF("k", "v").write.parquet(dir)
+    val ds = graft.ds.GraftDataset(dir).withDistinct.withSort("k" -> true)
+    val bytes = ds.collectAsArrow(spark)
+    val back = FeatherIO.readArrowBytes(spark, bytes).collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
   test("size units humanize (F5)") {
     assert(SizeUnits.humanize(512) == "512 B")
     assert(SizeUnits.humanize(1536) == "1.5 KB")
