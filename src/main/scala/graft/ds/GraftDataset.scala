@@ -44,7 +44,10 @@ final case class GraftDataset(
     sortBy: SortSpec = SortSpec(Nil),
     dedup: Option[DedupSpec] = None,
     distinct: Boolean = false,
-    dropCols: Seq[String] = Nil) {
+    dropCols: Seq[String] = Nil,
+    // explicit file list (manifest-snapshot reads): when set, scans read
+    // exactly these files instead of listing `path`
+    files: Seq[String] = Nil) {
 
   def withSort(cols: (String, Boolean)*): GraftDataset = copy(sortBy = SortSpec(cols))
   def withDedup(subset: Seq[String], presort: SortSpec = SortSpec(Nil), keepLast: Boolean = false): GraftDataset =
@@ -81,6 +84,7 @@ final case class GraftDataset(
   def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
 
   def dataFiles(spark: SparkSession): Seq[String] = {
+    if (files.nonEmpty) return files
     val f = fs(spark)
     val p = new Path(path)
     if (!f.exists(p)) Nil
@@ -109,11 +113,12 @@ final case class GraftDataset(
   def raw(spark: SparkSession): DataFrame = {
     val reader = spark.read
     val r = schema.fold(reader)(reader.schema)
+    val srcs = if (files.nonEmpty) files else Seq(path)
     format match {
-      case "parquet" => r.parquet(path)
-      case "csv" => r.option("header", "true").option("inferSchema", schema.isEmpty.toString).csv(path)
-      case "json" => r.json(path)
-      case other => r.format(other).load(path)
+      case "parquet" => r.parquet(srcs: _*)
+      case "csv" => r.option("header", "true").option("inferSchema", schema.isEmpty.toString).csv(srcs: _*)
+      case "json" => r.json(srcs: _*)
+      case other => r.format(other).load(srcs: _*)
     }
   }
 

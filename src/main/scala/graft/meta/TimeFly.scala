@@ -101,6 +101,53 @@ final class TimeFly(spark: SparkSession, root: String) {
     id
   }
 
+  /** Manifest snapshot — the O(metadata) alternative to the copy: write
+    * `snapshot/<id>/_manifest.txt` with one `<size>\t<path>` line per
+    * current data file instead of duplicating bytes (SURVEY §7.3's
+    * declared deviation; the reference only has copies,
+    * `timefly.py:300-305`). At 100 TB this is the difference between an
+    * O(data) copy job and one metadata listing.
+    *
+    * Contract: a manifest stays valid while the referenced files exist —
+    * i.e. for append-mostly datasets (delta/append writes never touch
+    * old files). Rewrite-heavy datasets (repartition, schema-unify,
+    * overwrite) should keep using copy snapshots for physical isolation;
+    * that is why copy remains the default. */
+  def addSnapshot(now: Instant, manifest: Boolean): String = {
+    if (!manifest) return addSnapshot(now)
+    val id = Naming.snapshotId(now)
+    fs.mkdirs(new Path(snapshotRoot, id))
+    val entries = currentDataset().dataFiles(spark).sorted
+      .map(f => s"${fs.getFileStatus(new Path(f)).getLen}\t$f")
+    val out = fs.create(manifestPath(id), true)
+    try out.write((entries.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val cfg = readConfig()
+    val snap = Toml.getTbl(cfg, "snapshot").getOrElse(Toml.Tbl.empty)
+    val avail = Toml.getArr(snap, "available") :+ id
+    val entry = Toml.Tbl("created" -> Toml.Str(now.toString), "manifest" -> Toml.Bool(true))
+    writeConfig(Toml.Tbl(cfg.v.updated("snapshot", Toml.Tbl(snap.v
+      .updated("available", Toml.Arr(avail.distinct.sorted.map(Toml.Str)))
+      .updated(id, entry)))))
+    id
+  }
+
+  private def manifestPath(id: String): Path =
+    new Path(snapshotRoot, s"$id/_manifest.txt")
+
+  /** File list of a manifest snapshot, or None for a copy snapshot. */
+  def manifestFiles(id: String): Option[Seq[String]] = {
+    val mf = manifestPath(id)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                 finally in.close()
+      Some(text.split('\n').toSeq.filter(_.nonEmpty)
+        .map(l => l.substring(l.indexOf('\t') + 1)))
+    }
+  }
+
   /** rm snapshot dir; move id available→deleted (`timefly.py:312-325`). */
   def deleteSnapshot(id: String): Unit = {
     fs.delete(new Path(snapshotRoot, id), true)
@@ -113,12 +160,29 @@ final class TimeFly(spark: SparkSession, root: String) {
       .updated("deleted", Toml.Arr(deleted.map(Toml.Str)))))))
   }
 
-  /** Restore a snapshot over `current/` (reference `timefly.py:354-387`). */
+  /** Restore a snapshot over `current/` (reference `timefly.py:354-387`).
+    * A manifest snapshot restores by re-materializing its file list:
+    * copy to a staging dir first (the referenced files may live inside
+    * `current/` itself), then swap — never a partial overwrite. */
   def loadSnapshot(id: String): Unit = {
     val src = new Path(snapshotRoot, id)
     require(fs.exists(src), s"snapshot $id does not exist")
-    fs.delete(currentPath, true)
-    FileUtil.copy(fs, src, fs, currentPath, false, spark.sparkContext.hadoopConfiguration)
+    manifestFiles(id) match {
+      case Some(fl) =>
+        val staging = new Path(rootPath, s"_restore_tmp_$id")
+        fs.delete(staging, true); fs.mkdirs(staging)
+        fl.foreach { f =>
+          val p = new Path(f)
+          require(fs.exists(p), s"manifest snapshot $id references missing file $f")
+          FileUtil.copy(fs, p, fs, new Path(staging, p.getName), false,
+            spark.sparkContext.hadoopConfiguration)
+        }
+        fs.delete(currentPath, true)
+        require(fs.rename(staging, currentPath), s"restore swap failed: $staging -> $currentPath")
+      case None =>
+        fs.delete(currentPath, true)
+        FileUtil.copy(fs, src, fs, currentPath, false, spark.sparkContext.hadoopConfiguration)
+    }
     updateCurrent("restored_from" -> Toml.Str(id))
   }
 
@@ -133,7 +197,16 @@ final class TimeFly(spark: SparkSession, root: String) {
         .getOrElse(currentPath)
   }
 
-  /** Time-travel read (reference `TimeFlyReader`, `reader.py:584-680`). */
-  def read(probe: Option[Instant] = None, format: String = "parquet"): GraftDataset =
-    GraftDataset(resolvePath(probe).toString, format = format)
+  /** Time-travel read (reference `TimeFlyReader`, `reader.py:584-680`).
+    * A probe resolving to a manifest snapshot reads exactly the
+    * manifest's file set — no bytes were ever copied. */
+  def read(probe: Option[Instant] = None, format: String = "parquet"): GraftDataset = {
+    val p = resolvePath(probe)
+    val manifest =
+      if (p == currentPath) None else manifestFiles(p.getName)
+    manifest match {
+      case Some(fl) => GraftDataset(p.toString, format = format, files = fl)
+      case None => GraftDataset(p.toString, format = format)
+    }
+  }
 }

@@ -51,6 +51,49 @@ class TimeFlySpec extends AnyFunSuite {
     val cfg = tf.readConfig()
     assert(graft.core.Toml.getArr(graft.core.Toml.getTbl(cfg, "snapshot").get, "deleted") == Seq(id1))
   }
+
+  test("manifest snapshot: O(metadata) create, time-travel read, restore") {
+    val root = tmp() + "/manifest"
+    val tf = new TimeFly(spark, root)
+    tf.init("manifested")
+    val cur = tf.currentDataset()
+    DatasetWriter(cur, WriteMode.Overwrite).write(spark, Seq(1, 2).toDF("k"))
+    val id1 = tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z"), manifest = true)
+
+    // no bytes copied: the snapshot dir holds ONLY the manifest
+    val f = cur.fs(spark)
+    val snapDir = new org.apache.hadoop.fs.Path(tf.snapshotRoot, id1)
+    val contents = f.listStatus(snapDir).map(_.getPath.getName).toSeq
+    assert(contents == Seq("_manifest.txt"), contents)
+    assert(tf.manifestFiles(id1).get.size == cur.dataFiles(spark).size)
+
+    // append after the snapshot: probe before id1 sees the 2-row state,
+    // current sees 3 — same semantics as a copy snapshot
+    DatasetWriter(cur, WriteMode.Append).write(spark, Seq(3).toDF("k"))
+    assert(tf.read(Some(Instant.parse("2023-12-01T00:00:00Z"))).df(spark).count() == 2)
+    assert(tf.read(None).df(spark).count() == 3)
+
+    // restore re-materializes the manifest's file set over current/
+    tf.loadSnapshot(id1)
+    assert(tf.read(None).df(spark).count() == 2)
+    assert(tf.read(None).df(spark).as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("manifest and copy snapshots coexist in the resolution order") {
+    val root = tmp() + "/mixed"
+    val tf = new TimeFly(spark, root)
+    tf.init("mixed")
+    val cur = tf.currentDataset()
+    DatasetWriter(cur, WriteMode.Overwrite).write(spark, Seq(1).toDF("k"))
+    val idCopy = tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z"))
+    DatasetWriter(cur, WriteMode.Append).write(spark, Seq(2).toDF("k"))
+    val idMan = tf.addSnapshot(Instant.parse("2024-06-01T00:00:00Z"), manifest = true)
+    DatasetWriter(cur, WriteMode.Append).write(spark, Seq(3).toDF("k"))
+    assert(tf.availableSnapshots() == Seq(idCopy, idMan))
+    assert(tf.read(Some(Instant.parse("2023-01-01T00:00:00Z"))).df(spark).count() == 1)
+    assert(tf.read(Some(Instant.parse("2024-03-01T00:00:00Z"))).df(spark).count() == 2)
+    assert(tf.read(Some(Instant.parse("2025-01-01T00:00:00Z"))).df(spark).count() == 3)
+  }
 }
 
 class ManagerSpec extends AnyFunSuite {
