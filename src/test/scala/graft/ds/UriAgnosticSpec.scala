@@ -1,0 +1,112 @@
+package graft.ds
+
+import java.nio.file.Files
+import java.time.Instant
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.meta.TimeFly
+
+/** A Hadoop FileSystem with a NON-file scheme, backed by the local disk —
+  * the offline stand-in for `s3a://`/`gs://`: if every path in the
+  * library threads through `Path.getFileSystem` (instead of assuming
+  * `file:`), the same code must work unchanged under this scheme.
+  * Hadoop instantiates it by name from `fs.graftfs.impl`. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+
+  // RawLocalFileSystem's statuses load permissions lazily via
+  // `new java.io.File(status.getPath.toUri)`, which rejects any scheme
+  // but file: — materialize plain statuses with explicit permissions so
+  // the lazy path never runs under the graftfs: scheme
+  private def clean(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault,
+      null, null, st.getPath)
+  override def listStatus(f: HPath): Array[FileStatus] =
+    super.listStatus(f).map(clean)
+  override def getFileStatus(f: HPath): FileStatus =
+    clean(super.getFileStatus(f))
+}
+
+/** Reference parity for the filesystem/ subsystem (`filesystem/base.py:
+  * 13-188`, `fs.py:7-139`): pydala abstracts object stores behind
+  * fsspec; graft abstracts them behind Hadoop FS URIs. This suite proves
+  * the abstraction by running the write/snapshot/partition surfaces over
+  * two schemes — the default `file:` and the custom `graftfs:` — with
+  * identical assertions. */
+class UriAgnosticSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    s.sparkContext.hadoopConfiguration.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    s
+  }
+
+  private def tmp(): String = Files.createTempDirectory("graft_uri_").toString
+
+  // "file" = plain local path (the default everywhere else);
+  // "graftfs" = same absolute path addressed through the custom scheme
+  private val schemes: Seq[(String, String => String)] = Seq(
+    "file" -> identity[String],
+    "graftfs" -> ((p: String) => s"graftfs://$p"))
+
+  for ((name, u) <- schemes) {
+    import spark.implicits._
+
+    test(s"[$name] writer modes + delta diff work through the FS abstraction") {
+      val dir = u(tmp() + "/ds")
+      val ds = GraftDataset(dir)
+      assert(DatasetWriter(ds, WriteMode.Overwrite)
+        .write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v")) == 2)
+      // delta: only the unseen key lands
+      val n = DatasetWriter(ds, WriteMode.Delta)
+        .write(spark, Seq((2, "b"), (3, "c")).toDF("k", "v"))
+      assert(n == 1, s"delta appended $n rows under $name")
+      assert(ds.df(spark).count() == 3)
+    }
+
+    test(s"[$name] TimeFly snapshot cycle (copy + manifest) is scheme-independent") {
+      val root = u(tmp() + "/tf")
+      val tf = new TimeFly(spark, root)
+      tf.init("uri_test")
+      val cur = tf.currentDataset()
+      DatasetWriter(cur, WriteMode.Overwrite).write(spark, Seq(1, 2).toDF("k"))
+      val idCopy = tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z"))
+      val idMan = tf.addSnapshot(Instant.parse("2024-02-01T00:00:00Z"), manifest = true)
+      DatasetWriter(cur, WriteMode.Append).write(spark, Seq(3).toDF("k"))
+      assert(tf.availableSnapshots() == Seq(idCopy, idMan))
+      assert(tf.read(Some(Instant.parse("2023-12-01T00:00:00Z"))).df(spark).count() == 2)
+      assert(tf.read(Some(Instant.parse("2024-01-15T00:00:00Z"))).df(spark).count() == 2)
+      assert(tf.read(None).df(spark).count() == 3)
+      tf.loadSnapshot(idMan) // manifest restore: staging + swap, same FS api
+      assert(tf.read(None).df(spark).count() == 2)
+    }
+
+    test(s"[$name] directory-flavor partition write/read round-trips") {
+      val dir = u(tmp() + "/dp")
+      val df = Seq((1, "x", "2024"), (2, "y", "2024"), (3, "x", "2025"))
+        .toDF("k", "cat", "year")
+      DirectoryPartitioning.write(spark, df, dir, Seq("year", "cat"))
+      val back = DirectoryPartitioning.read(spark, dir, Seq("year", "cat"))
+      assert(back.count() == 3)
+      assert(back.select("year", "cat").distinct().as[(String, String)].collect().toSet ==
+        Set(("2024", "x"), ("2024", "y"), ("2025", "x")))
+    }
+
+    test(s"[$name] schema-unify rewrite works through the FS abstraction") {
+      val dir = u(tmp() + "/unify")
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(java.util.List.of(Row(1), Row(2)),
+        StructType(Seq(StructField("a", IntegerType)))).write.parquet(dir)
+      spark.createDataFrame(java.util.List.of(Row(9L)),
+        StructType(Seq(StructField("a", LongType)))).write.mode("append").parquet(dir)
+      val ds = GraftDataset(dir)
+      assert(DatasetWriter.unifySchemaRewrite(spark, ds))
+      assert(spark.read.parquet(dir).schema("a").dataType == LongType)
+      assert(spark.read.parquet(dir).count() == 3)
+    }
+  }
+}
