@@ -539,7 +539,47 @@ object ExtQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ---- streaming end-to-end --------------------------------------------
+  /** Executes the streaming pipeline FOR REAL — `readStream` over staged
+    * events parquet, watermarked tumbling-window aggregation,
+    * `foreachBatch` delta sink, `Trigger.AvailableNow` — then reads the
+    * sink dataset back. The batch twin (`x_stream_window`) only proves
+    * the aggregation semantics; this proves the micro-batch execution
+    * path the driver contract never touched before.
+    *
+    * Determinism: the staging copy is ONE file, so there is a single
+    * data micro-batch (nothing is ever dropped as late) and the
+    * AvailableNow flush emits exactly the windows finalized by the final
+    * watermark — `window_end <= max(ts) − 2h`, the cutoff the oracle
+    * replicates. The fixture's max(ts) is not hour-aligned, so the
+    * boundary is unambiguous. */
+  def streamE2E(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_stream_").toString
+    val staged = base + "/src"
+    // stage through Tables.load: events.parquet carries TIMESTAMP(NANOS),
+    // which the file-stream source cannot read directly
+    Tables.load(spark, dir, "events").coalesce(1).write.parquet(staged)
+    val q = graft.streaming.EventsStream.startDeltaSink(
+      graft.streaming.EventsStream.windowedAgg(
+        graft.streaming.EventsStream.readEvents(spark, staged)),
+      base + "/sink", base + "/ckpt")
+    q.awaitTermination()
+    graft.ds.GraftDataset(base + "/sink").df(spark)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+  val streamE2ESql: String =
+    """WITH m AS (SELECT max(ts) AS mx FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events, m
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_stream_e2e" -> (streamE2E _),
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_ngram" -> (dedupNgram _),
     "x_dedup_minhash" -> (dedupMinhash _),
@@ -562,6 +602,7 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_stream_e2e" -> streamE2ESql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_ngram" -> dedupNgramSql,
     "x_dedup_minhash" -> dedupNgramSql, // LSH recall ≈ 1 → same answer
