@@ -17,6 +17,20 @@ object SizeUnits {
     if (u == 0) s"${bytes} B" else f"$v%.1f ${Units(u)}"
   }
 
+  /** Column-expression twin of [[humanize]] so humanization can run
+    * distributed inside a plan instead of per-row on the driver. Both
+    * use HALF_UP %.1f formatting (Java Formatter ≡ DuckDB printf). */
+  def humanizeCol(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val b = bytes.cast("long")
+    when(b < 1000L, concat(b.cast("string"), lit(" B")))
+      .when(b < 1000000L, format_string("%.1f KB", b / 1000.0))
+      .when(b < 1000000000L, format_string("%.1f MB", b / 1e6))
+      .when(b < 1000000000000L, format_string("%.1f GB", b / 1e9))
+      .when(b < 1000000000000000L, format_string("%.1f TB", b / 1e12))
+      .otherwise(format_string("%.1f PB", b / 1e15))
+  }
+
   /** Recursive directory byte size via Hadoop FS content summary. */
   def diskUsage(conf: Configuration, path: String): Long = {
     val p = new Path(path)

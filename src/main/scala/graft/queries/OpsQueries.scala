@@ -306,13 +306,15 @@ object OpsQueries {
     * the oracle-checkable surface is the conversion itself; the Hadoop
     * content-summary path is spec-tested in FeatherSpec). */
   def f5SizeUnits(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Seq("region", "nation", "customer", "orders", "lineitem")
-      .map { t =>
-        val n = Tables.load(spark, dir, t).count()
-        (t, graft.core.SizeUnits.humanize(n * 1000))
-      }
-      .toDF("tbl", "human").orderBy("tbl")
+    // same lazy-union shape as a5Counts: one job, five scan legs; the
+    // humanization runs as a column expression on the 5-row aggregate
+    val counts = Seq("region", "nation", "customer", "orders", "lineitem")
+      .map(t => Tables.load(spark, dir, t)
+        .agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
+      .reduce(_ unionByName _)
+    counts
+      .select(col("tbl"), graft.core.SizeUnits.humanizeCol(col("n") * 1000).as("human"))
+      .orderBy("tbl")
   }
   val f5Sql: String =
     """SELECT tbl, CASE
@@ -428,12 +430,14 @@ object OpsQueries {
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
   // ---- A5: row counts / shape across tables ----------------------------
-  def a5Counts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** One lazy union of per-table count aggregates — a single job with
+    * five parallel scan legs, not five sequential driver `count()`s. */
+  def a5Counts(spark: SparkSession, dir: String): DataFrame =
     Seq("region", "nation", "customer", "orders", "lineitem")
-      .map(t => (t, Tables.load(spark, dir, t).count()))
-      .toDF("tbl", "n").orderBy("tbl")
-  }
+      .map(t => Tables.load(spark, dir, t)
+        .agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
+      .reduce(_ unionByName _)
+      .orderBy("tbl")
   val a5Sql: String =
     """SELECT * FROM (
       |  SELECT 'region' AS tbl, COUNT(*) AS n FROM region
