@@ -714,7 +714,262 @@ object SqlSurface {
       |  ON p.user_id = w.user_id AND p.ts >= w.s AND p.ts < w.e
       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q2
+  /** TPC-H Q2-style minimum-cost supplier: the correlated-min-subquery
+    * shape. The fixture has no partsupp table, so unit cost is derived
+    * as min(l_extendedprice/l_quantity) per (part, supplier). Scale
+    * shape: the min runs on the (part, supplier)-grained aggregate
+    * (already ≪ lineitem), suppliers/parts broadcast, and the
+    * correlated min is a window over the narrowed join — one wide
+    * shuffle total. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eu = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_type"))
+    val w = Window.partitionBy(col("p_partkey"))
+    cost.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("mc", min(col("unit_cost")).over(w))
+      .filter(col("unit_cost") === col("mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("unit_cost"))
+      .orderBy(desc("s_acctbal"), col("s_name"), col("p_partkey"))
+      .limit(20)
+  }
+  val q2Sql: String =
+    """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+      |    JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+      |    WHERE r_name='EUROPE'),
+      |cost AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice/l_quantity) AS unit_cost
+      |    FROM lineitem GROUP BY 1,2),
+      |x AS (SELECT p_partkey, p_type, s_name, s_acctbal, n_name, unit_cost,
+      |        MIN(unit_cost) OVER (PARTITION BY p_partkey) AS mc
+      |      FROM cost JOIN eu ON cost.l_suppkey=eu.s_suppkey JOIN part ON l_partkey=p_partkey
+      |      WHERE p_size <= 10 AND p_type='STANDARD')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost FROM x
+      |WHERE unit_cost = mc
+      |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** TPC-H Q9-style profit by nation and year (no partsupp → cost side
+    * proxied from p_retailprice). 5-way join: only lineitem⋈orders
+    * shuffles; supplier/nation/part broadcast. */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val p = Tables.load(spark, dir, "part").filter(col("p_name").contains("red"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - lit(0.5) * col("p_retailprice") * col("l_quantity")).as("profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+  val q9Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) - 0.5*p_retailprice*l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS profit
+      |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      |  JOIN supplier ON l_suppkey=s_suppkey JOIN nation ON s_nationkey=n_nationkey
+      |  JOIN part ON l_partkey=p_partkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** TPC-H Q11-style important inventory: per-part value with a scalar-
+    * subquery threshold (here 2× the mean value over ASIA-region
+    * suppliers). The threshold is a 1-row broadcast crossJoin — the big
+    * side is scanned once, aggregated once. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("s_suppkey"))
+    val de = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(22,6)")).as("val"))
+    val thr = de.agg((avg(col("val").cast("double")) * 2).as("thr"))
+    de.join(broadcast(thr), col("val").cast("double") > col("thr"))
+      .select(col("l_partkey").as("p_key"), col("val").cast("double").as("value"))
+      .orderBy(desc("value"), col("p_key"))
+  }
+  val q11Sql: String =
+    """WITH de AS (SELECT l_partkey, SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(22,6))) AS val
+      |  FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+      |    JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+      |  WHERE r_name='ASIA' GROUP BY 1)
+      |SELECT l_partkey AS p_key, CAST(val AS DOUBLE) AS value FROM de
+      |WHERE CAST(val AS DOUBLE) > (SELECT AVG(CAST(val AS DOUBLE))*2 FROM de)
+      |ORDER BY value DESC, p_key""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** TPC-H Q12-style shipmode/priority matrix (no l_shipmode → the
+    * band is the order→ship lag). CASE-conditional counts get map-side
+    * combine; one shuffle on the band key. */
+  def q12ShipLagPriority(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Seq("1-URGENT", "2-HIGH")
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag", datediff(col("l_shipdate"), col("o_orderdate")))
+      .withColumn("ship_band",
+        when(col("lag") < 0, "early").when(col("lag") <= 60, "fast")
+          .when(col("lag") <= 365, "slow").otherwise("very_late"))
+      .groupBy("ship_band")
+      .agg(sum(when(col("o_orderpriority").isin(urgent: _*), 1).otherwise(0)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin(urgent: _*), 1).otherwise(0)).as("low_line_count"))
+      .orderBy("ship_band")
+  }
+  val q12Sql: String =
+    """SELECT CASE WHEN lag < 0 THEN 'early' WHEN lag <= 60 THEN 'fast'
+      |            WHEN lag <= 365 THEN 'slow' ELSE 'very_late' END AS ship_band,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM (SELECT datediff('day', o_orderdate, l_shipdate) AS lag, o_orderpriority
+      |      FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      |      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+      |GROUP BY 1 ORDER BY ship_band""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** TPC-H Q13-style customer order-count distribution: left join with
+    * an ON-clause filter, two stacked aggregations. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** TPC-H Q16-style supplier counts per part attribute (lineitem as
+    * the part↔supplier bridge; negative-balance suppliers excluded the
+    * way Q16 excludes complaint suppliers — a broadcast anti-join,
+    * null-safe unlike NOT IN). */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excl = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1,4,9,14,19,23,36,45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** TPC-H Q20-style excess-shipment suppliers: the nested-IN chain
+    * (parts by name → quantities per (supplier, part) → supplier semi-
+    * join). Every subquery side is broadcast-sized. */
+  def q20ExcessShipments(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.load(spark, dir, "part")
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+    val shippers = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .filter(col("qty") > 50)
+      .select(col("l_suppkey")).distinct()
+    Tables.load(spark, dir, "supplier")
+      .join(broadcast(shippers), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.load(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+  val q20Sql: String =
+    """WITH shipped AS (
+      |  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem JOIN part ON l_partkey=p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1,2)
+      |SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey=n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 50)
+      |ORDER BY s_name""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** TPC-H Q21-style suppliers who kept orders waiting (late = shipped
+    * >365 days after order). Q21's EXISTS / NOT-EXISTS pair is
+    * re-expressed as per-order supplier/late counts — one extra
+    * aggregation replaces two shuffled semi/anti self-joins, the
+    * scale-correct plan; the oracle keeps the literal EXISTS form to
+    * prove equivalence. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val ls = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > 365, 1).otherwise(0)).as("late"))
+    val per = ls.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+    ls.filter(col("late") === 1)
+      .join(per, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .join(broadcast(Tables.load(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+  val q21Sql: String =
+    """WITH l1 AS (SELECT l_orderkey, l_suppkey,
+      |    datediff('day', o_orderdate, l_shipdate) > 365 AS late
+      |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey WHERE o_orderstatus='F'),
+      |ls AS (SELECT l_orderkey, l_suppkey, bool_or(late) AS late FROM l1 GROUP BY 1,2)
+      |SELECT s_name, COUNT(*) AS numwait FROM ls a JOIN supplier ON a.l_suppkey=s_suppkey
+      |WHERE a.late
+      |  AND EXISTS (SELECT 1 FROM ls b WHERE b.l_orderkey=a.l_orderkey AND b.l_suppkey<>a.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM ls c WHERE c.l_orderkey=a.l_orderkey AND c.l_suppkey<>a.l_suppkey AND c.late)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_profit_by_nation" -> (q9ProfitByNation _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q12_ship_lag_priority" -> (q12ShipLagPriority _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q16_supplier_counts" -> (q16SupplierCounts _),
+    "q20_excess_shipments" -> (q20ExcessShipments _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "j4_range_join" -> (rangeJoin _),
     "j3_asof_join" -> (asofJoin _),
     "j2_skew_join" -> (skewJoin _),
@@ -745,6 +1000,14 @@ object SqlSurface {
     "sql_passthrough" -> (sqlPassthrough _))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Sql,
+    "q9_profit_by_nation" -> q9Sql,
+    "q11_important_parts" -> q11Sql,
+    "q12_ship_lag_priority" -> q12Sql,
+    "q13_order_distribution" -> q13Sql,
+    "q16_supplier_counts" -> q16Sql,
+    "q20_excess_shipments" -> q20Sql,
+    "q21_waiting_suppliers" -> q21Sql,
     "j4_range_join" -> rangeJoinSql,
     "j3_asof_join" -> asofJoinSql,
     "j2_skew_join" -> skewJoinSql,
