@@ -241,14 +241,14 @@ object Similarity {
     * bucketed plan.
     *
     * Shape: each vector is keyed by `tables` independent hyperplane
-    * sign buckets (explode → one equi-JOIN on the (table, bucket)
-    * key — a shuffled hash/sort-merge join, never a nested loop); a
-    * pair colliding in several tables is emitted only from the FIRST
-    * table where its buckets agree (a zip_with/exists filter over the
-    * earlier bucket columns both sides already carry), so no
-    * dedup exchange is needed; survivors feed ONE global
-    * [[graft.plans.TopKPairs]] bounded heap, so the final exchange
-    * carries ≤ n·partitions rows, not the candidate volume.
+    * sign buckets; one shuffle groups (table, bucket) posting lists,
+    * the single-pass compiled [[graft.plans.OrderedPairs]] expression
+    * enumerates each bucket's candidate pairs (never a joint/nested
+    * loop), a map-side-combinable distinct collapses multi-table
+    * collisions, vectors re-join by id only on the deduped pairs, and
+    * survivors feed ONE global [[graft.plans.TopKPairs]] bounded heap,
+    * so the final exchange carries ≤ n·partitions rows, not the
+    * candidate volume.
     *
     * Exactness is per-fixture, not guaranteed: a true top-N pair is
     * found iff it collides in ≥1 table (probability
@@ -266,25 +266,32 @@ object Similarity {
       n: Int, nbits: Int = 2, tables: Int = 16): DataFrame = {
 
     val spark = df.sparkSession
-    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nm"),
-        array((0 until tables).map(t => lshBucket(col(vecCol), nbits, t)): _*).as("bs"))
-      .withColumn("key", explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), element_at(col("bs"), t + 1).as("b"))): _*)))
+    // candidate generation is the x_dedup_ngram shape: ONE shuffle
+    // groups (table, bucket) posting lists, the compiled OrderedPairs
+    // expression enumerates each bucket's pairs in a single pass (no
+    // self-join — a join emits the same rows through a far heavier
+    // SortMergeJoin), and a map-side-combinable distinct collapses
+    // pairs colliding in several tables. Only ids ride any of it;
+    // vectors re-join by id on the deduped pair list, the same
+    // carry-ids-not-arrays shape as the dedup verify joins.
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vecCol), nbits, t).as("b"))): _*)).as("key"))
 
-    val firstTableOnly = !exists(
-      zip_with(slice(col("a.bs"), lit(1), col("a.key.t")),
-               slice(col("b.bs"), lit(1), col("b.key.t")),
-               (x, y) => x === y),
-      identity[Column])
+    val cand = keyed.groupBy(col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(graft.plans.GraftExpressions.orderedPairs(spark, col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
 
-    val cand = v.as("a").join(v.as("b"),
-        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .filter(firstTableOnly)
-      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.nm") * col("b.nm")))
-      .select(col("sim"), shiftleft(col("a.id"), 32).bitwiseOR(col("b.id")).as("pid"))
-
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nm"))
     cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nm").as("nb")), Seq("id_b"))
+      .select((dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"),
+        shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")).as("pid"))
       .agg(graft.plans.GraftExpressions.topK(spark, col("sim"), col("pid"), n).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "p")))
       .select(shiftright(col("p.id"), 32).as("id_a"),
