@@ -539,6 +539,94 @@ object ExtQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ---- curation: splits / sampling / packing / contamination -----------
+  /** Deterministic content-hash train/val split with per-(source, split)
+    * doc and char totals. Reproducible on any cluster size — the split
+    * is a pure function of the text, not RNG state. */
+  def splitHash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+        Tables.load(spark, dir, "documents"), "text", valThreshold = "1a")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy("source", "split")
+  val splitHashSql: String =
+    """SELECT source,
+      |  CASE WHEN md5(text) < '1a' THEN 'val' ELSE 'train' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  /** Exact deterministic 10% stratified sample per source. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables.load(spark, dir, "documents"), "source", "text", "doc_id", 0.1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy("source")
+  val sampleStratifiedSql: String =
+    """SELECT source, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |WHERE rn <= ceil(n * 0.1)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Token-budget packing profile: per source, how many 10k-char
+    * context bins the corpus packs into (streaming first-fit
+    * approximation — running sum, no global sort). */
+  def packBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packBudget(
+        Tables.load(spark, dir, "documents"), "source", "doc_id", "n_chars", 10000L)
+      .groupBy("source")
+      .agg(countDistinct(col("bin")).as("n_bins"), count(lit(1)).as("n_docs"),
+        max(col("bin")).cast("long").as("max_bin"))
+      .orderBy("source")
+  val packBudgetSql: String =
+    """SELECT source, COUNT(DISTINCT bin) AS n_bins, COUNT(*) AS n_docs,
+      |  CAST(MAX(bin) AS BIGINT) AS max_bin
+      |FROM (
+      |  SELECT source,
+      |    CAST(floor((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) / 10000) AS BIGINT) AS bin
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Eval-set contamination scan: corpus docs sharing any word 3-gram
+    * with the held-out set (doc_id ≡ 0 mod 23 plays the eval set).
+    * The join carries exploded shingles, never document pairs. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val test = docs.filter(col("doc_id") % 23 === 0)
+    val corpus = docs.filter(col("doc_id") % 23 =!= 0)
+    val cont = graft.operators.Sampling.contaminated(corpus, test, "doc_id", "text")
+      .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+    corpus.groupBy("source").agg(count(lit(1)).as("n_corpus"))
+      .join(cont, Seq("source"), "left")
+      .select(col("source"), col("n_corpus"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy("source")
+  }
+  val contaminationSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(
+      |    range(0, greatest(len(words) - 2, 1)),
+      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
+      |  )) AS s
+      |  FROM (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |t AS (SELECT DISTINCT tok FROM (SELECT unnest(s) AS tok FROM sh WHERE doc_id % 23 = 0)),
+      |cont AS (
+      |  SELECT source, COUNT(*) AS n_contaminated FROM (
+      |    SELECT DISTINCT c.doc_id, c.source
+      |    FROM (SELECT doc_id, source, unnest(s) AS tok FROM sh WHERE doc_id % 23 <> 0) c
+      |    JOIN t ON c.tok = t.tok)
+      |  GROUP BY source)
+      |SELECT d.source, COUNT(*) AS n_corpus,
+      |  COALESCE(MAX(cont.n_contaminated), 0) AS n_contaminated
+      |FROM documents d LEFT JOIN cont ON d.source = cont.source
+      |WHERE d.doc_id % 23 <> 0
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ---- streaming end-to-end --------------------------------------------
   /** Executes the streaming pipeline FOR REAL — `readStream` over staged
     * events parquet, watermarked tumbling-window aggregation,
@@ -579,6 +667,10 @@ object ExtQueries {
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_split_hash" -> (splitHash _),
+    "x_sample_stratified" -> (sampleStratified _),
+    "x_pack_budget" -> (packBudget _),
+    "x_contamination" -> (contamination _),
     "x_stream_e2e" -> (streamE2E _),
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_ngram" -> (dedupNgram _),
@@ -602,6 +694,10 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_split_hash" -> splitHashSql,
+    "x_sample_stratified" -> sampleStratifiedSql,
+    "x_pack_budget" -> packBudgetSql,
+    "x_contamination" -> contaminationSql,
     "x_stream_e2e" -> streamE2ESql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_ngram" -> dedupNgramSql,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "alpha beta gamma delta", "a", 22),
+    (2L, "epsilon zeta eta theta", "a", 22),
+    (3L, "iota kappa lambda mu", "a", 20),
+    (4L, "nu xi omicron pi", "b", 16),
+    (5L, "rho sigma tau upsilon", "b", 21),
+    (6L, "alpha beta gamma delta extra", "b", 28) // shares 3-grams with doc 1
+  ).toDF("doc_id", "text", "source", "n_chars")
+
+  test("hash split is deterministic and covers every row exactly once") {
+    val s1 = Sampling.hashSplit(docs, "text").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val s2 = Sampling.hashSplit(docs, "text").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    assert(s1.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(s1.values.forall(v => v == "train" || v == "val"))
+    // identical text → identical split regardless of id
+    val dup = Sampling.hashSplit(
+      docs.withColumn("doc_id", $"doc_id" + 100), "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    s1.foreach { case (id, sp) => assert(dup(id + 100) == sp) }
+  }
+
+  test("stratified sample keeps exactly ceil(fraction*n) rows per stratum") {
+    val out = Sampling.stratifiedSample(docs, "source", "text", "doc_id", 0.5)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // both strata have 3 docs → ceil(1.5) = 2 kept
+    assert(out == Map("a" -> 2L, "b" -> 2L))
+    // deterministic: same rows every run
+    val ids1 = Sampling.stratifiedSample(docs, "source", "text", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.stratifiedSample(docs, "source", "text", "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
+  test("budget packing: no bin starts after the budget boundary it fills") {
+    val out = Sampling.packBudget(docs, "source", "doc_id", "n_chars", 40L)
+      .select("source", "doc_id", "bin").as[(String, Long, Long)].collect()
+    // source a: cum-before = 0, 22, 44 → bins 0, 0, 1
+    val a = out.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq
+    assert(a == Seq(0L, 0L, 1L), a)
+    // source b: cum-before = 0, 16, 37 → bins 0, 0, 0
+    val b = out.filter(_._1 == "b").sortBy(_._2).map(_._3).toSeq
+    assert(b == Seq(0L, 0L, 0L), b)
+  }
+
+  test("contamination finds exactly the corpus docs sharing an n-gram") {
+    val test = docs.filter($"doc_id" === 1L)
+    val corpus = docs.filter($"doc_id" =!= 1L)
+    val cont = Sampling.contaminated(corpus, test, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cont == Set(6L), cont) // only doc 6 shares "alpha beta gamma"
+  }
+}
