@@ -627,6 +627,53 @@ object ExtQueries {
       |WHERE d.doc_id % 23 <> 0
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** The whole curation pipeline in one declarative plan — quality/
+    * language gate → exact dedup (keep-lowest-id) → content-hash split
+    * → token-budget packing of the train split — reported per source.
+    * This is the composition a 100 TB pretraining run executes; every
+    * stage is one of the oracled operators above, and Catalyst fuses
+    * the gate + fingerprint + split projections into the same scan. */
+  def pipelineE2E(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.6 &&
+      TextFunctions.langId(col("text")) === "en")
+    val deduped = Dedup.exact(kept, "doc_id", "text")
+    val split = graft.operators.Sampling.hashSplit(deduped, "text")
+    val trainBins = graft.operators.Sampling.packBudget(
+        split.filter(col("split") === "train"), "source", "doc_id", "n_chars", 10000L)
+      .groupBy("source").agg(countDistinct(col("bin")).as("n_train_bins"))
+    split.groupBy("source").agg(
+        sum(when(col("split") === "train", 1).otherwise(0)).cast("long").as("n_train"),
+        sum(when(col("split") === "val", 1).otherwise(0)).cast("long").as("n_val"),
+        sum(when(col("split") === "train", col("n_chars")).otherwise(0)).cast("long").as("train_chars"))
+      .join(trainBins, Seq("source"), "left")
+      .select(col("source"), col("n_train"), col("n_val"), col("train_chars"),
+        coalesce(col("n_train_bins"), lit(0L)).as("n_train_bins"))
+      .orderBy("source")
+  }
+  val pipelineE2ESql: String =
+    s"""WITH base AS (SELECT doc_id, text, source, n_chars,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
+       |  FROM documents),
+       |kept AS (SELECT doc_id, text, source, n_chars FROM base
+       |  WHERE $qualitySql >= 0.6 AND $langPredSql = 'en'),
+       |ded AS (SELECT doc_id, text, source, n_chars FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
+       |sp AS (SELECT *, CASE WHEN md5(text) < '1a' THEN 'val' ELSE 'train' END AS split FROM ded),
+       |tb AS (SELECT source, COUNT(DISTINCT bin) AS n_train_bins FROM (
+       |    SELECT source, CAST(floor((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) / 10000) AS BIGINT) AS bin
+       |    FROM sp WHERE split = 'train') GROUP BY source)
+       |SELECT sp.source,
+       |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |  CAST(SUM(CASE WHEN split = 'train' THEN n_chars ELSE 0 END) AS BIGINT) AS train_chars,
+       |  COALESCE(MAX(tb.n_train_bins), 0) AS n_train_bins
+       |FROM sp LEFT JOIN tb ON sp.source = tb.source
+       |GROUP BY sp.source ORDER BY sp.source""".stripMargin
+
   // ---- streaming end-to-end --------------------------------------------
   /** Executes the streaming pipeline FOR REAL — `readStream` over staged
     * events parquet, watermarked tumbling-window aggregation,
@@ -667,6 +714,7 @@ object ExtQueries {
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pipeline_e2e" -> (pipelineE2E _),
     "x_split_hash" -> (splitHash _),
     "x_sample_stratified" -> (sampleStratified _),
     "x_pack_budget" -> (packBudget _),
@@ -694,6 +742,7 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_pipeline_e2e" -> pipelineE2ESql,
     "x_split_hash" -> splitHashSql,
     "x_sample_stratified" -> sampleStratifiedSql,
     "x_pack_budget" -> packBudgetSql,
