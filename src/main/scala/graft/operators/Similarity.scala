@@ -197,6 +197,20 @@ object Similarity {
     cent.select(col("cid").as(cidCol), col("cv").as(cvecCol))
   }
 
+  /** Per-vector symmetric int8 quantization: `scale = max|vᵢ|/127`,
+    * `qᵢ = floor(vᵢ/scale + 0.5)` (explicit floor(+0.5) so every engine
+    * rounds identically — `round()` half-even/half-up semantics differ
+    * across engines). 4× smaller than float32; approximate dot products
+    * come back as `a.scale·b.scale·Σ qaᵢ·qbᵢ` and cosine is scale-free
+    * (the scales cancel). All math runs in double so a DuckDB/any-engine
+    * twin is bit-identical. Returns `struct(scale double, q array<tinyint>)`. */
+  def quantizeInt8(vec: Column): Column = {
+    val dv = transform(vec, x => x.cast("double"))
+    val scale = greatest(array_max(transform(dv, x => abs(x))) / 127.0, lit(1e-30))
+    struct(scale.as("scale"),
+      transform(dv, x => floor(x / scale + lit(0.5)).cast("tinyint")).as("q"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: vectors are keyed by their
     * hyperplane sign bucket and only same-bucket pairs are scored. The
     * 100 TB dedup path — candidate volume is Σ bucket² instead of n²,

@@ -627,6 +627,40 @@ object ExtQueries {
       |WHERE d.doc_id % 23 <> 0
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Int8 embedding quantization fidelity: per label, how much cosine
+    * the 4×-compressed representation loses (avg via decimal-exact sum,
+    * plus the exact min). Cosine(v, dequant(v)) is scale-free, so the
+    * check needs no scale plumbing; floor(+0.5) rounding makes the
+    * quantizer bit-identical across engines. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val qd = transform(Similarity.quantizeInt8(col("embedding")).getField("q"),
+      x => x.cast("double"))
+    val cosFidelity = (Similarity.dot(dv, qd) /
+      (sqrt(Similarity.dot(dv, dv)) * sqrt(Similarity.dot(qd, qd)))).as("cos")
+    emb.select(col("label"), cosFidelity)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cos").cast("decimal(20,14)")).cast("double") / count(lit(1)), 6).as("avg_cos_r"),
+        round(min(col("cos")), 6).as("min_cos_r"))
+      .orderBy("label")
+  }
+  val embedQuantizeSql: String =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+      |    list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |      x -> floor(x / greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0, 1e-30) + 0.5)) AS qv
+      |  FROM embeddings),
+      |c AS (SELECT label,
+      |    list_dot_product(dv, qv) / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv))) AS cos
+      |  FROM q)
+      |SELECT label, COUNT(*) AS n,
+      |  round(CAST(SUM(CAST(cos AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*), 6) AS avg_cos_r,
+      |  round(MIN(cos), 6) AS min_cos_r
+      |FROM c GROUP BY label ORDER BY label""".stripMargin
+
   /** The whole curation pipeline in one declarative plan — quality/
     * language gate → exact dedup (keep-lowest-id) → content-hash split
     * → token-budget packing of the train split — reported per source.
@@ -714,6 +748,7 @@ object ExtQueries {
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_quantize" -> (embedQuantize _),
     "x_pipeline_e2e" -> (pipelineE2E _),
     "x_split_hash" -> (splitHash _),
     "x_sample_stratified" -> (sampleStratified _),
@@ -742,6 +777,7 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_embed_quantize" -> embedQuantizeSql,
     "x_pipeline_e2e" -> pipelineE2ESql,
     "x_split_hash" -> splitHashSql,
     "x_sample_stratified" -> sampleStratifiedSql,

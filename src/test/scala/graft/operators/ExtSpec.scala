@@ -228,6 +228,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.contains("BroadcastNestedLoopJoin") || brute.contains("CartesianProduct"))
   }
 
+  test("int8 quantization: bounds, rounding, and near-1 cosine fidelity") {
+    val out = Seq((0L, Array(1.0f, -0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8($"embedding").as("z"))
+      .select($"z.scale", $"z.q").as[(Double, Seq[Byte])].collect().head
+    assert(math.abs(out._1 - 1.0 / 127) < 1e-15)
+    // floor(v/scale + 0.5): 127, floor(-63.0)= -63, floor(32.25)=32
+    assert(out._2 == Seq[Byte](127, -63, 32), out._2)
+    // fidelity on real embeddings: dequantized cosine stays near 1
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dv = transform($"embedding", x => x.cast("double"))
+    val qd = transform(Similarity.quantizeInt8($"embedding").getField("q"), x => x.cast("double"))
+    val minCos = emb.select((Similarity.dot(dv, qd) /
+        (sqrt(Similarity.dot(dv, dv)) * sqrt(Similarity.dot(qd, qd)))).as("c"))
+      .agg(min($"c")).as[Double].collect().head
+    assert(minCos > 0.999, s"quantization lost too much: $minCos")
+  }
+
   test("graft_topk eval is non-destructive (window-aggregate safe)") {
     // running top-2 over an expanding window: every frame must rank from
     // the SAME buffer — a destructive eval truncates later frames
