@@ -121,6 +121,28 @@ object Similarity {
       nprobe)
   }
 
+  /** Nearest-centroid assignment of every `df` row (highest cosine,
+    * ties to the lowest centroid id): `(outId, cid, xv, xn)`. The
+    * write-time entry point for IVF layouts — persist the corpus
+    * partitioned by `cid` and a probe's search scans only its `nprobe`
+    * partition directories (IvfLayoutSpec asserts the pruning). The
+    * argmax is a partial aggregate, so the ×nCentroids scoring blow-up
+    * collapses map-side and only one row per vector reaches any
+    * exchange. */
+  def assignClusters(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, outId: String = "corpus_id"): DataFrame = {
+    val cent = centroids.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
+    df.select(col(idCol).as(outId), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("__csim", dot(col("__v"), col("cv")) / (col("__n") * col("cn")))
+      .groupBy(outId)
+      .agg(max(struct(struct(col("__csim"), -col("cid")).as("k"),
+        struct(col("cid"), col("__v"), col("__n")).as("p"))).as("__m"))
+      .select(col(outId), col("__m.p.cid").as("cid"),
+        col("__m.p.__v").as("xv"), col("__m.p.__n").as("xn"))
+  }
+
   /** IVF search against an explicit centroid table (`cid`, `cv`) — the
     * entry point for [[kmeansRefine]]d centroids. */
   def ivfTopKWith(
@@ -136,17 +158,8 @@ object Similarity {
         .join(broadcast(cent), lit(true))
         .withColumn("__csim", dot(col("__v"), col("cv")) / (col("__n") * col("cn")))
 
-    // corpus assignment = argmax over centroids as max(struct): the
-    // partial aggregate collapses the ×nCentroids blow-up INSIDE the
-    // broadcast-join stage, so only one row per corpus vector reaches
-    // the exchange (a row_number window would shuffle every scored
-    // row). Tie → lowest cid via the negated id in the order key.
-    val assigned = centroidScores(corpus, "corpus_id")
-      .groupBy("corpus_id")
-      .agg(max(struct(struct(col("__csim"), -col("cid")).as("k"),
-        struct(col("cid"), col("__v"), col("__n")).as("p"))).as("__m"))
-      .select(col("corpus_id"), col("__m.p.cid").as("cid"),
-        col("__m.p.__v").as("xv"), col("__m.p.__n").as("xn"))
+    // corpus assignment = argmax over centroids (see assignClusters)
+    val assigned = assignClusters(corpus, idCol, vecCol, centroids)
 
     // probes are few — the nprobe ranking window stays on the small side
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("__csim"), col("cid"))
