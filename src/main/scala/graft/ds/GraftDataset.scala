@@ -83,14 +83,23 @@ final case class GraftDataset(
 
   def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
 
-  def dataFiles(spark: SparkSession): Seq[String] = {
-    if (files.nonEmpty) return files
+  def dataFiles(spark: SparkSession): Seq[String] =
+    dataFileStatuses(spark).map(_._1)
+
+  /** Data files with their byte sizes, from ONE recursive listing —
+    * consumers needing sizes (manifest snapshots) must not re-stat each
+    * file: that is O(files) driver RPCs on an object store. */
+  def dataFileStatuses(spark: SparkSession): Seq[(String, Long)] = {
+    if (files.nonEmpty) {
+      val f = fs(spark)
+      return files.map(p => p -> f.getFileStatus(new Path(p)).getLen)
+    }
     val f = fs(spark)
     val p = new Path(path)
     if (!f.exists(p)) Nil
     else {
       val it = f.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       val ext = "." + (if (format == "feather") "arrow" else format)
       // compressed text writes carry a codec suffix (part-*.csv.gz) —
       // strip it before the format check or existence detection fails
@@ -103,7 +112,7 @@ final case class GraftDataset(
           if (n.endsWith(c)) n.dropRight(c.length) else n)
         if (s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
           (base.endsWith(ext) || base.endsWith(".parquet")))
-          buf += s.getPath.toString
+          buf += (s.getPath.toString -> s.getLen)
       }
       buf.toSeq
     }
@@ -112,7 +121,11 @@ final case class GraftDataset(
   /** Raw load without the sticky pipeline. */
   def raw(spark: SparkSession): DataFrame = {
     val reader = spark.read
-    val r = schema.fold(reader)(reader.schema)
+    val r0 = schema.fold(reader)(reader.schema)
+    // explicit leaf-file reads: without basePath Spark treats each
+    // file's parent as its own root and skips hive partition discovery,
+    // silently dropping the partition columns a directory read returns
+    val r = if (files.nonEmpty) r0.option("basePath", commonParent(files).toString) else r0
     val srcs = if (files.nonEmpty) files else Seq(path)
     format match {
       case "parquet" => r.parquet(srcs: _*)
@@ -120,6 +133,18 @@ final case class GraftDataset(
       case "json" => r.json(srcs: _*)
       case other => r.format(other).load(srcs: _*)
     }
+  }
+
+  /** Deepest directory containing every file — the hive-discovery base
+    * for explicit-file reads. */
+  private def commonParent(fls: Seq[String]): Path = {
+    var b = new Path(fls.head).getParent
+    def covers(p: Path): Boolean = {
+      val prefix = p.toString + "/"
+      fls.forall(_.startsWith(prefix))
+    }
+    while (b.getParent != null && !covers(b)) b = b.getParent
+    b
   }
 
   /** Load with read-side schema unification (reference S1/S2 retry path,

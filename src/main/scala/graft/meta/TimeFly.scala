@@ -91,14 +91,20 @@ final class TimeFly(spark: SparkSession, root: String) {
     fs.mkdirs(snapshotRoot)
     if (fs.exists(currentPath))
       FileUtil.copy(fs, currentPath, fs, dst, false, spark.sparkContext.hadoopConfiguration)
+    registerSnapshot(id, now)
+    id
+  }
+
+  /** Record `id` in `[snapshot]` config — shared by both snapshot modes
+    * so the registration schema can't drift between them. */
+  private def registerSnapshot(id: String, now: Instant, extra: (String, Toml.Value)*): Unit = {
     val cfg = readConfig()
     val snap = Toml.getTbl(cfg, "snapshot").getOrElse(Toml.Tbl.empty)
     val avail = Toml.getArr(snap, "available") :+ id
-    val entry = Toml.Tbl("created" -> Toml.Str(now.toString))
+    val entry = Toml.Tbl((Seq("created" -> (Toml.Str(now.toString): Toml.Value)) ++ extra): _*)
     writeConfig(Toml.Tbl(cfg.v.updated("snapshot", Toml.Tbl(snap.v
       .updated("available", Toml.Arr(avail.distinct.sorted.map(Toml.Str)))
       .updated(id, entry)))))
-    id
   }
 
   /** Manifest snapshot — the O(metadata) alternative to the copy: write
@@ -117,18 +123,15 @@ final class TimeFly(spark: SparkSession, root: String) {
     if (!manifest) return addSnapshot(now)
     val id = Naming.snapshotId(now)
     fs.mkdirs(new Path(snapshotRoot, id))
-    val entries = currentDataset().dataFiles(spark).sorted
-      .map(f => s"${fs.getFileStatus(new Path(f)).getLen}\t$f")
+    // sizes come from the same single recursive listing as the paths —
+    // a per-file getFileStatus here would be O(files) driver RPCs on an
+    // object store, defeating the O(metadata) point of the manifest
+    val entries = currentDataset().dataFileStatuses(spark).sortBy(_._1)
+      .map { case (f, len) => s"$len\t$f" }
     val out = fs.create(manifestPath(id), true)
     try out.write((entries.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val cfg = readConfig()
-    val snap = Toml.getTbl(cfg, "snapshot").getOrElse(Toml.Tbl.empty)
-    val avail = Toml.getArr(snap, "available") :+ id
-    val entry = Toml.Tbl("created" -> Toml.Str(now.toString), "manifest" -> Toml.Bool(true))
-    writeConfig(Toml.Tbl(cfg.v.updated("snapshot", Toml.Tbl(snap.v
-      .updated("available", Toml.Arr(avail.distinct.sorted.map(Toml.Str)))
-      .updated(id, entry)))))
+    registerSnapshot(id, now, "manifest" -> Toml.Bool(true))
     id
   }
 
@@ -171,11 +174,19 @@ final class TimeFly(spark: SparkSession, root: String) {
       case Some(fl) =>
         val staging = new Path(rootPath, s"_restore_tmp_$id")
         fs.delete(staging, true); fs.mkdirs(staging)
+        // preserve each file's path RELATIVE to current/: hive layouts
+        // keep partition values only in directory names, so flattening
+        // to basenames would both lose the partition columns and let
+        // same-named files in different partitions overwrite each other
+        val curPrefix = fs.makeQualified(currentPath).toString + "/"
         fl.foreach { f =>
-          val p = new Path(f)
+          val p = fs.makeQualified(new Path(f))
           require(fs.exists(p), s"manifest snapshot $id references missing file $f")
-          FileUtil.copy(fs, p, fs, new Path(staging, p.getName), false,
-            spark.sparkContext.hadoopConfiguration)
+          require(p.toString.startsWith(curPrefix),
+            s"manifest snapshot $id references a file outside current/: $f")
+          val dst = new Path(staging, p.toString.substring(curPrefix.length))
+          fs.mkdirs(dst.getParent)
+          FileUtil.copy(fs, p, fs, dst, false, spark.sparkContext.hadoopConfiguration)
         }
         fs.delete(currentPath, true)
         require(fs.rename(staging, currentPath), s"restore swap failed: $staging -> $currentPath")

@@ -65,7 +65,11 @@ object Dedup {
       maxShingleDf: Option[Int] = None): DataFrame = {
 
     // cast keeps the API open to int/short doc ids: the OrderedPairs
-    // pair-enumeration expression below type-checks array<bigint> only
+    // pair-enumeration expression below type-checks array<bigint> only.
+    // Numeric-only by requirement — casting a string id would yield
+    // nulls that collect_list silently drops (empty result, no error)
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ngramJaccardPairs needs a numeric id column, got ${df.schema(idCol).dataType} for '$idCol'")
     val docs = df.select(col(idCol).cast("long").as("id"), shingleSet(col(textCol), n).as("sh"))
     val posting = docs.select(col("id"), explode(col("sh")).as("s"))
     val buckets = posting.groupBy("s").agg(collect_list(col("id")).as("ids"))

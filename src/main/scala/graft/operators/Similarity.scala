@@ -293,6 +293,10 @@ object Similarity {
       n: Int, nbits: Int = 2, tables: Int = 16): DataFrame = {
 
     val spark = df.sparkSession
+    // numeric ids only: casting a string id yields nulls that vanish
+    // silently in collect_list instead of failing loudly
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"lshTopPairs needs a numeric id column, got ${df.schema(idCol).dataType} for '$idCol'")
     // candidate generation is the x_dedup_ngram shape: ONE shuffle
     // groups (table, bucket) posting lists, the compiled OrderedPairs
     // expression enumerates each bucket's pairs in a single pass (no

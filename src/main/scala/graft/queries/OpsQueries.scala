@@ -319,9 +319,9 @@ object OpsQueries {
   val f5Sql: String =
     """SELECT tbl, CASE
       |    WHEN b < 1000 THEN CAST(b AS VARCHAR) || ' B'
-      |    WHEN b < 1000000 THEN printf('%.1f KB', b / 1000.0)
-      |    WHEN b < 1000000000 THEN printf('%.1f MB', b / 1000000.0)
-      |    ELSE printf('%.1f GB', b / 1000000000.0) END AS human
+      |    WHEN b < 1000000 THEN printf('%.1f KB', floor(b / 1000.0 * 10 + 0.5) / 10)
+      |    WHEN b < 1000000000 THEN printf('%.1f MB', floor(b / 1000000.0 * 10 + 0.5) / 10)
+      |    ELSE printf('%.1f GB', floor(b / 1000000000.0 * 10 + 0.5) / 10) END AS human
       |FROM (
       |  SELECT 'region' AS tbl, COUNT(*) * 1000 AS b FROM region
       |  UNION ALL SELECT 'nation', COUNT(*) * 1000 FROM nation

@@ -803,8 +803,12 @@ object SqlSurface {
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(22,6)")).as("val"))
-    val thr = de.agg((avg(col("val").cast("double")) * 2).as("thr"))
-    de.join(broadcast(thr), col("val").cast("double") > col("thr"))
+    // decimal-exact threshold: val > 2·avg rewritten as val·n > 2·Σval
+    // (n > 0) — no double summation whose order could differ between
+    // engines, no decimal division whose precision rules could
+    val thr = de.agg(sum(col("val")).as("tot"), count(lit(1)).as("nparts"))
+    de.join(broadcast(thr),
+        col("val") * col("nparts") > col("tot") * 2)
       .select(col("l_partkey").as("p_key"), col("val").cast("double").as("value"))
       .orderBy(desc("value"), col("p_key"))
   }
@@ -814,7 +818,7 @@ object SqlSurface {
       |    JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
       |  WHERE r_name='ASIA' GROUP BY 1)
       |SELECT l_partkey AS p_key, CAST(val AS DOUBLE) AS value FROM de
-      |WHERE CAST(val AS DOUBLE) > (SELECT AVG(CAST(val AS DOUBLE))*2 FROM de)
+      |WHERE val * (SELECT COUNT(*) FROM de) > 2 * (SELECT SUM(val) FROM de)
       |ORDER BY value DESC, p_key""".stripMargin
 
   // ---------------------------------------------------------------- q12

@@ -79,6 +79,33 @@ class TimeFlySpec extends AnyFunSuite {
     assert(tf.read(None).df(spark).as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("manifest snapshot round-trips a hive-partitioned dataset") {
+    val root = tmp() + "/manpart"
+    val tf = new TimeFly(spark, root)
+    tf.init("partitioned")
+    val cur = GraftDataset(tf.currentPath.toString, partitioning = Seq("p"))
+    DatasetWriter(cur, WriteMode.Overwrite)
+      .write(spark, Seq((1, "a"), (2, "b"), (3, "a")).toDF("k", "p"))
+    val id = tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z"), manifest = true)
+
+    // time-travel read keeps the partition column (basePath discovery)
+    val back = tf.read(Some(Instant.parse("2023-12-01T00:00:00Z"))).df(spark)
+    assert(back.columns.toSet == Set("k", "p"), back.columns.toSeq)
+    assert(back.select("k", "p").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "a")))
+
+    // restore preserves the partition DIRECTORIES, not flattened files
+    DatasetWriter(cur, WriteMode.Append).write(spark, Seq((4, "c")).toDF("k", "p"))
+    tf.loadSnapshot(id)
+    val f = cur.fs(spark)
+    assert(f.exists(new org.apache.hadoop.fs.Path(tf.currentPath, "p=a")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(tf.currentPath, "p=b")))
+    val restored = spark.read.parquet(tf.currentPath.toString)
+    assert(restored.columns.toSet == Set("k", "p"))
+    assert(restored.select("k", "p").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "a")))
+  }
+
   test("manifest and copy snapshots coexist in the resolution order") {
     val root = tmp() + "/mixed"
     val tf = new TimeFly(spark, root)
