@@ -16,6 +16,12 @@ object WriteMode {
   case object Append extends WriteMode
   /** Idempotent append: write only rows not already present (W6). */
   case object Delta extends WriteMode
+  /** Keyed merge: incoming rows REPLACE existing rows sharing their key
+    * (set via `withDeltaSubset`); unmatched keys append. Executed as a
+    * staged rewrite + atomic swap — readers never see a half-merged
+    * state. Extension beyond the reference (pydala's delta only ever
+    * appends; replacing a changed row needs this). */
+  case object Upsert extends WriteMode
 }
 
 /** Dataset writer (reference `dataset/writer.py`) re-expressed as ONE
@@ -66,6 +72,29 @@ final case class DatasetWriter(
 
     val prepared = transform(target.pipeline(input))
 
+    if (mode == WriteMode.Upsert && existed) {
+      require(deltaSubset.nonEmpty,
+        "upsert needs key columns — set withDeltaSubset(...)")
+      val existing = target.raw(spark)
+      val keys = prepared.select(deltaSubset.map(col): _*).distinct()
+      // null-safe: a NULL key replaces a NULL key (same rule as delta)
+      val cond = deltaSubset.map(c => existing(c) <=> keys(c)).reduce(_ && _)
+      val kept = existing.join(keys, cond, "left_anti")
+        .select(prepared.columns.map(col): _*)
+      val merged = kept.unionByName(prepared)
+      // stage the merged dataset, then swap — `merged` scans the live
+      // target lazily, so the target must not be touched until the
+      // staged write has fully materialized
+      val tmp = new Path(targetPath.getParent, s".${targetPath.getName}__upsert_tmp")
+      fs.delete(tmp, true)
+      val staged = GraftDataset(tmp.toString, format = target.format,
+        partitioning = target.partitioning, compression = target.compression)
+      val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
+        timeBatch = timeBatch, rowGroupSize = rowGroupSize).write(spark, merged)
+      DatasetWriter.swapInPlace(fs, tmp, targetPath)
+      return n
+    }
+
     val (toWrite, saveMode) = mode match {
       case WriteMode.Raise =>
         if (existed) throw new IllegalStateException(
@@ -73,6 +102,7 @@ final case class DatasetWriter(
         (prepared, SaveMode.ErrorIfExists)
       case WriteMode.Overwrite => (prepared, SaveMode.Overwrite)
       case WriteMode.Append => (prepared, SaveMode.Append)
+      case WriteMode.Upsert => (prepared, SaveMode.Append) // !existed → plain first write
       case WriteMode.Delta =>
         if (!existed) (prepared, SaveMode.Append)
         // persist the diff: the emptiness gate below and the write
@@ -190,6 +220,21 @@ final case class DatasetWriter(
 }
 
 object DatasetWriter {
+  /** Promote a staged rewrite: move `live` aside, promote `tmp`, drop
+    * the backup — roll back if promotion fails. Shared by upsert and
+    * [[Repartition]]'s in-place path. */
+  private[ds] def swapInPlace(fs: FileSystem, tmp: Path, live: Path): Unit = {
+    val backup = new Path(live.getParent, s".${live.getName}__swap_old")
+    fs.delete(backup, true)
+    if (!fs.rename(live, backup))
+      throw new IllegalStateException(s"swap failed: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(backup, live) // roll back
+      throw new IllegalStateException(s"swap failed: cannot promote $tmp")
+    }
+    fs.delete(backup, true)
+  }
+
   /** Schema-unify rewrite (reference W10, `writer.py:529-571`): rewrite
     * files whose physical schema differs from the promoted unified
     * schema. Rewrites whole schema-groups in one distributed pass each,

@@ -33,16 +33,7 @@ object Repartition {
       val staged = dest.copy(path = tmpPath.toString)
       val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
         timeBatch = timeBatch).write(spark, df)
-      val live = new Path(dest.path)
-      val backup = new Path(live.getParent, s".${live.getName}__repartition_old")
-      fs.delete(backup, true)
-      if (!fs.rename(live, backup))
-        throw new IllegalStateException(s"swap failed: cannot move $live aside")
-      if (!fs.rename(tmpPath, live)) {
-        fs.rename(backup, live) // roll back
-        throw new IllegalStateException(s"swap failed: cannot promote $tmpPath")
-      }
-      fs.delete(backup, true)
+      DatasetWriter.swapInPlace(fs, tmpPath, new Path(dest.path))
       n
     } else {
       val n = DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)

@@ -410,6 +410,37 @@ object OpsQueries {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- W12: keyed upsert (merge) ---------------------------------------
+  /** Upsert semantics end to end: overwrite-write nation, then merge a
+    * batch that renames keys < 5 and introduces keys 100/101. The final
+    * dataset (read back, full rows) must equal the SQL reconstruction —
+    * replaced rows replaced, new rows present, everything else intact. */
+  def w12Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w12")
+    val ds = GraftDataset(out)
+    val nation = Tables.load(spark, dir, "nation")
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, nation)
+    val updates = nation.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+      .unionByName(spark.range(2).select(
+        (col("id") + 100).as("n_nationkey"),
+        concat(lit("NEW_"), col("id")).as("n_name"),
+        lit(0L).as("n_regionkey")))
+    DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("n_nationkey")
+      .write(spark, updates)
+    ds.df(spark).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+  val w12Sql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM (
+      |  SELECT n_nationkey,
+      |    CASE WHEN n_nationkey < 5 THEN n_name || '_V2' ELSE n_name END AS n_name,
+      |    n_regionkey
+      |  FROM nation
+      |  UNION ALL SELECT 100, 'NEW_0', 0
+      |  UNION ALL SELECT 101, 'NEW_1', 0)
+      |ORDER BY n_nationkey""".stripMargin
+
   // ---- A3: min/max scalar aggregates (delta window bounds) -------------
   def a3MinMax(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
@@ -488,6 +519,7 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s3_feather_roundtrip" -> (s3FeatherRoundtrip _),
     "s10_arrow_export" -> (s10ArrowExport _),
+    "w12_upsert" -> (w12Upsert _),
     "a3_minmax" -> (a3MinMax _),
     "a4_partition_enum" -> (a4PartitionEnum _),
     "a5_counts" -> (a5Counts _),
@@ -516,6 +548,7 @@ object OpsQueries {
   val oracles: Map[String, String] = Map(
     "s3_feather_roundtrip" -> s3Sql,
     "s10_arrow_export" -> s10Sql,
+    "w12_upsert" -> w12Sql,
     "a3_minmax" -> a3Sql,
     "a4_partition_enum" -> a4Sql,
     "a5_counts" -> a5Sql,

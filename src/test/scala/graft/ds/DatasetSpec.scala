@@ -77,6 +77,30 @@ class DatasetSpec extends AnyFunSuite {
     assert(ds.df(spark).count() == 3)
   }
 
+  test("upsert replaces matched keys, appends new ones, first-write appends (W12)") {
+    val out = tmp() + "/upsert"
+    val ds = GraftDataset(out)
+    // first write on an empty target = plain write
+    val w = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("k")
+    assert(w.write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v")) == 2)
+    // merge: replace k=2, insert k=3
+    val n = w.write(spark, Seq((2, "B2"), (3, "c")).toDF("k", "v"))
+    assert(n == 3) // rows in the rewritten dataset
+    val back = ds.df(spark).as[(Int, String)].collect().toMap
+    assert(back == Map(1 -> "a", 2 -> "B2", 3 -> "c"), back)
+    // null-safe: a NULL key replaces the NULL-key row, not re-appends
+    val w2 = DatasetWriter(GraftDataset(out + "2"), WriteMode.Upsert).withDeltaSubset("k")
+    w2.write(spark, Seq((Some(1), "a"), (None, "x")).toDF("k", "v"))
+    w2.write(spark, Seq((Option.empty[Int], "y")).toDF("k", "v"))
+    val back2 = GraftDataset(out + "2").df(spark).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getString(1)).toMap
+    assert(back2 == Map(1 -> "a", -1 -> "y"), back2)
+    // missing keys → loud failure
+    intercept[IllegalArgumentException] {
+      DatasetWriter(ds, WriteMode.Upsert).write(spark, Seq((9, "z")).toDF("k", "v"))
+    }
+  }
+
   test("delta mode detects existing data for compressed csv datasets") {
     val out = tmp() + "/ds"
     val ds = GraftDataset(out, format = "csv") // zstd→gzip → part-*.csv.gz
