@@ -146,9 +146,11 @@ final case class DatasetWriter(
     // Row count captured via Observation during the single write job —
     // no caching of the (potentially huge) output.
     val obs = org.apache.spark.sql.Observation()
-    // zstd is parquet-only in vanilla Hadoop; text formats fall back to gzip.
+    // zstd needs native codec support for TEXT formats in vanilla
+    // Hadoop → csv/json fall back to gzip; parquet and orc compress
+    // zstd internally and keep it.
     val codec =
-      if (target.format != "parquet" && target.compression == "zstd") "gzip"
+      if ((target.format == "csv" || target.format == "json") && target.compression == "zstd") "gzip"
       else target.compression
     var w = batched.observe(obs, count(lit(1)).as("rows")).write
       .mode(saveMode)

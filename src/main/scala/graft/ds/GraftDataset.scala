@@ -78,6 +78,24 @@ final case class GraftDataset(
   def toArrowStream(spark: SparkSession, outPath: String): Long =
     graft.sources.FeatherIO.writeStream(df(spark), outPath)
 
+  /** Remove leftover staging/backup directories from crashed rewrites
+    * (upsert/repartition swaps beside the dataset, unify temps inside
+    * it). Safe on a live dataset: only the well-known staging names are
+    * touched. Returns the deleted paths. */
+  def vacuum(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    val p = new Path(path)
+    val sibSuffixes = Seq("__upsert_tmp", "__swap_old", "__repartition_tmp", "__repartition_old")
+    val sib = Option(p.getParent).filter(f.exists(_)).toSeq.flatMap(f.listStatus(_).toSeq)
+      .filter(st => st.isDirectory &&
+        sibSuffixes.exists(s => st.getPath.getName == s".${p.getName}$s"))
+    val child =
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_unify_tmp_"))
+    (sib ++ child).map { st => f.delete(st.getPath, true); st.getPath.toString }
+  }
+
   def fs(spark: SparkSession): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

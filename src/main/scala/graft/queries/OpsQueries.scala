@@ -410,6 +410,38 @@ object OpsQueries {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- S11/S12: json + orc datasets ------------------------------------
+  /** JSON-lines dataset roundtrip through the generic format path: the
+    * dataset layer is format-agnostic (reference is parquet/csv/feather;
+    * json/orc come free with the Spark source API). */
+  def s11JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("s11")
+    val ds = GraftDataset(out, format = "json")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .write(spark, Tables.load(spark, dir, "region"))
+    ds.df(spark).select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+  val s11Sql: String =
+    "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+  /** ORC roundtrip — same generic path, columnar format. */
+  def s12OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("s12")
+    val ds = GraftDataset(out, format = "orc")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .write(spark, Tables.load(spark, dir, "supplier"))
+    ds.df(spark)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+      .orderBy("s_nationkey")
+  }
+  val s12Sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   // ---- W12: keyed upsert (merge) ---------------------------------------
   /** Upsert semantics end to end: overwrite-write nation, then merge a
     * batch that renames keys < 5 and introduces keys 100/101. The final
@@ -520,6 +552,8 @@ object OpsQueries {
     "s3_feather_roundtrip" -> (s3FeatherRoundtrip _),
     "s10_arrow_export" -> (s10ArrowExport _),
     "w12_upsert" -> (w12Upsert _),
+    "s11_json_roundtrip" -> (s11JsonRoundtrip _),
+    "s12_orc_roundtrip" -> (s12OrcRoundtrip _),
     "a3_minmax" -> (a3MinMax _),
     "a4_partition_enum" -> (a4PartitionEnum _),
     "a5_counts" -> (a5Counts _),
@@ -549,6 +583,8 @@ object OpsQueries {
     "s3_feather_roundtrip" -> s3Sql,
     "s10_arrow_export" -> s10Sql,
     "w12_upsert" -> w12Sql,
+    "s11_json_roundtrip" -> s11Sql,
+    "s12_orc_roundtrip" -> s12Sql,
     "a3_minmax" -> a3Sql,
     "a4_partition_enum" -> a4Sql,
     "a5_counts" -> a5Sql,

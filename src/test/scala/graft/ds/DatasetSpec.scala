@@ -101,6 +101,37 @@ class DatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum removes only crashed-rewrite staging dirs, keeps data") {
+    val out = tmp() + "/vac"
+    val ds = GraftDataset(out)
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, Seq(1, 2, 3).toDF("k"))
+    val f = ds.fs(spark)
+    val parent = new org.apache.hadoop.fs.Path(out).getParent
+    // simulate leftovers from crashed upsert + repartition + unify
+    Seq(s".vac__upsert_tmp", s".vac__swap_old").foreach(n =>
+      f.mkdirs(new org.apache.hadoop.fs.Path(parent, n)))
+    f.mkdirs(new org.apache.hadoop.fs.Path(out, "_unify_tmp_123"))
+    f.mkdirs(new org.apache.hadoop.fs.Path(parent, "unrelated_dir"))
+    val deleted = ds.vacuum(spark)
+    assert(deleted.size == 3, deleted)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(parent, s".vac__upsert_tmp")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(parent, "unrelated_dir")))
+    assert(ds.df(spark).count() == 3) // data untouched
+  }
+
+  test("json and orc datasets roundtrip through the generic format path") {
+    val jout = tmp() + "/j"
+    val jds = GraftDataset(jout, format = "json")
+    DatasetWriter(jds, WriteMode.Overwrite).write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(jds.dataFiles(spark).nonEmpty, "json files invisible to dataFiles")
+    assert(jds.df(spark).count() == 2)
+    val oout = tmp() + "/o"
+    val ods = GraftDataset(oout, format = "orc") // zstd stays zstd for orc
+    DatasetWriter(ods, WriteMode.Overwrite).write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(ods.dataFiles(spark).nonEmpty, "orc files invisible to dataFiles")
+    assert(ods.df(spark).count() == 2)
+  }
+
   test("delta mode detects existing data for compressed csv datasets") {
     val out = tmp() + "/ds"
     val ds = GraftDataset(out, format = "csv") // zstd→gzip → part-*.csv.gz
