@@ -72,27 +72,42 @@ final case class DatasetWriter(
 
     val prepared = transform(target.pipeline(input))
 
+    // validate BEFORE any write: a key-less upsert must fail on the
+    // first (empty-target) run, not succeed once and break on the next
+    if (mode == WriteMode.Upsert)
+      require(deltaSubset.nonEmpty, "upsert needs key columns — set withDeltaSubset(...)")
+
     if (mode == WriteMode.Upsert && existed) {
-      require(deltaSubset.nonEmpty,
-        "upsert needs key columns — set withDeltaSubset(...)")
       val existing = target.raw(spark)
-      val keys = prepared.select(deltaSubset.map(col): _*).distinct()
-      // null-safe: a NULL key replaces a NULL key (same rule as delta)
-      val cond = deltaSubset.map(c => existing(c) <=> keys(c)).reduce(_ && _)
-      val kept = existing.join(keys, cond, "left_anti")
-        .select(prepared.columns.map(col): _*)
-      val merged = kept.unionByName(prepared)
-      // stage the merged dataset, then swap — `merged` scans the live
-      // target lazily, so the target must not be touched until the
-      // staged write has fully materialized
-      val tmp = new Path(targetPath.getParent, s".${targetPath.getName}__upsert_tmp")
-      fs.delete(tmp, true)
-      val staged = GraftDataset(tmp.toString, format = target.format,
-        partitioning = target.partitioning, compression = target.compression)
-      val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
-        timeBatch = timeBatch, rowGroupSize = rowGroupSize).write(spark, merged)
-      DatasetWriter.swapInPlace(fs, tmp, targetPath)
-      return n
+      // column agreement is mandatory: the merge rewrites the WHOLE
+      // dataset, so a narrower incoming batch would silently destroy
+      // the missing columns for every row, not just upserted ones
+      require(existing.columns.toSet == prepared.columns.toSet,
+        s"upsert batch columns ${prepared.columns.sorted.mkString(",")} must match " +
+          s"dataset columns ${existing.columns.sorted.mkString(",")}")
+      // persist: the incoming plan feeds both the key snapshot and the
+      // union — re-executing a non-deterministic input between the two
+      // could delete a key's old row without writing its replacement
+      val pinned = prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keys = pinned.select(deltaSubset.map(col): _*).distinct()
+        // null-safe: a NULL key replaces a NULL key (same rule as delta)
+        val cond = deltaSubset.map(c => existing(c) <=> keys(c)).reduce(_ && _)
+        val kept = existing.join(keys, cond, "left_anti")
+          .select(pinned.columns.map(col): _*)
+        val merged = kept.unionByName(pinned)
+        // stage the merged dataset, then swap — `merged` scans the live
+        // target lazily, so the target must not be touched until the
+        // staged write has fully materialized
+        val tmp = new Path(targetPath.getParent, s".${targetPath.getName}__upsert_tmp")
+        fs.delete(tmp, true)
+        val staged = GraftDataset(tmp.toString, format = target.format,
+          partitioning = target.partitioning, compression = target.compression)
+        val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
+          timeBatch = timeBatch, rowGroupSize = rowGroupSize).write(spark, merged)
+        DatasetWriter.swapInPlace(fs, tmp, targetPath)
+        return n
+      } finally pinned.unpersist()
     }
 
     val (toWrite, saveMode) = mode match {

@@ -47,7 +47,12 @@ final case class GraftDataset(
     dropCols: Seq[String] = Nil,
     // explicit file list (manifest-snapshot reads): when set, scans read
     // exactly these files instead of listing `path`
-    files: Seq[String] = Nil) {
+    files: Seq[String] = Nil,
+    // hive-discovery root for explicit-file reads; when None the deepest
+    // common directory is used, which can sit INSIDE a partition dir if
+    // every listed file shares one partition value — callers that know
+    // the dataset root (TimeFly) must pass it
+    filesBasePath: Option[String] = None) {
 
   def withSort(cols: (String, Boolean)*): GraftDataset = copy(sortBy = SortSpec(cols))
   def withDedup(subset: Seq[String], presort: SortSpec = SortSpec(Nil), keepLast: Boolean = false): GraftDataset =
@@ -80,8 +85,12 @@ final case class GraftDataset(
 
   /** Remove leftover staging/backup directories from crashed rewrites
     * (upsert/repartition swaps beside the dataset, unify temps inside
-    * it). Safe on a live dataset: only the well-known staging names are
-    * touched. Returns the deleted paths. */
+    * it). Only the well-known staging names are touched — but do NOT
+    * run concurrently with writers: an in-flight swap's `__swap_old`
+    * backup is the only copy of the live data between its two renames,
+    * and deleting it would make the rollback impossible. Run vacuum
+    * when no rewrite is active (same discipline as object-store
+    * lifecycle cleanup). Returns the deleted paths. */
   def vacuum(spark: SparkSession): Seq[String] = {
     val f = fs(spark)
     val p = new Path(path)
@@ -102,11 +111,14 @@ final case class GraftDataset(
   def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
 
   def dataFiles(spark: SparkSession): Seq[String] =
-    dataFileStatuses(spark).map(_._1)
+    // explicit-file datasets return their list verbatim: zero RPCs
+    // (dataFileStatuses would stat each file just to discard the size)
+    if (files.nonEmpty) files else dataFileStatuses(spark).map(_._1)
 
   /** Data files with their byte sizes, from ONE recursive listing —
     * consumers needing sizes (manifest snapshots) must not re-stat each
-    * file: that is O(files) driver RPCs on an object store. */
+    * file: that is O(files) driver RPCs on an object store. (The
+    * explicit-file branch has no listing to reuse and must stat.) */
   def dataFileStatuses(spark: SparkSession): Seq[(String, Long)] = {
     if (files.nonEmpty) {
       val f = fs(spark)
@@ -143,7 +155,9 @@ final case class GraftDataset(
     // explicit leaf-file reads: without basePath Spark treats each
     // file's parent as its own root and skips hive partition discovery,
     // silently dropping the partition columns a directory read returns
-    val r = if (files.nonEmpty) r0.option("basePath", commonParent(files).toString) else r0
+    val r = if (files.nonEmpty)
+      r0.option("basePath", filesBasePath.getOrElse(commonParent(files).toString))
+    else r0
     val srcs = if (files.nonEmpty) files else Seq(path)
     format match {
       case "parquet" => r.parquet(srcs: _*)

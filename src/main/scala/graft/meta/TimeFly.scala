@@ -216,7 +216,12 @@ final class TimeFly(spark: SparkSession, root: String) {
     val manifest =
       if (p == currentPath) None else manifestFiles(p.getName)
     manifest match {
-      case Some(fl) => GraftDataset(p.toString, format = format, files = fl)
+      // basePath = current/ (the manifest files' true root): the
+      // deepest-common-dir fallback would sit inside a partition dir
+      // whenever every file shares one partition value, dropping the
+      // partition column for that snapshot only
+      case Some(fl) => GraftDataset(p.toString, format = format, files = fl,
+        filesBasePath = Some(currentPath.toString))
       case None => GraftDataset(p.toString, format = format)
     }
   }

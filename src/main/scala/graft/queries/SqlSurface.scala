@@ -803,12 +803,14 @@ object SqlSurface {
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(22,6)")).as("val"))
-    // decimal-exact threshold: val > 2·avg rewritten as val·n > 2·Σval
-    // (n > 0) — no double summation whose order could differ between
-    // engines, no decimal division whose precision rules could
-    val thr = de.agg(sum(col("val")).as("tot"), count(lit(1)).as("nparts"))
+    // deterministic threshold: val and Σval are decimal-EXACT (order-
+    // independent) in both engines; each is then cast to double ONCE
+    // and compared with identical IEEE ops. (Keeping the comparison in
+    // decimal is not portable — val·n overflows DuckDB's width-38 cap
+    // and silently falls back to double there anyway.)
+    val thr = de.agg(sum(col("val")).cast("double").as("tot"), count(lit(1)).as("nparts"))
     de.join(broadcast(thr),
-        col("val") * col("nparts") > col("tot") * 2)
+        col("val").cast("double") * col("nparts") > col("tot") * 2)
       .select(col("l_partkey").as("p_key"), col("val").cast("double").as("value"))
       .orderBy(desc("value"), col("p_key"))
   }
@@ -818,7 +820,7 @@ object SqlSurface {
       |    JOIN nation ON s_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
       |  WHERE r_name='ASIA' GROUP BY 1)
       |SELECT l_partkey AS p_key, CAST(val AS DOUBLE) AS value FROM de
-      |WHERE val * (SELECT COUNT(*) FROM de) > 2 * (SELECT SUM(val) FROM de)
+      |WHERE CAST(val AS DOUBLE) * (SELECT COUNT(*) FROM de) > (SELECT CAST(SUM(val) AS DOUBLE) FROM de) * 2
       |ORDER BY value DESC, p_key""".stripMargin
 
   // ---------------------------------------------------------------- q12

@@ -95,9 +95,16 @@ class DatasetSpec extends AnyFunSuite {
     val back2 = GraftDataset(out + "2").df(spark).collect()
       .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getString(1)).toMap
     assert(back2 == Map(1 -> "a", -1 -> "y"), back2)
-    // missing keys → loud failure
+    // missing keys → loud failure even on an EMPTY target (a key-less
+    // pipeline must not succeed once and only break on the second run)
     intercept[IllegalArgumentException] {
-      DatasetWriter(ds, WriteMode.Upsert).write(spark, Seq((9, "z")).toDF("k", "v"))
+      DatasetWriter(GraftDataset(out + "3"), WriteMode.Upsert)
+        .write(spark, Seq((9, "z")).toDF("k", "v"))
+    }
+    // a narrower batch must fail, not silently erase the missing column
+    intercept[IllegalArgumentException] {
+      DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("k")
+        .write(spark, Seq(Tuple1(2)).toDF("k"))
     }
   }
 

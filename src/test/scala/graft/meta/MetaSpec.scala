@@ -106,6 +106,21 @@ class TimeFlySpec extends AnyFunSuite {
       Set((1, "a"), (2, "b"), (3, "a")))
   }
 
+  test("manifest read keeps the partition column when one partition value exists") {
+    // regression: the deepest-common-dir basePath fallback would sit
+    // INSIDE p=only, silently dropping the partition column
+    val root = tmp() + "/manone"
+    val tf = new TimeFly(spark, root)
+    tf.init("onepart")
+    val cur = GraftDataset(tf.currentPath.toString, partitioning = Seq("p"))
+    DatasetWriter(cur, WriteMode.Overwrite)
+      .write(spark, Seq((1, "only"), (2, "only")).toDF("k", "p"))
+    tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z"), manifest = true)
+    val back = tf.read(Some(Instant.parse("2023-12-01T00:00:00Z"))).df(spark)
+    assert(back.columns.toSet == Set("k", "p"), back.columns.toSeq)
+    assert(back.select("p").distinct().as[String].collect().toSeq == Seq("only"))
+  }
+
   test("manifest and copy snapshots coexist in the resolution order") {
     val root = tmp() + "/mixed"
     val tf = new TimeFly(spark, root)
