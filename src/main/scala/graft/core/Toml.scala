@@ -85,19 +85,23 @@ object Toml {
   }
 
   private def splitKeyPath(s: String): Seq[String] = {
-    // handles a.b."c.d" dotted paths
+    // handles a.b."c.d" dotted paths. Quotes are KEPT during the scan
+    // (so unquoteKey can unescape each segment) and only REAL quotes
+    // toggle the string state — an escaped quote in a section key
+    // (["quo\"te"]) would otherwise flip it mid-key and corrupt the
+    // segment (found by the TOML roundtrip property).
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0; val cur = new StringBuilder
     var inQ = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '"') inQ = !inQ
+      if (c == '"' && isRealQuote(s, i)) { inQ = !inQ; cur.append(c) }
       else if (c == '.' && !inQ) { out += cur.toString.trim; cur.clear() }
       else cur.append(c)
       i += 1
     }
     out += cur.toString.trim
-    out.toSeq
+    out.toSeq.map(unquoteKey)
   }
 
   private def unquoteKey(k: String): String =
