@@ -105,11 +105,17 @@ object TextFunctions {
     val nC = length(text)
     val punct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
     val stop = markerCount(ws, LangMarkers.flatMap(_._2))
+    // zero-guard every ratio: an empty or whitespace-only document has
+    // nW = 0 (and "" has nC = 0), which under ANSI mode is a RUNTIME
+    // DIVIDE_BY_ZERO that kills the whole job — empty docs are
+    // ubiquitous in real corpora (found by TextPropertySpec)
     Seq(
       "n_words" -> nW,
-      "mean_word_len" -> (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nW),
-      "punct_ratio" -> (punct.cast("double") / nC),
-      "stopword_ratio" -> (stop.cast("double") / nW))
+      "mean_word_len" -> when(nW > 0,
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nW)
+        .otherwise(lit(0.0)),
+      "punct_ratio" -> when(nC > 0, punct.cast("double") / nC).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nW > 0, stop.cast("double") / nW).otherwise(lit(0.0)))
   }
 
   /** Composite quality score in [0,1]: length band + stopword presence

