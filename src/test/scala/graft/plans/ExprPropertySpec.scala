@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Randomized batch invariants for the custom Catalyst expressions —
+  * the hot-path code every dedup/ANN pipeline rides. Fixed-seed data,
+  * one Spark job per invariant. */
+class ExprPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1234)
+
+  test("orderedPairs emits exactly the C(n,2) distinct ordered pairs") {
+    val rows = (1 to 100).map { _ =>
+      val n = rnd.nextInt(30)
+      // ids with duplicates and negatives — the expression sees real-
+      // world id lists (bucket posting lists are distinct, but the
+      // expression itself must not assume it)
+      (1 to n).map(_ => rnd.nextLong() % 1000).distinct.sorted.toArray
+    }
+    val out = rows.toDF("ids")
+      .select(col("ids"), explode(GraftExpressions.orderedPairs(spark, col("ids"))).as("p"))
+      .select(col("ids"), col("p.id_a"), col("p.id_b"))
+      .as[(Seq[Long], Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    rows.filter(_.length >= 2).foreach { ids =>
+      val pairs = out.getOrElse(ids.toSeq, Nil)
+      val expected = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+      } yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))).toSet
+      assert(pairs.toSet == expected, s"ids=${ids.toSeq}")
+      assert(pairs.length == ids.length * (ids.length - 1) / 2)
+      assert(pairs.forall { case (a, b) => a < b })
+    }
+  }
+
+  test("sorted-merge intersect count equals set intersection size") {
+    val rows = (1 to 200).map { _ =>
+      val a = (1 to rnd.nextInt(40)).map(_ => s"s${rnd.nextInt(50)}").distinct.sorted
+      val b = (1 to rnd.nextInt(40)).map(_ => s"s${rnd.nextInt(50)}").distinct.sorted
+      (a, b)
+    }
+    val out = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftExpressions.intersectCount(spark, col("a"), col("b")).as("n"))
+      .as[(Seq[String], Seq[String], Int)].collect()
+    out.foreach { case (a, b, n) =>
+      assert(n == a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("graft_topk equals the row_number window formulation, ties included") {
+    GraftExpressions.register(spark)
+    // deliberately FEW distinct sims so ties are common — the heap's
+    // (sim desc, id asc) tie-break must match the window's ordering
+    val data = (1 to 2000).map(i =>
+      (i % 7, rnd.nextInt(5).toDouble, rnd.nextInt(300).toLong))
+      .distinct.map { case (g, s, id) => (g, s, id) }
+    data.toDF("g", "sim", "id").createOrReplaceTempView("topk_prop")
+    val viaHeap = spark.sql(
+      """SELECT g, p.id AS id, p.sim AS sim FROM (
+        |  SELECT g, explode(graft_topk(sim, id, 5)) AS p
+        |  FROM topk_prop GROUP BY g)""".stripMargin)
+      .as[(Int, Long, Double)].collect().toSet
+    val viaWindow = spark.sql(
+      """SELECT g, id, sim FROM (
+        |  SELECT g, id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY sim DESC, id) AS rn
+        |  FROM (SELECT DISTINCT g, sim, id FROM topk_prop))
+        |WHERE rn <= 5""".stripMargin)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(viaHeap == viaWindow,
+      s"heap-window diff: ${(viaHeap diff viaWindow).take(5)} / ${(viaWindow diff viaHeap).take(5)}")
+  }
+
+  test("lsh sign buckets are deterministic and in range") {
+    val vecs = (1 to 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    for (nbits <- Seq(1, 2, 4, 8)) {
+      val out = vecs.toDF("id", "v")
+        .select(GraftExpressions.lshBits(spark, col("v"), nbits).as("b"))
+        .as[Long].collect()
+      assert(out.forall(b => b >= 0 && b < (1L << nbits)),
+        s"bucket out of range for nbits=$nbits: ${out.max}")
+      val out2 = vecs.toDF("id", "v")
+        .select(GraftExpressions.lshBits(spark, col("v"), nbits).as("b"))
+        .as[Long].collect()
+      assert(out.toSeq == out2.toSeq)
+    }
+  }
+}
