@@ -128,6 +128,30 @@ object TextFunctions {
     lenScore + stopScore - punctPenalty + lit(0.2)
   }
 
+  // ------------------------------------------------------- PII redaction
+  /** Ordered (pattern, replacement) pairs for the classic pre-training
+    * scrub: emails first (an email contains digit runs a later phone
+    * pattern would half-match), then IPv4, then phone-like digit runs.
+    * Deliberately simple regexes with exact cross-engine twins — the
+    * point is the codegen'd single-pass pipeline shape; swapping in
+    * stricter patterns is data, not code. */
+  val RedactionRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+
+  /** Apply every redaction rule in order — one chained
+    * `regexp_replace` projection, zero shuffles, codegen'd. */
+  def redact(text: Column): Column =
+    RedactionRules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Count of redactions a rule set would apply (profiling surface —
+    * run BEFORE committing to a destructive scrub). */
+  def redactionCount(text: Column): Column =
+    RedactionRules.map { case (p, _) =>
+      size(regexp_extract_all(text, lit(p), lit(0)))
+    }.reduce(_ + _)
+
   // ------------------------------------------------------- token counts
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text))

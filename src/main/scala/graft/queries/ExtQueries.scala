@@ -627,6 +627,35 @@ object ExtQueries {
       |WHERE d.doc_id % 23 <> 0
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** PII redaction scrub: plant an email/IP/phone into every document,
+    * run the ordered redaction rules, and fingerprint the scrubbed
+    * text — the md5 match proves byte-identical redaction across
+    * engines (rule order matters: the email pattern must fire before
+    * the phone pattern sees its digit runs). */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") < 200)
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"), lit(" mail u"), col("doc_id").cast("string"),
+        lit("@ex.org ip 10.0.0.9 tel +1 555-123-4567 end")).as("t"))
+    planted.select(col("doc_id"),
+        TextFunctions.redactionCount(col("t")).cast("int").as("n_pii"),
+        md5(TextFunctions.redact(col("t")).cast("binary")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+  val redactPiiSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org ip 10.0.0.9 tel +1 555-123-4567 end' AS t
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |     + len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+      |     + len(regexp_extract_all(t, '\+?\d[\d\s().-]{7,}\d')) AS INT) AS n_pii,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')) AS redacted_fp
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Int8 embedding quantization fidelity: per label, how much cosine
     * the 4×-compressed representation loses (avg via decimal-exact sum,
     * plus the exact min). Cosine(v, dequant(v)) is scale-free, so the
@@ -748,6 +777,7 @@ object ExtQueries {
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_redact_pii" -> (redactPii _),
     "x_embed_quantize" -> (embedQuantize _),
     "x_pipeline_e2e" -> (pipelineE2E _),
     "x_split_hash" -> (splitHash _),
@@ -777,6 +807,7 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_redact_pii" -> redactPiiSql,
     "x_embed_quantize" -> embedQuantizeSql,
     "x_pipeline_e2e" -> pipelineE2ESql,
     "x_split_hash" -> splitHashSql,

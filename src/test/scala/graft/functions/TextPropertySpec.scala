@@ -80,6 +80,27 @@ class TextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("redaction scrubs every rule's pattern and is idempotent") {
+    val cases = Seq(
+      "write to bob.smith+x@corp.example.co today",
+      "server at 192.168.001.1 port 80",
+      "call +1 (555) 123-4567 now",
+      "mixed a@b.io and 10.0.0.1 and 555 123 9876!",
+      "clean text with no pii at all")
+    val out = cases.toDF("text")
+      .select(redact(col("text")).as("r"), redactionCount(col("text")).as("n"),
+        redact(redact(col("text"))).as("rr"))
+      .as[(String, Int, String)].collect()
+    assert(out(0)._1 == "write to <EMAIL> today")
+    assert(out(1)._1 == "server at <IP> port 80")
+    assert(out(2)._1 == "call <PHONE> now")
+    assert(out(3)._1 == "mixed <EMAIL> and <IP> and <PHONE>!")
+    assert(out(4)._1 == "clean text with no pii at all" && out(4)._2 == 0)
+    // idempotent: a second pass changes nothing (no replacement token
+    // re-triggers a rule)
+    out.foreach { case (r, _, rr) => assert(r == rr) }
+  }
+
   test("int8 quantization bounds every component on random vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (1 to 200).map(i =>
