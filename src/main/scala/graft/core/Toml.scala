@@ -105,7 +105,9 @@ object Toml {
   }
 
   private def unquoteKey(k: String): String =
-    if (k.startsWith("\"") && k.endsWith("\"")) unescape(k.substring(1, k.length - 1)) else k
+    // length >= 2: a lone quote character (malformed header like ["])
+    // would otherwise hit substring(1, 0) and crash instead of parsing
+    if (k.length >= 2 && k.startsWith("\"") && k.endsWith("\"")) unescape(k.substring(1, k.length - 1)) else k
 
   private def unescape(s: String): String = {
     val sb = new StringBuilder; var i = 0

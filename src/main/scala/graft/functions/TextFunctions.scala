@@ -138,19 +138,26 @@ object TextFunctions {
   val RedactionRules: Seq[(String, String)] = Seq(
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-    ("\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+    // explicit whitespace class, NOT \s: Java's \s includes U+000B
+    // (vertical tab) while RE2's does not — the DuckDB twin would
+    // diverge on a VT between digits
+    ("\\+?\\d[\\d\\t\\n\\r\\f ().-]{7,}\\d", "<PHONE>"))
 
   /** Apply every redaction rule in order — one chained
     * `regexp_replace` projection, zero shuffles, codegen'd. */
   def redact(text: Column): Column =
     RedactionRules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
-  /** Count of redactions a rule set would apply (profiling surface —
-    * run BEFORE committing to a destructive scrub). */
+  /** Count of redactions [[redact]] would apply (profiling surface —
+    * run BEFORE committing to a destructive scrub). Each rule counts on
+    * the PROGRESSIVELY redacted text, mirroring redact's order —
+    * counting every rule on the original would double-count a span
+    * matching several rules (an IP is also a phone-shaped digit run). */
   def redactionCount(text: Column): Column =
-    RedactionRules.map { case (p, _) =>
-      size(regexp_extract_all(text, lit(p), lit(0)))
-    }.reduce(_ + _)
+    RedactionRules.foldLeft((lit(0): Column, text)) {
+      case ((cnt, t), (p, r)) =>
+        (cnt + size(regexp_extract_all(t, lit(p), lit(0))), regexp_replace(t, p, r))
+    }._1
 
   // ------------------------------------------------------- token counts
   /** Whitespace token count. */

@@ -642,19 +642,25 @@ object ExtQueries {
         md5(TextFunctions.redact(col("t")).cast("binary")).as("redacted_fp"))
       .orderBy("doc_id")
   }
-  val redactPiiSql: String =
-    """WITH p AS (
-      |  SELECT doc_id, text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org ip 10.0.0.9 tel +1 555-123-4567 end' AS t
-      |  FROM documents WHERE doc_id < 200)
-      |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-      |     + len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b'))
-      |     + len(regexp_extract_all(t, '\+?\d[\d\s().-]{7,}\d')) AS INT) AS n_pii,
-      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-      |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')) AS redacted_fp
-      |FROM p ORDER BY doc_id""".stripMargin
+  // interpolated from RedactionRules (the file's shared-fragment rule:
+  // oracle regexes must be the SAME strings the Spark side compiles —
+  // the Scala literals are byte-identical to DuckDB's non-escaping
+  // single-quoted form). Counting mirrors redactionCount: each rule on
+  // the PROGRESSIVELY redacted text.
+  val redactPiiSql: String = {
+    val Seq((emailP, emailR), (ipP, ipR), (phoneP, phoneR)) = TextFunctions.RedactionRules
+    s"""WITH p AS (
+       |  SELECT doc_id, text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org ip 10.0.0.9 tel +1 555-123-4567 end' AS t
+       |  FROM documents WHERE doc_id < 200),
+       |r1 AS (SELECT doc_id, t, regexp_replace(t, '$emailP', '$emailR', 'g') AS t1 FROM p),
+       |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$ipP', '$ipR', 'g') AS t2 FROM r1)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailP'))
+       |     + len(regexp_extract_all(t1, '$ipP'))
+       |     + len(regexp_extract_all(t2, '$phoneP')) AS INT) AS n_pii,
+       |  md5(regexp_replace(t2, '$phoneP', '$phoneR', 'g')) AS redacted_fp
+       |FROM r2 ORDER BY doc_id""".stripMargin
+  }
 
   /** Int8 embedding quantization fidelity: per label, how much cosine
     * the 4×-compressed representation loses (avg via decimal-exact sum,

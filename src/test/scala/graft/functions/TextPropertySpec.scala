@@ -58,16 +58,16 @@ class TextPropertySpec extends AnyFunSuite {
   }
 
   test("minhash signatures have fixed arity and set semantics") {
+    // set semantics: the signature depends on the shingle SET, not the
+    // array order — reversing the array must not change it (distinct
+    // expression trees, so this isn't collapsed to one evaluation)
     val rows = df.filter(length(col("text")) > 0)
       .select(minhashSignature(shingleSet(col("text"), 3), 32).as("sig"),
-        // shuffling the words changes order but (mostly) keeps the set;
-        // exact set equality only for single-word docs — so instead:
-        // duplicate the full text: shingle SET unchanged at the joint
-        minhashSignature(shingleSet(col("text"), 3), 32).as("sig2"))
+        minhashSignature(reverse(shingleSet(col("text"), 3)), 32).as("sig2"))
       .as[(Seq[Long], Seq[Long])].collect()
     rows.foreach { case (a, b) =>
       assert(a.length == 32)
-      assert(a == b) // deterministic
+      assert(a == b, "signature is order-sensitive — set semantics broken")
     }
   }
 
@@ -93,8 +93,10 @@ class TextPropertySpec extends AnyFunSuite {
       .as[(String, Int, String)].collect()
     assert(out(0)._1 == "write to <EMAIL> today")
     assert(out(1)._1 == "server at <IP> port 80")
+    assert(out(1)._2 == 1, s"IP double-counted as phone: n=${out(1)._2}")
     assert(out(2)._1 == "call <PHONE> now")
     assert(out(3)._1 == "mixed <EMAIL> and <IP> and <PHONE>!")
+    assert(out(3)._2 == 3, s"n=${out(3)._2}")
     assert(out(4)._1 == "clean text with no pii at all" && out(4)._2 == 0)
     // idempotent: a second pass changes nothing (no replacement token
     // re-triggers a rule)

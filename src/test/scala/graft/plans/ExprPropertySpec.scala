@@ -57,8 +57,7 @@ class ExprPropertySpec extends AnyFunSuite {
     // deliberately FEW distinct sims so ties are common — the heap's
     // (sim desc, id asc) tie-break must match the window's ordering
     val data = (1 to 2000).map(i =>
-      (i % 7, rnd.nextInt(5).toDouble, rnd.nextInt(300).toLong))
-      .distinct.map { case (g, s, id) => (g, s, id) }
+      (i % 7, rnd.nextInt(5).toDouble, rnd.nextInt(300).toLong)).distinct
     data.toDF("g", "sim", "id").createOrReplaceTempView("topk_prop")
     val viaHeap = spark.sql(
       """SELECT g, p.id AS id, p.sim AS sim FROM (
