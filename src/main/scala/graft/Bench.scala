@@ -55,7 +55,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query map (~3 KB for 90+ queries) overflowed the driver's
+    // tail capture in round 3 and the whole line failed to parse. Emit it
+    // FIRST (stdout + a file for post-hoc analysis), and keep the FINAL
+    // stdout line compact so a bounded tail always contains valid JSON.
+    println(f"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try {
+      val p = java.nio.file.Paths.get("BENCH_QUERIES.json")
+      java.nio.file.Files.write(p, qs.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] per-query file write failed: $e") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size}}""")
     spark.stop()
   }
 }

@@ -85,6 +85,18 @@ final case class DatasetWriter(
       require(existing.columns.toSet == prepared.columns.toSet,
         s"upsert batch columns ${prepared.columns.sorted.mkString(",")} must match " +
           s"dataset columns ${existing.columns.sorted.mkString(",")}")
+      // ...and so must TYPES: the merge funnels every existing row
+      // through unionByName, so a same-named column at a wider type
+      // (int batch vs long dataset, or vice versa) would silently
+      // rewrite the stored type for ALL rows, not just upserted ones
+      val existingTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+      val mismatched = prepared.schema
+        .filter(f => existingTypes.get(f.name).exists(_ != f.dataType))
+        .map(f => s"${f.name}: batch ${f.dataType.simpleString} vs " +
+          s"dataset ${existingTypes(f.name).simpleString}")
+      require(mismatched.isEmpty,
+        s"upsert batch column types must match the dataset (the merge " +
+          s"rewrite would coerce every stored row): ${mismatched.mkString("; ")}")
       // persist: the incoming plan feeds both the key snapshot and the
       // union — re-executing a non-deterministic input between the two
       // could delete a key's old row without writing its replacement

@@ -90,11 +90,32 @@ final case class GraftDataset(
     * backup is the only copy of the live data between its two renames,
     * and deleting it would make the rollback impossible. Run vacuum
     * when no rewrite is active (same discipline as object-store
-    * lifecycle cleanup). Returns the deleted paths. */
+    * lifecycle cleanup). Returns the deleted paths.
+    *
+    * Crash recovery: if the live directory is ABSENT (a swap died
+    * between its two renames), the staging siblings hold the only
+    * copies of the data — vacuum then auto-promotes the `__swap_old`
+    * backup (rollback to the pre-rewrite state) before cleaning, and
+    * refuses outright if only tmp dirs remain rather than deleting
+    * the last copy. */
   def vacuum(spark: SparkSession): Seq[String] = {
     val f = fs(spark)
     val p = new Path(path)
     val sibSuffixes = Seq("__upsert_tmp", "__swap_old", "__repartition_tmp", "__repartition_old")
+    def sibling(s: String) = new Path(p.getParent, s".${p.getName}$s")
+    if (!f.exists(p)) {
+      val backup = sibling("__swap_old")
+      if (f.exists(backup)) {
+        // interrupted swap: the backup IS the dataset — restore it
+        if (!f.rename(backup, p))
+          throw new IllegalStateException(
+            s"vacuum: cannot restore crashed-swap backup $backup to $p")
+      } else if (sibSuffixes.exists(s => f.exists(sibling(s)))) {
+        throw new IllegalStateException(
+          s"vacuum: $p is missing but staging siblings exist — they may hold " +
+            "the only copy of the data; restore one manually instead of vacuuming")
+      }
+    }
     val sib = Option(p.getParent).filter(f.exists(_)).toSeq.flatMap(f.listStatus(_).toSeq)
       .filter(st => st.isDirectory &&
         sibSuffixes.exists(s => st.getPath.getName == s".${p.getName}$s"))

@@ -280,19 +280,32 @@ object Similarity {
     * Exactness is per-fixture, not guaranteed: a true top-N pair is
     * found iff it collides in ≥1 table (probability
     * 1−(1−p^nbits)^tables, p = 1−θ/π). `nbits` is the cost knob
-    * (selectivity), `tables` the recall knob. The fixture queries use
-    * coarse buckets tuned (and oracle-verified) to capture the exact
-    * top-N; at 100 TB, near-dup sims are high (p → 1) and `nbits`
-    * rises to keep Σ bucket² ≪ n².
+    * (selectivity), `tables` the recall knob. Both default to −1 =
+    * CORPUS-DERIVED via [[lshTopPairsPolicy]]: `nbits` grows with
+    * log2(n/targetBucket) so expected bucket size — and with it the
+    * Σ bucket² candidate volume — stays bounded as the corpus grows,
+    * and `tables` grows with nbits to hold recall on near-duplicate
+    * pairs. On the sf fixtures (n ≤ 2000) the policy lands on the
+    * oracle-verified coarse point (nbits=2, tables=16); at 100 TB it
+    * self-tightens (n=10⁹, targetBucket=500 → nbits=21) instead of
+    * melting into an n² enumeration.
     *
     * Pair identity rides the heap as `(id_a << 32) | id_b`, so ids
     * must fit in 31 bits (2 B rows per *partition block* of a larger
-    * corpus — shard the id space above that). */
+    * corpus — shard the id space above that); the keyed stage raises
+    * on the first out-of-range id rather than corrupting pair ids. */
   def lshTopPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      n: Int, nbits: Int = 2, tables: Int = 16): DataFrame = {
+      n: Int, nbits: Int = -1, tables: Int = -1,
+      targetBucket: Int = 500): DataFrame = {
 
     val spark = df.sparkSession
+    val (dBits, dTables) =
+      if (nbits > 0 && tables > 0) (nbits, tables)
+      else {
+        val (pb, pt) = lshTopPairsPolicy(df.count(), targetBucket)
+        (if (nbits > 0) nbits else pb, if (tables > 0) tables else pt)
+      }
     // numeric ids only: casting a string id yields nulls that vanish
     // silently in collect_list instead of failing loudly
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -305,9 +318,18 @@ object Similarity {
     // pairs colliding in several tables. Only ids ride any of it;
     // vectors re-join by id on the deduped pair list, the same
     // carry-ids-not-arrays shape as the dedup verify joins.
-    val keyed = df.select(col(idCol).cast("long").as("id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col(vecCol), nbits, t).as("b"))): _*)).as("key"))
+    // ids feed the packed (id_a << 32) | id_b pair key — an id outside
+    // [0, 2^31) would corrupt pair identity silently, so the keyed
+    // stage raises on the first offender (codegen'd per-row check, no
+    // extra pass over the data)
+    val rawId = col(idCol).cast("long")
+    val checkedId = when(rawId < 0 || rawId >= (1L << 31),
+      raise_error(concat(lit(s"lshTopPairs: id '$idCol' outside [0, 2^31): "),
+        rawId.cast("string")))).otherwise(rawId)
+
+    val keyed = df.select(checkedId.as("id"),
+      explode(array((0 until dTables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vecCol), dBits, t).as("b"))): _*)).as("key"))
 
     val cand = keyed.groupBy(col("key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -328,5 +350,49 @@ object Similarity {
       .select(shiftright(col("p.id"), 32).as("id_a"),
         col("p.id").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
         col("p.sim").as("sim"))
+  }
+
+  /** Corpus-derived (nbits, tables) for [[lshTopPairs]].
+    *
+    *  - `nbits = max(2, ceil(log2(n / targetBucket)))`: expected bucket
+    *    size ≈ targetBucket for hash-balanced sign bits, so per-table
+    *    candidate volume Σ C(bucket,2) ≈ n·targetBucket/2 — LINEAR in n
+    *    for a fixed targetBucket, instead of the n²/2 a constant nbits
+    *    degrades to as the corpus grows.
+    *  - `tables`: smallest T with miss probability ≤ 1e-3 for a
+    *    near-duplicate pair at cosine 0.9 (bit-agreement p = 1−θ/π ≈
+    *    0.856): (1 − p^nbits)^T ≤ 1e-3, clamped to [16, 64]. The floor
+    *    of 16 holds recall on the moderate-sim pairs that dominate
+    *    small corpora (oracle-verified across sf fixtures); the cap
+    *    bounds write amplification — past it, raise targetBucket
+    *    instead of tables.
+    *
+    * n=2000 → (2, 16) — the fixture's oracle-exact point; n=10⁶ →
+    * (11, 35); n=10⁹ → (21, 64 clamped). */
+  def lshTopPairsPolicy(n: Long, targetBucket: Int = 500): (Int, Int) = {
+    require(n > 0 && targetBucket > 0,
+      s"lshTopPairsPolicy needs positive n/targetBucket, got n=$n targetBucket=$targetBucket")
+    val nbits = math.max(2,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+    val pNearDup = 1.0 - math.acos(0.9) / math.Pi
+    val perTableHit = math.pow(pNearDup, nbits)
+    val t = math.ceil(math.log(1e-3) / math.log(1.0 - perTableHit)).toInt
+    (nbits, math.min(64, math.max(16, t)))
+  }
+
+  /** Total LSH candidate-pair volume Σ_(t,b) C(bucket,2) before the
+    * multi-table distinct — the quantity [[lshTopPairsPolicy]] bounds.
+    * Computed from bucket SIZES (one groupBy-count), never by
+    * materializing pairs, so it is cheap enough to run as a pre-flight
+    * on a real corpus. */
+  def lshCandidateVolume(
+      df: DataFrame, vecCol: String, nbits: Int, tables: Int): Long = {
+    val keyed = df.select(
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vecCol), nbits, t).as("b"))): _*)).as("key"))
+    val r = keyed.groupBy(col("key")).count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+      .collect()(0)
+    if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue()
   }
 }

@@ -279,7 +279,7 @@ object ExtQueries {
     * proves the bucket parameters capture it on this fixture. */
   def embedTopPairs(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    Similarity.lshTopPairs(emb, "vec_id", "embedding", n = 20, nbits = 2, tables = 16)
+    Similarity.lshTopPairs(emb, "vec_id", "embedding", n = 20)
       .orderBy(desc("sim"), col("id_a"), col("id_b"))
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim_r"))
   }

@@ -452,12 +452,16 @@ object OpsQueries {
     val ds = GraftDataset(out)
     val nation = Tables.load(spark, dir, "nation")
     DatasetWriter(ds, WriteMode.Overwrite).write(spark, nation)
+    // cast the synthesized rows to nation's stored types: range() emits
+    // bigint, and upsert (correctly) refuses a batch whose types differ
+    // from the dataset — the merge rewrite would widen every stored row
+    val nt = nation.schema.map(f => f.name -> f.dataType).toMap
     val updates = nation.filter(col("n_nationkey") < 5)
       .withColumn("n_name", concat(col("n_name"), lit("_V2")))
       .unionByName(spark.range(2).select(
-        (col("id") + 100).as("n_nationkey"),
+        (col("id") + 100).cast(nt("n_nationkey")).as("n_nationkey"),
         concat(lit("NEW_"), col("id")).as("n_name"),
-        lit(0L).as("n_regionkey")))
+        lit(0L).cast(nt("n_regionkey")).as("n_regionkey")))
     DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("n_nationkey")
       .write(spark, updates)
     ds.df(spark).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))

@@ -897,7 +897,8 @@ object SqlSurface {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
       |  AND p_size IN (1,4,9,14,19,23,36,45)
-      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
       |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
   // ---------------------------------------------------------------- q20

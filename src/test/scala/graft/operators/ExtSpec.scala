@@ -208,11 +208,37 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", threshold = -2.0)
       .orderBy(desc("sim"), $"id_a", $"id_b").limit(20)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
-    val lsh = Similarity.lshTopPairs(emb, "vec_id", "embedding",
-        n = 20, nbits = 2, tables = 16)
+    // corpus-derived parameters (no explicit nbits/tables): n=500 must
+    // land on the coarse oracle-exact point
+    assert(Similarity.lshTopPairsPolicy(500) == ((2, 16)))
+    val lsh = Similarity.lshTopPairs(emb, "vec_id", "embedding", n = 20)
       .orderBy(desc("sim"), $"id_a", $"id_b")
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
     assert(lsh == exact)
+  }
+
+  test("lsh top pairs policy bounds candidate volume at 10x fixture scale") {
+    // policy shape: nbits grows with corpus size, tables clamped
+    assert(Similarity.lshTopPairsPolicy(2000) == ((2, 16)))
+    assert(Similarity.lshTopPairsPolicy(1000000)._1 == 11)
+    assert(Similarity.lshTopPairsPolicy(1000000000L) == ((21, 64)))
+    // synthetic corpus 20x the sf0.1 fixture (40k vectors, 64 dims,
+    // hash-derived floats → near-balanced sign buckets). Policy gives
+    // nbits=7 (128 buckets/table), tables=17 → expected reduction
+    // 128/17 ≈ 7.5x vs all-pairs, growing with every further doubling.
+    val n = 40000
+    val dims = 64
+    val syn = spark.range(n).select($"id".as("vec_id"),
+      array((0 until dims).map(d =>
+        ((hash($"id", lit(d)).cast("double") / Int.MaxValue)).cast("float")): _*).as("embedding"))
+    val (nbits, tables) = Similarity.lshTopPairsPolicy(n, targetBucket = 500)
+    val vol = Similarity.lshCandidateVolume(syn, "embedding", nbits, tables)
+    val allPairs = n.toLong * (n - 1) / 2
+    // balanced buckets give ~ tables * n * targetBucket / 2; allow 2x
+    // slack for imbalance. Both bounds must hold: linear-in-n, and far
+    // below the all-pairs volume a fixture-tuned nbits=2 degrades to.
+    assert(vol <= 2L * tables * n * 500 / 2, s"volume $vol vs linear bound")
+    assert(vol <= allPairs / 5, s"volume $vol vs all-pairs $allPairs")
   }
 
   test("lsh top pairs plan has no nested-loop or cartesian join") {
