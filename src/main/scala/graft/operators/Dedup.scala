@@ -23,13 +23,24 @@ import graft.functions.TextFunctions._
   *    pigeonhole; wider radii need more/narrower chunks).
   *  - embedding cosine: see Similarity.scala.
   *
-  * Caching note: the pipelines persist small projected intermediates
-  * (id + signature/shingle columns) that feed multiple joins. Spark has
-  * no reliable unpersist-after-lazy-result hook, so long-lived sessions
-  * running many dedup passes should `spark.catalog.clearCache()` after
-  * materializing each result (the bench harness does exactly this).
+  * Caching note: the pipelines materialize small projected
+  * intermediates (id + signature/shingle columns) that feed multiple
+  * joins via eager `localCheckpoint`, not `cache()`: checkpoint blocks
+  * belong to the RDD and are released by the ContextCleaner as soon as
+  * the result plan is garbage-collected, so long-lived sessions need no
+  * `clearCache()` discipline and nothing accumulates in the cache
+  * manager across many dedup passes. Trade-off (documented for cluster
+  * deployments): localCheckpoint truncates lineage, so losing an
+  * executor that holds checkpoint blocks fails the job instead of
+  * recomputing — with dynamic allocation, prefer
+  * `spark.dynamicAllocation.shuffleTracking.enabled` or reliable
+  * `checkpoint()` to a cluster-visible directory.
   */
 object Dedup {
+
+  /** Eagerly materialize a small intermediate that feeds multiple joins.
+    * See the object scaladoc for why this is localCheckpoint, not cache. */
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Exact dedup on a canonical fingerprint: keep the lowest-id doc per
     * fingerprint group. Single shuffle on the (small) hash key. */
@@ -81,7 +92,7 @@ object Dedup {
     val (sizes, pairSource) = maxShingleDf match {
       case None => (docs.select(col("id"), size(col("sh")).as("sz")), kept)
       case Some(_) =>
-        val k = kept.cache()
+        val k = pin(kept)
         (k.select(explode(col("ids")).as("id")).groupBy("id").agg(count(lit(1)).as("sz")), k)
     }
 
@@ -124,7 +135,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
 
-    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")).cache()
+    val docs = pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")))
     val posting = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
 
@@ -153,10 +164,10 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
 
     val r = k / bands
-    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")).cache()
+    val docs = pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")))
     // Signatures are tiny (id + k longs) and feed both sides of the
     // bucket self-join — materialize once.
-    val sigs = docs.select(col("id"), bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk")).cache()
+    val sigs = pin(docs.select(col("id"), bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk")))
     val buckets = sigs.select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
     val cands = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
       .filter(col("a.id") < col("b.id"))
@@ -195,7 +206,7 @@ object Dedup {
     // so drop them (the SQL twin's unnest drops them implicitly)
     val sigs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) > 0)
-      .select(col("id"), hasher(col("__t")).as("sig")).cache()
+      .select(col("id"), hasher(col("__t")).as("sig")).transform(pin)
     val chunks = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         call_function("shiftright", col("sig"), lit(c * 16)).bitwiseAND(lit(0xFFFFL))): _*))

@@ -751,23 +751,54 @@ object ExtQueries {
     * the aggregation semantics; this proves the micro-batch execution
     * path the driver contract never touched before.
     *
-    * Determinism: the staging copy is ONE file, so there is a single
-    * data micro-batch (nothing is ever dropped as late) and the
-    * AvailableNow flush emits exactly the windows finalized by the final
-    * watermark — `window_end <= max(ts) − 2h`, the cutoff the oracle
-    * replicates. The fixture's max(ts) is not hour-aligned, so the
-    * boundary is unambiguous. */
+    * MULTI-micro-batch by construction: the staging copy is split into
+    * three files by ascending event time (ntile over the ts order) with
+    * ascending mtimes, and the source runs `maxFilesPerTrigger=1` — so
+    * watermark state provably carries across ≥3 micro-batches and the
+    * delta sink absorbs ≥3 separate foreachBatch writes. Determinism
+    * under the split: every row of batch k has ts ≥ every ts of batches
+    * < k, and the watermark after batch k is max_ts(1..k) − 2h, so a
+    * later row can never fall below an earlier watermark (nothing is
+    * dropped as late) and a window emitted early can never receive rows
+    * afterwards (later ts exceed its end by ≥ the watermark delay).
+    * The union of append-mode emissions is therefore exactly the
+    * single-batch cutoff the oracle replicates:
+    * `window_end <= max(ts) − 2h`. The fixture's max(ts) is not
+    * hour-aligned, so the boundary is unambiguous. */
   def streamE2E(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q_stream_").toString
     val staged = base + "/src"
     // stage through Tables.load: events.parquet carries TIMESTAMP(NANOS),
-    // which the file-stream source cannot read directly
-    Tables.load(spark, dir, "events").coalesce(1).write.parquet(staged)
+    // which the file-stream source cannot read directly. The global
+    // single-partition ntile sort is staging scaffolding at fixture
+    // scale, not a pipeline shape.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val tiled = Tables.load(spark, dir, "events")
+      .withColumn("__tile", ntile(3).over(w))
+    val fs = new java.io.File(staged)
+    (1 to 3).foreach { t =>
+      tiled.filter(col("__tile") === t).drop("__tile")
+        .coalesce(1).write.mode("append").parquet(staged)
+      // stamp ascending mtimes in write order: the file stream source
+      // lists oldest-first, so batch order follows event-time order
+      val unstamped = Option(fs.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > 1000000L * t)
+      unstamped.foreach(_.setLastModified(1000000L * t))
+    }
     val q = graft.streaming.EventsStream.startDeltaSink(
       graft.streaming.EventsStream.windowedAgg(
         graft.streaming.EventsStream.readEvents(spark, staged)),
       base + "/sink", base + "/ckpt")
     q.awaitTermination()
+    // the contract run itself proves multi-batch execution: at least 3
+    // data-carrying micro-batches, and the event-time watermark strictly
+    // advanced between the first and last of them
+    val data = q.recentProgress.filter(_.numInputRows > 0)
+    require(data.length >= 3,
+      s"x_stream_e2e expected >=3 data micro-batches, saw ${data.length}")
+    val wms = data.flatMap(p => Option(p.eventTime.get("watermark")))
+    require(wms.length >= 2 && wms.head < wms.last,
+      s"watermark did not advance across micro-batches: ${wms.mkString(" -> ")}")
     graft.ds.GraftDataset(base + "/sink").df(spark)
       .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
