@@ -105,6 +105,8 @@ final case class DatasetWriter(
         val keys = pinned.select(deltaSubset.map(col): _*).distinct()
         // null-safe: a NULL key replaces a NULL key (same rule as delta)
         val cond = deltaSubset.map(c => existing(c) <=> keys(c)).reduce(_ && _)
+        if (target.partitioning.nonEmpty && timeBatch.isEmpty)
+          return upsertPartitionScoped(spark, fs, targetPath, existing, pinned, keys, cond)
         val kept = existing.join(keys, cond, "left_anti")
           .select(pinned.columns.map(col): _*)
         val merged = kept.unionByName(pinned)
@@ -194,6 +196,93 @@ final case class DatasetWriter(
     } finally {
       if (mode == WriteMode.Delta && existed) toWrite.unpersist()
     }
+  }
+
+  /** Partition-scoped upsert for hive-partitioned targets: rewrite ONLY
+    * the partitions the merge can touch, not the whole dataset. At
+    * 100 TB a full staged rewrite per upsert is O(dataset); this path is
+    * O(affected partitions) data + ONE column-pruned key/partition scan
+    * of the existing dataset (to find where matched keys currently
+    * live — a key's partition value may change in the batch, which must
+    * delete its old row from the old partition).
+    *
+    * Affected set = partitions present in the incoming batch ∪
+    * partitions holding a matched key. The `kept` scan prunes to that
+    * set via an OR-of-equalities partition predicate (visible as
+    * PartitionFilters at the scan); the staged write contains exactly
+    * the affected partitions, and promotion swaps exactly those
+    * partition DIRECTORIES — every other partition's files are never
+    * read fully, written, or renamed. Directory identity comes from
+    * Spark's own staged layout and `input_file_name()` on matched rows,
+    * so hive value-encoding is never re-implemented here.
+    *
+    * Atomicity granularity is per partition directory (same as Spark's
+    * dynamic partition overwrite): a crash mid-promotion leaves some
+    * partitions new and some old, each individually consistent, with
+    * `.…__swap_old` backups (hidden from scans) for manual recovery. */
+  private def upsertPartitionScoped(
+      spark: SparkSession, fs: FileSystem, targetPath: Path,
+      existing: DataFrame, pinned: DataFrame,
+      keys: DataFrame, cond: org.apache.spark.sql.Column): Long = {
+    val partCols = target.partitioning
+    val qualifiedRoot = fs.makeQualified(targetPath).toString
+    def relDirOf(file: String): String = {
+      val parent = fs.makeQualified(new Path(file)).getParent.toString
+      require(parent.startsWith(qualifiedRoot + "/"),
+        s"upsert: matched file $parent outside dataset root $qualifiedRoot")
+      parent.stripPrefix(qualifiedRoot + "/")
+    }
+
+    // ONE pruned-column pass over existing: where do matched keys live
+    // (both the partition VALUES for the kept-scan predicate and the
+    // leaf DIRECTORIES for promotion/emptied-dir cleanup)
+    val matched = existing.join(keys, cond, "left_semi")
+      .select(partCols.map(col) :+ input_file_name().as("__f"): _*)
+      .distinct().collect()
+    val matchedDirs = matched.map(r => relDirOf(r.getString(partCols.length))).toSet
+    val matchedVals = matched.map(r => r.toSeq.dropRight(1)).distinct
+    val incomingVals = pinned.select(partCols.map(col): _*).distinct()
+      .collect().map(_.toSeq)
+    val affectedVals = (matchedVals ++ incomingVals).distinct
+    val keptPred = affectedVals
+      .map(vs => partCols.zip(vs).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    val kept = existing.filter(keptPred).join(keys, cond, "left_anti")
+      .select(pinned.columns.map(col): _*)
+    val merged = kept.unionByName(pinned)
+
+    val tmp = new Path(targetPath.getParent, s".${targetPath.getName}__upsert_tmp")
+    fs.delete(tmp, true)
+    val staged = GraftDataset(tmp.toString, format = target.format,
+      partitioning = partCols, compression = target.compression)
+    val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
+      rowGroupSize = rowGroupSize).write(spark, merged)
+
+    // leaf partition dirs of the staged output (depth = partCols.length)
+    def leaves(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq.filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leaves(st.getPath, depth - 1))
+    val stagedLeaves = leaves(tmp, partCols.length)
+    val stagedRel = stagedLeaves.map(p =>
+      fs.makeQualified(p).toString.stripPrefix(fs.makeQualified(tmp).toString + "/"))
+
+    // promote each staged partition dir (backup-swap where live exists,
+    // plain rename where the partition is new)
+    stagedLeaves.zip(stagedRel).foreach { case (src, rel) =>
+      val live = new Path(targetPath, rel)
+      if (fs.exists(live)) DatasetWriter.swapInPlace(fs, src, live)
+      else {
+        fs.mkdirs(live.getParent)
+        require(fs.rename(src, live), s"upsert: cannot promote $src to $live")
+      }
+    }
+    // partitions that lost their LAST matched row to another partition
+    // and got nothing back: delete, or the old copy would survive
+    (matchedDirs -- stagedRel).foreach(rel => fs.delete(new Path(targetPath, rel), true))
+    fs.delete(tmp, true)
+    n
   }
 
   /** Tumbling-window bucket label for `interval` starting at the epoch.

@@ -108,6 +108,53 @@ class DatasetSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert on a hive-partitioned target rewrites only affected partitions") {
+    val out = tmp() + "/upsert_part"
+    val ds = GraftDataset(out, partitioning = Seq("p"))
+    val w = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("k")
+    w.write(spark, Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "y"), (4, "d", "z"))
+      .toDF("k", "v", "p"))
+
+    val fs = ds.fs(spark)
+    def partFiles(p: String): Map[String, Long] = {
+      val d = new org.apache.hadoop.fs.Path(out, s"p=$p")
+      if (!fs.exists(d)) Map.empty
+      else fs.listStatus(d).filter(_.isFile).map(s =>
+        s.getPath.getName -> s.getModificationTime).toMap
+    }
+    val zBefore = partFiles("z")
+    val yBefore = partFiles("y")
+    assert(zBefore.nonEmpty && yBefore.nonEmpty)
+
+    // replace k=2 (stays in p=x), MOVE k=3 from p=y to p=x, insert k=5
+    // into p=w — p=z holds no incoming partition and no matched key, so
+    // its files must remain byte-identical (same names, same mtimes)
+    Thread.sleep(20) // mtime granularity guard
+    w.write(spark, Seq((2, "B2", "x"), (3, "C2", "x"), (5, "e", "w"))
+      .toDF("k", "v", "p"))
+
+    assert(partFiles("z") == zBefore, "untouched partition was rewritten")
+    // p=y's only row moved away — the emptied partition must not keep a
+    // stale copy of k=3
+    assert(partFiles("y").isEmpty, s"stale partition survived: ${partFiles("y")}")
+    val back = ds.df(spark).collect()
+      .map(r => (r.getInt(0), (r.getString(1), r.getString(2)))).toMap
+    assert(back == Map(1 -> ("a", "x"), 2 -> ("B2", "x"), 3 -> ("C2", "x"),
+      4 -> ("d", "z"), 5 -> ("e", "w")), back)
+  }
+
+  test("partition-scoped upsert keeps a partition whose matched row moved but others remain") {
+    val out = tmp() + "/upsert_part2"
+    val ds = GraftDataset(out, partitioning = Seq("p"))
+    val w = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("k")
+    w.write(spark, Seq((1, "a", "y"), (2, "b", "y")).toDF("k", "v", "p"))
+    // k=1 moves y→x; k=2 must survive in the rewritten p=y
+    w.write(spark, Seq((1, "A2", "x")).toDF("k", "v", "p"))
+    val back = ds.df(spark).collect()
+      .map(r => (r.getInt(0), (r.getString(1), r.getString(2)))).toMap
+    assert(back == Map(1 -> ("A2", "x"), 2 -> ("b", "y")), back)
+  }
+
   test("vacuum removes only crashed-rewrite staging dirs, keeps data") {
     val out = tmp() + "/vac"
     val ds = GraftDataset(out)
