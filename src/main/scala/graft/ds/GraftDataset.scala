@@ -234,8 +234,23 @@ final case class GraftDataset(
       val in = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), hconf))
       try {
+        val msg = in.getFooter.getFileMetaData.getSchema
+        // FLOAT16 pre-flight: Spark 4.1's vectorized parquet reader
+        // cannot decode FLOAT16 at all (opaque PARQUET_TYPE_ILLEGAL at
+        // scan time — reproduced in SCALE.md §8). Fail here, at footer
+        // time, with the file, the columns, and the remediation.
+        import scala.jdk.CollectionConverters._
+        val f16 = msg.getColumns.asScala.filter(c =>
+            Option(c.getPrimitiveType.getLogicalTypeAnnotation)
+              .exists(_.toString.toUpperCase.contains("FLOAT16")))
+          .map(_.getPath.mkString(".")).toSeq
+        if (f16.nonEmpty) throw new IllegalArgumentException(
+          s"graft: $f stores FLOAT16 column(s) ${f16.mkString(", ")}, which " +
+            "Spark's parquet reader cannot decode (SCALE.md §8). Re-encode " +
+            "them as FLOAT upstream (e.g. pyarrow cast float16→float32) " +
+            "before adopting the files into a graft dataset.")
         val conv = new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter()
-        conv.convert(in.getFooter.getFileMetaData.getSchema).json
+        conv.convert(msg).json
       } finally in.close()
     }
     val schemas: Seq[(String, String)] =

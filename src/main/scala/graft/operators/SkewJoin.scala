@@ -31,10 +31,23 @@ object SkewJoin {
       keys: Seq[String], buckets: Int): DataFrame = {
 
     require(buckets > 0, "buckets must be positive")
-    val bigSalted = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)).cast("int"))
+    val bigSalted = big.withColumn("__salt", saltExpr(buckets))
     val smallExploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     bigSalted.join(smallExploded, keys :+ "__salt").drop("__salt")
+  }
+
+  private def saltExpr(buckets: Int): Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)).cast("int")
+
+  /** Observability twin of [[saltedJoin]]: per-(key, salt) row counts of
+    * the salted big side — how a hot key's volume actually spreads over
+    * the `buckets` sub-keys. Cheap (map-side combinable agg); run it
+    * when picking a bucket count for a known-skewed join. */
+  def saltedJoinSaltCounts(big: DataFrame, key: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    big.withColumn("__salt", saltExpr(buckets))
+      .groupBy(col(key), col("__salt")).count()
+      .select(col(key), col("__salt").as("salt"), col("count"))
   }
 }

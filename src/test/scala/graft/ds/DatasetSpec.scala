@@ -155,6 +155,19 @@ class DatasetSpec extends AnyFunSuite {
     assert(back == Map(1 -> ("A2", "x"), 2 -> ("b", "y")), back)
   }
 
+  test("FLOAT16 parquet fails at footer pre-flight with a graft error, not PARQUET_TYPE_ILLEGAL") {
+    // fixture written by pyarrow (src/test/resources/float16_fixture.parquet):
+    // id int64, h float16 — the lattice rung Spark 4.1 cannot read
+    val dir = tmp() + "/f16"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(
+      getClass.getResourceAsStream("/float16_fixture.parquet"),
+      java.nio.file.Paths.get(dir, "part-0.parquet"))
+    val e = intercept[IllegalArgumentException](GraftDataset(dir).df(spark).count())
+    assert(e.getMessage.contains("FLOAT16") && e.getMessage.contains("h"), e.getMessage)
+    assert(e.getMessage.contains("SCALE.md"), e.getMessage)
+  }
+
   test("vacuum removes only crashed-rewrite staging dirs, keeps data") {
     val out = tmp() + "/vac"
     val ds = GraftDataset(out)
