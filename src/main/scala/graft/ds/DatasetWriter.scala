@@ -88,10 +88,18 @@ final case class DatasetWriter(
       // ...and so must TYPES: the merge funnels every existing row
       // through unionByName, so a same-named column at a wider type
       // (int batch vs long dataset, or vice versa) would silently
-      // rewrite the stored type for ALL rows, not just upserted ones
-      val existingTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+      // rewrite the stored type for ALL rows, not just upserted ones.
+      // Compared via catalogString — nullability flags (top-level and
+      // nested containsNull/valueContainsNull) are NOT type changes.
+      // Partition columns are exempt: their read-back type comes from
+      // directory-name inference (p=10 written from a string reads back
+      // as int), and they re-encode through the same path either way.
+      val existingTypes = existing.schema
+        .filterNot(f => target.partitioning.contains(f.name))
+        .map(f => f.name -> f.dataType).toMap
       val mismatched = prepared.schema
-        .filter(f => existingTypes.get(f.name).exists(_ != f.dataType))
+        .filter(f => existingTypes.get(f.name)
+          .exists(_.catalogString != f.dataType.catalogString))
         .map(f => s"${f.name}: batch ${f.dataType.simpleString} vs " +
           s"dataset ${existingTypes(f.name).simpleString}")
       require(mismatched.isEmpty,
@@ -235,10 +243,19 @@ final case class DatasetWriter(
 
     // ONE pruned-column pass over existing: where do matched keys live
     // (both the partition VALUES for the kept-scan predicate and the
-    // leaf DIRECTORIES for promotion/emptied-dir cleanup)
-    val matched = existing.join(keys, cond, "left_semi")
-      .select(partCols.map(col) :+ input_file_name().as("__f"): _*)
+    // leaf DIRECTORIES for promotion/emptied-dir cleanup).
+    // input_file_name() MUST be projected below the join: it reads the
+    // task's current input file, which is only set in the scan stage —
+    // above a shuffled (non-broadcast) join it evaluates to "" and the
+    // upsert would crash exactly when the key set is too big to
+    // broadcast. It is non-deterministic to Catalyst, so the optimizer
+    // cannot float it above the join either.
+    val exWithFile = existing.withColumn("__f", input_file_name())
+    val matched = exWithFile.join(keys, cond, "left_semi")
+      .select(partCols.map(col) :+ col("__f"): _*)
       .distinct().collect()
+    require(matched.forall(r => r.getString(partCols.length).nonEmpty),
+      "upsert: input_file_name() returned an empty path for a matched row")
     val matchedDirs = matched.map(r => relDirOf(r.getString(partCols.length))).toSet
     val matchedVals = matched.map(r => r.toSeq.dropRight(1)).distinct
     val incomingVals = pinned.select(partCols.map(col): _*).distinct()

@@ -97,7 +97,9 @@ final case class GraftDataset(
     * copies of the data — vacuum then auto-promotes the `__swap_old`
     * backup (rollback to the pre-rewrite state) before cleaning, and
     * refuses outright if only tmp dirs remain rather than deleting
-    * the last copy. */
+    * the last copy. Partition-scoped upsert's per-partition backups
+    * (`.p=v__swap_old` inside the tree) get the same treatment: restored
+    * when their live partition dir is missing, deleted otherwise. */
   def vacuum(spark: SparkSession): Seq[String] = {
     val f = fs(spark)
     val p = new Path(path)
@@ -123,7 +125,30 @@ final case class GraftDataset(
       if (!f.exists(p)) Nil
       else f.listStatus(p).toSeq.filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("_unify_tmp_"))
-    (sib ++ child).map { st => f.delete(st.getPath, true); st.getPath.toString }
+    // Per-PARTITION swap backups from partition-scoped upsert
+    // (`.p=v__swap_old` beside their partition dir, anywhere in the
+    // tree). Same recovery rule as the root: if the live partition dir
+    // is gone (crash between the two renames), the backup is the only
+    // copy — restore it; if the live dir exists, the backup is a
+    // leftover — delete it.
+    def walkDirs(d: Path): Seq[Path] =
+      f.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath)
+        .flatMap(c => c +: walkDirs(c))
+    val partBackups =
+      if (!f.exists(p)) Nil
+      else walkDirs(p).filter(_.getName.endsWith("__swap_old"))
+    val cleanedBackups = partBackups.flatMap { b =>
+      val live = new Path(b.getParent,
+        b.getName.stripPrefix(".").stripSuffix("__swap_old"))
+      if (f.exists(live)) { f.delete(b, true); Some(b.toString) }
+      else {
+        if (!f.rename(b, live)) throw new IllegalStateException(
+          s"vacuum: cannot restore crashed partition-swap backup $b to $live")
+        None // restored, not deleted
+      }
+    }
+    (sib ++ child).map { st => f.delete(st.getPath, true); st.getPath.toString } ++
+      cleanedBackups
   }
 
   def fs(spark: SparkSession): FileSystem =
@@ -260,8 +285,18 @@ final case class GraftDataset(
       } else {
         val conf = new org.apache.spark.util.SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration)
-        spark.sparkContext.parallelize(files, math.min(files.size, 256))
+        try spark.sparkContext.parallelize(files, math.min(files.size, 256))
           .map(f => f -> footerSchema(f, conf.value)).collect().toSeq
+        catch {
+          // the FLOAT16 pre-flight must surface the same graft error on
+          // the distributed path — unwrap it from Spark's task-failure
+          // wrapper instead of leaking a SparkException
+          case e: org.apache.spark.SparkException =>
+            Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null).take(8)
+              .collectFirst { case ia: IllegalArgumentException
+                if ia.getMessage != null && ia.getMessage.contains("FLOAT16") => throw ia }
+            throw e
+        }
       }
     schemas.groupBy(_._2).toSeq.map { case (sj, fs) =>
       (org.apache.spark.sql.types.DataType.fromJson(sj).asInstanceOf[StructType], fs.map(_._1))

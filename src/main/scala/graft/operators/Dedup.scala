@@ -25,7 +25,7 @@ import graft.functions.TextFunctions._
   *
   * Caching note: the pipelines materialize small projected
   * intermediates (id + signature/shingle columns) that feed multiple
-  * joins via eager `localCheckpoint`, not `cache()`: checkpoint blocks
+  * joins via lazy `localCheckpoint`, not `cache()`: checkpoint blocks
   * belong to the RDD and are released by the ContextCleaner as soon as
   * the result plan is garbage-collected, so long-lived sessions need no
   * `clearCache()` discipline and nothing accumulates in the cache
@@ -38,9 +38,13 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Eagerly materialize a small intermediate that feeds multiple joins.
-    * See the object scaladoc for why this is localCheckpoint, not cache. */
-  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  /** Materialize-on-first-action for a small intermediate that feeds
+    * multiple joins. LAZY localCheckpoint: plan construction stays free
+    * (callers that only build or `.explain` a dedup pipeline run zero
+    * jobs — same as `cache()` was), the first action populates the
+    * blocks once for all downstream joins, and the ContextCleaner frees
+    * them on GC. See the object scaladoc for the cluster trade-off. */
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
   /** Exact dedup on a canonical fingerprint: keep the lowest-id doc per
     * fingerprint group. Single shuffle on the (small) hash key. */

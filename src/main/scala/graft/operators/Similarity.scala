@@ -297,13 +297,16 @@ object Similarity {
   def lshTopPairs(
       df: DataFrame, idCol: String, vecCol: String,
       n: Int, nbits: Int = -1, tables: Int = -1,
-      targetBucket: Int = 500): DataFrame = {
+      targetBucket: Int = 500, corpusSize: Option[Long] = None): DataFrame = {
 
     val spark = df.sparkSession
     val (dBits, dTables) =
       if (nbits > 0 && tables > 0) (nbits, tables)
       else {
-        val (pb, pt) = lshTopPairsPolicy(df.count(), targetBucket)
+        // policy needs n; callers on known datasets pass corpusSize to
+        // skip this count() — at 100 TB an extra full pass per call is
+        // real money (row counts are free from parquet footers)
+        val (pb, pt) = lshTopPairsPolicy(corpusSize.getOrElse(df.count()), targetBucket)
         (if (nbits > 0) nbits else pb, if (tables > 0) tables else pt)
       }
     // numeric ids only: casting a string id yields nulls that vanish
@@ -390,9 +393,13 @@ object Similarity {
     val keyed = df.select(
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(col(vecCol), nbits, t).as("b"))): _*)).as("key"))
+    // decimal-exact sum: the diagnostic regime is precisely the one
+    // where pairs exceed 2^53 and a double sum silently rounds
     val r = keyed.groupBy(col("key")).count()
-      .agg(sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+      .agg(sum((col("count").cast("decimal(38,0)") * (col("count") - 1))).as("pairs2"))
       .collect()(0)
-    if (r.isNullAt(0)) 0L else r.getAs[Number](0).longValue()
+    if (r.isNullAt(0)) 0L
+    else (r.getDecimal(0).toBigInteger.divide(java.math.BigInteger.TWO)
+      .min(java.math.BigInteger.valueOf(Long.MaxValue))).longValueExact()
   }
 }

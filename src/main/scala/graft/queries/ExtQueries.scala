@@ -783,7 +783,12 @@ object ExtQueries {
       // lists oldest-first, so batch order follows event-time order
       val unstamped = Option(fs.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > 1000000L * t)
-      unstamped.foreach(_.setLastModified(1000000L * t))
+      // the whole multi-batch determinism argument rides on source
+      // ordering = event-time ordering; a silently failed stamp could
+      // reorder batches and drop early rows as late (wrong aggregates,
+      // no error) — fail loudly instead
+      unstamped.foreach(f => require(f.setLastModified(1000000L * t),
+        s"stream staging: cannot set mtime on $f"))
     }
     val q = graft.streaming.EventsStream.startDeltaSink(
       graft.streaming.EventsStream.windowedAgg(

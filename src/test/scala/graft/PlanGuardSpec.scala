@@ -44,14 +44,35 @@ class PlanGuardSpec extends AnyFunSuite {
     "q4_order_priority", "q12_ship_lag_priority", "q10_returned_items",
     "q3_shipping_priority")
 
-  // Build every contract query once, reusing one session; collect the
-  // formatted physical plan BEFORE any result materialization.
+  /** Queries that EXECUTE their workload at construction (writes,
+    * snapshots, streaming runs) and return a read-back of their own
+    * output: the DataFrame we could audit here is a trivial scan of
+    * that output, not the interesting plan, and building it costs a
+    * full execution. Their plan properties are covered by their own
+    * operator specs (DatasetSpec/TimeFlySpec/streaming specs); listing
+    * them here is an explicit, documented cap — NOT silent truncation. */
+  val sideEffecting: Set[String] = Set(
+    "w1_parquet_roundtrip", "w4_partitioned_write", "w5_write_modes",
+    "w6_delta_write", "w7_batch_count", "w8_time_batch",
+    "w9_transform_write", "w10_unify_rewrite", "w11_repartition",
+    "w12_upsert", "s3_feather_roundtrip", "s4_csv_roundtrip",
+    "s9_directory_partitioning", "s10_arrow_export", "s11_json_roundtrip",
+    "s12_orc_roundtrip", "e2_incremental_update", "t7_snapshot_restore",
+    "t8_time_travel", "t9_catalog", "x_stream_e2e")
+
+  // Build every remaining contract query once, reusing one session;
+  // collect the formatted physical plan WITHOUT materializing results.
   lazy val plans: Map[String, String] = {
-    SparkEntry.queries.map { case (name, f) =>
+    SparkEntry.queries.filterNot(kv => sideEffecting.contains(kv._1)).map { case (name, f) =>
       val df = f(spark, dir)
       name -> df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     }
+  }
+
+  test("the side-effecting exclusion list names only real query keys") {
+    val unknown = sideEffecting.filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"stale exclusion entries: ${unknown.mkString(", ")}")
   }
 
   test("no contract query plans a CartesianProduct") {

@@ -155,6 +155,54 @@ class DatasetSpec extends AnyFunSuite {
     assert(back == Map(1 -> ("A2", "x"), 2 -> ("b", "y")), back)
   }
 
+  test("partition-scoped upsert survives a non-broadcast key join (input_file_name below the shuffle)") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = tmp() + "/upsert_smj"
+      val ds = GraftDataset(out, partitioning = Seq("p"))
+      val w = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("k")
+      w.write(spark, Seq((1, "a", "x"), (2, "b", "y")).toDF("k", "v", "p"))
+      // forces SortMergeJoin for the matched-keys semi join: the file
+      // path must still come from the scan stage, not an empty string
+      w.write(spark, Seq((2, "B2", "y"), (3, "c", "z")).toDF("k", "v", "p"))
+      val back = ds.df(spark).collect()
+        .map(r => (r.getInt(0), (r.getString(1), r.getString(2)))).toMap
+      assert(back == Map(1 -> ("a", "x"), 2 -> ("B2", "y"), 3 -> ("c", "z")), back)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("partition values that read back at an inferred type still upsert (type gate exempts partition cols)") {
+    val out = tmp() + "/upsert_ptype"
+    val ds = GraftDataset(out, partitioning = Seq("p"))
+    val w = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("k")
+    // p written as STRING "10"/"20" → directories p=10/p=20 read back as INT
+    w.write(spark, Seq((1, "a", "10"), (2, "b", "20")).toDF("k", "v", "p"))
+    w.write(spark, Seq((2, "B2", "20")).toDF("k", "v", "p"))
+    val back = ds.df(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(back == Map(1 -> "a", 2 -> "B2"), back)
+  }
+
+  test("vacuum restores a crashed per-partition swap and deletes leftover partition backups") {
+    val out = tmp() + "/vac_part"
+    val ds = GraftDataset(out, partitioning = Seq("p"))
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .write(spark, Seq((1, "a", "x"), (2, "b", "y")).toDF("k", "v", "p"))
+    val f = ds.fs(spark)
+    val root = new org.apache.hadoop.fs.Path(out)
+    // crash shape 1: p=x renamed to its backup, replacement never landed
+    assert(f.rename(new org.apache.hadoop.fs.Path(root, "p=x"),
+      new org.apache.hadoop.fs.Path(root, ".p=x__swap_old")))
+    // crash shape 2: leftover backup beside a live p=y
+    val leftover = new org.apache.hadoop.fs.Path(root, ".p=y__swap_old")
+    f.mkdirs(leftover)
+    ds.vacuum(spark)
+    assert(f.exists(new org.apache.hadoop.fs.Path(root, "p=x")), "crashed partition not restored")
+    assert(!f.exists(leftover), "leftover partition backup not cleaned")
+    assert(ds.df(spark).count() == 2)
+  }
+
   test("FLOAT16 parquet fails at footer pre-flight with a graft error, not PARQUET_TYPE_ILLEGAL") {
     // fixture written by pyarrow (src/test/resources/float16_fixture.parquet):
     // id int64, h float16 — the lattice rung Spark 4.1 cannot read
