@@ -42,4 +42,141 @@ object Repartition {
       n
     }
   }
+
+  /** Result of a [[compact]] pass. */
+  final case class CompactStats(
+      partitionsCompacted: Int, filesBefore: Long, filesAfter: Long)
+
+  /** Partition-scoped small-file compaction: rewrite ONLY the leaf
+    * partition directories carrying more files than their byte volume
+    * needs at `targetFileBytes` (streaming sinks, per-batch appends and
+    * incremental upserts all accrete small files; at 100 TB the
+    * resulting per-file task overhead and footer-read fan-out dominate
+    * scan cost long before data volume does).
+    *
+    * Scale shape:
+    *  - Planning is FS metadata only (one listing per leaf dir, no data
+    *    reads). The qualifying set feeds a partition-value predicate, so
+    *    the single rewrite job's scan PRUNES to qualifying partitions —
+    *    untouched partitions are never read, written, or renamed (their
+    *    files keep identity and mtime).
+    *  - ONE distributed job rewrites all qualifying partitions: rows
+    *    are salted into `ceil(bytes / targetFileBytes)` buckets per
+    *    partition (deterministic row-hash salt, no RNG) and shuffled
+    *    once on (partition values, salt), so each task writes one
+    *    bounded file — bin-packing parallelism is cluster-wide, not
+    *    per-partition-sequential. Hash collisions between (dir, salt)
+    *    groups can only MERGE buckets (fewer, larger files), never
+    *    split them, so the post-compaction file count per partition is
+    *    ≤ the plan's target and always < the pre-compaction count.
+    *  - Promotion reuses the per-partition-directory atomic swap from
+    *    the partition-scoped upsert: crash mid-promotion leaves each
+    *    partition individually consistent with a `.…__swap_old` backup
+    *    that [[GraftDataset.vacuum]] knows how to restore or clean.
+    *
+    * Hive value parsing: qualifying partitions are matched by
+    * string-compare of the partition column against the URL-decoded
+    * directory value (`col.cast("string") <=> lit(value)`), which
+    * Catalyst still folds into PartitionFilters; `__HIVE_DEFAULT_
+    * PARTITION__` maps to an IS NULL match. */
+  def compact(
+      spark: SparkSession,
+      ds: GraftDataset,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    import org.apache.spark.sql.functions._
+    val fs = ds.fs(spark)
+    val root = new Path(ds.path)
+    val parts = ds.partitioning
+    require(fs.exists(root), s"compact: no dataset at ${ds.path}")
+
+    def leafDirs(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leafDirs(st.getPath, d - 1))
+    def dataFiles(p: Path) = fs.listStatus(p).toSeq.filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+
+    val qroot = fs.makeQualified(root).toString
+    val plan = leafDirs(root, parts.length).map { leaf =>
+      val files = dataFiles(leaf)
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val rel = fs.makeQualified(leaf).toString.stripPrefix(qroot).stripPrefix("/")
+      (rel, files.size, want)
+    }
+    val before = plan.map(_._2.toLong).sum
+    val todo = plan.filter { case (_, have, want) => have > want }
+    if (todo.isEmpty) return CompactStats(0, before, before)
+
+    val tmp = new Path(root.getParent, s".${root.getName}__compact_tmp")
+    fs.delete(tmp, true)
+    val df = ds.df(spark)
+    val dataCols = df.columns.filterNot(parts.contains)
+    val codec =
+      if ((ds.format == "csv" || ds.format == "json") && ds.compression == "zstd") "gzip"
+      else ds.compression
+
+    def writeStaged(arranged: org.apache.spark.sql.DataFrame): Unit = {
+      var w = arranged.write.mode("overwrite").option("compression", codec)
+      if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+      ds.format match {
+        case "parquet" => w.parquet(tmp.toString)
+        case "csv" => w.option("header", "true").csv(tmp.toString)
+        case other => w.format(other).save(tmp.toString)
+      }
+    }
+
+    if (parts.isEmpty) {
+      // whole-dataset compaction: one bounded-width rewrite + root swap
+      writeStaged(df.repartition(todo.head._3))
+      DatasetWriter.swapInPlace(fs, tmp, root)
+    } else {
+      // decode `col=value` path segments → (string values..., want)
+      def decode(seg: String): String =
+        java.net.URLDecoder.decode(seg.substring(seg.indexOf('=') + 1), "UTF-8")
+      val wantRows = todo.map { case (rel, _, want) =>
+        org.apache.spark.sql.Row.fromSeq(rel.split('/').toSeq.map(decode) :+ want)
+      }
+      val keyCols = parts.map(c => s"__k_$c")
+      val wantSchema = org.apache.spark.sql.types.StructType(
+        keyCols.map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)) :+
+          org.apache.spark.sql.types.StructField("__want",
+            org.apache.spark.sql.types.IntegerType))
+      val wantDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(wantRows, 1), wantSchema)
+
+      val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+      val pruned = df.filter(todo.map { case (rel, _, _) =>
+        parts.zip(rel.split('/').map(decode)).map { case (c, v) =>
+          if (v == hiveNull) col(c).isNull else col(c).cast("string") <=> lit(v)
+        }.reduce(_ && _)
+      }.reduce(_ || _))
+
+      val keyed = parts.zip(keyCols).foldLeft(pruned) { case (d, (c, k)) =>
+        d.withColumn(k, when(col(c).isNull, lit(hiveNull)).otherwise(col(c).cast("string")))
+      }
+      val salted = keyed
+        .join(broadcast(wantDf), keyCols.map(k => keyed(k) <=> wantDf(k)).reduce(_ && _))
+        .withColumn("__salt",
+          pmod(xxhash64(struct(dataCols.map(col): _*)), col("__want").cast("long")))
+      val totalWant = todo.map(_._3).sum
+      val arranged = salted
+        .repartition(totalWant, (parts.map(col) :+ col("__salt")): _*)
+        .select(df.columns.map(col): _*)
+      writeStaged(arranged)
+
+      todo.foreach { case (rel, _, _) =>
+        val src = new Path(tmp, rel)
+        val live = new Path(root, rel)
+        // a qualifying partition whose files held zero rows stages
+        // nothing — leave its live dir alone rather than swap with air
+        if (fs.exists(src)) DatasetWriter.swapInPlace(fs, src, live)
+      }
+      fs.delete(tmp, true)
+    }
+    val after = leafDirs(root, parts.length).map(dataFiles(_).size.toLong).sum
+    CompactStats(todo.size, before, after)
+  }
 }

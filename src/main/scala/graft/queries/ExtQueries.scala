@@ -818,7 +818,111 @@ object ExtQueries {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ---- dup-pair connected components -----------------------------------
+  /** Near-dup CLUSTERING — the stage after pair generation: LSH pairs →
+    * hash-min connected components ([[Dedup.clusters]]) → one dedup
+    * decision per document (canonical = minimum doc_id of the
+    * component; singletons are their own cluster). The oracle
+    * recomputes components with a recursive CTE over the same pair set
+    * (LSH recall ≈ 1 at the fixture ⇒ pair sets agree; see
+    * x_dedup_minhash). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8)
+    val comp = Dedup.clusters(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+  /** Transitive closure via recursive CTE (tractable at oracle scale;
+    * the Spark side uses label propagation instead — closure by
+    * enumeration is O(component²) rows and would melt at 100 TB). */
+  val dupClustersSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(words) - 2, 1)),
+      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
+      |  )) AS s
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS id, d AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id),
+      |m AS (SELECT dd.doc_id, COALESCE(c.cluster_id, dd.doc_id) AS cluster_id
+      |      FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id)
+      |SELECT doc_id, cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |  doc_id = cluster_id AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- within-document repetition signals -------------------------------
+  /** Gopher-style repetition quality signals, one row per document:
+    * duplicate-word fraction (1 − distinct/total), top-word fraction,
+    * top-bigram fraction, and a `repetitive` gate. The gate compares in
+    * INTEGER arithmetic ((total−dw)·100 > total·65) so the decision is
+    * bit-exact across engines — a double threshold would be one ULP
+    * away from flipping on ratios like 13/20. One explode + two
+    * map-side-combinable count aggs; nothing wider than (doc_id, token)
+    * ever shuffles. */
+  def repSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 1)
+    val base = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("total"),
+      size(array_distinct(col("w"))).cast("long").as("dw"),
+      expr("transform(slice(w, 1, size(w)-1), (x, i) -> concat(x, ' ', w[i+1]))").as("bg"))
+    val topW = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(max("count").as("twc"))
+    val topB = base.select(col("doc_id"), explode(col("bg")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(max("count").as("tbc"))
+    base.join(topW, Seq("doc_id")).join(topB, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("total").as("n_words"),
+        ((col("total") - col("dw")).cast("double") / col("total")).as("dup_word_frac"),
+        (col("twc").cast("double") / col("total")).as("top_word_frac"),
+        (col("tbc").cast("double") / (col("total") - 1)).as("top_bigram_frac"),
+        ((col("total") - col("dw")) * 100 > col("total") * 65 ||
+          col("tbc") * 100 > (col("total") - 1) * 10).as("repetitive"))
+      .orderBy("doc_id")
+  }
+  val repSignalsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(w) AS total, len(list_distinct(w)) AS dw,
+      |    list_transform(range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS bg
+      |  FROM toks WHERE len(w) > 1),
+      |tw AS (SELECT doc_id, MAX(c) AS twc FROM (
+      |  SELECT doc_id, COUNT(*) AS c FROM (SELECT doc_id, unnest(w) AS t FROM toks WHERE len(w) > 1) GROUP BY doc_id, t) GROUP BY doc_id),
+      |tb AS (SELECT doc_id, MAX(c) AS tbc FROM (
+      |  SELECT doc_id, COUNT(*) AS c FROM (SELECT doc_id, unnest(bg) AS t FROM base) GROUP BY doc_id, t) GROUP BY doc_id)
+      |SELECT b.doc_id, b.total AS n_words,
+      |  CAST(b.total - b.dw AS DOUBLE) / b.total AS dup_word_frac,
+      |  CAST(tw.twc AS DOUBLE) / b.total AS top_word_frac,
+      |  CAST(tb.tbc AS DOUBLE) / (b.total - 1) AS top_bigram_frac,
+      |  ((b.total - b.dw) * 100 > b.total * 65 OR tb.tbc * 100 > (b.total - 1) * 10) AS repetitive
+      |FROM base b JOIN tw USING (doc_id) JOIN tb USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dup_clusters" -> (dupClusters _),
+    "x_rep_signals" -> (repSignals _),
     "x_redact_pii" -> (redactPii _),
     "x_embed_quantize" -> (embedQuantize _),
     "x_pipeline_e2e" -> (pipelineE2E _),
@@ -849,6 +953,8 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_dup_clusters" -> dupClustersSql,
+    "x_rep_signals" -> repSignalsSql,
     "x_redact_pii" -> redactPiiSql,
     "x_embed_quantize" -> embedQuantizeSql,
     "x_pipeline_e2e" -> pipelineE2ESql,

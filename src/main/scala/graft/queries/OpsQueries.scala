@@ -177,6 +177,28 @@ object OpsQueries {
   val w11Sql: String =
     "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
 
+  // ---- W13: partition-scoped small-file compaction ---------------------
+  /** Write customer hive-partitioned in tiny row batches (every
+    * partition accretes several small files — the streaming-sink /
+    * incremental-append shape), compact, read back: content must equal
+    * the source exactly. The operator's structural guarantees (fewer
+    * files, untouched-partition mtimes, partition-pruned rewrite scan)
+    * are asserted in CompactSpec — the oracle proves losslessness. */
+  def w13Compact(spark: SparkSession, dir: String): DataFrame = {
+    val dst = tmp("w13")
+    val ds = GraftDataset(dst, partitioning = Seq("c_mktsegment"))
+    DatasetWriter(ds, WriteMode.Overwrite, batchRows = Some(100L))
+      .write(spark, Tables.load(spark, dir, "customer"))
+    val stats = Repartition.compact(spark, ds)
+    require(stats.partitionsCompacted > 0 && stats.filesAfter < stats.filesBefore,
+      s"w13: compaction was a no-op ($stats) — fixture no longer fragments")
+    spark.read.parquet(dst)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+  val w13Sql: String =
+    "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey"
+
   // ---- A2: sticky keep-first dedup ------------------------------------
   /** GraftDataset points at the source parquet directly — the dedup
     * operator is what's under test; dataset *writes* are covered by the
@@ -574,6 +596,7 @@ object OpsQueries {
     "w8_time_batch" -> (w8TimeBatch _),
     "w10_unify_rewrite" -> (w10UnifyRewrite _),
     "w11_repartition" -> (w11Repartition _),
+    "w13_compact" -> (w13Compact _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -605,6 +628,7 @@ object OpsQueries {
     "w8_time_batch" -> w8Sql,
     "w10_unify_rewrite" -> w10Sql,
     "w11_repartition" -> w11Sql,
+    "w13_compact" -> w13Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,

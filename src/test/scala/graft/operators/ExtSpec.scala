@@ -398,3 +398,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.getAs[Array[Byte]](2).length <= 32 * 32 / 64 + 1)
   }
 }
+
+class ClustersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("clusters: chains close transitively, components stay separate") {
+    // 1-2, 2-3, 3-4 is one chain (diameter 3); 10-11 separate; 20-21, 21-22
+    // a vee; 30 never appears (callers map absent ids to themselves)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (22L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("clusters: empty pair list yields empty labels; self-loop is benign") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(empty).count() == 0)
+    val self = Seq((5L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(self).as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("clusters: maxIterations binds on an adversarial long chain") {
+    // a 12-node path needs ~11 hash-min rounds; cap at 3 must fail loudly
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusters(chain, maxIterations = 3).collect()
+    }
+    assert(e.getMessage.contains("maxIterations"))
+    // and the default cap resolves it to a single min-1 component
+    val got = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.size == 12)
+  }
+}
