@@ -818,6 +818,76 @@ object ExtQueries {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // ---- streaming enrichment (stream-static join) ------------------------
+  /** Stream-static enrichment executed through the REAL micro-batch
+    * path: events stream joins the broadcast customer dimension, then
+    * the watermarked windowed agg ([[graft.streaming.EventsStream
+    * .enrichedWindowedAgg]]) lands in a delta sink. Single-file staging
+    * (one data micro-batch + the AvailableNow state flush) — the
+    * multi-batch watermark discipline is already proven by
+    * x_stream_e2e; what this adds is the join operator inside a
+    * streaming plan. Same append-mode cutoff as x_stream_e2e:
+    * emitted windows are exactly those with end ≤ max(ts) − 2h. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_enrich_").toString
+    val staged = base + "/src"
+    // stage through Tables.load: events.parquet carries TIMESTAMP(NANOS),
+    // which the file-stream source cannot read directly
+    Tables.load(spark, dir, "events").coalesce(1).write.parquet(staged)
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val q = graft.streaming.EventsStream.startDeltaSink(
+      graft.streaming.EventsStream.enrichedWindowedAgg(
+        graft.streaming.EventsStream.readEvents(spark, staged), dim),
+      base + "/sink", base + "/ckpt")
+    q.awaitTermination()
+    require(q.recentProgress.exists(_.numInputRows > 0),
+      "x_stream_enrich: no data micro-batch executed")
+    graft.ds.GraftDataset(base + "/sink").df(spark)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("segment"), col("n"), col("total_value"))
+      .orderBy("window_start", "segment")
+  }
+  val streamEnrichSql: String =
+    """WITH m AS (SELECT max(ts) AS mx FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  c_mktsegment AS segment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey CROSS JOIN m
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+      |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
+
+  // ---- streaming attribution (stream-stream join) ------------------------
+  /** Stream-STREAM self-join through the real micro-batch path:
+    * view→purchase attribution within 30 minutes per user
+    * ([[graft.streaming.EventsStream.attributionJoin]]). Inner
+    * stream-stream joins emit every match once both rows arrived —
+    * watermarks bound join STATE, not the emitted set — so the
+    * AvailableNow run equals the batch join and the oracle needs no
+    * cutoff clause. */
+  def streamAttrib(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_attrib_").toString
+    val staged = base + "/src"
+    Tables.load(spark, dir, "events").coalesce(1).write.parquet(staged)
+    val q = graft.streaming.EventsStream.startDeltaSink(
+      graft.streaming.EventsStream.attributionJoin(
+        graft.streaming.EventsStream.readEvents(spark, staged)),
+      base + "/sink", base + "/ckpt")
+    q.awaitTermination()
+    require(q.recentProgress.exists(_.numInputRows > 0),
+      "x_stream_attrib: no data micro-batch executed")
+    graft.ds.GraftDataset(base + "/sink").df(spark)
+      .select(col("view_id"), col("purchase_id"), col("user_id"))
+      .orderBy("view_id", "purchase_id")
+  }
+  val streamAttribSql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'purchase'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   // ---- dup-pair connected components -----------------------------------
   /** Near-dup CLUSTERING — the stage after pair generation: LSH pairs →
     * hash-min connected components ([[Dedup.clusters]]) → one dedup
@@ -923,6 +993,8 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dup_clusters" -> (dupClusters _),
     "x_rep_signals" -> (repSignals _),
+    "x_stream_enrich" -> (streamEnrich _),
+    "x_stream_attrib" -> (streamAttrib _),
     "x_redact_pii" -> (redactPii _),
     "x_embed_quantize" -> (embedQuantize _),
     "x_pipeline_e2e" -> (pipelineE2E _),
@@ -955,6 +1027,8 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "x_dup_clusters" -> dupClustersSql,
     "x_rep_signals" -> repSignalsSql,
+    "x_stream_enrich" -> streamEnrichSql,
+    "x_stream_attrib" -> streamAttribSql,
     "x_redact_pii" -> redactPiiSql,
     "x_embed_quantize" -> embedQuantizeSql,
     "x_pipeline_e2e" -> pipelineE2ESql,

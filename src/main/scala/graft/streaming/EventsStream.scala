@@ -31,6 +31,53 @@ object EventsStream {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-static enrichment: every streamed event joins a STATIC
+    * dimension before the watermarked windowed aggregate. The static
+    * side is re-read per micro-batch and broadcast — it never enters
+    * streaming state, so dimension size is bounded by broadcast
+    * memory, not by state-store growth, and dimension updates between
+    * micro-batches are picked up automatically (the standard Spark
+    * stream-static contract). At 100 TB of stream this is the shape
+    * for slowly-changing lookups; a FAST-changing dimension would need
+    * a stream-stream join with its own watermark instead. */
+  def enrichedWindowedAgg(
+      events: DataFrame, dim: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), window_).as("w"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("segment"), col("n"), col("total_value"))
+
+  /** Stream-STREAM self-join: attribute each `to` event (purchase) to
+    * the `from` events (views) of the same user within `within` before
+    * it. Both sides carry watermarks and the join condition bounds the
+    * time range, so each side's buffered state is evicted once the
+    * other side's watermark passes `ts + within` — state stays bounded
+    * on an unbounded stream, which is the entire game for
+    * stream-stream joins at scale (an unbounded join condition would
+    * buffer both streams forever). Inner join: matches emit as soon as
+    * both rows have arrived; the watermark only governs state cleanup,
+    * so an AvailableNow run emits exactly the batch join's rows. */
+  def attributionJoin(
+      events: DataFrame, from: String = "view", to: String = "purchase",
+      within: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    val a = events.filter(col("event_type") === from)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("ts_view"))
+      .withWatermark("ts_view", watermark)
+    val b = events.filter(col("event_type") === to)
+      .select(col("user_id").as("__u"), col("event_id").as("purchase_id"),
+        col("ts").as("ts_purchase"))
+      .withWatermark("ts_purchase", watermark)
+    a.join(b,
+      col("user_id") === col("__u") &&
+        col("ts_purchase") >= col("ts_view") &&
+        col("ts_purchase") <= col("ts_view") + expr(s"INTERVAL $within"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"))
+  }
+
   /** Sink the aggregate into a graft dataset via foreachBatch + delta
     * mode — micro-batch replays (failure recovery) cannot duplicate
     * rows because the delta writer anti-joins what already landed. */

@@ -58,16 +58,27 @@ class PlanGuardSpec extends AnyFunSuite {
     "w12_upsert", "w13_compact", "s3_feather_roundtrip", "s4_csv_roundtrip",
     "s9_directory_partitioning", "s10_arrow_export", "s11_json_roundtrip",
     "s12_orc_roundtrip", "e2_incremental_update", "t7_snapshot_restore",
-    "t8_time_travel", "t9_catalog", "x_stream_e2e")
+    "t8_time_travel", "t9_catalog", "x_stream_e2e", "x_stream_enrich",
+    "x_stream_attrib")
 
   // Build every remaining contract query once, reusing one session;
   // collect the formatted physical plan WITHOUT materializing results.
   lazy val plans: Map[String, String] = {
-    SparkEntry.queries.filterNot(kv => sideEffecting.contains(kv._1)).map { case (name, f) =>
-      val df = f(spark, dir)
-      name -> df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-    }
+    // AQE wraps every exchange-bearing plan in a non-final
+    // AdaptiveSparkPlan whose formatted dump has no codegen ids; the
+    // audit wants the fully-annotated static plan, so plan with AQE off
+    // (the rules checked here — join strategy pathologies, pushdown,
+    // codegen fusion — are properties of the static plan; AQE can only
+    // improve on them at runtime)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries.filterNot(kv => sideEffecting.contains(kv._1)).map { case (name, f) =>
+        val df = f(spark, dir)
+        name -> df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("the side-effecting exclusion list names only real query keys") {
@@ -102,5 +113,15 @@ class PlanGuardSpec extends AnyFunSuite {
       pushed.findFirstIn(p).isEmpty
     }.toSeq.sorted
     assert(bad.isEmpty, s"no pushed filters reach the scan in: ${bad.mkString(", ")}")
+  }
+
+  test("every audited plan keeps a WholeStageCodegen span") {
+    // the expression surface is designed to stay inside codegen (custom
+    // Expressions implement doGenCode; no UDFs anywhere): a plan with NO
+    // codegen span means something knocked the whole pipeline out of
+    // Tungsten — worth failing loudly. FormattedMode tags operators
+    // fused into a WholeStageCodegen stage with '[codegen id : N]'.
+    val bad = plans.filterNot(_._2.contains("[codegen id :")).keys.toSeq.sorted
+    assert(bad.isEmpty, s"no WholeStageCodegen span in: ${bad.mkString(", ")}")
   }
 }

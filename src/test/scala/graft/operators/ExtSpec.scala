@@ -421,6 +421,38 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("clusters equal driver-side union-find on random graphs") {
+    // fixed-seed random graphs across the shapes that break naive
+    // propagation: sparse chains (deep diameter), dense blobs (heavy
+    // multi-edge), and many tiny components (convergence on round 1)
+    val rnd = new scala.util.Random(4242)
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    for (trial <- 1 to 8) {
+      val n = 20 + rnd.nextInt(60)
+      val m = 1 + rnd.nextInt(3 * n)
+      val edges = (1 to m).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val want = unionFind(n, edges)
+        val got = Dedup.clusters(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"trial $trial: n=$n m=$m")
+      }
+    }
+  }
+
   test("clusters: maxIterations binds on an adversarial long chain") {
     // a 12-node path needs ~11 hash-min rounds; cap at 3 must fail loudly
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")

@@ -49,6 +49,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkDir).count() == nStreamed)
   }
 
+  test("stream-static enrichment joins via broadcast and matches the batch twin") {
+    val tmp = Files.createTempDirectory("graft_enrich_").toString
+    val srcDir = s"$tmp/src"; val sinkDir = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .coalesce(1).write.parquet(srcDir)
+    val dim = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+
+    val agg = EventsStream.enrichedWindowedAgg(
+      EventsStream.readEvents(spark, srcDir), dim,
+      window_ = "1 hour", watermark = "0 seconds")
+    val q = EventsStream.startDeltaSink(agg, sinkDir, ckpt)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(sinkDir)
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .join(dim, Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val nStreamed = streamed.count(); val nBatch = batch.count()
+    assert(nStreamed > 0 && nBatch - nStreamed <= 5,
+      s"streamed=$nStreamed batch=$nBatch")
+    val mismatched = streamed.alias("s")
+      .join(batch.alias("b"), Seq("window_start", "segment"), "left")
+      .filter(col("s.n") =!= col("b.n") || col("b.n").isNull ||
+        org.apache.spark.sql.functions.abs(col("s.total_value") - col("b.total_value")) > 1e-9)
+    assert(mismatched.count() == 0)
+
+    // the streaming plan itself must place a broadcast join — check the
+    // hint on the very DataFrame the query ran (unstarted plans are
+    // immutable, so this is the executed shape)
+    val planStr = agg.queryExecution.analyzed.toString
+    assert(planStr.contains("ResolvedHint") || planStr.toLowerCase.contains("broadcast"),
+      s"broadcast hint lost in streaming plan:\n$planStr")
+  }
+
+  test("stream-stream attribution join equals the batch join and keeps join state") {
+    val tmp = Files.createTempDirectory("graft_attrib_").toString
+    val srcDir = s"$tmp/src"; val sinkDir = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .coalesce(1).write.parquet(srcDir)
+
+    val joined = EventsStream.attributionJoin(EventsStream.readEvents(spark, srcDir))
+    val q = EventsStream.startDeltaSink(joined, sinkDir, ckpt)
+    q.awaitTermination(120000)
+
+    // a stream-stream join must run through a stateful join operator
+    val stateOps = q.recentProgress.flatMap(_.stateOperators).map(_.operatorName)
+    assert(stateOps.exists(_.toLowerCase.contains("join")),
+      s"no stateful join operator in progress: ${stateOps.mkString(", ")}")
+
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("ts_view"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("ts_purchase")),
+        Seq("user_id"))
+      .filter(col("ts_purchase") >= col("ts_view") &&
+        col("ts_purchase") <= col("ts_view") + expr("INTERVAL 30 minutes"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"))
+    val got = spark.read.parquet(sinkDir)
+      .select("view_id", "purchase_id", "user_id")
+      .collect().map(_.toSeq).toSet
+    val want = batch.collect().map(_.toSeq).toSet
+    assert(got == want, s"streamed ${got.size} vs batch ${want.size}")
+    assert(want.nonEmpty, "fixture must contain at least one attribution pair")
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     val tmp = Files.createTempDirectory("graft_sdedup_").toString
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events").limit(200)
