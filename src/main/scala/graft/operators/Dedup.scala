@@ -180,6 +180,46 @@ object Dedup {
     jaccardVerify(cands, docs, threshold)
   }
 
+  /** Bipartite MinHash+LSH: near-dup pairs BETWEEN two corpora — the
+    * incremental-ingest shape (dedupe an incoming crawl batch against
+    * the existing lake without ever self-joining the lake). Returns
+    * `(id_new, id_corpus, jaccard)`.
+    *
+    * Same machinery as [[minhashLshPairs]], but the bucket join is
+    * new-side × corpus-side only: candidate volume is O(new·bands)
+    * posting rows probing the corpus's buckets, never corpus², and at
+    * 100 TB the corpus's signatures are a cheap narrow projection that
+    * an operational deployment would precompute once and store beside
+    * the lake (they are pure functions of the text). Recall/threshold
+    * semantics are identical to the self-join variant. */
+  def minhashLshPairsAcross(
+      newDf: DataFrame, corpusDf: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+
+    val r = k / bands
+    def prep(df: DataFrame) =
+      pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")))
+    def buckets(docs: DataFrame) =
+      docs.select(col("id"), bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk"))
+        .select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
+    val newDocs = prep(newDf); val corpusDocs = prep(corpusDf)
+    val cands = buckets(newDocs).as("a")
+      .join(buckets(corpusDocs).as("b"), Seq("band", "key"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
+      .distinct()
+    val spark = newDf.sparkSession
+    cands
+      .join(newDocs.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
+      .join(corpusDocs.select(col("id").as("id_corpus"), col("sh").as("sh_b")), Seq("id_corpus"))
+      .withColumn("__inter",
+        graft.plans.GraftExpressions.intersectCount(spark, col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("__inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_corpus"), col("jaccard"))
+  }
+
   /** Exact Jaccard verification of candidate pairs by re-joining the
     * shingle sets by id (signatures/arrays never ride the wide shuffle).
     * Shingle sets arrive sorted (WordShingles), so |A∩B| is a compiled

@@ -769,32 +769,36 @@ object ExtQueries {
     val base = java.nio.file.Files.createTempDirectory("graft_q_stream_").toString
     val staged = base + "/src"
     // stage through Tables.load: events.parquet carries TIMESTAMP(NANOS),
-    // which the file-stream source cannot read directly. The global
-    // single-partition ntile sort is staging scaffolding at fixture
-    // scale, not a pipeline shape.
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-    val tiled = Tables.load(spark, dir, "events")
-      .withColumn("__tile", ntile(3).over(w))
-    val fs = new java.io.File(staged)
-    (1 to 3).foreach { t =>
-      tiled.filter(col("__tile") === t).drop("__tile")
-        .coalesce(1).write.mode("append").parquet(staged)
-      // stamp ascending mtimes in write order: the file stream source
-      // lists oldest-first, so batch order follows event-time order
-      val unstamped = Option(fs.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet") && f.lastModified() > 1000000L * t)
-      // the whole multi-batch determinism argument rides on source
-      // ordering = event-time ordering; a silently failed stamp could
-      // reorder batches and drop early rows as late (wrong aggregates,
-      // no error) — fail loudly instead
-      unstamped.foreach(f => require(f.setLastModified(1000000L * t),
-        s"stream staging: cannot set mtime on $f"))
+    // which the file-stream source cannot read directly. ONE
+    // executor-parallel job: range-partition on (ts, event_id) into 3
+    // contiguous event-time slices — part-00000 holds the earliest
+    // range, so lexicographic file order IS event-time order (no
+    // single-partition global sort; the previous ntile formulation
+    // funneled the whole table through one task).
+    Tables.load(spark, dir, "events")
+      .repartitionByRange(3, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .write.parquet(staged)
+    // stamp ascending mtimes in range order: the file stream source
+    // lists oldest-first, so batch order follows event-time order. The
+    // whole multi-batch determinism argument rides on source ordering =
+    // event-time ordering; a silently failed stamp could reorder
+    // batches and drop early rows as late (wrong aggregates, no
+    // error) — fail loudly instead.
+    val parts = Option(new java.io.File(staged).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length == 3, s"stream staging: expected 3 slices, got ${parts.length}")
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(1000000L * (i + 1)),
+        s"stream staging: cannot set mtime on $f")
     }
-    val q = graft.streaming.EventsStream.startDeltaSink(
-      graft.streaming.EventsStream.windowedAgg(
-        graft.streaming.EventsStream.readEvents(spark, staged)),
-      base + "/sink", base + "/ckpt")
-    q.awaitTermination()
+    val q = withStateWidth(spark, 8) {
+      val s = graft.streaming.EventsStream.startDeltaSink(
+        graft.streaming.EventsStream.windowedAgg(
+          graft.streaming.EventsStream.readEvents(spark, staged)),
+        base + "/sink", base + "/ckpt")
+      s.awaitTermination(); s
+    }
     // the contract run itself proves multi-batch execution: at least 3
     // data-carrying micro-batches, and the event-time watermark strictly
     // advanced between the first and last of them
@@ -818,6 +822,92 @@ object ExtQueries {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Run `body` with the session's shuffle width — which fixes a NEW
+    * streaming query's state-store partition count at its first
+    * checkpoint — set to `n`, restoring the previous width after.
+    * State partitioning is a real sizing decision, not an inherited
+    * default: each state partition pays per-micro-batch checkpoint
+    * files, so width should match key cardinality/throughput (at
+    * 100 TB: many; for a bounded fixture: few — 32-wide state on 10k
+    * rows triples the runtime on pure file IO, measured via TimeOne).
+    * A checkpointed stream keeps its width for life; resizing needs an
+    * offline state rebuild, which is why the knob sits at query start. */
+  private def withStateWidth[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  // ---- incremental (cross-corpus) fuzzy dedup ----------------------------
+  /** Dedupe an incoming batch against an EXISTING corpus: batch docs
+    * near-dup (j ≥ 0.8) of any corpus doc are dropped, via the
+    * bipartite LSH join ([[Dedup.minhashLshPairsAcross]]) — the
+    * incremental-crawl shape where the lake is never self-joined. The
+    * fixture splits `documents` at doc_id 250; LSH recall ≈ 1 at the
+    * fixture (same argument as x_dedup_minhash), so the full-pairwise
+    * oracle is exact. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val pairs = Dedup.minhashLshPairsAcross(batch, corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8)
+    val matches = pairs.groupBy(col("id_new").as("doc_id"))
+      .agg(min("id_corpus").as("match_id"))
+    batch.select("doc_id").join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"), col("match_id").isNull.as("kept"))
+      .orderBy("doc_id")
+  }
+  val dedupIncrementalSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(words) - 2, 1)),
+      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
+      |  )) AS s
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |m AS (
+      |  SELECT b.doc_id AS doc_id, MIN(a.doc_id) AS match_id
+      |  FROM sh a JOIN sh b ON a.doc_id < 250 AND b.doc_id >= 250
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |  GROUP BY b.doc_id)
+      |SELECT d.doc_id, m.match_id, m.match_id IS NULL AS kept
+      |FROM documents d LEFT JOIN m USING (doc_id)
+      |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin
+
+  // ---- column profiling --------------------------------------------------
+  /** One-pass data-quality profile of the events table (row/null/
+    * distinct counts, min/max per column) — [[graft.operators
+    * .Profiling.profile]]. Exact distincts here (oracle-comparable);
+    * the operator's `approxDistinct` flag is the 100 TB monitoring
+    * path. */
+  def profileQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(Tables.load(spark, dir, "events"),
+        numericCols = Seq("event_id", "user_id", "value"),
+        stringCols = Seq("event_type", "props"))
+      .orderBy("column")
+  val profileSql: String =
+    """WITH w AS (SELECT
+      |  COUNT(*) AS rows_,
+      |  COUNT(event_id) AS c_eid, COUNT(DISTINCT event_id) AS d_eid,
+      |    CAST(MIN(event_id) AS DOUBLE) AS mn_eid, CAST(MAX(event_id) AS DOUBLE) AS mx_eid,
+      |  COUNT(user_id) AS c_uid, COUNT(DISTINCT user_id) AS d_uid,
+      |    CAST(MIN(user_id) AS DOUBLE) AS mn_uid, CAST(MAX(user_id) AS DOUBLE) AS mx_uid,
+      |  COUNT(value) AS c_val, COUNT(DISTINCT value) AS d_val,
+      |    CAST(MIN(value) AS DOUBLE) AS mn_val, CAST(MAX(value) AS DOUBLE) AS mx_val,
+      |  COUNT(event_type) AS c_et, COUNT(DISTINCT event_type) AS d_et,
+      |    MIN(event_type) AS smn_et, MAX(event_type) AS smx_et,
+      |  COUNT(props) AS c_pr, COUNT(DISTINCT props) AS d_pr,
+      |    MIN(props) AS smn_pr, MAX(props) AS smx_pr
+      |  FROM events)
+      |SELECT 'event_id' AS "column", rows_ AS n_rows, rows_ - c_eid AS n_nulls, d_eid AS n_distinct,
+      |  mn_eid AS min_num, mx_eid AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM w
+      |UNION ALL SELECT 'user_id', rows_, rows_ - c_uid, d_uid, mn_uid, mx_uid, NULL, NULL FROM w
+      |UNION ALL SELECT 'value', rows_, rows_ - c_val, d_val, mn_val, mx_val, NULL, NULL FROM w
+      |UNION ALL SELECT 'event_type', rows_, rows_ - c_et, d_et, NULL, NULL, smn_et, smx_et FROM w
+      |UNION ALL SELECT 'props', rows_, rows_ - c_pr, d_pr, NULL, NULL, smn_pr, smx_pr FROM w
+      |ORDER BY "column"""".stripMargin
+
   // ---- streaming enrichment (stream-static join) ------------------------
   /** Stream-static enrichment executed through the REAL micro-batch
     * path: events stream joins the broadcast customer dimension, then
@@ -836,11 +926,13 @@ object ExtQueries {
     Tables.load(spark, dir, "events").coalesce(1).write.parquet(staged)
     val dim = Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-    val q = graft.streaming.EventsStream.startDeltaSink(
-      graft.streaming.EventsStream.enrichedWindowedAgg(
-        graft.streaming.EventsStream.readEvents(spark, staged), dim),
-      base + "/sink", base + "/ckpt")
-    q.awaitTermination()
+    val q = withStateWidth(spark, 8) {
+      val s = graft.streaming.EventsStream.startDeltaSink(
+        graft.streaming.EventsStream.enrichedWindowedAgg(
+          graft.streaming.EventsStream.readEvents(spark, staged), dim),
+        base + "/sink", base + "/ckpt")
+      s.awaitTermination(); s
+    }
     require(q.recentProgress.exists(_.numInputRows > 0),
       "x_stream_enrich: no data micro-batch executed")
     graft.ds.GraftDataset(base + "/sink").df(spark)
@@ -869,11 +961,13 @@ object ExtQueries {
     val base = java.nio.file.Files.createTempDirectory("graft_q_attrib_").toString
     val staged = base + "/src"
     Tables.load(spark, dir, "events").coalesce(1).write.parquet(staged)
-    val q = graft.streaming.EventsStream.startDeltaSink(
-      graft.streaming.EventsStream.attributionJoin(
-        graft.streaming.EventsStream.readEvents(spark, staged)),
-      base + "/sink", base + "/ckpt")
-    q.awaitTermination()
+    val q = withStateWidth(spark, 8) {
+      val s = graft.streaming.EventsStream.startDeltaSink(
+        graft.streaming.EventsStream.attributionJoin(
+          graft.streaming.EventsStream.readEvents(spark, staged)),
+        base + "/sink", base + "/ckpt")
+      s.awaitTermination(); s
+    }
     require(q.recentProgress.exists(_.numInputRows > 0),
       "x_stream_attrib: no data micro-batch executed")
     graft.ds.GraftDataset(base + "/sink").df(spark)
@@ -995,6 +1089,8 @@ object ExtQueries {
     "x_rep_signals" -> (repSignals _),
     "x_stream_enrich" -> (streamEnrich _),
     "x_stream_attrib" -> (streamAttrib _),
+    "x_profile" -> (profileQuery _),
+    "x_dedup_incremental" -> (dedupIncremental _),
     "x_redact_pii" -> (redactPii _),
     "x_embed_quantize" -> (embedQuantize _),
     "x_pipeline_e2e" -> (pipelineE2E _),
@@ -1029,6 +1125,8 @@ object ExtQueries {
     "x_rep_signals" -> repSignalsSql,
     "x_stream_enrich" -> streamEnrichSql,
     "x_stream_attrib" -> streamAttribSql,
+    "x_profile" -> profileSql,
+    "x_dedup_incremental" -> dedupIncrementalSql,
     "x_redact_pii" -> redactPiiSql,
     "x_embed_quantize" -> embedQuantizeSql,
     "x_pipeline_e2e" -> pipelineE2ESql,

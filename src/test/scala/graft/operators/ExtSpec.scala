@@ -28,6 +28,16 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("bipartite LSH finds cross-corpus near-dups only") {
+    val corpus = docs.filter($"doc_id" <= 3)
+    val batch = docs.filter($"doc_id" >= 4)
+    val pairs = Dedup.minhashLshPairsAcross(batch, corpus, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    // doc 4 is 1-mod-case (j=1 with 1, near 2); 5 matches nothing
+    assert(pairs == Set((4L, 1L), (4L, 2L)))
+  }
+
   test("minhash LSH agrees with exact ngram jaccard on clear dups") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
