@@ -1044,17 +1044,23 @@ object ExtQueries {
     val toks = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
       .filter(size(col("w")) > 1)
-    val base = toks.select(col("doc_id"),
+    val base = toks.select(col("doc_id"), col("w"),
       size(col("w")).cast("long").as("total"),
       size(array_distinct(col("w"))).cast("long").as("dw"),
       expr("transform(slice(w, 1, size(w)-1), (x, i) -> concat(x, ' ', w[i+1]))").as("bg"))
-    val topW = toks.select(col("doc_id"), explode(col("w")).as("t"))
-      .groupBy("doc_id", "t").count()
-      .groupBy("doc_id").agg(max("count").as("twc"))
-    val topB = base.select(col("doc_id"), explode(col("bg")).as("t"))
-      .groupBy("doc_id", "t").count()
-      .groupBy("doc_id").agg(max("count").as("tbc"))
-    base.join(topW, Seq("doc_id")).join(topB, Seq("doc_id"))
+    // ONE explode over tag-discriminated unigrams+bigrams → one
+    // (doc_id, tag, token) count shuffle + one per-doc max — half the
+    // shuffles and joins of the separate top-word/top-bigram pipelines
+    // (bigrams contain their space, so the tag is for clarity, not
+    // collision avoidance)
+    val tops = base.select(col("doc_id"), explode(concat(
+        expr("transform(w, x -> struct(0 AS tag, x AS tok))"),
+        expr("transform(bg, x -> struct(1 AS tag, x AS tok))"))).as("t"))
+      .groupBy(col("doc_id"), col("t.tag").as("tag"), col("t.tok").as("tok")).count()
+      .groupBy("doc_id")
+      .agg(max(when(col("tag") === 0, col("count"))).as("twc"),
+        max(when(col("tag") === 1, col("count"))).as("tbc"))
+    base.join(tops, Seq("doc_id"))
       .select(col("doc_id"),
         col("total").as("n_words"),
         ((col("total") - col("dw")).cast("double") / col("total")).as("dup_word_frac"),
