@@ -183,12 +183,7 @@ final case class DatasetWriter(
     // Row count captured via Observation during the single write job —
     // no caching of the (potentially huge) output.
     val obs = org.apache.spark.sql.Observation()
-    // zstd needs native codec support for TEXT formats in vanilla
-    // Hadoop → csv/json fall back to gzip; parquet and orc compress
-    // zstd internally and keep it.
-    val codec =
-      if ((target.format == "csv" || target.format == "json") && target.compression == "zstd") "gzip"
-      else target.compression
+    val codec = DatasetWriter.resolveCodec(target.format, target.compression)
     var w = batched.observe(obs, count(lit(1)).as("rows")).write
       .mode(saveMode)
       .option("compression", codec)
@@ -227,7 +222,11 @@ final case class DatasetWriter(
     * Atomicity granularity is per partition directory (same as Spark's
     * dynamic partition overwrite): a crash mid-promotion leaves some
     * partitions new and some old, each individually consistent, with
-    * `.…__swap_old` backups (hidden from scans) for manual recovery. */
+    * `.…__swap_old` backups (hidden from scans) for manual recovery.
+    * Partitions emptied by the merge (every matched row moved away) are
+    * deleted BEFORE promotion: a crash in between can make moved keys
+    * briefly absent (healed by re-running the batch) but can never
+    * duplicate a key across its old and new partitions. */
   private def upsertPartitionScoped(
       spark: SparkSession, fs: FileSystem, targetPath: Path,
       existing: DataFrame, pinned: DataFrame,
@@ -277,14 +276,21 @@ final case class DatasetWriter(
       rowGroupSize = rowGroupSize).write(spark, merged)
 
     // leaf partition dirs of the staged output (depth = partCols.length)
-    def leaves(p: Path, depth: Int): Seq[Path] =
-      if (depth == 0) Seq(p)
-      else fs.listStatus(p).toSeq.filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap(st => leaves(st.getPath, depth - 1))
-    val stagedLeaves = leaves(tmp, partCols.length)
+    val stagedLeaves = DatasetWriter.hiveLeafDirs(fs, tmp, partCols.length)
     val stagedRel = stagedLeaves.map(p =>
       fs.makeQualified(p).toString.stripPrefix(fs.makeQualified(tmp).toString + "/"))
 
+    // Partitions that lost their LAST matched row to another partition
+    // and got nothing back hold ONLY rows being moved (unmatched rows
+    // would have put their partition into the staged set). Delete them
+    // BEFORE promotion: a crash in between leaves the moved keys
+    // temporarily ABSENT (re-running the same upsert batch restores
+    // them — the staged data is recomputed from the batch), which
+    // preserves the key-uniqueness invariant. The reverse order would
+    // leave a crashed run with the key duplicated across its old and
+    // new partitions — a wrong-answer state no re-run or vacuum could
+    // detect.
+    (matchedDirs -- stagedRel).foreach(rel => fs.delete(new Path(targetPath, rel), true))
     // promote each staged partition dir (backup-swap where live exists,
     // plain rename where the partition is new)
     stagedLeaves.zip(stagedRel).foreach { case (src, rel) =>
@@ -295,9 +301,6 @@ final case class DatasetWriter(
         require(fs.rename(src, live), s"upsert: cannot promote $src to $live")
       }
     }
-    // partitions that lost their LAST matched row to another partition
-    // and got nothing back: delete, or the old copy would survive
-    (matchedDirs -- stagedRel).foreach(rel => fs.delete(new Path(targetPath, rel), true))
     fs.delete(tmp, true)
     n
   }
@@ -355,6 +358,22 @@ final case class DatasetWriter(
 }
 
 object DatasetWriter {
+  /** Leaf `col=value` partition directories `depth` levels under `p` —
+    * shared by the partition-scoped upsert and [[Repartition.compact]]
+    * so the hive-tree walk cannot drift between them. */
+  private[ds] def hiveLeafDirs(fs: FileSystem, p: Path, depth: Int): Seq[Path] =
+    if (depth == 0) Seq(p)
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap(st => hiveLeafDirs(fs, st.getPath, depth - 1))
+
+  /** zstd needs native codec support for TEXT formats in vanilla
+    * Hadoop → csv/json fall back to gzip; parquet and orc compress
+    * zstd internally and keep it. One rule, used by every writer. */
+  private[ds] def resolveCodec(format: String, compression: String): String =
+    if ((format == "csv" || format == "json") && compression == "zstd") "gzip"
+    else compression
+
   /** Promote a staged rewrite: move `live` aside, promote `tmp`, drop
     * the backup — roll back if promotion fails. Shared by upsert and
     * [[Repartition]]'s in-place path. */

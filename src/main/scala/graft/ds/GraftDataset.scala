@@ -135,9 +135,15 @@ final case class GraftDataset(
     def walkDirs(d: Path): Seq[Path] =
       f.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath)
         .flatMap(c => c +: walkDirs(c))
+    // swapInPlace ALWAYS dot-prefixes backups — requiring the "." here
+    // is load-bearing: a live partition whose legal value merely ends
+    // in "__swap_old" (hive escaping leaves '_' and letters untouched)
+    // must never be treated as a backup, or vacuum would delete or
+    // rename real data
     val partBackups =
       if (!f.exists(p)) Nil
-      else walkDirs(p).filter(_.getName.endsWith("__swap_old"))
+      else walkDirs(p).filter(d =>
+        d.getName.startsWith(".") && d.getName.endsWith("__swap_old"))
     val cleanedBackups = partBackups.flatMap { b =>
       val live = new Path(b.getParent,
         b.getName.stripPrefix(".").stripSuffix("__swap_old"))

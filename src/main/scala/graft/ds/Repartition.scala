@@ -89,11 +89,7 @@ object Repartition {
     val parts = ds.partitioning
     require(fs.exists(root), s"compact: no dataset at ${ds.path}")
 
-    def leafDirs(p: Path, d: Int): Seq[Path] =
-      if (d == 0) Seq(p)
-      else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap(st => leafDirs(st.getPath, d - 1))
+    def leafDirs(p: Path, d: Int): Seq[Path] = DatasetWriter.hiveLeafDirs(fs, p, d)
     def dataFiles(p: Path) = fs.listStatus(p).toSeq.filter(st => st.isFile &&
       !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
 
@@ -113,9 +109,7 @@ object Repartition {
     fs.delete(tmp, true)
     val df = ds.df(spark)
     val dataCols = df.columns.filterNot(parts.contains)
-    val codec =
-      if ((ds.format == "csv" || ds.format == "json") && ds.compression == "zstd") "gzip"
-      else ds.compression
+    val codec = DatasetWriter.resolveCodec(ds.format, ds.compression)
 
     def writeStaged(arranged: org.apache.spark.sql.DataFrame): Unit = {
       var w = arranged.write.mode("overwrite").option("compression", codec)
@@ -127,14 +121,20 @@ object Repartition {
       }
     }
 
+    var promoted = 0
     if (parts.isEmpty) {
       // whole-dataset compaction: one bounded-width rewrite + root swap
       writeStaged(df.repartition(todo.head._3))
       DatasetWriter.swapInPlace(fs, tmp, root)
+      promoted = 1
     } else {
-      // decode `col=value` path segments → (string values..., want)
+      // decode `col=value` path segments → (string values..., want).
+      // Spark's own hive unescape (%XX only) — URLDecoder would also
+      // turn a literal '+' into a space, silently skipping (or worse,
+      // colliding) partitions whose value contains '+'
       def decode(seg: String): String =
-        java.net.URLDecoder.decode(seg.substring(seg.indexOf('=') + 1), "UTF-8")
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(seg.indexOf('=') + 1))
       val wantRows = todo.map { case (rel, _, want) =>
         org.apache.spark.sql.Row.fromSeq(rel.split('/').toSeq.map(decode) :+ want)
       }
@@ -172,11 +172,13 @@ object Repartition {
         val live = new Path(root, rel)
         // a qualifying partition whose files held zero rows stages
         // nothing — leave its live dir alone rather than swap with air
-        if (fs.exists(src)) DatasetWriter.swapInPlace(fs, src, live)
+        if (fs.exists(src)) { DatasetWriter.swapInPlace(fs, src, live); promoted += 1 }
       }
       fs.delete(tmp, true)
     }
     val after = leafDirs(root, parts.length).map(dataFiles(_).size.toLong).sum
-    CompactStats(todo.size, before, after)
+    // count PROMOTED swaps, not planned ones — a skipped partition
+    // (zero staged rows) must not read as compacted work
+    CompactStats(promoted, before, after)
   }
 }

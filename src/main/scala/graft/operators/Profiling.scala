@@ -35,32 +35,44 @@ object Profiling {
     val missing = all.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
 
+    // exact-name resolution: backtick-quote (doubling inner backticks)
+    // so a dot in a column name is a character, not a struct access
+    def qcol(c: String) = df.col("`" + c.replace("`", "``") + "`")
     def nd(c: String) =
-      if (approxDistinct) approx_count_distinct(col(c)) else count_distinct(col(c))
+      if (approxDistinct) approx_count_distinct(qcol(c)) else count_distinct(qcol(c))
 
-    val aggs = numericCols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"), nd(c).as(s"__nd_$c"),
-        min(col(c)).cast("double").as(s"__mn_$c"),
-        max(col(c)).cast("double").as(s"__mx_$c"))
-    } ++ stringCols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"), nd(c).as(s"__nd_$c"),
-        min(col(c)).as(s"__smn_$c"), max(col(c)).as(s"__smx_$c"))
+    // internal aliases are INDEX-based and column names appear only as
+    // lit() values — a name with spaces, dots, hyphens, or quotes is
+    // data here, never an identifier to re-parse
+    val aggs = all.zipWithIndex.flatMap { case (c, i) =>
+      if (numericCols.contains(c))
+        Seq(count(qcol(c)).as(s"__cnt_$i"), nd(c).as(s"__nd_$i"),
+          min(qcol(c)).cast("double").as(s"__mn_$i"),
+          max(qcol(c)).cast("double").as(s"__mx_$i"))
+      else
+        Seq(count(qcol(c)).as(s"__cnt_$i"), nd(c).as(s"__nd_$i"),
+          min(qcol(c)).as(s"__smn_$i"), max(qcol(c)).as(s"__smx_$i"))
     } :+ count(lit(1)).as("__rows")
 
     val wide = df.agg(aggs.head, aggs.tail: _*)
 
-    // unpivot: stack(n, 'name', cnt, nd, mn, mx, smn, smx, ...) — pure
-    // projection over the 1-row aggregate, no driver collect
-    val numRows = numericCols.map(c =>
-      s"'$c', __cnt_$c, __nd_$c, __mn_$c, __mx_$c, CAST(NULL AS STRING), CAST(NULL AS STRING)")
-    val strRows = stringCols.map(c =>
-      s"'$c', __cnt_$c, __nd_$c, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), __smn_$c, __smx_$c")
-    val stacked = (numRows ++ strRows).mkString(", ")
-    wide.select(col("__rows"), expr(
-      s"stack(${all.size}, $stacked) AS (column, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"))
-      .select(col("column"), col("__rows").as("n_rows"),
-        (col("__rows") - col("n_nonnull")).as("n_nulls"),
-        col("n_distinct"), col("min_num"), col("max_num"),
-        col("min_str"), col("max_str"))
+    // unpivot: explode an array of per-column structs — pure projection
+    // over the 1-row aggregate, no driver collect, no SQL re-parsing
+    val nullD = lit(null).cast("double"); val nullS = lit(null).cast("string")
+    val entries = all.zipWithIndex.map { case (c, i) =>
+      val (mn, mx, smn, smx) =
+        if (numericCols.contains(c))
+          (col(s"__mn_$i"), col(s"__mx_$i"), nullS, nullS)
+        else (nullD, nullD, col(s"__smn_$i"), col(s"__smx_$i"))
+      struct(lit(c).as("column"), col(s"__cnt_$i").as("n_nonnull"),
+        col(s"__nd_$i").cast("long").as("n_distinct"),
+        mn.as("min_num"), mx.as("max_num"), smn.as("min_str"), smx.as("max_str"))
+    }
+    wide.select(col("__rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.column").as("column"), col("__rows").as("n_rows"),
+        (col("__rows") - col("e.n_nonnull")).as("n_nulls"),
+        col("e.n_distinct").as("n_distinct"),
+        col("e.min_num").as("min_num"), col("e.max_num").as("max_num"),
+        col("e.min_str").as("min_str"), col("e.max_str").as("max_str"))
   }
 }

@@ -302,12 +302,19 @@ object Similarity {
     val spark = df.sparkSession
     val (dBits, dTables) =
       if (nbits > 0 && tables > 0) (nbits, tables)
-      else {
+      else if (nbits > 0) {
+        // caller fixed the selectivity knob: size recall to the
+        // CALLER's nbits, not the policy's — deriving tables from the
+        // policy's own (coarser) nbits would silently miss ~25% of
+        // near-dup pairs at e.g. nbits=16 where 16 tables were sized
+        // for nbits=2
+        (nbits, lshTablesFor(nbits))
+      } else {
         // policy needs n; callers on known datasets pass corpusSize to
         // skip this count() — at 100 TB an extra full pass per call is
         // real money (row counts are free from parquet footers)
         val (pb, pt) = lshTopPairsPolicy(corpusSize.getOrElse(df.count()), targetBucket)
-        (if (nbits > 0) nbits else pb, if (tables > 0) tables else pt)
+        (pb, if (tables > 0) tables else pt)
       }
     // numeric ids only: casting a string id yields nulls that vanish
     // silently in collect_list instead of failing loudly
@@ -377,10 +384,20 @@ object Similarity {
       s"lshTopPairsPolicy needs positive n/targetBucket, got n=$n targetBucket=$targetBucket")
     val nbits = math.max(2,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+    (nbits, lshTablesFor(nbits))
+  }
+
+  /** Smallest table count T holding the policy's recall target at a
+    * GIVEN selectivity: (1 − p^nbits)^T ≤ 1e-3 for a cosine-0.9 pair
+    * (bit-agreement p ≈ 0.856), clamped to [16, 64]. Shared by the
+    * corpus-derived policy and the explicit-nbits override path so the
+    * recall contract cannot drift between them. */
+  def lshTablesFor(nbits: Int): Int = {
+    require(nbits > 0, s"lshTablesFor needs positive nbits, got $nbits")
     val pNearDup = 1.0 - math.acos(0.9) / math.Pi
     val perTableHit = math.pow(pNearDup, nbits)
     val t = math.ceil(math.log(1e-3) / math.log(1.0 - perTableHit)).toInt
-    (nbits, math.min(64, math.max(16, t)))
+    math.min(64, math.max(16, t))
   }
 
   /** Total LSH candidate-pair volume Σ_(t,b) C(bucket,2) before the

@@ -187,8 +187,13 @@ object OpsQueries {
   def w13Compact(spark: SparkSession, dir: String): DataFrame = {
     val dst = tmp("w13")
     val ds = GraftDataset(dst, partitioning = Seq("c_mktsegment"))
-    DatasetWriter(ds, WriteMode.Overwrite, batchRows = Some(100L))
-      .write(spark, Tables.load(spark, dir, "customer"))
+    val customer = Tables.load(spark, dir, "customer")
+    // fragment relative to table size so the fixture fractures at EVERY
+    // scale factor (a fixed 100-row batch stops fragmenting once
+    // partitions drop under 100 rows, e.g. sf0.001's 30-row segments)
+    val batch = math.max(1L, customer.count() / 150)
+    DatasetWriter(ds, WriteMode.Overwrite, batchRows = Some(batch))
+      .write(spark, customer)
     val stats = Repartition.compact(spark, ds)
     require(stats.partitionsCompacted > 0 && stats.filesAfter < stats.filesBefore,
       s"w13: compaction was a no-op ($stats) — fixture no longer fragments")

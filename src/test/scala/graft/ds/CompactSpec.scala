@@ -108,4 +108,32 @@ class CompactSpec extends AnyFunSuite {
       .collect().toSet
     assert(got == data.as[(Long, Option[String])].collect().toSet)
   }
+
+  test("a literal '+' in a partition value compacts (no url-decode mangling)") {
+    val dir = freshDir()
+    val ds = GraftDataset(dir, partitioning = Seq("p"))
+    // "a+b" is hive-escaped verbatim (dir p=a+b); a URL decoder would
+    // read it back as "a b" and silently skip the partition — worse if
+    // a REAL "a b" partition also qualifies (duplicated rows)
+    val data = ((1 to 10).map(i => (i.toLong, "a+b")) ++
+      (11 to 20).map(i => (i.toLong, "a b"))).toDF("id", "p")
+    DatasetWriter(ds, WriteMode.Overwrite, batchRows = Some(2L)).write(spark, data)
+    val stats = Repartition.compact(spark, ds)
+    assert(stats.partitionsCompacted == 2, stats.toString)
+    assert(filesIn(s"$dir/p=a+b").size == 1)
+    val got = spark.read.parquet(dir).select("id", "p").as[(Long, String)].collect().toSet
+    assert(got == data.as[(Long, String)].collect().toSet)
+  }
+
+  test("vacuum never mistakes a live partition ending in __swap_old for a backup") {
+    val dir = freshDir()
+    val ds = GraftDataset(dir, partitioning = Seq("p"))
+    val data = ((1 to 5).map(i => (i.toLong, "foo__swap_old")) ++
+      (6 to 10).map(i => (i.toLong, "foo"))).toDF("id", "p")
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, data.coalesce(1))
+    val removed = ds.vacuum(spark)
+    assert(removed.isEmpty, s"vacuum deleted live data: $removed")
+    val got = spark.read.parquet(dir).select("id", "p").as[(Long, String)].collect().toSet
+    assert(got == data.as[(Long, String)].collect().toSet)
+  }
 }

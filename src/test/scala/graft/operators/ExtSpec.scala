@@ -227,6 +227,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("lsh tables sizing follows the caller's nbits, not the policy's") {
+    // recall contract: (1 - p^nbits)^T <= 1e-3. Coarse buckets need few
+    // tables (clamped up to 16); fine buckets need many (clamped at 64).
+    // An nbits-only override must re-derive tables at ITS selectivity —
+    // 16 tables sized for nbits=2 would miss ~25% of pairs at nbits=16.
+    assert(Similarity.lshTablesFor(2) == 16)
+    assert(Similarity.lshTablesFor(11) == Similarity.lshTopPairsPolicy(1000000)._2)
+    assert(Similarity.lshTablesFor(16) == 64)
+  }
+
   test("lsh top pairs policy bounds candidate volume at 10x fixture scale") {
     // policy shape: nbits grows with corpus size, tables clamped
     assert(Similarity.lshTopPairsPolicy(2000) == ((2, 16)))

@@ -45,6 +45,15 @@ class ProfilingSpec extends AnyFunSuite {
     assert(a >= 1 && a <= 3)
   }
 
+  test("profile: special characters in column names are data, not identifiers") {
+    val weird = df.withColumnRenamed("id", "a b").withColumnRenamed("s", "it's.dotted")
+    val p = Profiling.profile(weird, Seq("a b"), Seq("it's.dotted"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("a b", "it's.dotted"))
+    assert(p("a b").getLong(3) == 2)
+    assert(p("it's.dotted").getString(6) == "a")
+  }
+
   test("profile: unknown column fails loudly") {
     val e = intercept[IllegalArgumentException] {
       Profiling.profile(df, Seq("nope"), Nil)
