@@ -97,4 +97,39 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     }
 
   def table(name: String): DataFrame = load(name).df(spark)
+
+  /** Lake-wide maintenance sweep: compact every catalog dataset's
+    * small files ([[graft.ds.Repartition.compact]]) and vacuum its
+    * crashed-rewrite leftovers. Planning per dataset is FS metadata
+    * only, so a sweep over a large catalog costs one rewrite job per
+    * FRAGMENTED dataset and nothing for healthy ones. Partitioning is
+    * read from each dataset's own layout: hive `col=value` dirs under
+    * the root are detected and compacted partition-scoped. Returns
+    * per-dataset stats, in catalog order. */
+  def compactAll(targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[(String, graft.ds.Repartition.CompactStats)] =
+    datasets().keys.toSeq.sorted.map { name =>
+      val ds = load(name)
+      // infer hive partition depth from the first `col=value` chain —
+      // compact needs the depth to find leaf dirs
+      def depth(p: Path): Int = {
+        val sub = fs.listStatus(p).filter(st =>
+          st.isDirectory && st.getPath.getName.contains("="))
+        if (sub.isEmpty) 0 else 1 + depth(sub.head.getPath)
+      }
+      val partCols = (0 until depth(new Path(ds.path))).map(i => s"__p$i")
+      val shaped =
+        if (partCols.isEmpty) ds
+        else {
+          // partition column NAMES come from the dir layout itself
+          val names = Iterator.iterate(new Path(ds.path)) { p =>
+            fs.listStatus(p).filter(st => st.isDirectory &&
+              st.getPath.getName.contains("=")).head.getPath
+          }.drop(1).take(partCols.length)
+            .map(_.getName.takeWhile(_ != '=')).toSeq
+          ds.copy(partitioning = names)
+        }
+      ds.vacuum(spark)
+      name -> graft.ds.Repartition.compact(spark, shaped, targetFileBytes)
+    }
 }

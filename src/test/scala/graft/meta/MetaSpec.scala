@@ -168,4 +168,36 @@ class ManagerSpec extends AnyFunSuite {
     m.removeDataset("plain")
     assert(m.datasets().keySet == Set("sales"))
   }
+
+  test("compactAll sweeps the catalog: fragmented datasets shrink, layouts inferred") {
+    val lake = Files.createTempDirectory("graft_lake2_").toString
+    val m = new Manager(spark, lake)
+    m.init("sweeplake")
+    // plain fragmented dataset
+    DatasetWriter(GraftDataset(lake + "/flat"), WriteMode.Overwrite, batchRows = Some(3L))
+      .write(spark, (1 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    // hive-partitioned fragmented dataset — compactAll must infer the
+    // partition column from the dir layout, not be told
+    DatasetWriter(GraftDataset(lake + "/parts", partitioning = Seq("p")),
+        WriteMode.Overwrite, batchRows = Some(2L))
+      .write(spark, (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "p"))
+    m.addDataset("flat", lake + "/flat")
+    m.addDataset("parts", lake + "/parts")
+
+    def files(d: String): Int = {
+      val dir = new java.io.File(d)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    assert(files(lake + "/flat") >= 5 && files(lake + "/parts/p=a") >= 3)
+
+    val stats = m.compactAll().toMap
+    assert(stats.keySet == Set("flat", "parts"))
+    assert(stats("flat").filesAfter < stats("flat").filesBefore)
+    assert(stats("parts").partitionsCompacted == 2)
+    assert(files(lake + "/flat") == 1)
+    assert(files(lake + "/parts/p=a") == 1 && files(lake + "/parts/p=b") == 1)
+    assert(spark.read.parquet(lake + "/flat").count() == 30)
+    assert(spark.read.parquet(lake + "/parts").count() == 20)
+  }
 }
