@@ -360,11 +360,18 @@ final case class DatasetWriter(
 object DatasetWriter {
   /** Leaf `col=value` partition directories `depth` levels under `p` —
     * shared by the partition-scoped upsert and [[Repartition.compact]]
-    * so the hive-tree walk cannot drift between them. */
-  private[ds] def hiveLeafDirs(fs: FileSystem, p: Path, depth: Int): Seq[Path] =
+    * so the hive-tree walk cannot drift between them. Hidden dirs
+    * ("."/"_" prefixes — swap backups, staging, metadata) are skipped:
+    * a leftover `.p=v__swap_old` contains '=' but is NOT a partition,
+    * and treating it as one would compact backup data or derive a
+    * wrong partition value. */
+  private[graft] def hiveLeafDirs(fs: FileSystem, p: Path, depth: Int): Seq[Path] =
     if (depth == 0) Seq(p)
     else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.contains("=") && !n.startsWith(".") && !n.startsWith("_")
+      }
       .flatMap(st => hiveLeafDirs(fs, st.getPath, depth - 1))
 
   /** zstd needs native codec support for TEXT formats in vanilla

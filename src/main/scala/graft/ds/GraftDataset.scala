@@ -188,13 +188,29 @@ final case class GraftDataset(
       // strip it before the format check or existence detection fails
       // and Delta/Raise modes silently misbehave for those datasets
       val codecSuffixes = Seq(".gz", ".zst", ".snappy", ".bz2", ".deflate", ".lz4")
+      // listFiles(recursive) descends into hidden DIRECTORIES even
+      // though we filter hidden file names — a normal-named file inside
+      // a `.p=v__swap_old/` backup or `_staging/` dir must not count as
+      // data (Spark's own InMemoryFileIndex applies the same rule to
+      // every path segment)
+      val qualifiedRoot = f.makeQualified(p)
+      def hiddenAncestor(q: Path): Boolean = {
+        var cur = q.getParent
+        while (cur != null && cur != qualifiedRoot) {
+          val n = cur.getName
+          if (n.startsWith(".") || n.startsWith("_")) return true
+          cur = cur.getParent
+        }
+        false
+      }
       while (it.hasNext) {
         val s = it.next()
         val name = s.getPath.getName
         val base = codecSuffixes.foldLeft(name)((n, c) =>
           if (n.endsWith(c)) n.dropRight(c.length) else n)
         if (s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          (base.endsWith(ext) || base.endsWith(".parquet")))
+          (base.endsWith(ext) || base.endsWith(".parquet")) &&
+          !hiddenAncestor(s.getPath))
           buf += (s.getPath.toString -> s.getLen)
       }
       buf.toSeq

@@ -110,26 +110,22 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
       : Seq[(String, graft.ds.Repartition.CompactStats)] =
     datasets().keys.toSeq.sorted.map { name =>
       val ds = load(name)
-      // infer hive partition depth from the first `col=value` chain —
-      // compact needs the depth to find leaf dirs
-      def depth(p: Path): Int = {
-        val sub = fs.listStatus(p).filter(st =>
-          st.isDirectory && st.getPath.getName.contains("="))
-        if (sub.isEmpty) 0 else 1 + depth(sub.head.getPath)
-      }
-      val partCols = (0 until depth(new Path(ds.path))).map(i => s"__p$i")
-      val shaped =
-        if (partCols.isEmpty) ds
-        else {
-          // partition column NAMES come from the dir layout itself
-          val names = Iterator.iterate(new Path(ds.path)) { p =>
-            fs.listStatus(p).filter(st => st.isDirectory &&
-              st.getPath.getName.contains("=")).head.getPath
-          }.drop(1).take(partCols.length)
-            .map(_.getName.takeWhile(_ != '=')).toSeq
-          ds.copy(partitioning = names)
-        }
+      // vacuum FIRST: leftover swap backups contain '=' and would
+      // otherwise pollute the layout inference below
       ds.vacuum(spark)
+      // infer the hive `col=value` chain from the directory tree —
+      // compact needs depth and column names to find leaf dirs. Hidden
+      // ("."/"_") dirs are never partitions.
+      def partDirs(p: Path) = fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.contains("=") && !n.startsWith(".") && !n.startsWith("_")
+      }
+      val names = Iterator.iterate(Option(new Path(ds.path))) {
+        case Some(p) => partDirs(p).headOption.map(_.getPath)
+        case None => None
+      }.drop(1).takeWhile(_.isDefined).flatten
+        .map(_.getName.takeWhile(_ != '=')).toSeq
+      val shaped = if (names.isEmpty) ds else ds.copy(partitioning = names)
       name -> graft.ds.Repartition.compact(spark, shaped, targetFileBytes)
     }
 }

@@ -125,6 +125,27 @@ class CompactSpec extends AnyFunSuite {
     assert(got == data.as[(Long, String)].collect().toSet)
   }
 
+  test("compact ignores leftover hidden swap-backup dirs (not partitions)") {
+    val dir = freshDir()
+    val ds = GraftDataset(dir, partitioning = Seq("p"))
+    val data = (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "p")
+    DatasetWriter(ds, WriteMode.Overwrite, batchRows = Some(2L)).write(spark, data)
+    // crash residue: a backup dir that contains '=' but is hidden.
+    // Named for a partition that no longer exists — a residue at a
+    // LIVE partition's backup path is legitimately consumed by that
+    // partition's swap (stale-backup cleanup in swapInPlace).
+    val residue = new java.io.File(s"$dir/.p=zzz__swap_old")
+    assert(residue.mkdir())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/.p=zzz__swap_old/stale.parquet"), "junk")
+
+    val stats = Repartition.compact(spark, ds)
+    assert(stats.partitionsCompacted == 2, stats.toString) // a and b only
+    assert(residue.exists, "compact must not touch the backup dir")
+    val got = spark.read.parquet(dir).select("id", "p").as[(Long, String)].collect().toSet
+    assert(got == data.as[(Long, String)].collect().toSet)
+  }
+
   test("vacuum never mistakes a live partition ending in __swap_old for a backup") {
     val dir = freshDir()
     val ds = GraftDataset(dir, partitioning = Seq("p"))
