@@ -1,0 +1,157 @@
+package graft.ds
+
+import java.io.{FileNotFoundException, IOException}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Advisory dataset write lock: serializes the mutating operators
+  * (upsert, compact, in-place repartition, schema-unify rewrite, vacuum,
+  * snapshot restore) that stage-and-swap dataset directories. Without
+  * it, two concurrent writers interleave staged renames and one
+  * writer's rows silently vanish — the natural failure mode once
+  * [[graft.meta.Manager.compactAll]] maintenance sweeps run beside
+  * ingest on a live lake.
+  *
+  * Mechanism (no reference counterpart — pydala is single-process):
+  *  - The lock is a FILE beside the dataset root (`.<name>__lock`), a
+  *    sibling because the swap protocol renames the root itself; a lock
+  *    inside the tree would be carried away mid-swap.
+  *  - Acquisition is an atomic create-exclusive: `O_CREAT|O_EXCL` via
+  *    NIO on `file://` (Hadoop's local create(overwrite=false) is a
+  *    check-then-create TOCTOU), `FileSystem.create(overwrite=false)`
+  *    elsewhere (atomic on HDFS; object stores need their conditional
+  *    PUT wired into the FS connector, same caveat as every
+  *    lock-file scheme).
+  *  - Liveness: the holder heartbeats the lock file's mtime every
+  *    ttl/3; a waiter may STEAL a lock whose mtime is older than the
+  *    ttl (dead holder). Stealing renames the stale lock to a unique
+  *    name first — rename is atomic, so of N concurrent stealers
+  *    exactly one clears it and everyone then races the ordinary
+  *    create-exclusive. A crash between rename and delete leaves a
+  *    `.…__lock.stale*` file that [[GraftDataset.vacuum]] cleans.
+  *  - Release deletes the file only if it still carries OUR token: a
+  *    holder that lost its lock to a TTL steal must not delete the
+  *    thief's lock.
+  *
+  * Scale shape: one create + one delete per mutating operation and one
+  * touch per ttl/3 — O(1) FS metadata RPCs, nothing proportional to
+  * data size. */
+object DatasetLock {
+  /** Default holder ttl. Generous because the heartbeat keeps a LIVE
+    * holder fresh regardless of how long its write job runs — the ttl
+    * only bounds how long a CRASHED holder blocks the dataset. */
+  val DefaultTtlMs: Long = 15L * 60 * 1000
+  /** Default time a waiter contends before giving up. */
+  val DefaultAcquireTimeoutMs: Long = 30L * 60 * 1000
+
+  /** Lock file for a dataset root; None when the root IS the FS root
+    * (no sibling possible — single-dataset FS, nothing to serialize). */
+  def lockPath(dataset: Path): Option[Path] =
+    Option(dataset.getParent).map(par => new Path(par, s".${dataset.getName}__lock"))
+
+  /** Run `body` holding the dataset's write lock. */
+  def withLock[T](fs: FileSystem, dataset: Path,
+      ttlMs: Long = DefaultTtlMs,
+      acquireTimeoutMs: Long = DefaultAcquireTimeoutMs)(body: => T): T =
+    lockPath(dataset) match {
+      case None => body
+      case Some(lock) =>
+        val token = acquire(fs, lock, ttlMs, acquireTimeoutMs)
+        val hb = startHeartbeat(fs, lock, ttlMs)
+        try body
+        finally {
+          hb.interrupt()
+          try hb.join(2000) catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          release(fs, lock, token)
+        }
+    }
+
+  private def token(): String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"${ProcessHandle.current().pid()}:${java.util.UUID.randomUUID()}"
+
+  /** Atomic create-exclusive; true iff WE created the lock. */
+  private def createExclusive(fs: FileSystem, lock: Path, tok: String): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      // NIO CREATE_NEW is O_CREAT|O_EXCL — kernel-atomic. Hadoop's
+      // RawLocalFileSystem.create(overwrite=false) is exists()-then-
+      // create, which two threads pass simultaneously.
+      val local = java.nio.file.Paths.get(lock.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local, tok.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        fs.mkdirs(lock.getParent)
+        val out = fs.create(lock, false)
+        try out.write(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: IOException => false }
+    }
+
+  private def acquire(fs: FileSystem, lock: Path, ttlMs: Long, timeoutMs: Long): String = {
+    val tok = token()
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var attempt = 0
+    while (true) {
+      if (createExclusive(fs, lock, tok)) return tok
+      // lock held — steal iff the holder stopped heartbeating for a ttl
+      val mtime =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: FileNotFoundException => None } // released between tries
+      mtime.foreach { m =>
+        if (System.currentTimeMillis() - m > ttlMs) {
+          // rename-first steal: atomic, exactly one stealer wins the
+          // rename; the create-exclusive race that follows is fair
+          val stale = new Path(lock.getParent, s"${lock.getName}.stale${System.nanoTime()}")
+          try { if (fs.rename(lock, stale)) fs.delete(stale, false) }
+          catch { case _: IOException => () } // lost the steal race — fine
+        }
+      }
+      if (System.currentTimeMillis() >= deadline)
+        throw new IllegalStateException(
+          s"graft: timed out after ${timeoutMs} ms waiting for dataset lock $lock " +
+            s"(holder: ${readToken(fs, lock).getOrElse("<gone>")}); if the holder is dead, " +
+            s"the lock self-expires ${ttlMs} ms after its last heartbeat")
+      attempt += 1
+      // capped jittered backoff — contention is between a handful of
+      // writers, not thousands; 25–250 ms keeps waiters responsive
+      // without hammering the namenode
+      val base = math.min(250L, 25L * attempt)
+      Thread.sleep(base / 2 + java.util.concurrent.ThreadLocalRandom.current().nextLong(base / 2 + 1))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readToken(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: IOException => None }
+
+  private def release(fs: FileSystem, lock: Path, tok: String): Unit =
+    try {
+      // only delete OUR lock: after a TTL steal the file is the thief's
+      if (readToken(fs, lock).contains(tok)) fs.delete(lock, false)
+    } catch { case _: IOException => () }
+
+  /** Daemon thread touching the lock's mtime every ttl/3 so a live
+    * holder is never stolen from, however long its write job runs. */
+  private def startHeartbeat(fs: FileSystem, lock: Path, ttlMs: Long): Thread = {
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(200L, ttlMs / 3))
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: IOException => () } // transient; next beat retries
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${lock.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+}

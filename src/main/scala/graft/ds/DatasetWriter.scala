@@ -44,7 +44,11 @@ final case class DatasetWriter(
     deltaSubset: Seq[String] = Nil,
     deltaDatetimeColumn: Option[String] = None,
     rowGroupSize: Option[Long] = None,
-    transform: DataFrame => DataFrame = identity) {
+    transform: DataFrame => DataFrame = identity,
+    // internal staged writes (upsert/repartition temps) run under the
+    // PARENT operation's lock — locking their own tmp path would only
+    // add RPCs; every user-facing writer keeps the default true
+    locking: Boolean = true) {
 
   def withMode(m: WriteMode): DatasetWriter = copy(mode = m)
   def withBatchRows(n: Long): DatasetWriter = copy(batchRows = Some(n))
@@ -64,8 +68,15 @@ final case class DatasetWriter(
     * from the dataframe's width at write time). */
   def withAutoBatchRows: DatasetWriter = copy(batchRows = Some(0L))
 
-  /** Execute the write. Returns the number of rows written. */
-  def write(spark: SparkSession, input: DataFrame): Long = {
+  /** Execute the write. Returns the number of rows written. Serialized
+    * against every other mutating operation on the same dataset via
+    * [[DatasetLock]] — concurrent writers queue instead of interleaving
+    * staged renames (which silently drops one writer's rows). */
+  def write(spark: SparkSession, input: DataFrame): Long =
+    if (!locking) writeBody(spark, input)
+    else DatasetLock.withLock(target.fs(spark), new Path(target.path))(writeBody(spark, input))
+
+  private def writeBody(spark: SparkSession, input: DataFrame): Long = {
     val fs = target.fs(spark)
     val targetPath = new Path(target.path)
     val existed = fs.exists(targetPath) && target.dataFiles(spark).nonEmpty
@@ -126,7 +137,8 @@ final case class DatasetWriter(
         val staged = GraftDataset(tmp.toString, format = target.format,
           partitioning = target.partitioning, compression = target.compression)
         val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
-          timeBatch = timeBatch, rowGroupSize = rowGroupSize).write(spark, merged)
+          timeBatch = timeBatch, rowGroupSize = rowGroupSize, locking = false)
+          .write(spark, merged)
         DatasetWriter.swapInPlace(fs, tmp, targetPath)
         return n
       } finally pinned.unpersist()
@@ -273,7 +285,7 @@ final case class DatasetWriter(
     val staged = GraftDataset(tmp.toString, format = target.format,
       partitioning = partCols, compression = target.compression)
     val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
-      rowGroupSize = rowGroupSize).write(spark, merged)
+      rowGroupSize = rowGroupSize, locking = false).write(spark, merged)
 
     // leaf partition dirs of the staged output (depth = partCols.length)
     val stagedLeaves = DatasetWriter.hiveLeafDirs(fs, tmp, partCols.length)
@@ -400,7 +412,13 @@ object DatasetWriter {
     * files whose physical schema differs from the promoted unified
     * schema. Rewrites whole schema-groups in one distributed pass each,
     * not file-by-file. */
-  def unifySchemaRewrite(spark: SparkSession, ds: GraftDataset, sortCols: Boolean = false): Boolean = {
+  def unifySchemaRewrite(spark: SparkSession, ds: GraftDataset, sortCols: Boolean = false): Boolean =
+    DatasetLock.withLock(ds.fs(spark), new Path(ds.path)) {
+      unifySchemaRewriteLocked(spark, ds, sortCols)
+    }
+
+  private def unifySchemaRewriteLocked(
+      spark: SparkSession, ds: GraftDataset, sortCols: Boolean): Boolean = {
     val files = ds.dataFiles(spark)
     if (files.isEmpty) return false
     // distributed direct footer reads (GraftDataset.fileSchemas goes

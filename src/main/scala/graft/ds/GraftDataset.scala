@@ -101,6 +101,13 @@ final case class GraftDataset(
     * (`.p=v__swap_old` inside the tree) get the same treatment: restored
     * when their live partition dir is missing, deleted otherwise. */
   def vacuum(spark: SparkSession): Seq[String] = {
+    // vacuum under the dataset lock: the danger it documents — deleting
+    // an in-flight swap's backup — is exactly a vacuum racing a writer,
+    // which the lock serializes away
+    DatasetLock.withLock(fs(spark), new Path(path))(vacuumLocked(spark))
+  }
+
+  private def vacuumLocked(spark: SparkSession): Seq[String] = {
     val f = fs(spark)
     val p = new Path(path)
     val sibSuffixes = Seq("__upsert_tmp", "__swap_old", "__repartition_tmp",
@@ -122,6 +129,14 @@ final case class GraftDataset(
     val sib = Option(p.getParent).filter(f.exists(_)).toSeq.flatMap(f.listStatus(_).toSeq)
       .filter(st => st.isDirectory &&
         sibSuffixes.exists(s => st.getPath.getName == s".${p.getName}$s"))
+    // crashed lock STEALS leave `.<name>__lock.staleNNN` files (rename
+    // landed, delete didn't). The live lock `.<name>__lock` — ours,
+    // since vacuum runs under it — is never touched: the ".stale"
+    // infix is required, not just the prefix.
+    val staleLocks = Option(p.getParent).filter(f.exists(_)).toSeq
+      .flatMap(f.listStatus(_).toSeq)
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(s".${p.getName}__lock.stale"))
     val child =
       if (!f.exists(p)) Nil
       else f.listStatus(p).toSeq.filter(st => st.isDirectory &&
@@ -155,6 +170,7 @@ final case class GraftDataset(
       }
     }
     (sib ++ child).map { st => f.delete(st.getPath, true); st.getPath.toString } ++
+      staleLocks.map { st => f.delete(st.getPath, false); st.getPath.toString } ++
       cleanedBackups
   }
 

@@ -25,20 +25,27 @@ object Repartition {
     val df = source.df(spark)
 
     if (inPlace) {
-      // In-place rewrite: stage into a sibling temp dir, then swap.
+      // In-place rewrite: stage into a sibling temp dir, then swap —
+      // under the dataset lock so a concurrent upsert/compact can't
+      // interleave with the stage-read or the swap renames
       val fs = source.fs(spark)
-      val tmpPath = new Path(new Path(dest.path).getParent,
-        s".${new Path(dest.path).getName}__repartition_tmp")
-      fs.delete(tmpPath, true)
-      val staged = dest.copy(path = tmpPath.toString)
-      val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
-        timeBatch = timeBatch).write(spark, df)
-      DatasetWriter.swapInPlace(fs, tmpPath, new Path(dest.path))
-      n
+      DatasetLock.withLock(fs, new Path(dest.path)) {
+        val tmpPath = new Path(new Path(dest.path).getParent,
+          s".${new Path(dest.path).getName}__repartition_tmp")
+        fs.delete(tmpPath, true)
+        val staged = dest.copy(path = tmpPath.toString)
+        val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
+          timeBatch = timeBatch, locking = false).write(spark, df)
+        DatasetWriter.swapInPlace(fs, tmpPath, new Path(dest.path))
+        n
+      }
     } else {
       val n = DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)
         .write(spark, df)
-      if (deleteSource) source.fs(spark).delete(new Path(source.path), true)
+      if (deleteSource)
+        DatasetLock.withLock(source.fs(spark), new Path(source.path)) {
+          source.fs(spark).delete(new Path(source.path), true)
+        }
       n
     }
   }
@@ -83,11 +90,21 @@ object Repartition {
       spark: SparkSession,
       ds: GraftDataset,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    val fs0 = ds.fs(spark)
+    require(fs0.exists(new Path(ds.path)), s"compact: no dataset at ${ds.path}")
+    // the lock covers planning too: a file landing between the listing
+    // and the swap would be silently dropped by the partition rewrite
+    DatasetLock.withLock(fs0, new Path(ds.path))(compactLocked(spark, ds, targetFileBytes))
+  }
+
+  private def compactLocked(
+      spark: SparkSession,
+      ds: GraftDataset,
+      targetFileBytes: Long): CompactStats = {
     import org.apache.spark.sql.functions._
     val fs = ds.fs(spark)
     val root = new Path(ds.path)
     val parts = ds.partitioning
-    require(fs.exists(root), s"compact: no dataset at ${ds.path}")
 
     def leafDirs(p: Path, d: Int): Seq[Path] = DatasetWriter.hiveLeafDirs(fs, p, d)
     def dataFiles(p: Path) = fs.listStatus(p).toSeq.filter(st => st.isFile &&

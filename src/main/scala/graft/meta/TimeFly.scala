@@ -139,15 +139,23 @@ final class TimeFly(spark: SparkSession, root: String) {
     new Path(snapshotRoot, s"$id/_manifest.txt")
 
   /** File list of a manifest snapshot, or None for a copy snapshot. */
-  def manifestFiles(id: String): Option[Seq[String]] = {
+  def manifestFiles(id: String): Option[Seq[String]] =
+    manifestEntries(id).map(_.map(_._2))
+
+  /** (size, path) entries of a manifest snapshot — the recorded sizes
+    * let restore VERIFY a referenced file is unchanged without reading
+    * its bytes. None for a copy snapshot. */
+  def manifestEntries(id: String): Option[Seq[(Long, String)]] = {
     val mf = manifestPath(id)
     if (!fs.exists(mf)) None
     else {
       val in = fs.open(mf)
       val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
                  finally in.close()
-      Some(text.split('\n').toSeq.filter(_.nonEmpty)
-        .map(l => l.substring(l.indexOf('\t') + 1)))
+      Some(text.split('\n').toSeq.filter(_.nonEmpty).map { l =>
+        val tab = l.indexOf('\t')
+        (l.substring(0, tab).toLong, l.substring(tab + 1))
+      })
     }
   }
 
@@ -170,26 +178,56 @@ final class TimeFly(spark: SparkSession, root: String) {
   def loadSnapshot(id: String): Unit = {
     val src = new Path(snapshotRoot, id)
     require(fs.exists(src), s"snapshot $id does not exist")
-    manifestFiles(id) match {
-      case Some(fl) =>
-        val staging = new Path(rootPath, s"_restore_tmp_$id")
-        fs.delete(staging, true); fs.mkdirs(staging)
-        // preserve each file's path RELATIVE to current/: hive layouts
-        // keep partition values only in directory names, so flattening
-        // to basenames would both lose the partition columns and let
-        // same-named files in different partitions overwrite each other
+    // restore mutates current/ — same lock every writer takes on it
+    graft.ds.DatasetLock.withLock(fs, currentPath)(loadSnapshotLocked(id, src))
+  }
+
+  private def loadSnapshotLocked(id: String, src: Path): Unit = {
+    manifestEntries(id) match {
+      case Some(entries) =>
+        // Manifest restore is O(files added since the snapshot), ZERO
+        // data bytes moved: every referenced file already lives inside
+        // current/ (validated below), so restoring means (1) verify the
+        // referenced files are still there at their recorded sizes,
+        // (2) delete only the files current/ gained since the snapshot.
+        // Unchanged files keep identity and mtime — restoring a dataset
+        // nothing touched is a pure metadata no-op. (The previous
+        // staged-copy restore re-copied the whole snapshot through a
+        // temp dir; at 100 TB that is an O(data) job for what is
+        // logically an undo of some appends.)
         val curPrefix = fs.makeQualified(currentPath).toString + "/"
-        fl.foreach { f =>
+        val keep = entries.map { case (len, f) =>
           val p = fs.makeQualified(new Path(f))
-          require(fs.exists(p), s"manifest snapshot $id references missing file $f")
           require(p.toString.startsWith(curPrefix),
             s"manifest snapshot $id references a file outside current/: $f")
-          val dst = new Path(staging, p.toString.substring(curPrefix.length))
-          fs.mkdirs(dst.getParent)
-          FileUtil.copy(fs, p, fs, dst, false, spark.sparkContext.hadoopConfiguration)
+          val st = try fs.getFileStatus(p) catch {
+            case _: java.io.FileNotFoundException => throw new IllegalStateException(
+              s"manifest snapshot $id references missing file $f — the file was " +
+                "rewritten or vacuumed; manifest snapshots stay valid only for " +
+                "append-mostly datasets (use copy snapshots around rewrites)")
+          }
+          require(st.getLen == len,
+            s"manifest snapshot $id: $f changed size (${st.getLen} vs recorded $len) — " +
+              "rewritten in place since the snapshot; cannot restore from manifest")
+          p.toString
+        }.toSet
+        val extras = currentDataset().dataFileStatuses(spark)
+          .map { case (f, _) => fs.makeQualified(new Path(f)) }
+          .filterNot(p => keep.contains(p.toString))
+        extras.foreach(p => fs.delete(p, false))
+        // drop partition dirs emptied by the deletes (bottom-up: a dir
+        // is removable once its children are gone); harmless to scans
+        // either way, but leftover empty `col=value` dirs would pollute
+        // partition enumeration
+        def pruneEmptyDirs(d: Path): Boolean = {
+          val children = fs.listStatus(d)
+          val kept = children.count { st =>
+            if (st.isDirectory && pruneEmptyDirs(st.getPath)) { fs.delete(st.getPath, false); false }
+            else true
+          }
+          kept == 0
         }
-        fs.delete(currentPath, true)
-        require(fs.rename(staging, currentPath), s"restore swap failed: $staging -> $currentPath")
+        pruneEmptyDirs(currentPath)
       case None =>
         fs.delete(currentPath, true)
         FileUtil.copy(fs, src, fs, currentPath, false, spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,157 @@
+package graft.ds
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Two concurrent writers on ONE dataset must serialize through
+  * [[DatasetLock]] with zero lost rows — the 100 TB lake failure mode
+  * this guards is a `Manager.compactAll` maintenance sweep running
+  * beside live ingest: without the lock, interleaved staged renames
+  * silently drop one writer's output. */
+class ConcurrencySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Run both thunks at the same time (latch-released), propagate the
+    * first failure. */
+  private def inParallel(a: => Unit, b: => Unit): Unit = {
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { go.await(); a } })
+      val fb = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { go.await(); b } })
+      go.countDown()
+      fa.get(300, TimeUnit.SECONDS)
+      fb.get(300, TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+  }
+
+  test("upsert vs upsert: both batches land, zero lost rows") {
+    val dir = tmpDir("graft_lock_uu")
+    val ds = GraftDataset(s"$dir/t", partitioning = Seq("p"))
+    val seed = (1 to 200).map(i => (i.toLong, s"seed_$i", i % 4)).toDF("id", "v", "p")
+    DatasetWriter(ds).write(spark, seed)
+
+    // disjoint key ranges: batch A updates 1..50 + inserts 201..250,
+    // batch B updates 51..100 + inserts 251..300 — every row of both
+    // must survive if and only if the upserts serialized
+    val batchA = ((1 to 50) ++ (201 to 250)).map(i => (i.toLong, s"A_$i", i % 4)).toDF("id", "v", "p")
+    val batchB = ((51 to 100) ++ (251 to 300)).map(i => (i.toLong, s"B_$i", i % 4)).toDF("id", "v", "p")
+    val wA = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("id")
+    val wB = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("id")
+    inParallel(wA.write(spark, batchA), wB.write(spark, batchB))
+
+    val out = ds.df(spark).select("id", "v").as[(Long, String)].collect().toMap
+    assert(out.size == 300, s"expected 300 distinct ids, got ${out.size} — rows lost")
+    (1 to 50).foreach(i => assert(out(i.toLong) == s"A_$i"))
+    (51 to 100).foreach(i => assert(out(i.toLong) == s"B_$i"))
+    (101 to 200).foreach(i => assert(out(i.toLong) == s"seed_$i"))
+    (201 to 250).foreach(i => assert(out(i.toLong) == s"A_$i"))
+    (251 to 300).foreach(i => assert(out(i.toLong) == s"B_$i"))
+  }
+
+  test("upsert vs compact: the sweep-beside-ingest race keeps every row") {
+    val dir = tmpDir("graft_lock_uc")
+    val ds = GraftDataset(s"$dir/t", partitioning = Seq("p"))
+    // fragment the dataset so compact has real work in every partition
+    val seed = (1 to 400).map(i => (i.toLong, s"seed_$i", i % 4)).toDF("id", "v", "p")
+    (0 until 8).foreach { k =>
+      DatasetWriter(ds).write(spark, seed.filter(col("id") % 8 === k).repartition(4))
+    }
+    assert(ds.dataFiles(spark).size > 20, "fixture must start fragmented")
+
+    val batch = ((1 to 100) ++ (401 to 450)).map(i => (i.toLong, s"U_$i", i % 4)).toDF("id", "v", "p")
+    val w = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("id")
+    inParallel(
+      w.write(spark, batch),
+      { Repartition.compact(spark, ds); () })
+
+    val out = ds.df(spark).select("id", "v").as[(Long, String)].collect().toMap
+    assert(out.size == 450, s"expected 450 distinct ids, got ${out.size} — rows lost")
+    (1 to 100).foreach(i => assert(out(i.toLong) == s"U_$i"))
+    (101 to 400).foreach(i => assert(out(i.toLong) == s"seed_$i"))
+    (401 to 450).foreach(i => assert(out(i.toLong) == s"U_$i"))
+    // and compacting again afterwards still converges with no loss
+    Repartition.compact(spark, ds)
+    assert(ds.df(spark).count() == 450)
+  }
+
+  test("lock: second acquirer times out while held, then proceeds on release") {
+    val dir = tmpDir("graft_lock_to")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataset = new Path(dir, "t")
+    val held = new CountDownLatch(1)
+    val releaseIt = new CountDownLatch(1)
+    val holder = new Thread(() => DatasetLock.withLock(fs, dataset) {
+      held.countDown(); releaseIt.await()
+    })
+    holder.start()
+    assert(held.await(10, TimeUnit.SECONDS))
+    val e = intercept[IllegalStateException] {
+      DatasetLock.withLock(fs, dataset, acquireTimeoutMs = 500)(fail("must not acquire"))
+    }
+    assert(e.getMessage.contains("timed out"))
+    releaseIt.countDown()
+    holder.join(10000)
+    // released → acquires immediately
+    var ran = false
+    DatasetLock.withLock(fs, dataset, acquireTimeoutMs = 500) { ran = true }
+    assert(ran)
+  }
+
+  test("lock: a dead holder's lock is stolen after its ttl") {
+    val dir = tmpDir("graft_lock_steal")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataset = new Path(dir, "t")
+    val lock = DatasetLock.lockPath(dataset).get
+    // simulate a crashed holder: a lock file whose heartbeat stopped
+    val out = fs.create(lock, false)
+    out.write("dead-host:1:00000000-dead".getBytes); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60000, -1)
+    var ran = false
+    DatasetLock.withLock(fs, dataset, ttlMs = 1000, acquireTimeoutMs = 10000) { ran = true }
+    assert(ran, "stale lock must be stolen")
+    assert(!fs.exists(lock), "stolen-then-released lock must be cleaned up")
+  }
+
+  test("lock: heartbeat keeps a LIVE holder from being stolen") {
+    val dir = tmpDir("graft_lock_hb")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataset = new Path(dir, "t")
+    // holder with a 1 s ttl works for 3 s; a waiter with the same ttl
+    // must NOT steal it mid-work (heartbeats every ~333 ms keep it fresh)
+    val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val waiterEntered = new java.util.concurrent.atomic.AtomicLong(0)
+    inParallel(
+      DatasetLock.withLock(fs, dataset, ttlMs = 1000) {
+        Thread.sleep(3000); holderDone.set(true)
+      },
+      DatasetLock.withLock(fs, dataset, ttlMs = 1000, acquireTimeoutMs = 30000) {
+        waiterEntered.set(System.nanoTime())
+        assert(holderDone.get(), "waiter entered while the live holder still worked — stolen despite heartbeat")
+      })
+    assert(holderDone.get() && waiterEntered.get() != 0)
+  }
+
+  test("vacuum cleans crashed-steal residue but never the live lock") {
+    val dir = tmpDir("graft_lock_vac")
+    val ds = GraftDataset(s"$dir/t")
+    DatasetWriter(ds).write(spark, Seq((1, "a")).toDF("id", "v"))
+    val fs = ds.fs(spark)
+    val residue = new Path(dir, ".t__lock.stale12345")
+    val out = fs.create(residue, false); out.write("x".getBytes); out.close()
+    val deleted = ds.vacuum(spark)
+    assert(deleted.exists(_.endsWith(".t__lock.stale12345")))
+    assert(!fs.exists(residue))
+    assert(ds.df(spark).count() == 1)
+  }
+}

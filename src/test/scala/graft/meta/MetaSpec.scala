@@ -121,6 +121,50 @@ class TimeFlySpec extends AnyFunSuite {
     assert(back.select("p").distinct().as[String].collect().toSeq == Seq("only"))
   }
 
+  test("manifest restore moves zero data bytes: kept files keep identity and mtime") {
+    val root = tmp() + "/manzero"
+    val tf = new TimeFly(spark, root)
+    tf.init("zerocopy")
+    val cur = tf.currentDataset()
+    DatasetWriter(cur, WriteMode.Overwrite, batchRows = Some(2L))
+      .write(spark, (1 to 10).map(i => (i, s"v$i")).toDF("k", "v"))
+    val id = tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z"), manifest = true)
+
+    val f = cur.fs(spark)
+    def stamps(): Map[String, Long] = cur.dataFileStatuses(spark).map { case (p, _) =>
+      p -> f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getModificationTime
+    }.toMap
+    val snapshotStamps = stamps()
+
+    // appends after the snapshot are the only thing restore may touch
+    DatasetWriter(cur, WriteMode.Append).write(spark, Seq((11, "x"), (12, "y")).toDF("k", "v"))
+    tf.loadSnapshot(id)
+    assert(stamps() == snapshotStamps,
+      "restore must delete only post-snapshot files; kept files keep path AND mtime (zero bytes copied)")
+    assert(tf.read(None).df(spark).count() == 10)
+
+    // restoring an UNCHANGED dataset is a pure metadata no-op
+    tf.loadSnapshot(id)
+    assert(stamps() == snapshotStamps)
+    assert(tf.read(None).df(spark).count() == 10)
+  }
+
+  test("manifest restore refuses when a referenced file was rewritten in place") {
+    val root = tmp() + "/manreject"
+    val tf = new TimeFly(spark, root)
+    tf.init("reject")
+    val cur = tf.currentDataset()
+    DatasetWriter(cur, WriteMode.Overwrite).write(spark, Seq(1, 2).toDF("k"))
+    val id = tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z"), manifest = true)
+    // corrupt a referenced file's size — the manifest contract is broken
+    val victim = new java.io.File(new java.net.URI(
+      cur.dataFiles(spark).head.replaceFirst("^file:/+", "file:///")))
+    val out = new java.io.FileOutputStream(victim, true)
+    out.write(Array.fill[Byte](16)(0)); out.close()
+    val e = intercept[IllegalArgumentException] { tf.loadSnapshot(id) }
+    assert(e.getMessage.contains("changed size"), e.getMessage)
+  }
+
   test("manifest and copy snapshots coexist in the resolution order") {
     val root = tmp() + "/mixed"
     val tf = new TimeFly(spark, root)
