@@ -1,17 +1,24 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
-  * opaque `binary` columns with a typed metadata struct alongside. The
-  * Spark-side machinery — schema, partitioning, per-partition batch
-  * iteration, feature columns — is real and tested; the actual media
-  * decode is STUBBED (this container has no image/audio codecs) behind
-  * `decodeStub`, a deterministic fake keyed on the payload bytes, so
-  * pipelines exercise exactly the shape a real decoder plugs into
-  * (`mapPartitions` over payload batches ≡ PySpark's `mapInPandas`).
+  * opaque `binary` columns with a typed metadata struct alongside, and
+  * decode/resize run per-partition (one codec context per partition,
+  * batch-shaped exactly like PySpark's `mapInPandas` — the ONE seam in
+  * this library where `mapPartitions` is the right tool, because the
+  * work is per-row imperative byte decoding, not relational).
+  *
+  * Image (PNG/BMP/JPEG/GIF) and WAV audio decode are REAL, via the
+  * pure-JDK codecs (`javax.imageio`, `javax.sound.sampled`) — no
+  * external libraries. Video has no JDK codec, so its decode is a
+  * clearly-documented deterministic fake behind the same seam
+  * ([[Multimodal.fakeVideoFeatures]]): schema, dispatch, partitioning
+  * and batch shape are identical to the real paths, and a real ffmpeg
+  * binding would replace exactly that one function.
   */
 object Multimodal {
 
@@ -22,10 +29,11 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false),
     StructField("checksum", StringType, nullable = false)))
 
-  /** Wrap a text table into a multimodal table: payload = utf-8 bytes
-    * (standing in for image/audio bytes), meta = typed struct. */
+  /** Wrap a text table into a payload table: payload = utf-8 bytes
+    * (the chunking/fingerprint plumbing path; also the stand-in "video"
+    * byte stream), meta = typed struct. */
   def asPayloadTable(df: DataFrame, idCol: String, textCol: String,
-      modality: String = "image", mime: String = "image/png"): DataFrame = {
+      modality: String = "video", mime: String = "video/mp4"): DataFrame = {
     val payload = encode(col(textCol), "UTF-8")
     df.select(
       col(idCol).as("media_id"),
@@ -37,43 +45,178 @@ object Multimodal {
         md5(payload).as("checksum")).as("meta"))
   }
 
-  /** STUB decode: a real implementation would decode the payload with
-    * an image/audio library inside `mapPartitions` (one partition =
-    * one decoder instance, batch-shaped exactly like mapInPandas).
-    * The stub derives deterministic "features": width/height/channels
-    * from the payload hash, a fixed-length feature vector from chunk
-    * hashes. Swap the body of `decodeOne` for a real codec. */
-  def decodeStub(payloads: DataFrame, featureDim: Int = 8): DataFrame = {
-    val spark = payloads.sparkSession
-    val inSchema = payloads.schema
-    val outSchema = StructType(inSchema.fields ++ Seq(
-      StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("channels", IntegerType),
-      StructField("features", ArrayType(FloatType))))
-    val idxPayload = inSchema.fieldIndex("payload")
-    val rdd = payloads.rdd.mapPartitions { it =>
-      // one "decoder" per partition, batch iteration — the real-codec seam
+  /** Synthesize a REAL mixed-modality media table from an id column —
+    * the test-fixture generator (the container ships no media files):
+    * id % 3 == 0 → a solid-color PNG/BMP whose dimensions and fill
+    * color are closed-form in the id; == 1 → a constant-amplitude
+    * 16-bit PCM WAV whose rate/length/amplitude are closed-form;
+    * == 2 → an opaque "video" byte stream. Because every parameter is
+    * arithmetic in the id, an oracle can verify the ENCODE→DECODE
+    * round trip through the actual JDK codecs with plain SQL. */
+  def synthesize(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", MetaSchema, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
       it.map { row =>
-        val bytes = row.getAs[Array[Byte]](idxPayload)
-        val (w, h, c, feats) = decodeOne(bytes, featureDim)
-        Row.fromSeq(row.toSeq ++ Seq(w, h, c, feats))
+        val id = row.get(idIdx) match {
+          case l: Long => l; case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(
+            s"synthesize needs an integral id, got $other")
+        }
+        val (bytes, modality, mime) = synthesizeOne(id)
+        Row(id, bytes, Row(modality, mime, bytes.length.toLong, md5Hex(bytes)))
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** The decoder seam. Deterministic fake: ??? → replaced by e.g.
-    * javax.imageio / ffmpeg in a real deployment. */
-  private def decodeOne(bytes: Array[Byte], featureDim: Int): (Int, Int, Int, Seq[Float]) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = 64 + math.abs(h % 960)
-    val height = 64 + math.abs((h / 960) % 960)
-    val feats = (0 until featureDim).map { i =>
-      val chunk = bytes.slice(i * bytes.length / featureDim, (i + 1) * bytes.length / featureDim)
-      (java.util.Arrays.hashCode(chunk).toFloat / Int.MaxValue)
-    }
-    (width, height, 3, feats)
+  /** Closed-form media parameters (shared by the generator, the specs
+    * and the SQL oracle — one definition, three consumers). */
+  def imageDims(id: Long): (Int, Int) = (16 + (id % 32).toInt, 16 + ((id / 32) % 16).toInt)
+  def imageColor(id: Long): (Int, Int, Int) =
+    ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+  def audioParams(id: Long): (Int, Int, Int) = // (sampleRate, nSamples, amplitude)
+    (8000, 160 + (id % 320).toInt, ((id % 200).toInt - 100) * 163)
+
+  private def synthesizeOne(id: Long): (Array[Byte], String, String) = (id % 3) match {
+    case 0 =>
+      val (w, h) = imageDims(id)
+      val (r, g, b) = imageColor(id)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(r, g, b)); gfx.fillRect(0, 0, w, h); gfx.dispose()
+      // alternate container formats so BOTH JDK image codecs are on the
+      // round-trip path (both lossless — the color oracle stays exact)
+      val fmt = if (id % 2 == 0) "png" else "bmp"
+      val bos = new ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK encoder for $fmt")
+      (bos.toByteArray, "image", s"image/$fmt")
+    case 1 =>
+      val (sr, n, amp) = audioParams(id)
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) { // constant-amplitude signal, little-endian 16-bit
+        pcm(i * 2) = (amp & 0xFF).toByte
+        pcm(i * 2 + 1) = ((amp >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      (bos.toByteArray, "audio", "audio/wav")
+    case _ =>
+      // no JDK video codec exists — an opaque deterministic byte stream
+      // stands in for the container bytes
+      val bytes = (s"video_payload_$id:" * 8).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (bytes, "video", "video/mp4")
   }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Schema the decoder appends: image rows fill width/height/channels,
+    * audio rows fill sample_rate/n_samples/channels, video rows only
+    * the (fake) feature vector. */
+  private def decodedFields(inSchema: StructType): StructType =
+    StructType(inSchema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
+      StructField("features", ArrayType(FloatType))))
+
+  /** REAL decode for image (javax.imageio: PNG/BMP/JPEG/GIF) and WAV
+    * audio (javax.sound.sampled); video falls through to the documented
+    * deterministic fake. Dispatch is on `meta.mime`. One decoder
+    * context per partition; constant memory per row (media bytes are
+    * decoded and released row by row, never collected). */
+  def decode(payloads: DataFrame, videoFeatureDim: Int = 8): DataFrame = {
+    val spark = payloads.sparkSession
+    val inSchema = payloads.schema
+    val outSchema = decodedFields(inSchema)
+    val idxPayload = inSchema.fieldIndex("payload")
+    val idxMeta = inSchema.fieldIndex("meta")
+    val idxMime = MetaSchema.fieldIndex("mime")
+    val rdd = payloads.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idxPayload)
+        val mime = row.getStruct(idxMeta).getString(idxMime)
+        val d =
+          if (mime.startsWith("image/")) decodeImage(bytes)
+          else if (mime == "audio/wav" || mime == "audio/x-wav") decodeWav(bytes)
+          else Row(null, null, null, null, null, fakeVideoFeatures(bytes, videoFeatureDim))
+        Row.fromSeq(row.toSeq ++ d.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** javax.imageio decode → dimensions, band count, per-band pixel
+    * means (exact integers for solid-color lossless fixtures, which is
+    * what lets a SQL oracle check real decoded pixel data). */
+  private def decodeImage(bytes: Array[Byte]): Row = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "javax.imageio could not decode image payload")
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val sums = new Array[Double](bands)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sums(b) += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val means = sums.map(s => (s / (w.toLong * h)).toFloat).toSeq
+    Row(w, h, bands, null, null, means)
+  }
+
+  /** javax.sound.sampled WAV decode → rate/frames/channels + signal
+    * mean and RMS over the 16-bit PCM samples. */
+  private def decodeWav(bytes: Array[Byte]): Row = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"fixture WAVs are 16-bit, got ${fmt.getSampleSizeInBits}")
+      val frames = ais.getFrameLength
+      val channels = fmt.getChannels
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var sum = 0.0; var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        val lo = data(i * 2) & 0xFF
+        val hi = data(i * 2 + 1).toInt // sign-extends: little-endian 16-bit
+        val s = (hi << 8) | lo
+        sum += s; sumSq += s.toDouble * s
+        i += 1
+      }
+      val mean = if (n == 0) 0.0 else sum / n
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      Row(null, null, channels, fmt.getSampleRate.toInt, frames,
+        Seq(mean.toFloat, rms.toFloat))
+    } finally ais.close()
+  }
+
+  /** The ONE remaining fake: video feature extraction. Deterministic
+    * chunk-hash features so pipelines exercise the exact shape a real
+    * ffmpeg/JNI binding would plug into; replace this function (only)
+    * to make video decode real. */
+  def fakeVideoFeatures(bytes: Array[Byte], featureDim: Int): Seq[Float] =
+    (0 until featureDim).map { i =>
+      val chunk = bytes.slice(i * bytes.length / featureDim, (i + 1) * bytes.length / featureDim)
+      java.util.Arrays.hashCode(chunk).toFloat / Int.MaxValue
+    }
 
   /** Frame-sampling plumbing for video-like payloads: split the payload
     * into `frames` equal byte-ranges and explode one row per sampled
@@ -87,12 +230,40 @@ object Multimodal {
           greatest((col("meta.n_bytes") / frames).cast("int"), lit(1))))
       .withColumn("frame_checksum", md5(col("frame_bytes")))
 
-  /** Resize stub: deterministic byte-range "thumbnail" + recorded
-    * target dims (the real op would re-encode pixels). */
-  def resizeStub(decoded: DataFrame, w: Int, h: Int): DataFrame =
-    decoded
-      .withColumn("thumb_width", lit(w))
-      .withColumn("thumb_height", lit(h))
-      .withColumn("thumb", substring(col("payload"), 1,
-        math.max(1, w * h / 64)))
+  /** REAL image resize (pure JDK): decode, scale through Graphics2D
+    * bilinear, re-encode PNG. Non-image payloads keep a deterministic
+    * byte-range thumbnail (there is nothing to rescale). */
+  def resize(decoded: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = decoded.sparkSession
+    val inSchema = decoded.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("thumb_width", IntegerType, nullable = false),
+      StructField("thumb_height", IntegerType, nullable = false),
+      StructField("thumb", BinaryType)))
+    val idxPayload = inSchema.fieldIndex("payload")
+    val idxMeta = inSchema.fieldIndex("meta")
+    val idxMime = MetaSchema.fieldIndex("mime")
+    val rdd = decoded.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idxPayload)
+        val mime = row.getStruct(idxMeta).getString(idxMime)
+        val thumb =
+          if (mime.startsWith("image/")) {
+            val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+            require(img != null, "javax.imageio could not decode image payload")
+            val scaled = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gfx = scaled.createGraphics()
+            gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gfx.drawImage(img, 0, 0, w, h, null); gfx.dispose()
+            val bos = new ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            bos.toByteArray
+          } else bytes.take(math.max(1, w * h / 64))
+        Row.fromSeq(row.toSeq ++ Seq(w, h, thumb))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -409,22 +409,43 @@ object ExtQueries {
     """SELECT round(q[1], 4) AS p50, round(q[2], 4) AS p90, round(q[3], 4) AS p99
       |FROM (SELECT quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS q FROM lineitem)""".stripMargin
 
-  // ---- multimodal plumbing ---------------------------------------------
+  // ---- multimodal columns ----------------------------------------------
+  /** REAL media round-trip: synthesize PNG/BMP/WAV payloads whose
+    * parameters are closed-form in doc_id, decode them back through the
+    * actual JDK codecs (javax.imageio / javax.sound.sampled), and let
+    * the SQL oracle check the decoded dimensions, rates, sample counts
+    * AND pixel/PCM signal means arithmetically — if either codec leg
+    * drifted, sig_mean would not survive the round trip. Video rows
+    * exercise the one remaining (documented) fake feature extractor. */
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val payloads = Multimodal.asPayloadTable(docs, "doc_id", "text")
-    val decoded = Multimodal.decodeStub(payloads)
-    val frames = Multimodal.sampleFrames(payloads, frames = 4)
+    val media = Multimodal.synthesize(docs, "doc_id")
+    val decoded = Multimodal.decode(media)
+    val frames = Multimodal.sampleFrames(media, frames = 4)
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
     decoded.join(frames, Seq("media_id"))
-      .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
-        col("meta.checksum").as("checksum"), col("n_frames"),
-        size(col("features")).as("feat_dim"))
+      .select(col("media_id"), col("meta.modality").as("modality"),
+        col("width"), col("height"), col("channels"),
+        col("sample_rate"), col("n_samples"),
+        // band-0 pixel mean (images) / PCM mean (audio): exact integers
+        // for the solid-color / constant-amplitude fixtures
+        when(col("meta.modality") =!= "video",
+          element_at(col("features"), 1).cast("int")).as("sig_mean"),
+        col("n_frames"), size(col("features")).as("feat_dim"))
       .orderBy("media_id")
   }
   val multimodalSql: String =
-    """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
-      |  md5(text) AS checksum, 4 AS n_frames, 8 AS feat_dim
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 32 AS INT) END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id // 32) % 16 AS INT) END AS height,
+      |  CASE WHEN doc_id % 3 = 0 THEN 3 WHEN doc_id % 3 = 1 THEN 1 END AS channels,
+      |  CASE WHEN doc_id % 3 = 1 THEN 8000 END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 1 THEN CAST(160 + doc_id % 320 AS BIGINT) END AS n_samples,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS INT)
+      |       WHEN doc_id % 3 = 1 THEN CAST((doc_id % 200 - 100) * 163 AS INT) END AS sig_mean,
+      |  4 AS n_frames,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 8 END AS feat_dim
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ---- cohort retention -------------------------------------------------

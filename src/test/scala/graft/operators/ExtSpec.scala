@@ -388,21 +388,57 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("payload table schema + decode stub + frame sampling plumbing") {
-    val docs = Seq((1L, "some media content here"), (2L, "other bytes")).toDF("doc_id", "text")
-    val payloads = Multimodal.asPayloadTable(docs, "doc_id", "text")
-    assert(payloads.schema("payload").dataType.typeName == "binary")
+  test("real image decode: PNG and BMP round-trip dims, bands, pixel means") {
+    // ids 0 (PNG) and 6 (PNG), 3 (BMP) and 9 (BMP): all id%3==0 → image
+    val ids = Seq(0L, 3L, 6L, 9L).toDF("doc_id")
+    val decoded = Multimodal.decode(Multimodal.synthesize(ids, "doc_id"))
+    decoded.select("media_id", "width", "height", "channels", "features")
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val (w, h) = Multimodal.imageDims(id)
+        val (red, green, blue) = Multimodal.imageColor(id)
+        assert(r.getInt(1) == w && r.getInt(2) == h, s"dims for id=$id")
+        assert(r.getInt(3) == 3, s"bands for id=$id")
+        // solid color + lossless codec → band means are EXACT
+        assert(r.getSeq[Float](4) == Seq(red.toFloat, green.toFloat, blue.toFloat),
+          s"pixel means for id=$id must equal the fill color")
+      }
+    // the two ids hit different containers (png/bmp), proving both codecs
+    val mimes = Multimodal.synthesize(ids, "doc_id")
+      .select($"media_id", $"meta.mime").as[(Long, String)].collect().toMap
+    assert(mimes(0L) == "image/png" && mimes(3L) == "image/bmp")
+  }
+
+  test("real WAV decode: rate, frame count, channel count, PCM mean/RMS") {
+    val ids = Seq(1L, 4L, 103L).toDF("doc_id") // id%3==1 → audio
+    val decoded = Multimodal.decode(Multimodal.synthesize(ids, "doc_id"))
+    decoded.select("media_id", "channels", "sample_rate", "n_samples", "features")
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val (sr, n, amp) = Multimodal.audioParams(id)
+        assert(r.getInt(1) == 1 && r.getInt(2) == sr, s"format for id=$id")
+        assert(r.getLong(3) == n, s"frame count for id=$id")
+        val feats = r.getSeq[Float](4)
+        assert(feats(0) == amp.toFloat, s"PCM mean for id=$id must equal the amplitude")
+        assert(math.abs(feats(1) - math.abs(amp)) < 0.5, s"RMS of a constant signal is |amp| (id=$id)")
+      }
+  }
+
+  test("video stays a documented fake; frame sampling + real image resize") {
+    val docs = Seq((2L, "some media content here"), (5L, "other bytes")).toDF("doc_id", "text")
+    val payloads = Multimodal.asPayloadTable(docs, "doc_id", "text") // video/mp4
     val metaFields = payloads.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       .fields.map(f => (f.name, f.dataType)).toSeq
     assert(metaFields == Multimodal.MetaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
 
-    val decoded = Multimodal.decodeStub(payloads, featureDim = 8)
-    val r = decoded.filter($"media_id" === 1L).select("width", "height", "channels").collect()(0)
-    assert(r.getInt(0) >= 64 && r.getInt(1) >= 64 && r.getInt(2) == 3)
+    val decoded = Multimodal.decode(payloads, videoFeatureDim = 8)
+    val r = decoded.filter($"media_id" === 2L)
+      .select("width", "height", "channels", "sample_rate", "n_samples").collect()(0)
+    assert((0 to 4).forall(r.isNullAt), "video rows decode no dims/rate (no JDK codec — fake)")
     assert(decoded.select(size($"features")).as[Int].collect().forall(_ == 8))
-    // deterministic: same payload → same features
-    val f1 = decoded.filter($"media_id" === 1L).select("features").as[Seq[Float]].collect()(0)
-    val f2 = Multimodal.decodeStub(payloads, 8).filter($"media_id" === 1L)
+    // deterministic: same payload → same features, run to run
+    val f1 = decoded.filter($"media_id" === 2L).select("features").as[Seq[Float]].collect()(0)
+    val f2 = Multimodal.decode(payloads, 8).filter($"media_id" === 2L)
       .select("features").as[Seq[Float]].collect()(0)
     assert(f1 == f2)
 
@@ -410,12 +446,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.count() == 8)
     assert(frames.groupBy("media_id").count().select("count").as[Long].collect().forall(_ == 4))
 
-    // resize stub records target dims and emits a bounded thumbnail
-    val resized = Multimodal.resizeStub(decoded, 32, 32)
-    val t = resized.filter($"media_id" === 1L)
+    // non-image payloads keep the bounded byte-range thumbnail
+    val resized = Multimodal.resize(decoded, 32, 32)
+    val t = resized.filter($"media_id" === 2L)
       .select("thumb_width", "thumb_height", "thumb").collect()(0)
     assert(t.getInt(0) == 32 && t.getInt(1) == 32)
     assert(t.getAs[Array[Byte]](2).length <= 32 * 32 / 64 + 1)
+
+    // image payloads get a REAL rescale: the thumb decodes as a 32×32
+    // PNG whose pixels keep the source's solid fill color
+    val img = Multimodal.synthesize(Seq(6L).toDF("doc_id"), "doc_id")
+    val thumb = Multimodal.resize(img, 32, 32)
+      .select("thumb").collect()(0).getAs[Array[Byte]](0)
+    val buf = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(thumb))
+    assert(buf.getWidth == 32 && buf.getHeight == 32)
+    val (red, green, blue) = Multimodal.imageColor(6L)
+    val rgb = buf.getRGB(16, 16)
+    assert(((rgb >> 16) & 0xFF) == red && ((rgb >> 8) & 0xFF) == green && (rgb & 0xFF) == blue)
   }
 }
 
