@@ -229,14 +229,23 @@ object Similarity {
     * 100 TB dedup path — candidate volume is Σ bucket² instead of n²,
     * and the bucket key is write-time partitionable. Structural
     * guarantee: exact/near-exact duplicates have identical sign bits,
-    * so recall on true duplicates (sim → 1) is 1 by construction; the
-    * cosine filter then removes same-bucket non-dups exactly. */
+    * so recall on true duplicates (sim → 1) is 1 by construction —
+    * at EVERY nbits, which is why the default (−1) routes through the
+    * corpus-derived [[lshTopPairsPolicy]]: a fixed nbits has constant
+    * selectivity, so Σ bucket² degenerates quadratically once
+    * n ≫ 2^nbits, while the policy grows nbits with log2(n) and keeps
+    * candidate volume linear-in-n for a fixed targetBucket. Callers on
+    * known datasets pass corpusSize to skip the count(). */
   def lshNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nbits: Int = 8): DataFrame = {
+      threshold: Double, nbits: Int = -1,
+      targetBucket: Int = 500, corpusSize: Option[Long] = None): DataFrame = {
 
+    val dBits =
+      if (nbits > 0) nbits
+      else lshTopPairsPolicy(corpusSize.getOrElse(df.count()), targetBucket)._1
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("n"), lshBucket(col(vecCol), nbits).as("bucket"))
+      norm(col(vecCol)).as("n"), lshBucket(col(vecCol), dBits).as("bucket"))
     v.as("a").join(v.as("b"), Seq("bucket"))
       .filter(col("a.id") < col("b.id"))
       .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))

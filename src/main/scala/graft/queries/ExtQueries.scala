@@ -182,8 +182,10 @@ object ExtQueries {
     val emb = Tables.load(spark, dir, "embeddings")
     val planted = emb.filter(col("vec_id") < 50)
       .withColumn("vec_id", col("vec_id") + 10000)
+    // nbits defaults to the corpus-derived policy (planted-pair recall
+    // is 1 at every nbits); corpusSize is known → no extra count() pass
     Similarity.lshNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
-        threshold = 0.95, nbits = 8)
+        threshold = 0.95, corpusSize = Some(emb.count() + 50))
       // score the retrieval task itself: did LSH recover every planted
       // copy? (restricting both sides to planted pairs keeps the oracle
       // exact even if a future fixture contains natural >=0.95 pairs,

@@ -261,6 +261,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(vol <= allPairs / 5, s"volume $vol vs all-pairs $allPairs")
   }
 
+  test("lsh near-dup default nbits is corpus-derived: volume stays linear at 10x fixture") {
+    // regression: a FIXED nbits=8 default has constant selectivity, so
+    // Σ bucket² grows quadratically once n >> 2^8. The policy default
+    // grows nbits with log2(n) instead; single-table near-dup uses the
+    // policy's nbits with tables=1.
+    val n = 40000
+    val dims = 64
+    val syn = spark.range(n).select($"id".as("vec_id"),
+      array((0 until dims).map(d =>
+        ((hash($"id", lit(d)).cast("double") / Int.MaxValue)).cast("float")): _*).as("embedding"))
+    val (nbits, _) = Similarity.lshTopPairsPolicy(n, targetBucket = 500)
+    val vol = Similarity.lshCandidateVolume(syn, "embedding", nbits, tables = 1)
+    assert(vol <= 2L * n * 500 / 2, s"single-table volume $vol vs linear bound ${2L * n * 500 / 2}")
+    // and the planted-duplicate recall contract survives the policy
+    // default (identical vectors share sign bits at every nbits)
+    val small = syn.filter($"vec_id" < 200)
+    val planted = small.withColumn("vec_id", $"vec_id" + 100000)
+    val pairs = Similarity.lshNearDupPairs(small.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.999, corpusSize = Some(400))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 200L).foreach(i => assert(pairs.contains((i, i + 100000L)), s"vec $i"))
+  }
+
   test("lsh top pairs plan has no nested-loop or cartesian join") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = Similarity.lshTopPairs(emb, "vec_id", "embedding", n = 20)
