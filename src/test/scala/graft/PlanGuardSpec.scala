@@ -42,7 +42,17 @@ class PlanGuardSpec extends AnyFunSuite {
     // from text expressions per row, so there is nothing to push
     "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive",
     "q4_order_priority", "q12_ship_lag_priority", "q10_returned_items",
-    "q3_shipping_priority")
+    "q3_shipping_priority",
+    // TPC-H analogs whose defining predicate lives on a base table
+    "q1_pricing_summary", "q5_local_supplier", "q7_volume_shipping",
+    "q8_market_share", "q15_top_supplier", "q16_supplier_counts",
+    "q20_excess_shipments",
+    // ops / extension queries defined by a base-table filter
+    // (a2_dedup_first is deliberately absent: it deduplicates the WHOLE
+    // table — there is no predicate to push, only column pruning)
+    "j3_asof_join", "j4_range_join",
+    "x_contamination", "x_funnel", "x_retention", "x_sessions",
+    "x_dedup_incremental", "p6_semi_filter")
 
   /** Queries that EXECUTE their workload at construction (writes,
     * snapshots, streaming runs) and return a read-back of their own
