@@ -105,14 +105,18 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     * FRAGMENTED dataset and nothing for healthy ones. Partitioning is
     * read from each dataset's own layout: hive `col=value` dirs under
     * the root are detected and compacted partition-scoped. Returns
-    * per-dataset stats, in catalog order. */
+    * per-dataset stats, in catalog order, and persists them under
+    * `[maintenance]` in the lake config so operators can see when each
+    * dataset was last swept and what it cost without re-listing
+    * anything (the reference records nothing; at 100 TB "when did
+    * maintenance last run here" must not require an FS walk). */
   def compactAll(targetFileBytes: Long = 128L * 1024 * 1024)
-      : Seq[(String, graft.ds.Repartition.CompactStats)] =
-    datasets().keys.toSeq.sorted.map { name =>
+      : Seq[(String, graft.ds.Repartition.CompactStats)] = {
+    val results = datasets().keys.toSeq.sorted.map { name =>
       val ds = load(name)
       // vacuum FIRST: leftover swap backups contain '=' and would
       // otherwise pollute the layout inference below
-      ds.vacuum(spark)
+      val vacuumed = ds.vacuum(spark)
       // infer the hive `col=value` chain from the directory tree —
       // compact needs depth and column names to find leaf dirs. Hidden
       // ("."/"_") dirs are never partitions.
@@ -126,6 +130,26 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
       }.drop(1).takeWhile(_.isDefined).flatten
         .map(_.getName.takeWhile(_ != '=')).toSeq
       val shaped = if (names.isEmpty) ds else ds.copy(partitioning = names)
-      name -> graft.ds.Repartition.compact(spark, shaped, targetFileBytes)
+      (name, graft.ds.Repartition.compact(spark, shaped, targetFileBytes), vacuumed.size)
     }
+    val sweptAt = java.time.Instant.now().toString
+    val cfg = readConfig()
+    val maint = Toml.getTbl(cfg, "maintenance").getOrElse(Toml.Tbl.empty)
+    val updated = results.foldLeft(maint.v) { case (m, (name, st, vac)) =>
+      m.updated(name, Toml.Tbl(
+        "swept_at" -> Toml.Str(sweptAt),
+        "partitions_compacted" -> Toml.Int64(st.partitionsCompacted.toLong),
+        "files_before" -> Toml.Int64(st.filesBefore),
+        "files_after" -> Toml.Int64(st.filesAfter),
+        "vacuumed_paths" -> Toml.Int64(vac.toLong)))
+    }.updated("last_sweep", Toml.Str(sweptAt): Toml.Value)
+    writeConfig(Toml.Tbl(cfg.v.updated("maintenance", Toml.Tbl(updated))))
+    results.map { case (name, st, _) => name -> st }
+  }
+
+  /** The persisted `[maintenance]` section (empty table before the
+    * first sweep) — per-dataset swept_at / partitions_compacted /
+    * files_before / files_after / vacuumed_paths plus `last_sweep`. */
+  def maintenanceInfo(): Toml.Tbl =
+    Toml.getTbl(readConfig(), "maintenance").getOrElse(Toml.Tbl.empty)
 }

@@ -127,15 +127,17 @@ class ConcurrencySpec extends AnyFunSuite {
     val dir = tmpDir("graft_lock_hb")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataset = new Path(dir, "t")
-    // holder with a 1 s ttl works for 3 s; a waiter with the same ttl
-    // must NOT steal it mid-work (heartbeats every ~333 ms keep it fresh)
+    // holder with a 4 s ttl works for 6 s; a waiter with the same ttl
+    // must NOT steal it mid-work (heartbeats every ~1.3 s keep it
+    // fresh — the ttl is wide enough that even a heavily loaded host
+    // can't starve the heartbeat thread past it)
     val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val waiterEntered = new java.util.concurrent.atomic.AtomicLong(0)
     inParallel(
-      DatasetLock.withLock(fs, dataset, ttlMs = 1000) {
-        Thread.sleep(3000); holderDone.set(true)
+      DatasetLock.withLock(fs, dataset, ttlMs = 4000) {
+        Thread.sleep(6000); holderDone.set(true)
       },
-      DatasetLock.withLock(fs, dataset, ttlMs = 1000, acquireTimeoutMs = 30000) {
+      DatasetLock.withLock(fs, dataset, ttlMs = 4000, acquireTimeoutMs = 30000) {
         waiterEntered.set(System.nanoTime())
         assert(holderDone.get(), "waiter entered while the live holder still worked — stolen despite heartbeat")
       })

@@ -243,5 +243,24 @@ class ManagerSpec extends AnyFunSuite {
     assert(files(lake + "/parts/p=a") == 1 && files(lake + "/parts/p=b") == 1)
     assert(spark.read.parquet(lake + "/flat").count() == 30)
     assert(spark.read.parquet(lake + "/parts").count() == 20)
+
+    // sweep stats persist into [maintenance] and round-trip through the
+    // on-disk toml (fresh Manager → fresh parse)
+    val maint = new Manager(spark, lake).maintenanceInfo()
+    assert(graft.core.Toml.getStr(maint, "last_sweep").nonEmpty)
+    val flat = graft.core.Toml.getTbl(maint, "flat").get
+    assert(flat.v("files_before") == graft.core.Toml.Int64(stats("flat").filesBefore))
+    assert(flat.v("files_after") == graft.core.Toml.Int64(stats("flat").filesAfter))
+    val parts = graft.core.Toml.getTbl(maint, "parts").get
+    assert(parts.v("partitions_compacted") == graft.core.Toml.Int64(2L))
+    assert(graft.core.Toml.getStr(flat, "swept_at") ==
+      graft.core.Toml.getStr(maint, "last_sweep"))
+
+    // a second sweep finds healthy datasets: zero work, stats overwrite
+    val stats2 = m.compactAll().toMap
+    assert(stats2.values.forall(_.partitionsCompacted == 0))
+    val maint2 = new Manager(spark, lake).maintenanceInfo()
+    assert(graft.core.Toml.getTbl(maint2, "flat").get.v("partitions_compacted") ==
+      graft.core.Toml.Int64(0L))
   }
 }
