@@ -204,6 +204,61 @@ object OpsQueries {
   val w13Sql: String =
     "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer ORDER BY c_custkey"
 
+  // ---- W14: clustered write + row-group skipping proof ----------------
+  /** Write-time clustering as a contract surface: lineitem lands with
+    * `withClusterBy("l_shipdate")` (task-local sort, no extra shuffle),
+    * then the query PROVES the layout pays by reading the parquet
+    * footers — a ship-date range must leave some row groups entirely
+    * outside its bounds (skippable), which hash-ordered arrival data
+    * in the same layout would not. The oracle checks the range
+    * aggregation over the round-tripped data; `skip_proven` carries
+    * the footer evidence into the compared result. */
+  def w14ClusteredWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w14")
+    val ds = GraftDataset(out)
+    val li = Tables.load(spark, dir, "lineitem")
+    // hash-repartition first: worst-case (scattered) arrival order, so
+    // ONLY the writer's clustering can make the stats selective
+    DatasetWriter(ds, WriteMode.Overwrite, rowGroupSize = Some(200L))
+      .withClusterBy("l_shipdate")
+      .write(spark, li.repartition(4, col("l_orderkey")))
+
+    // fixture l_shipdate is timestamp[ms] → INT64 epoch-millis stats
+    def ms(d: String) = java.time.LocalDate.parse(d).toEpochDay * 86400000L
+    val (lo, hi) = (ms("1995-01-01"), ms("1995-03-31"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val ranges = ds.dataFiles(spark).flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), hconf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val s = b.getColumns.asScala.find(_.getPath.toDotString == "l_shipdate").get
+            .getStatistics
+          (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }
+      } finally r.close()
+    }
+    val hit = ranges.count { case (mn, mx) => mx >= lo && mn <= hi }
+    require(ranges.size >= 8, s"w14: only ${ranges.size} row groups — fixture too small to prove skipping")
+    val skipProven = hit < ranges.size
+
+    spark.read.parquet(out)
+      .filter(col("l_shipdate").between("1995-01-01", "1995-03-31"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("n_rows"), col("sum_qty"),
+        lit(if (skipProven) 1 else 0).as("skip_proven"))
+  }
+  val w14Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  1 AS skip_proven
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'""".stripMargin
+
   // ---- A2: sticky keep-first dedup ------------------------------------
   /** GraftDataset points at the source parquet directly — the dedup
     * operator is what's under test; dataset *writes* are covered by the
@@ -602,6 +657,7 @@ object OpsQueries {
     "w10_unify_rewrite" -> (w10UnifyRewrite _),
     "w11_repartition" -> (w11Repartition _),
     "w13_compact" -> (w13Compact _),
+    "w14_clustered_write" -> (w14ClusteredWrite _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -634,6 +690,7 @@ object OpsQueries {
     "w10_unify_rewrite" -> w10Sql,
     "w11_repartition" -> w11Sql,
     "w13_compact" -> w13Sql,
+    "w14_clustered_write" -> w14Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,
