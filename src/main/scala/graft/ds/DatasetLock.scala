@@ -83,12 +83,27 @@ object DatasetLock {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
-      try {
-        fs.mkdirs(lock.getParent)
-        val out = fs.create(lock, false)
-        try out.write(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-        true
-      } catch { case _: IOException => false }
+      // separate the create from the token write: a write/close failure
+      // AFTER a successful exclusive create must delete the just-created
+      // file, or it sits ownerless (empty token, no heartbeat) and every
+      // writer on the dataset spins for a full ttl before stealing it
+      val created =
+        try {
+          fs.mkdirs(lock.getParent)
+          Some(fs.create(lock, false))
+        } catch { case _: IOException => None }
+      created match {
+        case None => false
+        case Some(out) =>
+          try {
+            try out.write(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+            true
+          } catch {
+            case e: IOException =>
+              try fs.delete(lock, false) catch { case _: IOException => () }
+              false
+          }
+      }
     }
 
   private def acquire(fs: FileSystem, lock: Path, ttlMs: Long, timeoutMs: Long): String = {
@@ -138,17 +153,45 @@ object DatasetLock {
       if (readToken(fs, lock).contains(tok)) fs.delete(lock, false)
     } catch { case _: IOException => () }
 
-  /** Daemon thread touching the lock's mtime every ttl/3 so a live
-    * holder is never stolen from, however long its write job runs. */
+  /** Daemon thread refreshing the lock's mtime every ttl/3 so a live
+    * holder is never stolen from, however long its write job runs.
+    * Refresh is VERIFIED: some FileSystem implementations make
+    * setTimes a silent no-op (and a future connector could throw a
+    * non-IOException) — either way an unrefreshed lock expires under a
+    * working holder and a waiter steals it mid-write, the exact silent
+    * row-loss this class exists to prevent. So each beat re-reads the
+    * mtime and falls back to rewriting the lock content (we own the
+    * file) when setTimes did not advance it; any error short of thread
+    * death is swallowed and the next beat retries. */
   private def startHeartbeat(fs: FileSystem, lock: Path, ttlMs: Long): Thread = {
+    val ourToken = readToken(fs, lock).getOrElse("")
+    val tokBytes = ourToken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val beatMs = math.max(200L, ttlMs / 3)
     val t = new Thread(() => {
-      try {
-        while (!Thread.currentThread().isInterrupted) {
-          Thread.sleep(math.max(200L, ttlMs / 3))
-          try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case _: IOException => () } // transient; next beat retries
+      var running = true
+      while (running && !Thread.currentThread().isInterrupted) {
+        try {
+          Thread.sleep(beatMs)
+          val before = fs.getFileStatus(lock).getModificationTime
+          val now = System.currentTimeMillis()
+          try fs.setTimes(lock, now, -1) catch { case _: Throwable => () }
+          val after =
+            try fs.getFileStatus(lock).getModificationTime
+            catch { case _: IOException => before }
+          if (after <= before && now - after > beatMs) {
+            // setTimes was a no-op on this FS — refresh by rewriting our
+            // own bytes, but ONLY while the lock still carries OUR token
+            // (after a ttl steal an overwrite would clobber the thief)
+            if (readToken(fs, lock).contains(ourToken)) {
+              val out = fs.create(lock, true)
+              try out.write(tokBytes) finally out.close()
+            } else running = false // lost the lock — stop beating
+          }
+        } catch {
+          case _: InterruptedException => running = false // released
+          case _: Throwable => () // transient; next beat retries
         }
-      } catch { case _: InterruptedException => () }
+      }
     }, s"graft-lock-heartbeat-${lock.getName}")
     t.setDaemon(true)
     t.start()

@@ -67,6 +67,12 @@ final case class DatasetWriter(
   def withTransform(f: DataFrame => DataFrame): DatasetWriter = copy(transform = f)
   def withClusterBy(cols: String*): DatasetWriter = copy(clusterBy = cols)
 
+  /** Writer-level clusterBy wins; otherwise the dataset's recorded
+    * clustering contract applies — so upsert merges and other internal
+    * rewrites preserve the layout without every caller re-stating it. */
+  private def effectiveClusterBy: Seq[String] =
+    if (clusterBy.nonEmpty) clusterBy else target.clusterBy
+
   /** Default batch size: `min(rows, 64MiB / ncols)` rows — reference
     * `writer.py:455-458`. Consulted when batching was requested without
     * a size ([[withAutoBatchRows]] → sentinel 0). */
@@ -146,7 +152,8 @@ final case class DatasetWriter(
         val staged = GraftDataset(tmp.toString, format = target.format,
           partitioning = target.partitioning, compression = target.compression)
         val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
-          timeBatch = timeBatch, rowGroupSize = rowGroupSize, locking = false)
+          timeBatch = timeBatch, rowGroupSize = rowGroupSize,
+          clusterBy = effectiveClusterBy, locking = false)
           .write(spark, merged)
         DatasetWriter.swapInPlace(fs, tmp, targetPath)
         return n
@@ -210,8 +217,8 @@ final case class DatasetWriter(
     // task-local (ROUND-ROBIN-free, spill-backed), the one property
     // that keeps clustering affordable at 100 TB.
     val clustered =
-      if (clusterBy.isEmpty) batched
-      else batched.sortWithinPartitions((partCols ++ clusterBy).map(col): _*)
+      if (effectiveClusterBy.isEmpty) batched
+      else batched.sortWithinPartitions((partCols ++ effectiveClusterBy).map(col): _*)
 
     // Row count captured via Observation during the single write job —
     // no caching of the (potentially huge) output.
@@ -306,7 +313,8 @@ final case class DatasetWriter(
     val staged = GraftDataset(tmp.toString, format = target.format,
       partitioning = partCols, compression = target.compression)
     val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
-      rowGroupSize = rowGroupSize, locking = false).write(spark, merged)
+      rowGroupSize = rowGroupSize, clusterBy = effectiveClusterBy, locking = false)
+      .write(spark, merged)
 
     // leaf partition dirs of the staged output (depth = partCols.length)
     val stagedLeaves = DatasetWriter.hiveLeafDirs(fs, tmp, partCols.length)

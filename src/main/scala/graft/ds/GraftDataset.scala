@@ -42,6 +42,12 @@ final case class GraftDataset(
     compression: String = "zstd",
     schema: Option[StructType] = None,
     sortBy: SortSpec = SortSpec(Nil),
+    // write-time clustering contract: rewrites of this dataset (writes,
+    // upsert merges, compaction) keep rows task-sorted by these columns
+    // so parquet row-group stats stay range-selective — recorded HERE,
+    // not only on the writer, because maintenance rewrites (compact)
+    // would otherwise silently destroy the layout the writes paid for
+    clusterBy: Seq[String] = Nil,
     dedup: Option[DedupSpec] = None,
     distinct: Boolean = false,
     dropCols: Seq[String] = Nil,
@@ -59,6 +65,7 @@ final case class GraftDataset(
     copy(dedup = Some(DedupSpec(subset, presort, keepLast)))
   def withDrop(cols: String*): GraftDataset = copy(dropCols = cols)
   def withDistinct: GraftDataset = copy(distinct = true)
+  def withClusterBy(cols: String*): GraftDataset = copy(clusterBy = cols)
 
   /** Reference S8 (`cache_storage` local mirror of remote files,
     * `base.py:30`): in Spark the executor-local persisted copy IS the
@@ -126,15 +133,18 @@ final case class GraftDataset(
             "the only copy of the data; restore one manually instead of vacuuming")
       }
     }
-    val sib = Option(p.getParent).filter(f.exists(_)).toSeq.flatMap(f.listStatus(_).toSeq)
+    // ONE parent listing feeds both sibling scans (on an object store a
+    // compactAll sweep multiplies every extra listing by catalog size)
+    val parentListing = Option(p.getParent).filter(f.exists(_)).toSeq
+      .flatMap(f.listStatus(_).toSeq)
+    val sib = parentListing
       .filter(st => st.isDirectory &&
         sibSuffixes.exists(s => st.getPath.getName == s".${p.getName}$s"))
     // crashed lock STEALS leave `.<name>__lock.staleNNN` files (rename
     // landed, delete didn't). The live lock `.<name>__lock` — ours,
     // since vacuum runs under it — is never touched: the ".stale"
     // infix is required, not just the prefix.
-    val staleLocks = Option(p.getParent).filter(f.exists(_)).toSeq
-      .flatMap(f.listStatus(_).toSeq)
+    val staleLocks = parentListing
       .filter(st => st.isFile &&
         st.getPath.getName.startsWith(s".${p.getName}__lock.stale"))
     val child =

@@ -22,14 +22,19 @@ object Repartition {
       deleteSource: Boolean = false): Long = {
 
     val inPlace = new Path(source.path).toUri.getPath == new Path(dest.path).toUri.getPath
-    val df = source.df(spark)
 
+    // source.df() is built INSIDE the lock everywhere the source can be
+    // concurrently mutated or deleted: the file listing happens at plan
+    // time, so a df built before acquisition would be a stale snapshot —
+    // a concurrent swap deletes its files mid-job (or worse, with
+    // ignoreMissingFiles=true, silently rewrites a PARTIAL dataset)
     if (inPlace) {
       // In-place rewrite: stage into a sibling temp dir, then swap —
       // under the dataset lock so a concurrent upsert/compact can't
       // interleave with the stage-read or the swap renames
       val fs = source.fs(spark)
       DatasetLock.withLock(fs, new Path(dest.path)) {
+        val df = source.df(spark)
         val tmpPath = new Path(new Path(dest.path).getParent,
           s".${new Path(dest.path).getName}__repartition_tmp")
         fs.delete(tmpPath, true)
@@ -39,14 +44,22 @@ object Repartition {
         DatasetWriter.swapInPlace(fs, tmpPath, new Path(dest.path))
         n
       }
+    } else if (deleteSource) {
+      // move semantics: listing, copy and delete are one critical
+      // section on the SOURCE — rows appended between an unlocked read
+      // and the delete would be destroyed without ever being copied.
+      // (The inner dest write takes the dest lock; lock order is always
+      // source→dest here, and two opposite-direction moves of the same
+      // pair are already user error.)
+      DatasetLock.withLock(source.fs(spark), new Path(source.path)) {
+        val n = DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)
+          .write(spark, source.df(spark))
+        source.fs(spark).delete(new Path(source.path), true)
+        n
+      }
     } else {
-      val n = DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)
-        .write(spark, df)
-      if (deleteSource)
-        DatasetLock.withLock(source.fs(spark), new Path(source.path)) {
-          source.fs(spark).delete(new Path(source.path), true)
-        }
-      n
+      DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)
+        .write(spark, source.df(spark))
     }
   }
 
@@ -138,10 +151,17 @@ object Repartition {
       }
     }
 
+    // preserve the dataset's clustering contract through the rewrite:
+    // without this, every maintenance sweep silently undoes the
+    // row-group layout the writes paid for (task-local sort, no shuffle)
+    def clustered(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (ds.clusterBy.isEmpty) d
+      else d.sortWithinPartitions((parts ++ ds.clusterBy).map(col): _*)
+
     var promoted = 0
     if (parts.isEmpty) {
       // whole-dataset compaction: one bounded-width rewrite + root swap
-      writeStaged(df.repartition(todo.head._3))
+      writeStaged(clustered(df.repartition(todo.head._3)))
       DatasetWriter.swapInPlace(fs, tmp, root)
       promoted = 1
     } else {
@@ -182,7 +202,7 @@ object Repartition {
       val arranged = salted
         .repartition(totalWant, (parts.map(col) :+ col("__salt")): _*)
         .select(df.columns.map(col): _*)
-      writeStaged(arranged)
+      writeStaged(clustered(arranged))
 
       todo.foreach { case (rel, _, _) =>
         val src = new Path(tmp, rel)

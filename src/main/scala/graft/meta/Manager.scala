@@ -42,12 +42,20 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
       .updated("dataset", cfg.v.getOrElse("dataset", Toml.Tbl.empty))))
   }
 
-  /** Register a dataset under a catalog name (`manager.py:175-180`). */
-  def addDataset(name: String, path: String, format: String = "parquet"): Unit = {
+  /** Register a dataset under a catalog name (`manager.py:175-180`).
+    * `clusterBy` records the dataset's write-time clustering contract
+    * in the catalog so maintenance sweeps (which load datasets by name,
+    * not through the writer that knew the key) preserve the layout. */
+  def addDataset(name: String, path: String, format: String = "parquet",
+      clusterBy: Seq[String] = Nil): Unit = {
     val cfg = readConfig()
     val ds = Toml.getTbl(cfg, "dataset").getOrElse(Toml.Tbl.empty)
-    writeConfig(Toml.Tbl(cfg.v.updated("dataset", Toml.Tbl(ds.v.updated(name,
-      Toml.Tbl("path" -> Toml.Str(path), "format" -> Toml.Str(format)))))))
+    val entry = Seq("path" -> (Toml.Str(path): Toml.Value),
+      "format" -> (Toml.Str(format): Toml.Value)) ++
+      (if (clusterBy.isEmpty) Nil
+       else Seq("cluster_by" -> (Toml.Arr(clusterBy.map(Toml.Str)): Toml.Value)))
+    writeConfig(Toml.Tbl(cfg.v.updated("dataset",
+      Toml.Tbl(ds.v.updated(name, Toml.Tbl(entry: _*))))))
   }
 
   def removeDataset(name: String): Unit = {
@@ -80,14 +88,23 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     found.toSeq
   }
 
+  /** The recorded clustering contract for a catalog dataset (empty if
+    * none was registered). */
+  def datasetClusterBy(name: String): Seq[String] =
+    (for {
+      ds <- Toml.getTbl(readConfig(), "dataset")
+      t <- Toml.getTbl(ds, name)
+    } yield Toml.getArr(t, "cluster_by")).getOrElse(Nil)
+
   /** Load a registered dataset (TimeFly-managed roots read `current/`). */
   def load(name: String): GraftDataset = {
     val (path, format) = datasets().getOrElse(name,
       throw new NoSuchElementException(s"dataset $name not in catalog"))
+    val cluster = datasetClusterBy(name)
     val cur = new Path(path, "current")
     if (fs.exists(new Path(path, "_dataset.toml")) && fs.exists(cur))
-      GraftDataset(cur.toString, format = format)
-    else GraftDataset(path, format = format)
+      GraftDataset(cur.toString, format = format, clusterBy = cluster)
+    else GraftDataset(path, format = format, clusterBy = cluster)
   }
 
   /** Register every catalog dataset as a temp view; returns view names. */
@@ -135,21 +152,27 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     val sweptAt = java.time.Instant.now().toString
     val cfg = readConfig()
     val maint = Toml.getTbl(cfg, "maintenance").getOrElse(Toml.Tbl.empty)
-    val updated = results.foldLeft(maint.v) { case (m, (name, st, vac)) =>
+    // per-dataset stats live under their own `dataset` sub-table so a
+    // dataset NAMED like a summary key (e.g. "last_sweep") can't collide
+    val prevDs = Toml.getTbl(maint, "dataset").getOrElse(Toml.Tbl.empty)
+    val dsTbl = results.foldLeft(prevDs.v) { case (m, (name, st, vac)) =>
       m.updated(name, Toml.Tbl(
         "swept_at" -> Toml.Str(sweptAt),
         "partitions_compacted" -> Toml.Int64(st.partitionsCompacted.toLong),
         "files_before" -> Toml.Int64(st.filesBefore),
         "files_after" -> Toml.Int64(st.filesAfter),
         "vacuumed_paths" -> Toml.Int64(vac.toLong)))
-    }.updated("last_sweep", Toml.Str(sweptAt): Toml.Value)
-    writeConfig(Toml.Tbl(cfg.v.updated("maintenance", Toml.Tbl(updated))))
+    }
+    writeConfig(Toml.Tbl(cfg.v.updated("maintenance", Toml.Tbl(maint.v
+      .updated("last_sweep", Toml.Str(sweptAt): Toml.Value)
+      .updated("dataset", Toml.Tbl(dsTbl): Toml.Value)))))
     results.map { case (name, st, _) => name -> st }
   }
 
   /** The persisted `[maintenance]` section (empty table before the
-    * first sweep) — per-dataset swept_at / partitions_compacted /
-    * files_before / files_after / vacuumed_paths plus `last_sweep`. */
+    * first sweep): `last_sweep` plus a `dataset` sub-table with
+    * per-dataset swept_at / partitions_compacted / files_before /
+    * files_after / vacuumed_paths. */
   def maintenanceInfo(): Toml.Tbl =
     Toml.getTbl(readConfig(), "maintenance").getOrElse(Toml.Tbl.empty)
 }

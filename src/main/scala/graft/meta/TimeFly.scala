@@ -154,6 +154,9 @@ final class TimeFly(spark: SparkSession, root: String) {
                  finally in.close()
       Some(text.split('\n').toSeq.filter(_.nonEmpty).map { l =>
         val tab = l.indexOf('\t')
+        if (tab < 0) throw new IllegalStateException(
+          s"snapshot $id: malformed manifest line (no size\\tpath separator): '$l' — " +
+            s"the manifest at ${manifestPath(id)} is corrupt or hand-edited")
         (l.substring(0, tab).toLong, l.substring(tab + 1))
       })
     }

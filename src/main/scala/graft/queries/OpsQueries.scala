@@ -223,9 +223,11 @@ object OpsQueries {
       .withClusterBy("l_shipdate")
       .write(spark, li.repartition(4, col("l_orderkey")))
 
-    // fixture l_shipdate is timestamp[ms] → INT64 epoch-millis stats
-    def ms(d: String) = java.time.LocalDate.parse(d).toEpochDay * 86400000L
-    val (lo, hi) = (ms("1995-01-01"), ms("1995-03-31"))
+    // Stats unit comes from the column's OWN logical type annotation
+    // (Spark rewrites the fixture's timestamp[ms] as TIMESTAMP(MICROS));
+    // hard-coding a unit here once made the proof vacuous — bounds in
+    // the wrong unit miss every row group and `hit < total` holds for
+    // ANY layout. The hit>0 require below keeps it honest either way.
     val hconf = spark.sparkContext.hadoopConfiguration
     val ranges = ds.dataFiles(spark).flatMap { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -234,15 +236,28 @@ object OpsQueries {
       try {
         import scala.jdk.CollectionConverters._
         r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          val s = b.getColumns.asScala.find(_.getPath.toDotString == "l_shipdate").get
-            .getStatistics
-          (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-            s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          val c = b.getColumns.asScala.find(_.getPath.toDotString == "l_shipdate").get
+          val unit = String.valueOf(c.getPrimitiveType.getLogicalTypeAnnotation)
+          val s = c.getStatistics
+          def toDays(v: AnyRef): Long = (v, unit) match {
+            case (i: Integer, u) if u.contains("DATE") => i.toLong // INT32 days
+            case (l: java.lang.Long, u) if u.contains("NANOS") => l / 86400000000000L
+            case (l: java.lang.Long, u) if u.contains("MICROS") => l / 86400000000L
+            case (l: java.lang.Long, u) if u.contains("MILLIS") => l / 86400000L
+            case other => throw new IllegalStateException(
+              s"w14: unexpected l_shipdate stat/type $other in $f")
+          }
+          (toDays(s.genericGetMin.asInstanceOf[AnyRef]),
+            toDays(s.genericGetMax.asInstanceOf[AnyRef]))
         }
       } finally r.close()
     }
+    val (lo, hi) = (java.time.LocalDate.parse("1995-01-01").toEpochDay,
+      java.time.LocalDate.parse("1995-03-31").toEpochDay)
     val hit = ranges.count { case (mn, mx) => mx >= lo && mn <= hi }
     require(ranges.size >= 8, s"w14: only ${ranges.size} row groups — fixture too small to prove skipping")
+    require(hit > 0, s"w14: range hit ZERO of ${ranges.size} row groups — stats-unit bug, " +
+      "the Jan-Mar 1995 data exists so a correct comparison must overlap something")
     val skipProven = hit < ranges.size
 
     spark.read.parquet(out)

@@ -81,6 +81,45 @@ class ClusteredWriteSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/sorted").agg(sum("id")).head.getLong(0))
   }
 
+  test("compaction preserves the dataset's clustering contract") {
+    // regression: compact's salted rewrite is hash-ordered — without
+    // re-applying the cluster sort, every maintenance sweep would undo
+    // the row-group selectivity the writes paid for
+    val dir = Files.createTempDirectory("graft_cluster_compact").toString
+    val ds = GraftDataset(s"$dir/t").withClusterBy("id")
+    val base = spark.range(200000L)
+      .select($"id", concat(lit("payload_"), $"id").as("v"))
+      .withColumn("h", xxhash64($"id")).repartition(4).sortWithinPartitions("h").drop("h")
+    // fragment with several clustered appends
+    (0 until 4).foreach { k =>
+      DatasetWriter(ds, rowGroupSize = Some(2000L)).write(spark, base.filter($"id" % 4 === k))
+    }
+    val before = rowGroupRanges(ds)
+    val hitBefore = overlapping(before, 100000L, 102000L)
+    assert(hitBefore.toDouble / before.size <= 0.5, "clustered appends start selective")
+
+    // keep row groups small through the compaction rewrite too, else
+    // the merged file is ONE 128 MiB group and there is nothing to
+    // measure (at scale the default block size yields many groups/file)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 256 * 1024)
+    val stats =
+      try Repartition.compact(spark, ds, targetFileBytes = 16L * 1024 * 1024)
+      finally {
+        if (prevBlock == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", prevBlock)
+      }
+    assert(stats.filesAfter < stats.filesBefore, s"compaction must have run: $stats")
+    val after = rowGroupRanges(ds)
+    val hitAfter = overlapping(after, 100000L, 102000L)
+    info(s"row groups before ${before.size} (hit $hitBefore) → after ${after.size} (hit $hitAfter)")
+    assert(after.size >= 8, s"post-compaction fixture too small: ${after.size}")
+    assert(hitAfter.toDouble / after.size <= 0.3,
+      s"compaction destroyed clustering: $hitAfter of ${after.size} row groups hit")
+    assert(ds.df(spark).count() == 200000L)
+  }
+
   test("clusterBy composes with hive partitioning (per-partition runs)") {
     val dir = Files.createTempDirectory("graft_cluster_part").toString
     val ds = GraftDataset(s"$dir/t", partitioning = Seq("p"))

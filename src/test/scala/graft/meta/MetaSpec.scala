@@ -245,13 +245,16 @@ class ManagerSpec extends AnyFunSuite {
     assert(spark.read.parquet(lake + "/parts").count() == 20)
 
     // sweep stats persist into [maintenance] and round-trip through the
-    // on-disk toml (fresh Manager → fresh parse)
+    // on-disk toml (fresh Manager → fresh parse); per-dataset stats sit
+    // under the `dataset` sub-table so names can't collide with summary
+    // keys like last_sweep
     val maint = new Manager(spark, lake).maintenanceInfo()
     assert(graft.core.Toml.getStr(maint, "last_sweep").nonEmpty)
-    val flat = graft.core.Toml.getTbl(maint, "flat").get
+    val maintDs = graft.core.Toml.getTbl(maint, "dataset").get
+    val flat = graft.core.Toml.getTbl(maintDs, "flat").get
     assert(flat.v("files_before") == graft.core.Toml.Int64(stats("flat").filesBefore))
     assert(flat.v("files_after") == graft.core.Toml.Int64(stats("flat").filesAfter))
-    val parts = graft.core.Toml.getTbl(maint, "parts").get
+    val parts = graft.core.Toml.getTbl(maintDs, "parts").get
     assert(parts.v("partitions_compacted") == graft.core.Toml.Int64(2L))
     assert(graft.core.Toml.getStr(flat, "swept_at") ==
       graft.core.Toml.getStr(maint, "last_sweep"))
@@ -260,7 +263,7 @@ class ManagerSpec extends AnyFunSuite {
     val stats2 = m.compactAll().toMap
     assert(stats2.values.forall(_.partitionsCompacted == 0))
     val maint2 = new Manager(spark, lake).maintenanceInfo()
-    assert(graft.core.Toml.getTbl(maint2, "flat").get.v("partitions_compacted") ==
-      graft.core.Toml.Int64(0L))
+    assert(graft.core.Toml.getTbl(graft.core.Toml.getTbl(maint2, "dataset").get, "flat")
+      .get.v("partitions_compacted") == graft.core.Toml.Int64(0L))
   }
 }
