@@ -1,0 +1,92 @@
+package graft.ds
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) multi-column clustering: interleaves the bits
+  * of each column's normalized bucket id so that sorting by ONE derived
+  * value co-locates rows that are close in EVERY clustered dimension —
+  * parquet row-group min/max stats then prune range predicates on any
+  * single clustered column (and more strongly on conjunctions), which
+  * plain lexicographic `clusterBy(a, b)` cannot do for `b` alone.
+  *
+  * No reference counterpart (pydala writes sorted tables only); this is
+  * the standard lakehouse layout tool re-expressed with nothing but
+  * `org.apache.spark.sql.functions` — the bucket math and the bit
+  * interleave are all codegen'd column expressions, zero UDFs.
+  *
+  * Scale design:
+  *  - Bucketing is min/max linear to 2^bits buckets: O(1) per row after
+  *    ONE global agg (a single scalar collect). Heavily skewed columns
+  *    should be pre-transformed (log, rank) by the caller — documented
+  *    trade-off vs quantile bucketing, which would cost a full
+  *    approx-quantile pass per column at 100 TB for marginal stat gains
+  *    on the layouts that matter (mostly-uniform join/range keys).
+  *  - [[arrange]] adds ONE range exchange on the z-value (that is the
+  *    price of cross-file locality — identical to every z-order
+  *    implementation) and a task-local sort; with `numPartitions` sized
+  *    to the write parallelism the exchange replaces, not augments, the
+  *    write's natural shuffle.
+  *  - [[zValue]] alone (no exchange) still pays off within each task's
+  *    files via [[DatasetWriter.withClusterBy]]-style local sorting.
+  */
+object ZOrder {
+
+  /** Interleave `bits` low bits of each (long) bucket column: bit `i`
+    * of column `j` lands at position `i * m + j`. Builds a pure
+    * shift/and/or expression tree (m·bits terms) — whole-stage codegen
+    * keeps it a tight loop, no UDF boundary. */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty, "interleave needs at least one column")
+    val m = buckets.size
+    require(m * bits <= 62, s"z-value overflow: $m cols x $bits bits > 62")
+    val terms = for {
+      (b, j) <- buckets.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * m + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Linear min-max bucket id in [0, 2^bits): `floor((v-min)/(max-min)
+    * * (2^bits-1) + 0.5)`. Nulls and degenerate (min==max) columns map
+    * to bucket 0 — they carry no ordering information either way. */
+  def bucketize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val span = hi - lo
+    val maxBucket = (1L << bits) - 1
+    if (span <= 0) lit(0L)
+    else coalesce(
+      floor((v.cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble) + lit(0.5))
+        .cast("long"),
+      lit(0L))
+  }
+
+  /** The z-value column for `cols`, bucketed from the dataframe's own
+    * min/max (ONE scalar agg job). */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) =
+        (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
+          if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
+      bucketize(col(c), lo, hi, bits)
+    }
+    interleave(buckets, bits)
+  }
+
+  /** Rows arranged for a z-ordered write: ONE range exchange on the
+    * z-value (cross-file locality) + task-local sort (row-group
+    * locality), z column dropped. Feed the result straight to
+    * [[DatasetWriter]]; the writer preserves the arrangement as long as
+    * no count-batching repartition follows. */
+  def arrange(df: DataFrame, cols: Seq[String], bits: Int = 12,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val z = zValue(df, cols, bits)
+    val withZ = df.withColumn("__z", z)
+    val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    withZ.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

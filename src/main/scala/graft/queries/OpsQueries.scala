@@ -274,6 +274,61 @@ object OpsQueries {
       |FROM lineitem
       |WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'""".stripMargin
 
+  // ---- W15: z-order write + two-dimension skipping proof --------------
+  /** Z-order as a contract surface: lineitem lands arranged on the
+    * Morton curve over (l_partkey, l_suppkey); the query reads parquet
+    * footers and proves a BOX predicate leaves row groups skippable on
+    * both dimensions at once — the property lexicographic clustering
+    * cannot give the second column. Oracle checks the box aggregation;
+    * `skip_proven` carries the footer evidence. */
+  def w15ZorderWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w15")
+    val ds = GraftDataset(out)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    DatasetWriter(ds, WriteMode.Overwrite, rowGroupSize = Some(200L))
+      .write(spark, graft.ds.ZOrder.arrange(li, Seq("l_partkey", "l_suppkey"),
+        bits = 10, numPartitions = Some(4)))
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def ranges(column: String): Seq[(Long, Long)] = ds.dataFiles(spark).flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), hconf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val s = b.getColumns.asScala.find(_.getPath.toDotString == column).get.getStatistics
+          (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }
+      } finally r.close()
+    }
+    val (plo, phi, slo, shi) = (100L, 300L, 5L, 15L)
+    val boxHits = ranges("l_partkey").zip(ranges("l_suppkey")).map {
+      case ((pmn, pmx), (smn, smx)) =>
+        pmx >= plo && pmn <= phi && smx >= slo && smn <= shi
+    }
+    require(boxHits.size >= 8, s"w15: only ${boxHits.size} row groups — fixture too small")
+    val hit = boxHits.count(identity)
+    require(hit > 0, s"w15: box hit ZERO of ${boxHits.size} row groups — " +
+      "the box contains data, so a correct stats comparison must overlap something")
+    val skipProven = hit < boxHits.size
+
+    spark.read.parquet(out)
+      .filter(col("l_partkey").between(plo, phi) && col("l_suppkey").between(slo, shi))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("n_rows"), col("sum_qty"),
+        lit(if (skipProven) 1 else 0).as("skip_proven"))
+  }
+  val w15Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  1 AS skip_proven
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 15""".stripMargin
+
   // ---- A2: sticky keep-first dedup ------------------------------------
   /** GraftDataset points at the source parquet directly — the dedup
     * operator is what's under test; dataset *writes* are covered by the
@@ -673,6 +728,7 @@ object OpsQueries {
     "w11_repartition" -> (w11Repartition _),
     "w13_compact" -> (w13Compact _),
     "w14_clustered_write" -> (w14ClusteredWrite _),
+    "w15_zorder_write" -> (w15ZorderWrite _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -706,6 +762,7 @@ object OpsQueries {
     "w11_repartition" -> w11Sql,
     "w13_compact" -> w13Sql,
     "w14_clustered_write" -> w14Sql,
+    "w15_zorder_write" -> w15Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,

@@ -130,17 +130,23 @@ class ConcurrencySpec extends AnyFunSuite {
     // holder with a 4 s ttl works for 6 s; a waiter with the same ttl
     // must NOT steal it mid-work (heartbeats every ~1.3 s keep it
     // fresh — the ttl is wide enough that even a heavily loaded host
-    // can't starve the heartbeat thread past it)
+    // can't starve the heartbeat thread past it). The holder provably
+    // acquires FIRST (latch inside its lock body) — otherwise the two
+    // sides race for first acquisition and the test measures nothing.
     val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val waiterEntered = new java.util.concurrent.atomic.AtomicLong(0)
-    inParallel(
-      DatasetLock.withLock(fs, dataset, ttlMs = 4000) {
-        Thread.sleep(6000); holderDone.set(true)
-      },
-      DatasetLock.withLock(fs, dataset, ttlMs = 4000, acquireTimeoutMs = 30000) {
-        waiterEntered.set(System.nanoTime())
-        assert(holderDone.get(), "waiter entered while the live holder still worked — stolen despite heartbeat")
-      })
+    val holderHasLock = new CountDownLatch(1)
+    val holder = new Thread(() => DatasetLock.withLock(fs, dataset, ttlMs = 4000) {
+      holderHasLock.countDown()
+      Thread.sleep(6000); holderDone.set(true)
+    })
+    holder.start()
+    assert(holderHasLock.await(10, TimeUnit.SECONDS), "holder never acquired")
+    DatasetLock.withLock(fs, dataset, ttlMs = 4000, acquireTimeoutMs = 30000) {
+      waiterEntered.set(System.nanoTime())
+      assert(holderDone.get(), "waiter entered while the live holder still worked — stolen despite heartbeat")
+    }
+    holder.join(15000)
     assert(holderDone.get() && waiterEntered.get() != 0)
   }
 
