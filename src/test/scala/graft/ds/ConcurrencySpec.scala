@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
+/** [[GraftTestFs]] variant whose setTimes is a silent no-op — the shape
+  * of several object-store connectors; exercises the lock heartbeat's
+  * content-rewrite fallback. */
+class GraftNoTouchFs extends GraftTestFs {
+  override def getScheme: String = "graftnt"
+  override def getUri: java.net.URI = java.net.URI.create("graftnt:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long, atime: Long): Unit = ()
+}
+
 /** Two concurrent writers on ONE dataset must serialize through
   * [[DatasetLock]] with zero lost rows — the 100 TB lake failure mode
   * this guards is a `Manager.compactAll` maintenance sweep running
@@ -148,6 +157,46 @@ class ConcurrencySpec extends AnyFunSuite {
     }
     holder.join(15000)
     assert(holderDone.get() && waiterEntered.get() != 0)
+  }
+
+  test("non-file scheme with no-op setTimes: heartbeat falls back to content rewrite") {
+    // object-store stand-in: non-file scheme (create-exclusive goes
+    // through FileSystem.create, not NIO) AND setTimes silently does
+    // nothing — the heartbeat must detect the stuck mtime and refresh
+    // by rewriting its own token, or a live holder gets stolen
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftnt.impl", classOf[GraftNoTouchFs].getName)
+    val dir = tmpDir("graft_lock_nt")
+    val dataset = new Path(s"graftnt://$dir/t")
+    val fs = dataset.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.getUri.getScheme == "graftnt")
+
+    val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holderHasLock = new CountDownLatch(1)
+    val holder = new Thread(() => DatasetLock.withLock(fs, dataset, ttlMs = 2000) {
+      holderHasLock.countDown()
+      Thread.sleep(4500); holderDone.set(true) // ~3 ttl-thirds of work
+    })
+    holder.start()
+    assert(holderHasLock.await(10, TimeUnit.SECONDS), "holder never acquired")
+    DatasetLock.withLock(fs, dataset, ttlMs = 2000, acquireTimeoutMs = 30000) {
+      assert(holderDone.get(),
+        "waiter entered while the live holder still worked — content-rewrite heartbeat failed")
+    }
+    holder.join(15000)
+    assert(holderDone.get())
+
+    // and a genuinely dead holder is still stolen on this scheme: plant
+    // a lock, let its (frozen) mtime age past the ttl, reacquire
+    val dataset2 = new Path(s"graftnt://$dir/t2")
+    val lock2 = DatasetLock.lockPath(dataset2).get
+    val out = fs.create(lock2, false)
+    out.write("dead:1:x".getBytes); out.close()
+    Thread.sleep(1300)
+    var ran = false
+    DatasetLock.withLock(fs, dataset2, ttlMs = 1000, acquireTimeoutMs = 15000) { ran = true }
+    assert(ran, "stale lock on non-file scheme must be stolen")
+    assert(!fs.exists(lock2))
   }
 
   test("vacuum cleans crashed-steal residue but never the live lock") {
