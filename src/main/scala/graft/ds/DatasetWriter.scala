@@ -52,6 +52,11 @@ final case class DatasetWriter(
     // is the scale-honest version: the stats payoff is identical, and
     // at 100 TB a global sort is a full extra shuffle)
     clusterBy: Seq[String] = Nil,
+    // opt-in bloom key index ([[BloomIndex]] sidecar over deltaSubset):
+    // created on the first/overwrite write; once the sidecar exists,
+    // EVERY graft write keeps it a superset of live keys regardless of
+    // this flag (a stale filter would silently break delta idempotency)
+    bloomIndex: Boolean = false,
     transform: DataFrame => DataFrame = identity,
     // internal staged writes (upsert/repartition temps) run under the
     // PARENT operation's lock — locking their own tmp path would only
@@ -66,6 +71,7 @@ final case class DatasetWriter(
   def withDeltaWindow(tsCol: String): DatasetWriter = copy(deltaDatetimeColumn = Some(tsCol))
   def withTransform(f: DataFrame => DataFrame): DatasetWriter = copy(transform = f)
   def withClusterBy(cols: String*): DatasetWriter = copy(clusterBy = cols)
+  def withBloomIndex: DatasetWriter = copy(bloomIndex = true)
 
   /** Writer-level clusterBy wins; otherwise the dataset's recorded
     * clustering contract applies — so upsert merges and other internal
@@ -102,6 +108,8 @@ final case class DatasetWriter(
     // first (empty-target) run, not succeed once and break on the next
     if (mode == WriteMode.Upsert)
       require(deltaSubset.nonEmpty, "upsert needs key columns — set withDeltaSubset(...)")
+    if (bloomIndex)
+      require(deltaSubset.nonEmpty, "bloom index needs key columns — set withDeltaSubset(...)")
 
     if (mode == WriteMode.Upsert && existed) {
       val existing = target.raw(spark)
@@ -149,6 +157,9 @@ final case class DatasetWriter(
         // staged write has fully materialized
         val tmp = new Path(targetPath.getParent, s".${targetPath.getName}__upsert_tmp")
         fs.delete(tmp, true)
+        // the bloom sidecar lives INSIDE the root and dies in the swap —
+        // capture it first, restore merged with the batch keys after
+        val preIdx = BloomIndex.load(fs, target.path)
         val staged = GraftDataset(tmp.toString, format = target.format,
           partitioning = target.partitioning, compression = target.compression)
         val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
@@ -156,6 +167,10 @@ final case class DatasetWriter(
           clusterBy = effectiveClusterBy, locking = false)
           .write(spark, merged)
         DatasetWriter.swapInPlace(fs, tmp, targetPath)
+        preIdx match {
+          case Some(idx) => BloomIndex.write(fs, target.path, BloomIndex.merged(idx, pinned))
+          case None => if (bloomIndex) BloomIndex.build(spark, target, deltaSubset)
+        }
         return n
       } finally pinned.unpersist()
     }
@@ -235,9 +250,31 @@ final case class DatasetWriter(
       case "csv" => w.option("header", "true").csv(target.path)
       case other => w.format(other).save(target.path)
     }
-    obs.get("rows").asInstanceOf[Long]
+    val written = obs.get("rows").asInstanceOf[Long]
+    // sidecar upkeep happens inside the dataset lock (we hold it):
+    // rows just landed, so the filter must absorb their keys NOW or the
+    // next delta write misses them as duplicates
+    maintainBloom(spark, fs,
+      batch = if (mode == WriteMode.Delta && existed) toWrite else prepared,
+      overwrote = saveMode == SaveMode.Overwrite || !existed)
+    written
     } finally {
       if (mode == WriteMode.Delta && existed) toWrite.unpersist()
+    }
+  }
+
+  /** Keep the [[BloomIndex]] sidecar a superset of live keys after a
+    * row-adding write. An existing sidecar is ALWAYS maintained (its
+    * own recorded columns, independent of this writer's flags); a fresh
+    * one is built only when `bloomIndex` was requested. After an
+    * overwrite the old sidecar died with the directory — rebuild. */
+  private def maintainBloom(spark: SparkSession,
+      fs: FileSystem, batch: DataFrame, overwrote: Boolean): Unit = {
+    if (overwrote) {
+      if (bloomIndex) BloomIndex.build(spark, target, deltaSubset)
+    } else BloomIndex.load(fs, target.path) match {
+      case Some(idx) => BloomIndex.write(fs, target.path, BloomIndex.merged(idx, batch))
+      case None => if (bloomIndex) BloomIndex.build(spark, target, deltaSubset)
     }
   }
 
@@ -343,6 +380,12 @@ final case class DatasetWriter(
       }
     }
     fs.delete(tmp, true)
+    // partition swaps leave the root sidecar in place — absorb the
+    // batch keys so it stays a superset of live keys
+    BloomIndex.load(fs, target.path) match {
+      case Some(idx) => BloomIndex.write(fs, target.path, BloomIndex.merged(idx, pinned))
+      case None => if (bloomIndex) BloomIndex.build(spark, target, deltaSubset)
+    }
     n
   }
 
@@ -385,11 +428,31 @@ final case class DatasetWriter(
       case None => (incoming, existingFull)
     }
     if (deltaSubset.nonEmpty) {
-      // null-safe key comparison: a NULL key must match a NULL key, or
-      // the row is re-appended on every delta write (idempotency break)
-      val ex = existing.select(deltaSubset.map(col): _*).distinct()
-      val cond = deltaSubset.map(c => inc(c) <=> ex(c)).reduce(_ && _)
-      inc.join(ex, cond, "left_anti")
+      // Bloom fast path: with a sidecar over these key columns, rows
+      // whose key is DEFINITELY absent skip the existing-side scan and
+      // anti-join shuffle entirely (map-side codegen'd probe). The
+      // common ingest shape — an all-new batch — then costs O(batch)
+      // with ZERO reads of the (100 TB) existing dataset; only possible
+      // duplicates (matches + fpp false positives) pay the exact join.
+      val bloomIdx = BloomIndex.load(target.fs(spark), target.path)
+        .filter(_.cols == deltaSubset)
+      bloomIdx match {
+        case Some(idx) =>
+          val might = BloomIndex.mightContain(spark, idx)
+          val candidates = inc.filter(might)
+          if (candidates.isEmpty) inc // one LIMIT-1 pass over the batch
+          else {
+            val ex = existing.select(deltaSubset.map(col): _*).distinct()
+            val cond = deltaSubset.map(c => candidates(c) <=> ex(c)).reduce(_ && _)
+            candidates.join(ex, cond, "left_anti").unionByName(inc.filter(!might))
+          }
+        case None =>
+          // null-safe key comparison: a NULL key must match a NULL key,
+          // or the row re-appends on every delta write (idempotency)
+          val ex = existing.select(deltaSubset.map(col): _*).distinct()
+          val cond = deltaSubset.map(c => inc(c) <=> ex(c)).reduce(_ && _)
+          inc.join(ex, cond, "left_anti")
+      }
     } else {
       // set EXCEPT (the reference's duckdb EXCEPT): null-safe row
       // equality, incoming duplicates collapse via the set semantics

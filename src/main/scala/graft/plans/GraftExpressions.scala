@@ -515,6 +515,57 @@ case class TopKPairs(
     copy(sim = cs(0), id = cs(1))
 }
 
+/** Bloom-filter membership probe over a 64-bit key hash, mirroring the
+  * shape of Spark's internal runtime-filter BloomFilterMightContain
+  * (public pattern): the serialized filter arrives as a foldable binary
+  * literal, is deserialized ONCE on the driver, and ships to executors
+  * through the codegen reference array — the generated per-row code is
+  * a single `mightContainLong` call, fused into whole-stage codegen.
+  * Powers [[graft.ds.BloomIndex]]'s delta fast path. */
+case class BloomMightContain(valueExpr: Expression, bloomExpr: Expression)
+  extends BinaryExpression with Predicate {
+
+  override def left: Expression = valueExpr
+  override def right: Expression = bloomExpr
+  override def prettyName: String = "graft_bloom_contains"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (valueExpr.dataType == LongType && bloomExpr.dataType == BinaryType && bloomExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains expects (long, foldable binary), got " +
+        s"(${valueExpr.dataType}, ${bloomExpr.dataType})")
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = bloomExpr.eval(InternalRow.empty).asInstanceOf[Array[Byte]]
+    org.apache.spark.util.sketch.BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = valueExpr.eval(input)
+    if (v == null) null else bloom.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // only the VALUE child generates code; the filter rides the
+    // reference array (embedding a multi-MB binary literal in the
+    // generated source would blow the 64 KB method limit)
+    val bfRef = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    val v = valueExpr.genCode(ctx)
+    ev.copy(code = code"""
+      ${v.code}
+      boolean ${ev.isNull} = ${v.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = $bfRef.mightContainLong(${v.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(valueExpr = l, bloomExpr = r)
+}
+
 object GraftExpressions {
   /** Idempotent session-level registration (also see [[GraftExtensions]]
     * for the spark.sql.extensions path). */
@@ -554,6 +605,8 @@ object GraftExpressions {
         val k = es(2).eval(InternalRow.empty).asInstanceOf[Int]
         TopKPairs(es(0), es(1), k).toAggregateExpression()
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      { es: Seq[Expression] => BloomMightContain(es(0), es(1)) }, "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -592,6 +645,10 @@ object GraftExpressions {
     register(spark)
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
   }
+  def bloomContains(spark: SparkSession, hash: Column, bloomBytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("graft_bloom_contains", hash, org.apache.spark.sql.functions.lit(bloomBytes))
+  }
 }
 
 /** `SparkSessionExtensions` entry point:
@@ -627,5 +684,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => LshSignBits(es(0), intArg(es, 1), if (es.length > 2) intArg(es, 2) else 0))
     inject("graft_topk", classOf[TopKPairs],
       es => TopKPairs(es(0), es(1), intArg(es, 2)).toAggregateExpression())
+    inject("graft_bloom_contains", classOf[BloomMightContain],
+      es => BloomMightContain(es(0), es(1)))
   }
 }

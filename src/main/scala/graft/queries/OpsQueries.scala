@@ -329,6 +329,37 @@ object OpsQueries {
       |FROM lineitem
       |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 5 AND 15""".stripMargin
 
+  // ---- W16: bloom-indexed delta ingest --------------------------------
+  /** Bloom key index as a contract surface: a dataset seeded with even
+    * customer keys takes an overlapping delta (only odd keys may land),
+    * an idempotency re-run (zero rows), and an all-new shifted batch
+    * (the sidecar fast path that never scans the existing data — plan
+    * behavior asserted in BloomIndexSpec; semantics oracled here). */
+  def w16BloomDelta(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w16")
+    val ds = GraftDataset(out)
+    val cust = Tables.load(spark, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val w = DatasetWriter(ds).withDeltaSubset("c_custkey").withBloomIndex
+    w.write(spark, cust.filter(col("c_custkey") % 2 === 0))
+    val deltaNew = w.withMode(WriteMode.Delta).write(spark, cust)
+    val deltaRerun = w.withMode(WriteMode.Delta).write(spark, cust)
+    val shifted = cust.select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+      col("c_name"), col("c_acctbal"))
+    val allNew = w.withMode(WriteMode.Delta).write(spark, shifted)
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("c_custkey")).as("distinct_keys"))
+      .select(col("n_rows"), col("distinct_keys"),
+        lit(deltaNew).as("delta_new"), lit(deltaRerun).as("delta_rerun"),
+        lit(allNew).as("delta_allnew"))
+  }
+  val w16Sql: String =
+    """SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS distinct_keys,
+      |  CAST(SUM(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta_new,
+      |  CAST(0 AS BIGINT) AS delta_rerun,
+      |  CAST(COUNT(*) AS BIGINT) AS delta_allnew
+      |FROM customer""".stripMargin
+
   // ---- A2: sticky keep-first dedup ------------------------------------
   /** GraftDataset points at the source parquet directly — the dedup
     * operator is what's under test; dataset *writes* are covered by the
@@ -729,6 +760,7 @@ object OpsQueries {
     "w13_compact" -> (w13Compact _),
     "w14_clustered_write" -> (w14ClusteredWrite _),
     "w15_zorder_write" -> (w15ZorderWrite _),
+    "w16_bloom_delta" -> (w16BloomDelta _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -763,6 +795,7 @@ object OpsQueries {
     "w13_compact" -> w13Sql,
     "w14_clustered_write" -> w14Sql,
     "w15_zorder_write" -> w15Sql,
+    "w16_bloom_delta" -> w16Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,
