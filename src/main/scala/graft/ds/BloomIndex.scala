@@ -54,29 +54,44 @@ object BloomIndex {
     * null-keyed rows probe consistently too). */
   def keyHash(cols: Seq[String]): Column = xxhash64(cols.map(col): _*)
 
+  /** Load the sidecar, treating ANY corruption (truncated header or
+    * filter bytes — e.g. a crash mid-write on an FS without the atomic
+    * rename below) as ABSENT: the fast path switches off and the next
+    * maintained write rebuilds; a throwing load would brick every
+    * subsequent write on the dataset instead. */
   def load(fs: FileSystem, dsPath: String): Option[Index] = {
     val p = sidecar(dsPath)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val all = try in.readAllBytes() finally in.close()
-    val nl = all.indexOf('\n'.toByte)
-    if (nl < 0) throw new IllegalStateException(s"corrupt bloom index at $p (no header)")
-    val header = new String(all, 0, nl, java.nio.charset.StandardCharsets.UTF_8).split('\t')
-    if (header.length != 4 || header(0) != Magic)
-      throw new IllegalStateException(s"corrupt bloom index header at $p: ${header.mkString("|")}")
-    Some(Index(header(1).split(',').toSeq.filter(_.nonEmpty),
-      header(2).toLong, header(3).toDouble,
-      java.util.Arrays.copyOfRange(all, nl + 1, all.length)))
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val all = try in.readAllBytes() finally in.close()
+      val nl = all.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(all, 0, nl, java.nio.charset.StandardCharsets.UTF_8).split('\t')
+      if (header.length != 4 || header(0) != Magic) return None
+      val idx = Index(header(1).split(',').toSeq.filter(_.nonEmpty),
+        header(2).toLong, header(3).toDouble,
+        java.util.Arrays.copyOfRange(all, nl + 1, all.length))
+      idx.bloom // validate the filter payload deserializes (lazy-cached for use)
+      Some(idx)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Stage + rename so readers never see a half-written sidecar. The
+    * delete→rename pair is not atomic on every FS — the worst case is a
+    * brief window with NO sidecar (fast path off), never a corrupt one. */
   def write(fs: FileSystem, dsPath: String, idx: Index): Unit = {
-    val out = fs.create(sidecar(dsPath), true)
+    val dst = sidecar(dsPath)
+    val tmp = new Path(dst.getParent, s"${FileName}__tmp")
+    val out = fs.create(tmp, true)
     try {
       out.write((Seq(Magic, idx.cols.mkString(","), idx.expectedItems.toString,
         idx.fpp.toString).mkString("\t") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.write(idx.bytes)
     } finally out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"bloom index: cannot promote $tmp to $dst")
   }
 
   def delete(fs: FileSystem, dsPath: String): Boolean =

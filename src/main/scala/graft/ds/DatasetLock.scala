@@ -56,7 +56,7 @@ object DatasetLock {
       case None => body
       case Some(lock) =>
         val token = acquire(fs, lock, ttlMs, acquireTimeoutMs)
-        val hb = startHeartbeat(fs, lock, ttlMs)
+        val hb = startHeartbeat(fs, lock, ttlMs, token)
         try body
         finally {
           hb.interrupt()
@@ -163,8 +163,9 @@ object DatasetLock {
     * mtime and falls back to rewriting the lock content (we own the
     * file) when setTimes did not advance it; any error short of thread
     * death is swallowed and the next beat retries. */
-  private def startHeartbeat(fs: FileSystem, lock: Path, ttlMs: Long): Thread = {
-    val ourToken = readToken(fs, lock).getOrElse("")
+  private def startHeartbeat(fs: FileSystem, lock: Path, ttlMs: Long, ourToken: String): Thread = {
+    // token comes from the acquirer, never re-read from the FS: a
+    // transient read failure must not masquerade as "lock lost"
     val tokBytes = ourToken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val beatMs = math.max(200L, ttlMs / 3)
     val t = new Thread(() => {
@@ -180,12 +181,30 @@ object DatasetLock {
             catch { case _: IOException => before }
           if (after <= before && now - after > beatMs) {
             // setTimes was a no-op on this FS — refresh by rewriting our
-            // own bytes, but ONLY while the lock still carries OUR token
-            // (after a ttl steal an overwrite would clobber the thief)
-            if (readToken(fs, lock).contains(ourToken)) {
+            // own bytes. Guard against clobbering a THIEF: a steal can
+            // only happen once the mtime is older than the ttl, so while
+            // the age we just observed is under the ttl no thief can
+            // exist and the overwrite is safe. At or past the ttl we
+            // were stealable — read the token instead: still ours
+            // (definitively — a steal replaces the token) → refresh;
+            // someone else's → stop beating; unreadable (transient) →
+            // keep looping, the next beat retries. Residual window: an
+            // extreme stall between this age check and the create could
+            // still race a thief — the same irreducible window every
+            // mtime-based lock-file scheme carries; the ttl (minutes)
+            // dwarfs it by orders of magnitude.
+            val age = now - after
+            val stillOurs =
+              if (age < ttlMs) true
+              else readToken(fs, lock) match {
+                case Some(tok) if tok == ourToken => true
+                case Some(_) => running = false; false // stolen — stop
+                case None => false // transient read failure — skip, retry next beat
+              }
+            if (running && stillOurs) {
               val out = fs.create(lock, true)
               try out.write(tokBytes) finally out.close()
-            } else running = false // lost the lock — stop beating
+            }
           }
         } catch {
           case _: InterruptedException => running = false // released

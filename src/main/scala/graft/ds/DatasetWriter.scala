@@ -111,6 +111,15 @@ final case class DatasetWriter(
     if (bloomIndex)
       require(deltaSubset.nonEmpty, "bloom index needs key columns — set withDeltaSubset(...)")
 
+    // ONE sidecar read per write — deltaDiff's probe and the key merge
+    // each used to load it independently, and at SCALE.md's sizing
+    // (1B keys ≈ 1.1 GB filter) that doubled the driver-side sidecar
+    // IO on the hot ingest path
+    val sideIdx: Option[BloomIndex.Index] =
+      if (existed && mode != WriteMode.Overwrite && mode != WriteMode.Raise)
+        BloomIndex.load(fs, target.path)
+      else None
+
     if (mode == WriteMode.Upsert && existed) {
       val existing = target.raw(spark)
       // column agreement is mandatory: the merge rewrites the WHOLE
@@ -148,7 +157,7 @@ final case class DatasetWriter(
         // null-safe: a NULL key replaces a NULL key (same rule as delta)
         val cond = deltaSubset.map(c => existing(c) <=> keys(c)).reduce(_ && _)
         if (target.partitioning.nonEmpty && timeBatch.isEmpty)
-          return upsertPartitionScoped(spark, fs, targetPath, existing, pinned, keys, cond)
+          return upsertPartitionScoped(spark, fs, targetPath, existing, pinned, keys, cond, sideIdx)
         val kept = existing.join(keys, cond, "left_anti")
           .select(pinned.columns.map(col): _*)
         val merged = kept.unionByName(pinned)
@@ -157,20 +166,21 @@ final case class DatasetWriter(
         // staged write has fully materialized
         val tmp = new Path(targetPath.getParent, s".${targetPath.getName}__upsert_tmp")
         fs.delete(tmp, true)
-        // the bloom sidecar lives INSIDE the root and dies in the swap —
-        // capture it first, restore merged with the batch keys after
-        val preIdx = BloomIndex.load(fs, target.path)
         val staged = GraftDataset(tmp.toString, format = target.format,
           partitioning = target.partitioning, compression = target.compression)
         val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
           timeBatch = timeBatch, rowGroupSize = rowGroupSize,
           clusterBy = effectiveClusterBy, locking = false)
           .write(spark, merged)
+        // the sidecar lives INSIDE the root and would die in the swap —
+        // write the key-merged copy into the STAGED dir so it promotes
+        // atomically with its data. The old post-swap merge left a
+        // crash window where rows were live but their keys were not,
+        // and the next delta re-appended them as duplicates.
+        sideIdx.foreach(idx =>
+          BloomIndex.write(fs, tmp.toString, BloomIndex.merged(idx, alignKeys(pinned, idx))))
         DatasetWriter.swapInPlace(fs, tmp, targetPath)
-        preIdx match {
-          case Some(idx) => BloomIndex.write(fs, target.path, BloomIndex.merged(idx, pinned))
-          case None => if (bloomIndex) BloomIndex.build(spark, target, deltaSubset)
-        }
+        if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
         return n
       } finally pinned.unpersist()
     }
@@ -188,7 +198,7 @@ final case class DatasetWriter(
         // persist the diff: the emptiness gate below and the write
         // itself both consume it — without this the existing-side scan
         // + anti-join (the dominant delta cost) would execute twice
-        else (deltaDiff(spark, prepared)
+        else (deltaDiff(spark, prepared, sideIdx)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), SaveMode.Append)
     }
 
@@ -235,6 +245,17 @@ final case class DatasetWriter(
       if (effectiveClusterBy.isEmpty) batched
       else batched.sortWithinPartitions((partCols ++ effectiveClusterBy).map(col): _*)
 
+    // Sidecar key merge happens BEFORE the data commits: the superset
+    // contract tolerates keys whose rows never land (a failed write
+    // leaves false positives — an anti-join probe each, never a wrong
+    // answer) but not the reverse — a crash between a data commit and
+    // a post-write merge would hide live keys from the next delta,
+    // which silently re-appends them. Merge-first is the one crash-safe
+    // order.
+    val overwrote = saveMode == SaveMode.Overwrite || !existed
+    if (!overwrote) sideIdx.foreach(idx =>
+      BloomIndex.write(fs, target.path, BloomIndex.merged(idx, alignKeys(toWrite, idx))))
+
     // Row count captured via Observation during the single write job —
     // no caching of the (potentially huge) output.
     val obs = org.apache.spark.sql.Observation()
@@ -251,32 +272,29 @@ final case class DatasetWriter(
       case other => w.format(other).save(target.path)
     }
     val written = obs.get("rows").asInstanceOf[Long]
-    // sidecar upkeep happens inside the dataset lock (we hold it):
-    // rows just landed, so the filter must absorb their keys NOW or the
-    // next delta write misses them as duplicates
-    maintainBloom(spark, fs,
-      batch = if (mode == WriteMode.Delta && existed) toWrite else prepared,
-      overwrote = saveMode == SaveMode.Overwrite || !existed)
+    // fresh/overwritten datasets get their sidecar AFTER the write (a
+    // build scans the data that just landed); merges already happened
+    // pre-commit above. An existing sidecar is always maintained (its
+    // own recorded columns); a fresh one only when requested.
+    if ((overwrote || sideIdx.isEmpty) && bloomIndex)
+      BloomIndex.build(spark, target, deltaSubset)
     written
     } finally {
       if (mode == WriteMode.Delta && existed) toWrite.unpersist()
     }
   }
 
-  /** Keep the [[BloomIndex]] sidecar a superset of live keys after a
-    * row-adding write. An existing sidecar is ALWAYS maintained (its
-    * own recorded columns, independent of this writer's flags); a fresh
-    * one is built only when `bloomIndex` was requested. After an
-    * overwrite the old sidecar died with the directory — rebuild. */
-  private def maintainBloom(spark: SparkSession,
-      fs: FileSystem, batch: DataFrame, overwrote: Boolean): Unit = {
-    if (overwrote) {
-      if (bloomIndex) BloomIndex.build(spark, target, deltaSubset)
-    } else BloomIndex.load(fs, target.path) match {
-      case Some(idx) => BloomIndex.write(fs, target.path, BloomIndex.merged(idx, batch))
-      case None => if (bloomIndex) BloomIndex.build(spark, target, deltaSubset)
-    }
-  }
+  /** Align a batch to the sidecar's key columns before a merge: a
+    * schema-divergent batch (the unify-rewrite flows exist precisely
+    * for heterogeneous file schemas) may lack a key column — its rows
+    * read back as NULL there, so their key hash is the null-tuple hash.
+    * Adding the missing columns as nulls makes the merge absorb exactly
+    * those hashes; failing resolution instead would (a) abort an append
+    * whose rows may already be committed and (b) leave live keys out of
+    * the filter — silent delta duplicates. */
+  private def alignKeys(batch: DataFrame, idx: BloomIndex.Index): DataFrame =
+    idx.cols.foldLeft(batch)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string")))
 
   /** Partition-scoped upsert for hive-partitioned targets: rewrite ONLY
     * the partitions the merge can touch, not the whole dataset. At
@@ -307,7 +325,8 @@ final case class DatasetWriter(
   private def upsertPartitionScoped(
       spark: SparkSession, fs: FileSystem, targetPath: Path,
       existing: DataFrame, pinned: DataFrame,
-      keys: DataFrame, cond: org.apache.spark.sql.Column): Long = {
+      keys: DataFrame, cond: org.apache.spark.sql.Column,
+      sideIdx: Option[BloomIndex.Index]): Long = {
     val partCols = target.partitioning
     val qualifiedRoot = fs.makeQualified(targetPath).toString
     def relDirOf(file: String): String = {
@@ -358,6 +377,15 @@ final case class DatasetWriter(
     val stagedRel = stagedLeaves.map(p =>
       fs.makeQualified(p).toString.stripPrefix(fs.makeQualified(tmp).toString + "/"))
 
+    // Absorb the batch keys BEFORE any partition directory changes:
+    // the superset contract tolerates extra keys (a crash before the
+    // promotions below just leaves false positives) but a crash AFTER
+    // a promotion with the old post-merge order hid freshly-live keys
+    // from the next delta — silent duplicates. Partition swaps leave
+    // the root sidecar in place, so merging here is durable.
+    sideIdx.foreach(idx =>
+      BloomIndex.write(fs, target.path, BloomIndex.merged(idx, alignKeys(pinned, idx))))
+
     // Partitions that lost their LAST matched row to another partition
     // and got nothing back hold ONLY rows being moved (unmatched rows
     // would have put their partition into the staged set). Delete them
@@ -380,12 +408,7 @@ final case class DatasetWriter(
       }
     }
     fs.delete(tmp, true)
-    // partition swaps leave the root sidecar in place — absorb the
-    // batch keys so it stays a superset of live keys
-    BloomIndex.load(fs, target.path) match {
-      case Some(idx) => BloomIndex.write(fs, target.path, BloomIndex.merged(idx, pinned))
-      case None => if (bloomIndex) BloomIndex.build(spark, target, deltaSubset)
-    }
+    if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
     n
   }
 
@@ -416,7 +439,8 @@ final case class DatasetWriter(
     * key columns (left-anti join); without, it's full-row set-except.
     * `deltaDatetimeColumn` bounds BOTH sides to the incoming batch's
     * [min(ts), max(ts)] window first. */
-  private def deltaDiff(spark: SparkSession, incoming: DataFrame): DataFrame = {
+  private def deltaDiff(spark: SparkSession, incoming: DataFrame,
+      sideIdx: Option[BloomIndex.Index]): DataFrame = {
     val existingFull = target.raw(spark)
     val (inc, existing) = deltaDatetimeColumn match {
       case Some(ts) =>
@@ -434,9 +458,9 @@ final case class DatasetWriter(
       // common ingest shape — an all-new batch — then costs O(batch)
       // with ZERO reads of the (100 TB) existing dataset; only possible
       // duplicates (matches + fpp false positives) pay the exact join.
-      val bloomIdx = BloomIndex.load(target.fs(spark), target.path)
-        .filter(_.cols == deltaSubset)
-      bloomIdx match {
+      // The index arrives pre-loaded from writeBody (one sidecar read
+      // per write); only one recorded over exactly these keys probes.
+      sideIdx.filter(_.cols == deltaSubset) match {
         case Some(idx) =>
           val might = BloomIndex.mightContain(spark, idx)
           val candidates = inc.filter(might)

@@ -21,7 +21,7 @@ object Repartition {
       timeBatch: Option[(String, String)] = None,
       deleteSource: Boolean = false): Long = {
 
-    val inPlace = new Path(source.path).toUri.getPath == new Path(dest.path).toUri.getPath
+    val inPlace = samePlace(spark, source, dest)
 
     // source.df() is built INSIDE the lock everywhere the source can be
     // concurrently mutated or deleted: the file listing happens at plan
@@ -62,6 +62,19 @@ object Repartition {
         .write(spark, source.df(spark))
     }
   }
+
+  /** True when source and dest name the SAME storage location — the
+    * trigger for staged-swap in-place rewriting. Compared on the
+    * fully-qualified URI (scheme + authority + path): two same-layout
+    * roots on DIFFERENT filesystems (s3a://lake-a/ds/foo →
+    * s3a://lake-b/ds/foo) are a legitimate cross-lake copy, and a
+    * bare-path comparison would misroute them into the in-place branch,
+    * where source.fs operations on dest-derived paths throw "Wrong FS"
+    * and the copy becomes impossible for ANY pair sharing a relative
+    * path. */
+  private[ds] def samePlace(spark: SparkSession, source: GraftDataset, dest: GraftDataset): Boolean =
+    source.fs(spark).makeQualified(new Path(source.path)).toUri ==
+      dest.fs(spark).makeQualified(new Path(dest.path)).toUri
 
   /** Result of a [[compact]] pass. */
   final case class CompactStats(

@@ -96,11 +96,21 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
       t <- Toml.getTbl(ds, name)
     } yield Toml.getArr(t, "cluster_by")).getOrElse(Nil)
 
-  /** Load a registered dataset (TimeFly-managed roots read `current/`). */
+  /** Load a registered dataset (TimeFly-managed roots read `current/`).
+    * ONE config read: path, format and cluster_by all come from the
+    * same parsed Tbl — registerAll/compactAll call this per catalog
+    * dataset, and on an object store every extra readConfig is a GET
+    * round-trip multiplied by the sweep. */
   def load(name: String): GraftDataset = {
-    val (path, format) = datasets().getOrElse(name,
+    val entry = for {
+      ds <- Toml.getTbl(readConfig(), "dataset")
+      t <- Toml.getTbl(ds, name)
+    } yield t
+    val t = entry.getOrElse(
       throw new NoSuchElementException(s"dataset $name not in catalog"))
-    val cluster = datasetClusterBy(name)
+    val path = Toml.getStr(t, "path").getOrElse("")
+    val format = Toml.getStr(t, "format").getOrElse("parquet")
+    val cluster = Toml.getArr(t, "cluster_by")
     val cur = new Path(path, "current")
     if (fs.exists(new Path(path, "_dataset.toml")) && fs.exists(cur))
       GraftDataset(cur.toString, format = format, clusterBy = cluster)

@@ -290,22 +290,29 @@ object OpsQueries {
       .write(spark, graft.ds.ZOrder.arrange(li, Seq("l_partkey", "l_suppkey"),
         bits = 10, numPartitions = Some(4)))
 
+    // ONE footer pass yielding BOTH columns' (min,max) per row group:
+    // alignment between the two dimensions is structural (same block
+    // object), not a coincidence of two independent listings ordering
+    // identically — and the footer IO is half of a per-column pass
     val hconf = spark.sparkContext.hadoopConfiguration
-    def ranges(column: String): Seq[(Long, Long)] = ds.dataFiles(spark).flatMap { f =>
+    val bothRanges: Seq[((Long, Long), (Long, Long))] = ds.dataFiles(spark).flatMap { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f), hconf))
       try {
         import scala.jdk.CollectionConverters._
         r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          val s = b.getColumns.asScala.find(_.getPath.toDotString == column).get.getStatistics
-          (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-            s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          def rng(column: String): (Long, Long) = {
+            val s = b.getColumns.asScala.find(_.getPath.toDotString == column).get.getStatistics
+            (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+          (rng("l_partkey"), rng("l_suppkey"))
         }
       } finally r.close()
     }
     val (plo, phi, slo, shi) = (100L, 300L, 5L, 15L)
-    val boxHits = ranges("l_partkey").zip(ranges("l_suppkey")).map {
+    val boxHits = bothRanges.map {
       case ((pmn, pmx), (smn, smx)) =>
         pmx >= plo && pmn <= phi && smx >= slo && smn <= shi
     }

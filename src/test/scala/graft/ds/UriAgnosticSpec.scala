@@ -109,4 +109,21 @@ class UriAgnosticSpec extends AnyFunSuite {
       assert(spark.read.parquet(dir).count() == 3)
     }
   }
+
+  test("repartition routing: same relative path on DIFFERENT filesystems is a copy, not in-place") {
+    spark // force init so fs.graftfs.impl is registered
+    val real = tmp() + "/ds/foo"
+    val local = GraftDataset(real)
+    // same path string through another scheme = a cross-lake copy
+    // target; a bare-path comparison would misroute it in-place and
+    // every source.fs call on dest paths would throw "Wrong FS"
+    assert(!Repartition.samePlace(spark, local, GraftDataset(s"graftfs://$real")),
+      "different schemes must route to the copy branch")
+    assert(Repartition.samePlace(spark, local, GraftDataset(real)),
+      "identical location must stay in-place")
+    // qualification, not string equality: trailing-slash spellings of
+    // one location still compare equal
+    assert(Repartition.samePlace(spark, local, GraftDataset(real + "/")),
+      "equivalent spellings of one location must stay in-place")
+  }
 }

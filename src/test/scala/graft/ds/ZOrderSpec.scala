@@ -16,18 +16,27 @@ class ZOrderSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def rowGroupRanges(ds: GraftDataset, column: String): Seq[(Long, Long)] = {
+  /** One footer pass per file, all requested columns per block — the
+    * multi-column (box) checks need block-aligned ranges, and aligning
+    * by zipping independent per-column listings would only be correct
+    * while two listings happen to order identically. */
+  private def rowGroupRangesAll(ds: GraftDataset, columns: Seq[String]): Seq[Seq[(Long, Long)]] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     ds.dataFiles(spark).flatMap { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), hconf))
       try r.getFooter.getBlocks.asScala.toSeq.map { b =>
-        val s = b.getColumns.asScala.find(_.getPath.toDotString == column)
-          .getOrElse(fail(s"no $column column chunk in $f")).getStatistics
-        (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-          s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        columns.map { column =>
+          val s = b.getColumns.asScala.find(_.getPath.toDotString == column)
+            .getOrElse(fail(s"no $column column chunk in $f")).getStatistics
+          (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }
       } finally r.close()
     }
   }
+
+  private def rowGroupRanges(ds: GraftDataset, column: String): Seq[(Long, Long)] =
+    rowGroupRangesAll(ds, Seq(column)).map(_.head)
 
   private def hitFraction(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Double =
     ranges.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / ranges.size
@@ -75,14 +84,13 @@ class ZOrderSpec extends AnyFunSuite {
 
     // the conjunctive box is what z-order is FOR: row groups where both
     // column ranges overlap are far fewer than either alone
-    val zRangesX = rowGroupRanges(zed, "x")
-    val zRangesY = rowGroupRanges(zed, "y")
-    val boxHits = zRangesX.zip(zRangesY).count { case ((xmn, xmx), (ymn, ymx)) =>
+    val zRanges = rowGroupRangesAll(zed, Seq("x", "y"))
+    val boxHits = zRanges.count { case Seq((xmn, xmx), (ymn, ymx)) =>
       xmx >= xlo && xmn <= xhi && ymx >= ylo && ymn <= yhi
     }
-    info(s"z-order box hit: $boxHits of ${zRangesX.size}")
-    assert(boxHits.toDouble / zRangesX.size <= 0.15,
-      s"box predicate must prune hard under z-order ($boxHits/${zRangesX.size})")
+    info(s"z-order box hit: $boxHits of ${zRanges.size}")
+    assert(boxHits.toDouble / zRanges.size <= 0.15,
+      s"box predicate must prune hard under z-order ($boxHits/${zRanges.size})")
 
     // layout-only: same rows in both datasets
     assert(spark.read.parquet(s"$dir/zed").count() == n)
