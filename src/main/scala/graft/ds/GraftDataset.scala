@@ -118,7 +118,7 @@ final case class GraftDataset(
     val f = fs(spark)
     val p = new Path(path)
     val sibSuffixes = Seq("__upsert_tmp", "__swap_old", "__repartition_tmp",
-      "__repartition_old", "__compact_tmp")
+      "__repartition_old", "__compact_tmp", "__delete_tmp")
     def sibling(s: String) = new Path(p.getParent, s".${p.getName}$s")
     if (!f.exists(p)) {
       val backup = sibling("__swap_old")

@@ -367,6 +367,39 @@ object OpsQueries {
       |  CAST(COUNT(*) AS BIGINT) AS delta_allnew
       |FROM customer""".stripMargin
 
+  // ---- W17: row-level delete (predicate + keyed purge) ----------------
+  /** [[graft.ds.DatasetDelete]] as a contract surface: customer lands
+    * hive-partitioned on market segment, then takes (1) a predicate
+    * delete that empties no partition but touches all (negative
+    * balances), (2) a keyed purge (the GDPR shape — a key list names
+    * the doomed rows) that empties one whole partition. Partition-
+    * scoped rewrite behavior is plan/FS-asserted in DatasetDeleteSpec;
+    * the oracle checks the surviving rows and both deletion counts. */
+  def w17DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w17")
+    val ds = GraftDataset(out, partitioning = Seq("c_mktsegment"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, cust)
+    val d1 = graft.ds.DatasetDelete.deleteWhere(spark, ds, col("c_acctbal") < 0)
+    // keyed purge: every remaining BUILDING customer by explicit key list
+    val doomedKeys = ds.df(spark)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val d2 = graft.ds.DatasetDelete.deleteByKeys(spark, ds, doomedKeys, Seq("c_custkey"))
+    ds.df(spark)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      .select(col("n_rows"), col("sum_bal"),
+        lit(d1).as("deleted_pred"), lit(d2).as("deleted_keys"))
+  }
+  val w17Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN c_acctbal >= 0 AND c_mktsegment <> 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN c_acctbal >= 0 AND c_mktsegment <> 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS sum_bal,
+      |  CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS deleted_pred,
+      |  CAST(SUM(CASE WHEN c_acctbal >= 0 AND c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_keys
+      |FROM customer""".stripMargin
+
   // ---- A2: sticky keep-first dedup ------------------------------------
   /** GraftDataset points at the source parquet directly — the dedup
     * operator is what's under test; dataset *writes* are covered by the
@@ -768,6 +801,7 @@ object OpsQueries {
     "w14_clustered_write" -> (w14ClusteredWrite _),
     "w15_zorder_write" -> (w15ZorderWrite _),
     "w16_bloom_delta" -> (w16BloomDelta _),
+    "w17_delete_where" -> (w17DeleteWhere _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -803,6 +837,7 @@ object OpsQueries {
     "w14_clustered_write" -> w14Sql,
     "w15_zorder_write" -> w15Sql,
     "w16_bloom_delta" -> w16Sql,
+    "w17_delete_where" -> w17Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,
