@@ -67,6 +67,26 @@ final case class GraftDataset(
   def withDistinct: GraftDataset = copy(distinct = true)
   def withClusterBy(cols: String*): GraftDataset = copy(clusterBy = cols)
 
+  /** Scan-time FILE pruning via the [[StatsIndex]] sidecar: a dataset
+    * reading only files whose recorded per-column ranges can satisfy
+    * `predicate`. The caller still applies the predicate — pruning
+    * guarantees a superset of the needed files, never exactness. With
+    * no sidecar (or no extractable conjuncts) this is `this` unchanged.
+    * At 100 TB this is the step BEFORE Spark's own row-group skipping:
+    * the driver drops most of a clustered dataset's million-file
+    * listing from one sidecar read, zero footer RPCs. */
+  def pruned(spark: SparkSession, predicate: Column): GraftDataset =
+    StatsIndex.load(fs(spark), path) match {
+      case None => this
+      case Some(idx) =>
+        val all = dataFiles(spark)
+        val keep = StatsIndex.prunedFiles(fs(spark), path, idx, all, predicate)
+        // an empty selection still needs a schema-bearing scan — keep
+        // one file; its rows die at the caller's filter
+        val sel = if (keep.isEmpty) all.take(1) else keep
+        copy(files = sel, filesBasePath = Some(path))
+    }
+
   /** Reference S8 (`cache_storage` local mirror of remote files,
     * `base.py:30`): in Spark the executor-local persisted copy IS the
     * cache — `DISK_ONLY` mirrors remote-object-store bytes onto local

@@ -1,0 +1,295 @@
+package graft.ds
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.types._
+
+/** File-level statistics index — a `_stats_index` sidecar recording
+  * each data file's per-column (min, max) from its parquet footer, so
+  * scans can prune the FILE LIST at plan time: the poor man's
+  * table-format manifest. What it buys at 100 TB: Spark's parquet
+  * reader already skips row groups inside each file it opens, but it
+  * still lists, schedules, and footer-reads EVERY file the listing
+  * returns. With write-time clustering ([[DatasetWriter.clusterBy]] /
+  * [[ZOrder]]) making per-file ranges narrow, a range predicate over a
+  * million-file dataset should touch the handful of files whose range
+  * overlaps — and the driver can decide that from one small sidecar
+  * read, zero footer RPCs, before Spark ever sees the file list.
+  *
+  * SAFE BY CONSTRUCTION — pruning is an optimization, never a
+  * correctness gate:
+  *  - a file with no index entry is always kept (writers that don't
+  *    maintain the index can never cause wrong answers — their new
+  *    files are simply unpruned until [[refresh]]);
+  *  - rewrites produce fresh file names (Spark part-UUIDs), so a stale
+  *    entry can never describe a live file's content — it just never
+  *    matches the listing and is dropped on the next refresh;
+  *  - only predicate conjuncts the extractor understands participate;
+  *    everything else is ignored (the full predicate is still applied
+  *    by the scan afterwards);
+  *  - corrupt sidecars load as absent (same rule as [[BloomIndex]]).
+  *
+  * Column domains covered: integral (long), floating (double), DATE
+  * (epoch days) and TIMESTAMP (normalized to micros). Strings are
+  * deliberately excluded — parquet writers may truncate binary
+  * min/max, and a truncated max used verbatim could wrongly prune.
+  * Cross-domain comparisons (a DATE literal against TIMESTAMP stats)
+  * are not attempted: kinds must match exactly. */
+object StatsIndex {
+  val FileName = "_stats_index"
+  private val Magic = "graft-stats-v1"
+
+  /** One column's file-level range. `kind`: "l" integral, "d" double,
+    * "date" epoch-day, "ts" epoch-micros. BigDecimal keeps long
+    * comparisons exact past 2^53 (a double roundtrip there could
+    * wrongly prune a boundary file). */
+  final case class ColRange(kind: String, min: BigDecimal, max: BigDecimal) {
+    def overlaps(op: String, v: BigDecimal): Boolean = op match {
+      case ">"  => max > v
+      case ">=" => max >= v
+      case "<"  => min < v
+      case "<=" => min <= v
+      case "="  => min <= v && v <= max
+    }
+  }
+
+  /** rel-file-path → (column → range). Files absent from the map are
+    * never pruned. */
+  final case class Index(cols: Seq[String], files: Map[String, Map[String, ColRange]])
+
+  def sidecar(dsPath: String): Path = new Path(dsPath, FileName)
+
+  def load(fs: FileSystem, dsPath: String): Option[Index] = {
+    val p = sidecar(dsPath)
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = text.split('\n').filter(_.nonEmpty)
+      val header = lines.head.split('\t')
+      if (header.length != 2 || header(0) != Magic) return None
+      val cols = header(1).split(',').toSeq.filter(_.nonEmpty)
+      val files = lines.tail.map { ln =>
+        val Array(rel, c, kind, mn, mx) = ln.split('\t')
+        (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx)))
+      }.groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      }
+      Some(Index(cols, files))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Stage + rename, same durability rule as [[BloomIndex.write]]. */
+  def write(fs: FileSystem, dsPath: String, idx: Index): Unit = {
+    val dst = sidecar(dsPath)
+    val tmp = new Path(dst.getParent, s"${FileName}__tmp")
+    val sb = new StringBuilder
+    sb.append(Magic).append('\t').append(idx.cols.mkString(",")).append('\n')
+    idx.files.toSeq.sortBy(_._1).foreach { case (rel, byCol) =>
+      byCol.toSeq.sortBy(_._1).foreach { case (c, r) =>
+        sb.append(rel).append('\t').append(c).append('\t').append(r.kind)
+          .append('\t').append(r.min).append('\t').append(r.max).append('\n')
+      }
+    }
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"stats index: cannot promote $tmp to $dst")
+  }
+
+  def delete(fs: FileSystem, dsPath: String): Boolean =
+    fs.delete(sidecar(dsPath), false)
+
+  /** Footer → per-column file range. Returns only columns whose every
+    * row group carries usable stats (a single stats-less group makes
+    * the file's true range unknown → the column is omitted → the file
+    * is never pruned on it). Exceptions (file vanished under a
+    * concurrent rewrite) yield an empty map — unpruned, not fatal. */
+  private def footerRanges(f: String, cols: Set[String],
+      hconf: org.apache.hadoop.conf.Configuration): Map[String, ColRange] =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), hconf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        cols.flatMap { c =>
+          val perBlock = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { ch =>
+              val s = ch.getStatistics
+              if (s == null || s.isEmpty || !s.hasNonNullValue) None
+              else {
+                val ann = String.valueOf(ch.getPrimitiveType.getLogicalTypeAnnotation)
+                val prim = ch.getPrimitiveType.getPrimitiveTypeName.name
+                def asBD(v: AnyRef): Option[(String, BigDecimal)] = (v, prim) match {
+                  case (i: Integer, _) if ann.contains("DATE") => Some(("date", BigDecimal(i.toLong)))
+                  case (l: java.lang.Long, _) if ann.contains("TIMESTAMP") =>
+                    val micros =
+                      if (ann.contains("NANOS")) l / 1000L
+                      else if (ann.contains("MILLIS")) l * 1000L
+                      else l.longValue()
+                    Some(("ts", BigDecimal(micros)))
+                  case (i: Integer, "INT32") => Some(("l", BigDecimal(i.toLong)))
+                  case (l: java.lang.Long, "INT64") => Some(("l", BigDecimal(l.longValue())))
+                  case (fl: java.lang.Float, _) => Some(("d", BigDecimal(fl.toDouble)))
+                  case (d: java.lang.Double, _) => Some(("d", BigDecimal(d.doubleValue())))
+                  case _ => None // binary/bool/decimal: out of scope
+                }
+                for {
+                  (k1, mn) <- asBD(s.genericGetMin.asInstanceOf[AnyRef])
+                  (_, mx) <- asBD(s.genericGetMax.asInstanceOf[AnyRef])
+                } yield ColRange(k1, mn, mx)
+              }
+            }
+          }
+          if (perBlock.exists(_.isEmpty)) None
+          else {
+            val rs = perBlock.flatten
+            Some(c -> ColRange(rs.head.kind, rs.map(_.min).min, rs.map(_.max).max))
+          }
+        }.toMap
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def relOf(fs: FileSystem, root: String, file: String): String = {
+    val qr = fs.makeQualified(new Path(root)).toString
+    fs.makeQualified(new Path(file)).toString.stripPrefix(qr + "/")
+  }
+
+  /** Build the index over the dataset's current files: distributed
+    * footer reads above 64 files (one task per footer — the same scale
+    * rule as schema unification), driver-side below. */
+  def build(spark: SparkSession, ds: GraftDataset, cols: Seq[String]): Index =
+    buildFrom(spark, ds, cols, ds.dataFiles(spark), Map.empty)
+
+  /** Incremental refresh: reuse recorded entries for files still
+    * present (rewrites always mint new names, so name identity is
+    * content identity here), footer-read only the new files, drop
+    * entries for vanished ones. O(new files) footer IO — the shape a
+    * per-ingest-batch maintenance hook needs. */
+  def refresh(spark: SparkSession, ds: GraftDataset): Index = {
+    val fs = ds.fs(spark)
+    val prior = load(fs, ds.path).getOrElse(
+      throw new IllegalStateException(s"stats index: nothing to refresh at ${ds.path}"))
+    buildFrom(spark, ds, prior.cols, ds.dataFiles(spark), prior.files)
+  }
+
+  private def buildFrom(spark: SparkSession, ds: GraftDataset, cols: Seq[String],
+      files: Seq[String], known: Map[String, Map[String, ColRange]]): Index = {
+    val fs = ds.fs(spark)
+    val rels = files.map(f => f -> relOf(fs, ds.path, f))
+    val (have, need) = rels.partition { case (_, rel) => known.contains(rel) }
+    val colSet = cols.toSet
+    val fresh: Seq[(String, Map[String, ColRange])] =
+      if (need.size <= 64) {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        need.map { case (f, rel) => rel -> footerRanges(f, colSet, hconf) }
+      } else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val pairs = need
+        spark.sparkContext.parallelize(pairs, math.min(pairs.size, 256))
+          .map { case (f, rel) => rel -> footerRanges(f, colSet, conf.value) }
+          .collect().toSeq
+      }
+    val idx = Index(cols,
+      (have.map { case (_, rel) => rel -> known(rel) } ++
+        fresh.filter(_._2.nonEmpty)).toMap)
+    write(fs, ds.path, idx)
+    idx
+  }
+
+  /** Extract the (column, op, value) conjuncts this index can act on.
+    * Anything unrecognized — ORs, UDFs, casts, IN-lists, cross-column
+    * comparisons — contributes nothing, so the pruned set can only be
+    * a superset of the truly-needed files. */
+  private[ds] def constraints(e: Expression): Seq[(String, String, String, BigDecimal)] = {
+    def attr(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case _ => None
+    }
+    def value(x: Expression): Option[(String, BigDecimal)] = x match {
+      case Literal(null, _) => None
+      case Literal(v: Byte, _) => Some(("l", BigDecimal(v.toLong)))
+      case Literal(v: Short, _) => Some(("l", BigDecimal(v.toLong)))
+      case Literal(v: Int, DateType) => Some(("date", BigDecimal(v.toLong)))
+      case Literal(v: Int, _) => Some(("l", BigDecimal(v.toLong)))
+      case Literal(v: Long, TimestampType) => Some(("ts", BigDecimal(v)))
+      case Literal(v: Long, _) => Some(("l", BigDecimal(v)))
+      case Literal(v: Float, _) => Some(("d", BigDecimal(v.toDouble)))
+      case Literal(v: Double, _) => Some(("d", BigDecimal(v)))
+      case _ => None
+    }
+    def flip(op: String): String = op match {
+      case ">" => "<" case ">=" => "<=" case "<" => ">" case "<=" => ">=" case o => o
+    }
+    def cmp(op: String, l: Expression, r: Expression) =
+      (attr(l), value(r), attr(r), value(l)) match {
+        case (Some(a), Some((k, v)), _, _) => Seq((a, op, k, v))
+        case (_, _, Some(a), Some((k, v))) => Seq((a, flip(op), k, v))
+        case _ => Nil
+      }
+    e match {
+      // the classic Column API builds comparisons as UnresolvedFunction
+      // nodes named after the operator ('and('>=('id, 100), ...)); the
+      // typed shapes below cover expressions built directly in catalyst
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 && f.arguments.lengthCompare(2) == 0 =>
+        val Seq(l, r) = f.arguments
+        f.nameParts.head.toLowerCase match {
+          case "and" => constraints(l) ++ constraints(r)
+          case "=" | "==" => cmp("=", l, r)
+          case ">" => cmp(">", l, r)
+          case ">=" => cmp(">=", l, r)
+          case "<" => cmp("<", l, r)
+          case "<=" => cmp("<=", l, r)
+          case _ => Nil
+        }
+      case And(a, b) => constraints(a) ++ constraints(b)
+      case EqualTo(l, r) => cmp("=", l, r)
+      case GreaterThan(l, r) => cmp(">", l, r)
+      case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
+      case LessThan(l, r) => cmp("<", l, r)
+      case LessThanOrEqual(l, r) => cmp("<=", l, r)
+      case _ => Nil
+    }
+  }
+
+  /** Column → catalyst Expression. Spark 4 removed `Column.expr` and
+    * made the classic converter `private[sql]`, so this is ONE
+    * reflective call fed by the public `Column.node` accessor. Failure
+    * (a future Spark moving the class) degrades to None → zero
+    * extracted constraints → zero pruning — never a wrong answer. */
+  private def toExpression(c: Column): Option[Expression] =
+    try {
+      val cls = Class.forName("org.apache.spark.sql.classic.ColumnNodeToExpressionConverter$")
+      val mod = cls.getField("MODULE$").get(null)
+      val m = cls.getMethod("apply", Class.forName("org.apache.spark.sql.internal.ColumnNode"))
+      Some(m.invoke(mod, c.node).asInstanceOf[Expression])
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The subset of `files` that can hold rows matching `predicate`.
+    * Kept when: no index entry, no recorded range for a constrained
+    * column, kind mismatch, or every constraint's range overlaps. */
+  def prunedFiles(fs: FileSystem, dsPath: String, idx: Index,
+      files: Seq[String], predicate: Column): Seq[String] = {
+    val cs = toExpression(predicate).map(constraints).getOrElse(Nil)
+    if (cs.isEmpty) files
+    else files.filter { f =>
+      idx.files.get(relOf(fs, dsPath, f)) match {
+        case None => true
+        case Some(byCol) => cs.forall { case (c, op, kind, v) =>
+          byCol.get(c) match {
+            case Some(r) if r.kind == kind => r.overlaps(op, v)
+            case _ => true
+          }
+        }
+      }
+    }
+  }
+}

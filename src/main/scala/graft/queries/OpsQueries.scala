@@ -367,6 +367,49 @@ object OpsQueries {
       |  CAST(COUNT(*) AS BIGINT) AS delta_allnew
       |FROM customer""".stripMargin
 
+  // ---- W18: file-stats index + scan-time file pruning -----------------
+  /** [[graft.ds.StatsIndex]] as a contract surface: lineitem lands
+    * range-arranged on l_shipdate (so per-file ranges are narrow), the
+    * sidecar records each file's footer min/max once, and a ship-date
+    * range query then scans the PRUNED file list — the driver decides
+    * which files exist for Spark from one sidecar read, before listing
+    * semantics, row groups, or footers enter the picture. Pruning is a
+    * superset guarantee (StatsIndexSpec proves the safety properties);
+    * the oracle checks the aggregate over the pruned scan equals the
+    * full-table answer, and `skip_proven` carries the file-count
+    * evidence. */
+  def w18StatsSkip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w18")
+    val ds = GraftDataset(out)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .withClusterBy("l_shipdate")
+      .write(spark, li.repartitionByRange(16, col("l_shipdate")))
+    graft.ds.StatsIndex.build(spark, ds, Seq("l_shipdate"))
+    // Instant literals: timezone-exact TIMESTAMP bounds (the session is
+    // UTC; Timestamp.valueOf would depend on the JVM default zone)
+    val pred =
+      col("l_shipdate") >= lit(java.time.Instant.parse("1995-01-01T00:00:00Z")) &&
+        col("l_shipdate") < lit(java.time.Instant.parse("1995-04-01T00:00:00Z"))
+    val total = ds.dataFiles(spark).size
+    require(total >= 8, s"w18: only $total files — fixture too small to prove pruning")
+    val pruned = ds.pruned(spark, pred)
+    val skipProven = pruned.files.nonEmpty && pruned.files.size < total
+    pruned.df(spark).filter(pred)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("n_rows"), col("sum_qty"),
+        lit(if (skipProven) 1 else 0).as("skip_proven"))
+  }
+  val w18Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  1 AS skip_proven
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'""".stripMargin
+
   // ---- W17: row-level delete (predicate + keyed purge) ----------------
   /** [[graft.ds.DatasetDelete]] as a contract surface: customer lands
     * hive-partitioned on market segment, then takes (1) a predicate
@@ -802,6 +845,7 @@ object OpsQueries {
     "w15_zorder_write" -> (w15ZorderWrite _),
     "w16_bloom_delta" -> (w16BloomDelta _),
     "w17_delete_where" -> (w17DeleteWhere _),
+    "w18_stats_skip" -> (w18StatsSkip _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -838,6 +882,7 @@ object OpsQueries {
     "w15_zorder_write" -> w15Sql,
     "w16_bloom_delta" -> w16Sql,
     "w17_delete_where" -> w17Sql,
+    "w18_stats_skip" -> w18Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,

@@ -5,6 +5,10 @@ object TimeOne {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // INT96 (the deprecated default) writes NO comparable column
+      // stats — footer row-group skipping and the file-stats index
+      // are blind to timestamps without this
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L*1024*1024).toString)
       .config("spark.ui.enabled", "false").getOrCreate()

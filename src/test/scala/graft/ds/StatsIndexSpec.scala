@@ -1,0 +1,126 @@
+package graft.ds
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** File-level stats index: build/load round-trip, safe-by-construction
+  * pruning (superset of needed files, unknown files kept), incremental
+  * refresh, corruption tolerance. */
+class StatsIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/ds"
+
+  /** Range-arranged dataset: 8 files, ids 0..799 split contiguously so
+    * per-file ranges are selective. */
+  private def rangedDataset(): GraftDataset = {
+    val ds = GraftDataset(tmpDir("graft_stats"))
+    val df = (0 until 800).map(i => (i.toLong, i.toDouble / 10, s"v$i")).toDF("id", "score", "v")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .write(spark, df.repartitionByRange(8, col("id")))
+    ds
+  }
+
+  test("pruned scan reads fewer files, same answer; unsupported conjuncts ignored") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id", "score"))
+    val all = ds.dataFiles(spark)
+    assert(all.size == 8)
+
+    val pred = col("id") >= 100L && col("id") < 300L
+    val pruned = ds.pruned(spark, pred)
+    assert(pruned.files.nonEmpty && pruned.files.size < all.size,
+      s"expected file pruning, kept ${pruned.files.size} of ${all.size}")
+    // correctness: pruned scan + full predicate == full scan + predicate
+    val exact = ds.df(spark).filter(pred).agg(sum("id")).head.getLong(0)
+    assert(pruned.df(spark).filter(pred).agg(sum("id")).head.getLong(0) == exact)
+
+    // double-typed constraint prunes on the float column too
+    val p2 = ds.pruned(spark, col("score") <= 5.0)
+    assert(p2.files.size < all.size, "double-kind constraint must prune")
+
+    // an OR predicate has no extractable conjuncts → nothing pruned
+    assert(ds.pruned(spark, col("id") < 10L || col("id") > 790L)
+      .dataFiles(spark).size == all.size, "OR must not prune")
+
+    // a constraint on an unindexed column keeps everything
+    assert(ds.pruned(spark, col("v") === "v5").dataFiles(spark).size == all.size)
+
+    // a predicate excluding every file still yields a scannable dataset
+    val none = ds.pruned(spark, col("id") > 100000L)
+    assert(none.files.size == 1, "empty selection keeps one schema-bearing file")
+    assert(none.df(spark).filter(col("id") > 100000L).count() == 0)
+  }
+
+  test("files without index entries are never pruned (writer-agnostic safety)") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id"))
+    // a foreign append the index has never seen — ids overlap the prune
+    // range, so dropping the new file would lose rows
+    DatasetWriter(ds, WriteMode.Append).write(spark,
+      Seq((150L, 0.0, "new")).toDF("id", "score", "v"))
+    val pred = col("id") === 150L
+    val got = ds.pruned(spark, pred).df(spark).filter(pred).count()
+    assert(got == 2, s"unindexed file must be kept, saw $got of 2 matching rows")
+  }
+
+  test("refresh is incremental: recorded entries survive, new files get ranges") {
+    val ds = rangedDataset()
+    val before = StatsIndex.build(spark, ds, Seq("id"))
+    DatasetWriter(ds, WriteMode.Append).write(spark,
+      (10000 until 10100).map(i => (i.toLong, 0.0, "x")).toDF("id", "score", "v"))
+    val after = StatsIndex.refresh(spark, ds)
+    assert(before.files.keySet.subsetOf(after.files.keySet),
+      "refresh must keep entries for files still present")
+    assert(after.files.size > before.files.size, "refresh must index the new files")
+    // and the new file is now prunable: an old-range query drops it
+    val pruned = ds.pruned(spark, col("id") < 100L)
+    assert(pruned.files.size < ds.dataFiles(spark).size)
+    assert(pruned.df(spark).filter(col("id") < 100L).count() == 100)
+  }
+
+  test("timestamp and date domains prune; kind mismatches never prune") {
+    val ds = GraftDataset(tmpDir("graft_stats_ts"))
+    val df = (0 until 400).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i / 14 + 1}%02d 00:00:${i % 14}%02d"),
+        java.sql.Date.valueOf(f"2024-02-${i / 14 + 1}%02d"), i.toLong)
+    }.toDF("ts", "d", "id")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .write(spark, df.repartitionByRange(8, col("ts")))
+    StatsIndex.build(spark, ds, Seq("ts", "d", "id"))
+    val all = ds.dataFiles(spark).size
+
+    val tsPred = col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+    val tsPruned = ds.pruned(spark, tsPred)
+    assert(tsPruned.files.size < all, "timestamp constraint must prune")
+    assert(tsPruned.df(spark).filter(tsPred).count() ==
+      ds.df(spark).filter(tsPred).count())
+
+    val dPred = col("d") <= lit(java.sql.Date.valueOf("2024-02-05"))
+    val dPruned = ds.pruned(spark, dPred)
+    assert(dPruned.files.size < all, "date constraint must prune")
+    assert(dPruned.df(spark).filter(dPred).count() == ds.df(spark).filter(dPred).count())
+
+    // DATE literal against the TIMESTAMP column: kinds differ → no
+    // pruning (never a wrong prune), predicate still correct on scan
+    val cross = ds.pruned(spark, col("ts") < lit(java.sql.Date.valueOf("2024-01-05")))
+    assert(cross.dataFiles(spark).size == all, "cross-kind must not prune")
+  }
+
+  test("corrupt sidecar loads as absent; build heals it") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id"))
+    val fs = ds.fs(spark)
+    val out = fs.create(StatsIndex.sidecar(ds.path), true)
+    try out.write("not-a-stats-index".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(StatsIndex.load(fs, ds.path).isEmpty, "corrupt sidecar must read as absent")
+    assert(ds.pruned(spark, col("id") < 10L).files.isEmpty, "no sidecar → dataset unchanged")
+    StatsIndex.build(spark, ds, Seq("id"))
+    assert(StatsIndex.load(fs, ds.path).nonEmpty)
+  }
+}
