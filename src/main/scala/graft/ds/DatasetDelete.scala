@@ -109,11 +109,14 @@ object DatasetDelete {
     DatasetWriter(staged, WriteMode.Overwrite,
       clusterBy = target.clusterBy, locking = false)
       .write(spark, keptOf(existing))
-    // the sidecar lives inside the root and would die in the swap; a
-    // delete only shrinks the key set, so the OLD filter is still a
-    // superset — carry it through unchanged
+    // the sidecars live inside the root and would die in the swap. The
+    // bloom filter carries unchanged (a delete only shrinks the key
+    // set — the old filter is still a superset); the stats index names
+    // only dead files — remember its columns and rebuild instead
     BloomIndex.load(fs, target.path).foreach(idx => BloomIndex.write(fs, tmp.toString, idx))
+    val statCols = StatsIndex.load(fs, target.path).map(_.cols)
     DatasetWriter.swapInPlace(fs, tmp, root)
+    statCols.foreach(cs => StatsIndex.build(spark, target, cs))
     doomed
   }
 
@@ -177,6 +180,9 @@ object DatasetDelete {
       }
     }
     fs.delete(tmp, true)
+    // drop stats entries for rewritten/deleted files, index the staged
+    // ones — O(staged files) footer IO inside the lock we already hold
+    StatsIndex.maintain(spark, target)
     doomed
   }
 }

@@ -179,8 +179,14 @@ final case class DatasetWriter(
         // and the next delta re-appended them as duplicates.
         sideIdx.foreach(idx =>
           BloomIndex.write(fs, tmp.toString, BloomIndex.merged(idx, alignKeys(pinned, idx))))
+        // the stats sidecar's entries all name files the swap kills —
+        // carrying it would be dead weight; remember its columns and
+        // rebuild over the merged result instead (an O(files) footer
+        // pass after an O(dataset) rewrite — proportionally free)
+        val statCols = StatsIndex.load(fs, target.path).map(_.cols)
         DatasetWriter.swapInPlace(fs, tmp, targetPath)
         if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
+        statCols.foreach(cs => StatsIndex.build(spark, target, cs))
         return n
       } finally pinned.unpersist()
     }
@@ -278,6 +284,9 @@ final case class DatasetWriter(
     // own recorded columns); a fresh one only when requested.
     if ((overwrote || sideIdx.isEmpty) && bloomIndex)
       BloomIndex.build(spark, target, deltaSubset)
+    // stats sidecar stays fresh across ingest: O(new files) footer IO,
+    // no-op unless one was built (an overwrite deleted it with the dir)
+    StatsIndex.maintain(spark, target)
     written
     } finally {
       if (mode == WriteMode.Delta && existed) toWrite.unpersist()
@@ -409,6 +418,7 @@ final case class DatasetWriter(
     }
     fs.delete(tmp, true)
     if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
+    StatsIndex.maintain(spark, target)
     n
   }
 

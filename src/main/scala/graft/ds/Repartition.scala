@@ -227,6 +227,9 @@ object Repartition {
       fs.delete(tmp, true)
     }
     val after = leafDirs(root, parts.length).map(dataFiles(_).size.toLong).sum
+    // compaction minted new file names — keep the stats sidecar fresh
+    // (O(new files) footer IO, no-op when none was built)
+    if (promoted > 0) StatsIndex.maintain(spark, ds)
     // count PROMOTED swaps, not planned ones — a skipped partition
     // (zero staged rows) must not read as compacted work
     CompactStats(promoted, before, after)

@@ -178,6 +178,18 @@ object StatsIndex {
     buildFrom(spark, ds, prior.cols, ds.dataFiles(spark), prior.files)
   }
 
+  /** Writer hook: refresh IF a sidecar exists, else no-op. Called by
+    * [[DatasetWriter]]/[[DatasetDelete]]/[[Repartition.compact]] at the
+    * end of their mutations (inside the dataset lock), so an index a
+    * user built once stays fresh across ingest without the advisory
+    * "files unpruned until refresh" window. Incremental: only files
+    * the index has never seen pay a footer read. */
+  def maintain(spark: SparkSession, ds: GraftDataset): Unit = {
+    val fs = ds.fs(spark)
+    load(fs, ds.path).foreach(prior =>
+      buildFrom(spark, ds, prior.cols, ds.dataFiles(spark), prior.files))
+  }
+
   private def buildFrom(spark: SparkSession, ds: GraftDataset, cols: Seq[String],
       files: Seq[String], known: Map[String, Map[String, ColRange]]): Index = {
     val fs = ds.fs(spark)

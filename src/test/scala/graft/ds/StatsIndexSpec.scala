@@ -59,10 +59,11 @@ class StatsIndexSpec extends AnyFunSuite {
   test("files without index entries are never pruned (writer-agnostic safety)") {
     val ds = rangedDataset()
     StatsIndex.build(spark, ds, Seq("id"))
-    // a foreign append the index has never seen — ids overlap the prune
-    // range, so dropping the new file would lose rows
-    DatasetWriter(ds, WriteMode.Append).write(spark,
-      Seq((150L, 0.0, "new")).toDF("id", "score", "v"))
+    // a FOREIGN append (plain Spark write, bypassing graft's writers so
+    // no maintenance runs) the index has never seen — ids overlap the
+    // prune range, so dropping the new file would lose rows
+    Seq((150L, 0.0, "new")).toDF("id", "score", "v")
+      .write.mode("append").parquet(ds.path)
     val pred = col("id") === 150L
     val got = ds.pruned(spark, pred).df(spark).filter(pred).count()
     assert(got == 2, s"unindexed file must be kept, saw $got of 2 matching rows")
@@ -109,6 +110,30 @@ class StatsIndexSpec extends AnyFunSuite {
     // pruning (never a wrong prune), predicate still correct on scan
     val cross = ds.pruned(spark, col("ts") < lit(java.sql.Date.valueOf("2024-01-05")))
     assert(cross.dataFiles(spark).size == all, "cross-kind must not prune")
+  }
+
+  test("writers maintain an existing index automatically (no manual refresh)") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id"))
+    // plain append: far-range ids land in a fresh file
+    DatasetWriter(ds, WriteMode.Append).write(spark,
+      (10000 until 10050).map(i => (i.toLong, 0.0, "x")).toDF("id", "score", "v"))
+    val all = ds.dataFiles(spark).size
+    // the NEW file must already be indexed: an old-range query prunes it
+    val pruned = ds.pruned(spark, col("id") < 100L)
+    assert(pruned.files.size < all,
+      s"appended file must be prunable without manual refresh (${pruned.files.size} of $all)")
+    assert(pruned.df(spark).filter(col("id") < 100L).count() == 100)
+
+    // delete (partition-scoped counterpart lives in DatasetDeleteSpec):
+    // a root-swap delete rebuilds the index over the surviving files
+    assert(DatasetDelete.deleteWhere(spark, ds, col("id") >= 10000L) == 50)
+    val idx = StatsIndex.load(ds.fs(spark), ds.path)
+    assert(idx.nonEmpty, "root-swap delete must rebuild the stats index")
+    val liveRels = ds.dataFiles(spark).map(f =>
+      ds.fs(spark).makeQualified(new org.apache.hadoop.fs.Path(f)).toString
+        .stripPrefix(ds.fs(spark).makeQualified(new org.apache.hadoop.fs.Path(ds.path)).toString + "/")).toSet
+    assert(idx.get.files.keySet.subsetOf(liveRels), "no entries for dead files")
   }
 
   test("corrupt sidecar loads as absent; build heals it") {
