@@ -81,10 +81,16 @@ final case class GraftDataset(
       case Some(idx) =>
         val all = dataFiles(spark)
         val keep = StatsIndex.prunedFiles(fs(spark), path, idx, all, predicate)
-        // an empty selection still needs a schema-bearing scan — keep
-        // one file; its rows die at the caller's filter
-        val sel = if (keep.isEmpty) all.take(1) else keep
-        copy(files = sel, filesBasePath = Some(path))
+        // nothing pruned (or no extractable conjuncts) → `this`, NOT a
+        // full-listing copy: pinning the point-in-time file list would
+        // hide later appends and force per-file stat RPCs for zero gain
+        if (keep.size == all.size) this
+        else {
+          // an empty selection still needs a schema-bearing scan — keep
+          // one file; its rows die at the caller's filter
+          val sel = if (keep.isEmpty) all.take(1) else keep
+          copy(files = sel, filesBasePath = Some(path))
+        }
     }
 
   /** Reference S8 (`cache_storage` local mirror of remote files,

@@ -41,7 +41,15 @@ object Repartition {
         val staged = dest.copy(path = tmpPath.toString)
         val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
           timeBatch = timeBatch, locking = false).write(spark, df)
+        // carry the bloom sidecar (a repartition pipeline only keeps or
+        // drops rows — dedup/distinct/filter — so the old filter stays
+        // a key superset); rebuild the stats index, whose entries all
+        // name files the swap kills
+        BloomIndex.load(fs, source.path).foreach(idx =>
+          BloomIndex.write(fs, tmpPath.toString, idx))
+        val statCols = StatsIndex.load(fs, source.path).map(_.cols)
         DatasetWriter.swapInPlace(fs, tmpPath, new Path(dest.path))
+        statCols.foreach(cs => StatsIndex.build(spark, dest, cs))
         n
       }
     } else if (deleteSource) {
@@ -175,7 +183,14 @@ object Repartition {
     if (parts.isEmpty) {
       // whole-dataset compaction: one bounded-width rewrite + root swap
       writeStaged(clustered(df.repartition(todo.head._3)))
+      // the sidecars live inside the root the swap replaces. Compaction
+      // preserves rows exactly, so the bloom filter carries unchanged
+      // (still a superset); the stats index names only dying files —
+      // remember its columns and rebuild over the compacted result
+      BloomIndex.load(fs, ds.path).foreach(idx => BloomIndex.write(fs, tmp.toString, idx))
+      val statCols = StatsIndex.load(fs, ds.path).map(_.cols)
       DatasetWriter.swapInPlace(fs, tmp, root)
+      statCols.foreach(cs => StatsIndex.build(spark, ds, cs))
       promoted = 1
     } else {
       // decode `col=value` path segments → (string values..., want).

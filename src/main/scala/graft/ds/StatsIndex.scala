@@ -76,7 +76,9 @@ object StatsIndex {
         val Array(rel, c, kind, mn, mx) = ln.split('\t')
         (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx)))
       }.groupBy(_._1).map { case (rel, rows) =>
-        rel -> rows.map(r => r._2 -> r._3).toMap
+        // "none" tombstone: a memoized stats-less file (footer had no
+        // usable ranges) — known, never pruned, never re-read
+        rel -> rows.filter(_._3.kind != "none").map(r => r._2 -> r._3).toMap
       }
       Some(Index(cols, files))
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -89,7 +91,9 @@ object StatsIndex {
     val sb = new StringBuilder
     sb.append(Magic).append('\t').append(idx.cols.mkString(",")).append('\n')
     idx.files.toSeq.sortBy(_._1).foreach { case (rel, byCol) =>
-      byCol.toSeq.sortBy(_._1).foreach { case (c, r) =>
+      if (byCol.isEmpty) // tombstone — see load()
+        sb.append(rel).append("\t-\tnone\t0\t0\n")
+      else byCol.toSeq.sortBy(_._1).foreach { case (c, r) =>
         sb.append(rel).append('\t').append(c).append('\t').append(r.kind)
           .append('\t').append(r.min).append('\t').append(r.max).append('\n')
       }
@@ -126,6 +130,10 @@ object StatsIndex {
                 val ann = String.valueOf(ch.getPrimitiveType.getLogicalTypeAnnotation)
                 val prim = ch.getPrimitiveType.getPrimitiveTypeName.name
                 def asBD(v: AnyRef): Option[(String, BigDecimal)] = (v, prim) match {
+                  // DECIMAL stores the UNSCALED value in INT32/INT64 —
+                  // letting it through as kind "l" would compare scaled
+                  // literals against unscaled stats and wrongly prune
+                  case _ if ann.contains("DECIMAL") => None
                   case (i: Integer, _) if ann.contains("DATE") => Some(("date", BigDecimal(i.toLong)))
                   case (l: java.lang.Long, _) if ann.contains("TIMESTAMP") =>
                     val micros =
@@ -137,7 +145,7 @@ object StatsIndex {
                   case (l: java.lang.Long, "INT64") => Some(("l", BigDecimal(l.longValue())))
                   case (fl: java.lang.Float, _) => Some(("d", BigDecimal(fl.toDouble)))
                   case (d: java.lang.Double, _) => Some(("d", BigDecimal(d.doubleValue())))
-                  case _ => None // binary/bool/decimal: out of scope
+                  case _ => None // binary/bool/byte-array decimal: out of scope
                 }
                 for {
                   (k1, mn) <- asBD(s.genericGetMin.asInstanceOf[AnyRef])
@@ -208,9 +216,12 @@ object StatsIndex {
           .map { case (f, rel) => rel -> footerRanges(f, colSet, conf.value) }
           .collect().toSeq
       }
+    // stats-less files keep their EMPTY entry (serialized as a "none"
+    // tombstone): still never pruned, but memoized — without it every
+    // maintain() would re-open their footers forever, the exact
+    // per-file RPC fan-out this index exists to avoid
     val idx = Index(cols,
-      (have.map { case (_, rel) => rel -> known(rel) } ++
-        fresh.filter(_._2.nonEmpty)).toMap)
+      (have.map { case (_, rel) => rel -> known(rel) } ++ fresh).toMap)
     write(fs, ds.path, idx)
     idx
   }
@@ -222,7 +233,12 @@ object StatsIndex {
   private[ds] def constraints(e: Expression): Seq[(String, String, String, BigDecimal)] = {
     def attr(x: Expression): Option[String] = x match {
       case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      // single-part names ONLY: a struct-field or table-qualified
+      // reference (col("meta.ts") → ["meta","ts"]) must not alias a
+      // TOP-LEVEL column's stats — taking nameParts.last there would
+      // prune on an unrelated column's ranges
+      case u: UnresolvedAttribute if u.nameParts.lengthCompare(1) == 0 =>
+        Some(u.nameParts.head)
       case _ => None
     }
     def value(x: Expression): Option[(String, BigDecimal)] = x match {
@@ -233,8 +249,11 @@ object StatsIndex {
       case Literal(v: Int, _) => Some(("l", BigDecimal(v.toLong)))
       case Literal(v: Long, TimestampType) => Some(("ts", BigDecimal(v)))
       case Literal(v: Long, _) => Some(("l", BigDecimal(v)))
-      case Literal(v: Float, _) => Some(("d", BigDecimal(v.toDouble)))
-      case Literal(v: Double, _) => Some(("d", BigDecimal(v)))
+      // NaN/Infinity have no BigDecimal form (and NaN's SQL comparison
+      // semantics don't map to a range anyway) — unextractable, which
+      // degrades to "no pruning", never a crash
+      case Literal(v: Float, _) if !v.isNaN && !v.isInfinite => Some(("d", BigDecimal(v.toDouble)))
+      case Literal(v: Double, _) if !v.isNaN && !v.isInfinite => Some(("d", BigDecimal(v)))
       case _ => None
     }
     def flip(op: String): String = op match {

@@ -88,13 +88,18 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     found.toSeq
   }
 
+  /** The catalog entry for one dataset — the ONE shared parse every
+    * per-name accessor goes through (one readConfig per call; callers
+    * needing several fields read the Tbl once). */
+  private def datasetEntry(name: String): Option[Toml.Tbl] = for {
+    ds <- Toml.getTbl(readConfig(), "dataset")
+    t <- Toml.getTbl(ds, name)
+  } yield t
+
   /** The recorded clustering contract for a catalog dataset (empty if
     * none was registered). */
   def datasetClusterBy(name: String): Seq[String] =
-    (for {
-      ds <- Toml.getTbl(readConfig(), "dataset")
-      t <- Toml.getTbl(ds, name)
-    } yield Toml.getArr(t, "cluster_by")).getOrElse(Nil)
+    datasetEntry(name).map(Toml.getArr(_, "cluster_by")).getOrElse(Nil)
 
   /** Load a registered dataset (TimeFly-managed roots read `current/`).
     * ONE config read: path, format and cluster_by all come from the
@@ -102,11 +107,7 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     * dataset, and on an object store every extra readConfig is a GET
     * round-trip multiplied by the sweep. */
   def load(name: String): GraftDataset = {
-    val entry = for {
-      ds <- Toml.getTbl(readConfig(), "dataset")
-      t <- Toml.getTbl(ds, name)
-    } yield t
-    val t = entry.getOrElse(
+    val t = datasetEntry(name).getOrElse(
       throw new NoSuchElementException(s"dataset $name not in catalog"))
     val path = Toml.getStr(t, "path").getOrElse("")
     val format = Toml.getStr(t, "format").getOrElse("parquet")

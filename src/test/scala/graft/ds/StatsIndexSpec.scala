@@ -136,6 +136,77 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(idx.get.files.keySet.subsetOf(liveRels), "no entries for dead files")
   }
 
+  test("hostile shapes never prune wrongly: decimals, struct paths, NaN, OR identity") {
+    val ds = GraftDataset(tmpDir("graft_stats_hostile"))
+    val df = (0 until 200).map(i =>
+      (i.toLong, BigDecimal(i) / 100, i.toDouble)).toDF("id", "amount", "score")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .write(spark, df.repartitionByRange(4, col("id")))
+    StatsIndex.build(spark, ds, Seq("id", "amount", "score"))
+    val all = ds.dataFiles(spark).size
+
+    // DECIMAL stats are UNSCALED ints in the footer — they must not be
+    // indexed at all (comparing a scaled literal would wrongly prune)
+    val decPred = col("amount") < 0.5
+    val decPruned = ds.pruned(spark, decPred)
+    assert(decPruned.dataFiles(spark).size == all, "decimal constraint must not prune")
+    assert(decPruned.df(spark).filter(decPred).count() ==
+      ds.df(spark).filter(decPred).count())
+
+    // a struct-field/qualified reference must not alias a top-level
+    // column's stats (nameParts ["x","id"] is NOT column "id")
+    assert(ds.pruned(spark, col("x.id") < 10L).dataFiles(spark).size == all,
+      "multi-part attribute must not prune on a top-level column's stats")
+
+    // NaN/Infinity literals have no range form — degrade, don't crash
+    assert(ds.pruned(spark, col("score") === Double.NaN).dataFiles(spark).size == all)
+    assert(ds.pruned(spark, col("score") < Double.PositiveInfinity)
+      .dataFiles(spark).size == all)
+
+    // nothing-pruned returns THIS (no pinned file snapshot): later
+    // appends stay visible through the returned dataset
+    val same = ds.pruned(spark, col("id") < 10L || col("id") > 190L)
+    assert(same.files.isEmpty, "no pruning → identity, not a full-listing copy")
+  }
+
+  test("stats-less files are memoized as tombstones, not re-read every maintain") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id"))
+    // a foreign file that LACKS the indexed column: footer has no `id`
+    // chunk → empty entry → serialized tombstone
+    Seq(("only", 1.0)).toDF("v", "score").write.mode("append").parquet(ds.path)
+    StatsIndex.maintain(spark, ds)
+    val fs = ds.fs(spark)
+    val idx = StatsIndex.load(fs, ds.path).get
+    val qr = fs.makeQualified(new org.apache.hadoop.fs.Path(ds.path)).toString
+    val rels = ds.dataFiles(spark).map(f =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(f)).toString.stripPrefix(qr + "/"))
+    assert(rels.forall(idx.files.contains),
+      "every live file (including the stats-less one) must be memoized")
+    assert(idx.files.exists(_._2.isEmpty), "the id-less file gets an empty (tombstone) entry")
+    // and it is never pruned
+    val pruned = ds.pruned(spark, col("id") < 100L)
+    assert(pruned.df(spark).count() >= 101, "tombstoned file must be kept in pruned scans")
+  }
+
+  test("unpartitioned compaction and in-place repartition keep both sidecars alive") {
+    val ds = GraftDataset(tmpDir("graft_stats_compact"))
+    val w = DatasetWriter(ds).withDeltaSubset("id").withBloomIndex
+    // many small appends → fragmentation worth compacting
+    (0 until 6).foreach(b => w.withMode(if (b == 0) WriteMode.Overwrite else WriteMode.Append)
+      .write(spark, (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")))
+    StatsIndex.build(spark, ds, Seq("id"))
+    val stats = Repartition.compact(spark, ds, targetFileBytes = 1L << 30)
+    assert(stats.filesAfter < stats.filesBefore, "compaction must merge files")
+    assert(BloomIndex.load(ds.fs(spark), ds.path).nonEmpty,
+      "bloom sidecar must survive the compaction root swap")
+    val idx = StatsIndex.load(ds.fs(spark), ds.path)
+    assert(idx.nonEmpty, "stats sidecar must be rebuilt after the root swap")
+    // rebuilt over the COMPACTED files: delta still dedups, pruning works
+    assert(DatasetWriter(ds, WriteMode.Delta).withDeltaSubset("id")
+      .write(spark, Seq((5L, "v5"), (9999L, "new")).toDF("id", "v")) == 1)
+  }
+
   test("corrupt sidecar loads as absent; build heals it") {
     val ds = rangedDataset()
     StatsIndex.build(spark, ds, Seq("id"))
