@@ -44,8 +44,10 @@ object StatsIndex {
   /** One column's file-level range. `kind`: "l" integral, "d" double,
     * "date" epoch-day, "ts" epoch-micros. BigDecimal keeps long
     * comparisons exact past 2^53 (a double roundtrip there could
-    * wrongly prune a boundary file). */
-  final case class ColRange(kind: String, min: BigDecimal, max: BigDecimal) {
+    * wrongly prune a boundary file). `nulls` = the file's null count
+    * for this column, or -1 when any row group left it unset. */
+  final case class ColRange(kind: String, min: BigDecimal, max: BigDecimal,
+      nulls: Long = -1L) {
     def overlaps(op: String, v: BigDecimal): Boolean = op match {
       case ">"  => max > v
       case ">=" => max >= v
@@ -73,8 +75,8 @@ object StatsIndex {
       if (header.length != 2 || header(0) != Magic) return None
       val cols = header(1).split(',').toSeq.filter(_.nonEmpty)
       val files = lines.tail.map { ln =>
-        val Array(rel, c, kind, mn, mx) = ln.split('\t')
-        (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx)))
+        val Array(rel, c, kind, mn, mx, nulls) = ln.split('\t')
+        (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx), nulls.toLong))
       }.groupBy(_._1).map { case (rel, rows) =>
         // "none" tombstone: a memoized stats-less file (footer had no
         // usable ranges) — known, never pruned, never re-read
@@ -92,10 +94,11 @@ object StatsIndex {
     sb.append(Magic).append('\t').append(idx.cols.mkString(",")).append('\n')
     idx.files.toSeq.sortBy(_._1).foreach { case (rel, byCol) =>
       if (byCol.isEmpty) // tombstone — see load()
-        sb.append(rel).append("\t-\tnone\t0\t0\n")
+        sb.append(rel).append("\t-\tnone\t0\t0\t-1\n")
       else byCol.toSeq.sortBy(_._1).foreach { case (c, r) =>
         sb.append(rel).append('\t').append(c).append('\t').append(r.kind)
-          .append('\t').append(r.min).append('\t').append(r.max).append('\n')
+          .append('\t').append(r.min).append('\t').append(r.max)
+          .append('\t').append(r.nulls).append('\n')
       }
     }
     val out = fs.create(tmp, true)
@@ -157,7 +160,17 @@ object StatsIndex {
           if (perBlock.exists(_.isEmpty)) None
           else {
             val rs = perBlock.flatten
-            Some(c -> ColRange(rs.head.kind, rs.map(_.min).min, rs.map(_.max).max))
+            // file-level null count: exact only when EVERY row group
+            // recorded one; -1 (unknown) disables isNull pruning
+            val nulls = {
+              val perBlockNulls = blocks.map { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == c)
+                  .map(_.getStatistics).filter(s => s != null && s.isNumNullsSet)
+                  .map(_.getNumNulls).getOrElse(-1L)
+              }
+              if (perBlockNulls.exists(_ < 0)) -1L else perBlockNulls.sum
+            }
+            Some(c -> ColRange(rs.head.kind, rs.map(_.min).min, rs.map(_.max).max, nulls))
           }
         }.toMap
       } finally r.close()
@@ -226,11 +239,20 @@ object StatsIndex {
     idx
   }
 
-  /** Extract the (column, op, value) conjuncts this index can act on.
-    * Anything unrecognized — ORs, UDFs, casts, IN-lists, cross-column
-    * comparisons — contributes nothing, so the pruned set can only be
-    * a superset of the truly-needed files. */
-  private[ds] def constraints(e: Expression): Seq[(String, String, String, BigDecimal)] = {
+  /** A prunable conjunct. */
+  private[ds] sealed trait Constraint
+  /** col ⋈ literal at a type domain. */
+  private[ds] final case class Cmp(col: String, op: String, kind: String, v: BigDecimal) extends Constraint
+  /** col IN (literals) — file kept if ANY value lands in its range. */
+  private[ds] final case class InSet(col: String, kind: String, vs: Seq[BigDecimal]) extends Constraint
+  /** col IS NULL — file pruned when its recorded null count is ZERO. */
+  private[ds] final case class NullCheck(col: String) extends Constraint
+
+  /** Extract the conjuncts this index can act on. Anything
+    * unrecognized — ORs, UDFs, casts, cross-column comparisons —
+    * contributes nothing, so the pruned set can only be a superset of
+    * the truly-needed files. */
+  private[ds] def constraints(e: Expression): Seq[Constraint] = {
     def attr(x: Expression): Option[String] = x match {
       case a: AttributeReference => Some(a.name)
       // single-part names ONLY: a struct-field or table-qualified
@@ -259,26 +281,40 @@ object StatsIndex {
     def flip(op: String): String = op match {
       case ">" => "<" case ">=" => "<=" case "<" => ">" case "<=" => ">=" case o => o
     }
-    def cmp(op: String, l: Expression, r: Expression) =
+    def cmp(op: String, l: Expression, r: Expression): Seq[Constraint] =
       (attr(l), value(r), attr(r), value(l)) match {
-        case (Some(a), Some((k, v)), _, _) => Seq((a, op, k, v))
-        case (_, _, Some(a), Some((k, v))) => Seq((a, flip(op), k, v))
+        case (Some(a), Some((k, v)), _, _) => Seq(Cmp(a, op, k, v))
+        case (_, _, Some(a), Some((k, v))) => Seq(Cmp(a, flip(op), k, v))
         case _ => Nil
+      }
+    def inSet(target: Expression, items: Seq[Expression]): Seq[Constraint] =
+      attr(target) match {
+        case Some(a) =>
+          val vs = items.map(value)
+          // every list element must extract at ONE kind — a partially
+          // understood IN could wrongly prune the files holding the
+          // values we failed to read
+          if (vs.nonEmpty && vs.forall(_.isDefined) &&
+              vs.flatten.map(_._1).distinct.sizeIs == 1)
+            Seq(InSet(a, vs.flatten.head._1, vs.flatten.map(_._2)))
+          else Nil
+        case None => Nil
       }
     e match {
       // the classic Column API builds comparisons as UnresolvedFunction
       // nodes named after the operator ('and('>=('id, 100), ...)); the
       // typed shapes below cover expressions built directly in catalyst
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-          if f.nameParts.lengthCompare(1) == 0 && f.arguments.lengthCompare(2) == 0 =>
-        val Seq(l, r) = f.arguments
-        f.nameParts.head.toLowerCase match {
-          case "and" => constraints(l) ++ constraints(r)
-          case "=" | "==" => cmp("=", l, r)
-          case ">" => cmp(">", l, r)
-          case ">=" => cmp(">=", l, r)
-          case "<" => cmp("<", l, r)
-          case "<=" => cmp("<=", l, r)
+          if f.nameParts.lengthCompare(1) == 0 =>
+        (f.nameParts.head.toLowerCase, f.arguments) match {
+          case ("and", Seq(l, r)) => constraints(l) ++ constraints(r)
+          case ("=" | "==", Seq(l, r)) => cmp("=", l, r)
+          case (">", Seq(l, r)) => cmp(">", l, r)
+          case (">=", Seq(l, r)) => cmp(">=", l, r)
+          case ("<", Seq(l, r)) => cmp("<", l, r)
+          case ("<=", Seq(l, r)) => cmp("<=", l, r)
+          case ("in", target +: items) if items.nonEmpty => inSet(target, items)
+          case ("isnull", Seq(t)) => attr(t).map(NullCheck).toSeq
           case _ => Nil
         }
       case And(a, b) => constraints(a) ++ constraints(b)
@@ -287,6 +323,8 @@ object StatsIndex {
       case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
       case LessThan(l, r) => cmp("<", l, r)
       case LessThanOrEqual(l, r) => cmp("<=", l, r)
+      case org.apache.spark.sql.catalyst.expressions.In(t, items) => inSet(t, items)
+      case org.apache.spark.sql.catalyst.expressions.IsNull(t) => attr(t).map(NullCheck).toSeq
       case _ => Nil
     }
   }
@@ -314,9 +352,19 @@ object StatsIndex {
     else files.filter { f =>
       idx.files.get(relOf(fs, dsPath, f)) match {
         case None => true
-        case Some(byCol) => cs.forall { case (c, op, kind, v) =>
-          byCol.get(c) match {
+        case Some(byCol) => cs.forall {
+          case Cmp(c, op, kind, v) => byCol.get(c) match {
             case Some(r) if r.kind == kind => r.overlaps(op, v)
+            case _ => true
+          }
+          case InSet(c, kind, vs) => byCol.get(c) match {
+            case Some(r) if r.kind == kind => vs.exists(v => r.overlaps("=", v))
+            case _ => true
+          }
+          case NullCheck(c) => byCol.get(c) match {
+            // recorded zero nulls → no NULL row can exist in the file;
+            // -1 (unknown) keeps it
+            case Some(r) => r.nulls != 0L
             case _ => true
           }
         }

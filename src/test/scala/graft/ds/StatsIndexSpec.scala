@@ -207,6 +207,36 @@ class StatsIndexSpec extends AnyFunSuite {
       .write(spark, Seq((5L, "v5"), (9999L, "new")).toDF("id", "v")) == 1)
   }
 
+  test("IN-lists and isNull prune; partial extraction never prunes") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id"))
+    val all = ds.dataFiles(spark).size
+
+    // IN: both probe keys live in the first range-file → one file kept
+    val inPred = col("id").isin(5L, 15L)
+    val inPruned = ds.pruned(spark, inPred)
+    assert(inPruned.files.size < all, s"IN must prune (${inPruned.files.size} of $all)")
+    assert(inPruned.df(spark).filter(inPred).count() == 2)
+    // spread probes hit several files but still prune the rest
+    val spread = ds.pruned(spark, col("id").isin(5L, 405L, 795L))
+    assert(spread.files.size < all && spread.files.size >= 3)
+    assert(spread.df(spark).filter(col("id").isin(5L, 405L, 795L)).count() == 3)
+
+    // isNull: nulls live ONLY in the appended file; the original files
+    // record zero nulls and are pruned for an IS NULL probe
+    val ds2 = GraftDataset(tmpDir("graft_stats_null"))
+    DatasetWriter(ds2, WriteMode.Overwrite).write(spark,
+      (0 until 100).map(i => (i.toLong, java.lang.Long.valueOf(i.toLong))).toDF("id", "opt"))
+    DatasetWriter(ds2, WriteMode.Append).write(spark,
+      Seq[(Long, java.lang.Long)]((100L, null), (101L, 7L)).toDF("id", "opt"))
+    StatsIndex.build(spark, ds2, Seq("id", "opt"))
+    val nullPruned = ds2.pruned(spark, col("opt").isNull)
+    assert(nullPruned.files.size < ds2.dataFiles(spark).size, "zero-null files must be pruned")
+    assert(nullPruned.df(spark).filter(col("opt").isNull).count() == 1)
+    // isNotNull is NOT prunable (all-null files carry no ranges) — identity
+    assert(ds2.pruned(spark, col("opt").isNotNull).files.isEmpty)
+  }
+
   test("corrupt sidecar loads as absent; build heals it") {
     val ds = rangedDataset()
     StatsIndex.build(spark, ds, Seq("id"))
