@@ -451,15 +451,23 @@ final case class DatasetWriter(
     * [min(ts), max(ts)] window first. */
   private def deltaDiff(spark: SparkSession, incoming: DataFrame,
       sideIdx: Option[BloomIndex.Index]): DataFrame = {
-    val existingFull = target.raw(spark)
     val (inc, existing) = deltaDatetimeColumn match {
       case Some(ts) =>
         val Array(lo, hi) = incoming.agg(min(col(ts)), max(col(ts))).collect()(0) match {
           case r => Array(r.get(0), r.get(1))
         }
-        if (lo == null) (incoming, existingFull)
-        else (incoming, existingFull.filter(col(ts).between(lit(lo), lit(hi))))
-      case None => (incoming, existingFull)
+        if (lo == null) (incoming, target.raw(spark))
+        else {
+          val win = col(ts).between(lit(lo), lit(hi))
+          // stats-index file pruning composes with the window: the
+          // existing-side LISTING shrinks to the files whose recorded
+          // ts range overlaps the batch (row-group pushdown then works
+          // inside those) — with clustered ingest the common case scans
+          // a handful of recent files, not a 100 TB listing. Superset-
+          // safe: no sidecar / no overlap info → unchanged dataset.
+          (incoming, target.pruned(spark, win).raw(spark).filter(win))
+        }
+      case None => (incoming, target.raw(spark))
     }
     if (deltaSubset.nonEmpty) {
       // Bloom fast path: with a sidecar over these key columns, rows

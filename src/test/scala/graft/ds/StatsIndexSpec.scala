@@ -237,6 +237,25 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(ds2.pruned(spark, col("opt").isNotNull).files.isEmpty)
   }
 
+  test("windowed delta composes with the index: pruned existing side, same semantics") {
+    val ds = GraftDataset(tmpDir("graft_stats_wdelta"))
+    def mk(day: Int, ids: Range) = ids.map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"))).toDF("id", "ts")
+    DatasetWriter(ds, WriteMode.Overwrite).write(spark, mk(1, 0 until 100))
+    DatasetWriter(ds, WriteMode.Append).write(spark, mk(20, 100 until 200))
+    StatsIndex.build(spark, ds, Seq("ts"))
+    // batch overlapping ONLY the Jan-20 region: the existing-side scan
+    // prunes the Jan-1 file via the sidecar; semantics must equal the
+    // unpruned anti-diff — overlap dedups, the rest lands
+    val n = DatasetWriter(ds, WriteMode.Delta).withDeltaWindow("ts")
+      .write(spark, mk(20, 150 until 250))
+    assert(n == 50, s"windowed delta over a pruned existing side wrote $n, want 50")
+    assert(ds.df(spark).count() == 250)
+    // idempotent re-run stays a no-op through the pruned path too
+    assert(DatasetWriter(ds, WriteMode.Delta).withDeltaWindow("ts")
+      .write(spark, mk(20, 150 until 250)) == 0)
+  }
+
   test("corrupt sidecar loads as absent; build heals it") {
     val ds = rangedDataset()
     StatsIndex.build(spark, ds, Seq("id"))
