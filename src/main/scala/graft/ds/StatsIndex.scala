@@ -75,8 +75,16 @@ object StatsIndex {
       if (header.length != 2 || header(0) != Magic) return None
       val cols = header(1).split(',').toSeq.filter(_.nonEmpty)
       val files = lines.tail.map { ln =>
-        val Array(rel, c, kind, mn, mx, nulls) = ln.split('\t')
-        (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx), nulls.toLong))
+        // 5-field lines are the pre-null-count format — parse them with
+        // nulls unknown (-1) rather than invalidating every sidecar
+        // built before the field existed (a failed load would silently
+        // kill maintenance forever: maintain() no-ops on None)
+        ln.split('\t') match {
+          case Array(rel, c, kind, mn, mx) =>
+            (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx), -1L))
+          case Array(rel, c, kind, mn, mx, nulls) =>
+            (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx), nulls.toLong))
+        }
       }.groupBy(_._1).map { case (rel, rows) =>
         // "none" tombstone: a memoized stats-less file (footer had no
         // usable ranges) — known, never pruned, never re-read
@@ -137,6 +145,11 @@ object StatsIndex {
                   // letting it through as kind "l" would compare scaled
                   // literals against unscaled stats and wrongly prune
                   case _ if ann.contains("DECIMAL") => None
+                  // UNSIGNED ints (INT(32,false) etc.) surface their
+                  // stats as sign-wrapped raw values while Spark reads
+                  // the column as the positive logical value — same
+                  // raw-vs-logical mismatch, same exclusion
+                  case _ if ann.startsWith("INT(") && ann.contains("false") => None
                   case (i: Integer, _) if ann.contains("DATE") => Some(("date", BigDecimal(i.toLong)))
                   case (l: java.lang.Long, _) if ann.contains("TIMESTAMP") =>
                     val micros =
@@ -153,7 +166,11 @@ object StatsIndex {
                 for {
                   (k1, mn) <- asBD(s.genericGetMin.asInstanceOf[AnyRef])
                   (_, mx) <- asBD(s.genericGetMax.asInstanceOf[AnyRef])
-                } yield ColRange(k1, mn, mx)
+                  // per-block null count from the SAME chunk lookup
+                  // (a second getColumns.find per block would double
+                  // the footer walk on the distributed build path)
+                } yield ColRange(k1, mn, mx,
+                  if (s.isNumNullsSet) s.getNumNulls else -1L)
               }
             }
           }
@@ -162,14 +179,8 @@ object StatsIndex {
             val rs = perBlock.flatten
             // file-level null count: exact only when EVERY row group
             // recorded one; -1 (unknown) disables isNull pruning
-            val nulls = {
-              val perBlockNulls = blocks.map { b =>
-                b.getColumns.asScala.find(_.getPath.toDotString == c)
-                  .map(_.getStatistics).filter(s => s != null && s.isNumNullsSet)
-                  .map(_.getNumNulls).getOrElse(-1L)
-              }
-              if (perBlockNulls.exists(_ < 0)) -1L else perBlockNulls.sum
-            }
+            val nulls =
+              if (rs.exists(_.nulls < 0)) -1L else rs.map(_.nulls).sum
             Some(c -> ColRange(rs.head.kind, rs.map(_.min).min, rs.map(_.max).max, nulls))
           }
         }.toMap
@@ -349,8 +360,13 @@ object StatsIndex {
       files: Seq[String], predicate: Column): Seq[String] = {
     val cs = toExpression(predicate).map(constraints).getOrElse(Nil)
     if (cs.isEmpty) files
-    else files.filter { f =>
-      idx.files.get(relOf(fs, dsPath, f)) match {
+    else {
+    // qualify the root ONCE — per-file re-qualification is O(files)
+    // redundant Path construction on exactly the million-file listings
+    // this index exists to serve
+    val qr = fs.makeQualified(new Path(dsPath)).toString + "/"
+    files.filter { f =>
+      idx.files.get(fs.makeQualified(new Path(f)).toString.stripPrefix(qr)) match {
         case None => true
         case Some(byCol) => cs.forall {
           case Cmp(c, op, kind, v) => byCol.get(c) match {
@@ -369,6 +385,7 @@ object StatsIndex {
           }
         }
       }
+    }
     }
   }
 }

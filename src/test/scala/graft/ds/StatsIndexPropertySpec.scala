@@ -1,65 +1,57 @@
 package graft.ds
 
-import org.apache.hadoop.fs.Path
+import java.nio.file.Files
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
-/** Generative superset invariant for stats-index pruning: for ANY
-  * predicate the grammar can produce (comparisons, IN-lists, IS NULL,
-  * AND/OR nesting, boundary/NaN/out-of-domain literals) and ANY
-  * grouping of rows into files, every file holding a row that SPARK
-  * says matches must survive [[StatsIndex.prunedFiles]]. The oracle is
-  * Spark's own predicate evaluation — not this module's reading of it —
-  * so extraction bugs (a mis-flipped operator, a wrongly-understood OR,
-  * a kind confusion) surface as a pruned-but-matching file here. */
+/** Generative superset invariant for stats-index pruning, END TO END:
+  * real parquet files, ranges built by [[StatsIndex.build]] from real
+  * footers and round-tripped through the sidecar (write + load), then
+  * for ANY predicate the grammar can produce (comparisons, IN-lists,
+  * IS NULL/NOT NULL, AND/OR nesting, boundary/NaN/out-of-domain
+  * literals): every file holding a row that SPARK says matches must
+  * survive [[StatsIndex.prunedFiles]]. The oracle is Spark's own
+  * predicate evaluation over `input_file_name()` — not this module's
+  * reading of it — so a bug anywhere in the pipeline (footer stats
+  * extraction, serialization, constraint extraction, overlap logic)
+  * surfaces as a pruned-but-matching file. */
 class StatsIndexPropertySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  // ---- fixed random dataset: 8 "files" with overlapping ranges -------
+  // ---- real dataset: 8 parquet files with overlapping ranges ---------
   private val NFiles = 8
-  private val rng = new scala.util.Random(42)
-  // (file, id, opt, score) — tuples, not an inner case class (Spark
-  // cannot synthesize encoders for test-class inner types)
-  private lazy val rows: Seq[(String, Long, java.lang.Long, Double)] = (0 until 400).map { i =>
-    val f = rng.nextInt(NFiles)
-    (s"f$f.parquet", rng.nextInt(1000).toLong,
-      if (rng.nextInt(5) == 0) null else java.lang.Long.valueOf(rng.nextInt(100).toLong),
-      rng.nextInt(10000) / 10.0)
+  private lazy val ds: GraftDataset = {
+    val d = GraftDataset(Files.createTempDirectory("graft_stats_prop").toString + "/ds")
+    val rng = new scala.util.Random(42)
+    val groups = (0 until 400).map { _ =>
+      (rng.nextInt(NFiles), rng.nextInt(1000).toLong,
+        if (rng.nextInt(5) == 0) null else java.lang.Long.valueOf(rng.nextInt(100).toLong),
+        rng.nextInt(10000) / 10.0)
+    }.groupBy(_._1)
+    groups.toSeq.sortBy(_._1).foreach { case (_, rs) =>
+      rs.map { case (_, id, opt, score) => (id, opt, score) }
+        .toDF("id", "opt", "score")
+        .coalesce(1).write.mode("append").parquet(d.path)
+    }
+    d
   }
+  /** Built from REAL footers, then re-loaded — serialization included. */
+  private lazy val idx: StatsIndex.Index = {
+    StatsIndex.build(spark, ds, Seq("id", "opt", "score"))
+    StatsIndex.load(ds.fs(spark), ds.path).get
+  }
+  private lazy val allFiles: Seq[String] = ds.dataFiles(spark)
   private lazy val df = {
-    val d = rows.toDF("file", "id", "opt", "score")
+    val d = spark.read.parquet(ds.path)
+      .withColumn("file", element_at(split(input_file_name(), "/"), -1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     d.count(); d
   }
-
-  /** The index exactly as footerRanges would record it: min/max over
-    * non-null values per file, null counts, column omitted when the
-    * file is all-null for it. */
-  private lazy val idx: StatsIndex.Index = {
-    val byFile = rows.groupBy(_._1)
-    StatsIndex.Index(Seq("id", "opt", "score"), byFile.map { case (rel, rs) =>
-      val ids = rs.map(_._2)
-      val opts = rs.flatMap(r => Option(r._3).map(_.longValue()))
-      val scores = rs.map(_._4)
-      val cols = Seq(
-        Some("id" -> StatsIndex.ColRange("l", BigDecimal(ids.min), BigDecimal(ids.max), 0L)),
-        if (opts.isEmpty) None
-        else Some("opt" -> StatsIndex.ColRange("l", BigDecimal(opts.min), BigDecimal(opts.max),
-          rs.count(_._3 == null).toLong)),
-        Some("score" -> StatsIndex.ColRange("d", BigDecimal(scores.min), BigDecimal(scores.max), 0L))
-      ).flatten.toMap
-      rel -> cols
-    })
-  }
-
-  private val root = "/graft_prop_ds"
-  private lazy val fs = new Path("/").getFileSystem(
-    spark.sparkContext.hadoopConfiguration)
-  private lazy val allFiles: Seq[String] = idx.files.keys.toSeq.sorted.map(r => s"$root/$r")
+  private def basename(f: String): String = f.substring(f.lastIndexOf('/') + 1)
 
   // ---- predicate grammar ---------------------------------------------
   private val longLit: Gen[Long] = Gen.oneOf(
@@ -93,8 +85,8 @@ class StatsIndexPropertySpec extends AnyFunSuite {
     val prop = Prop.forAll(pred) { p =>
       val matching = df.filter(p).select("file").distinct()
         .as[String].collect().toSet
-      val kept = StatsIndex.prunedFiles(fs, root, idx, allFiles, p)
-        .map(_.stripPrefix(s"$root/")).toSet
+      val kept = StatsIndex.prunedFiles(ds.fs(spark), ds.path, idx, allFiles, p)
+        .map(basename).toSet
       val lost = matching -- kept
       if (lost.nonEmpty)
         println(s"LOST $lost for predicate $p (kept ${kept.size}/${allFiles.size})")
@@ -106,9 +98,9 @@ class StatsIndexPropertySpec extends AnyFunSuite {
 
   test("pruning actually fires on selective predicates (not vacuously safe)") {
     // a narrow equality should drop most of the 8 overlapping files at
-    // least for SOME probes; sample a few ids present in one file only
+    // least for SOME probes
     val fired = (0 until 50).exists { i =>
-      StatsIndex.prunedFiles(fs, root, idx, allFiles, col("id") === i.toLong)
+      StatsIndex.prunedFiles(ds.fs(spark), ds.path, idx, allFiles, col("id") === i.toLong)
         .size < allFiles.size
     }
     assert(fired, "no probe pruned anything — the index or extraction is dead")

@@ -244,6 +244,13 @@ class StatsIndexSpec extends AnyFunSuite {
     DatasetWriter(ds, WriteMode.Overwrite).write(spark, mk(1, 0 until 100))
     DatasetWriter(ds, WriteMode.Append).write(spark, mk(20, 100 until 200))
     StatsIndex.build(spark, ds, Seq("ts"))
+    // the optimization must actually FIRE, not just stay superset-safe:
+    // the Jan-20 window predicate drops the Jan-1 file from the listing
+    val win = col("ts").between(
+      lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")),
+      lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+    assert(ds.pruned(spark, win).files.size < ds.dataFiles(spark).size,
+      "the window predicate must prune the out-of-window file")
     // batch overlapping ONLY the Jan-20 region: the existing-side scan
     // prunes the Jan-1 file via the sidecar; semantics must equal the
     // unpruned anti-diff — overlap dedups, the rest lands
@@ -254,6 +261,23 @@ class StatsIndexSpec extends AnyFunSuite {
     // idempotent re-run stays a no-op through the pruned path too
     assert(DatasetWriter(ds, WriteMode.Delta).withDeltaWindow("ts")
       .write(spark, mk(20, 150 until 250)) == 0)
+  }
+
+  test("pre-null-count (5-field) sidecars still load, with nulls unknown") {
+    val ds = rangedDataset()
+    val fs = ds.fs(spark)
+    val out = fs.create(StatsIndex.sidecar(ds.path), true)
+    try out.write(("graft-stats-v1\tid\n" +
+      "f0.parquet\tid\tl\t0\t99\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val idx = StatsIndex.load(fs, ds.path)
+    assert(idx.nonEmpty, "old-format sidecar must still load (maintain would die silently)")
+    val r = idx.get.files("f0.parquet")("id")
+    assert(r.min == BigDecimal(0) && r.max == BigDecimal(99) && r.nulls == -1L,
+      "old-format entries carry unknown null counts")
+    // unknown nulls keep the file for IS NULL probes (never a wrong prune)
+    assert(StatsIndex.prunedFiles(fs, ds.path, idx.get,
+      Seq(ds.path + "/f0.parquet"), col("id").isNull).nonEmpty)
   }
 
   test("corrupt sidecar loads as absent; build heals it") {
