@@ -94,6 +94,32 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ds.df(spark).count() == 450)
   }
 
+  test("delete vs upsert: purge-beside-ingest serializes, zero lost or resurrected rows") {
+    val dir = tmpDir("graft_lock_du")
+    val ds = GraftDataset(s"$dir/t", partitioning = Seq("p"))
+    val seed = (1 to 200).map(i => (i.toLong, s"seed_$i", i % 4)).toDF("id", "v", "p")
+    DatasetWriter(ds).write(spark, seed)
+
+    // disjoint scopes make the outcome order-independent IFF the two
+    // mutations serialize: the delete purges 1..50, the upsert updates
+    // 101..150 and inserts 201..250. An interleaved pair of staged
+    // partition swaps would lose one side's rewrite.
+    val batch = ((101 to 150) ++ (201 to 250)).map(i => (i.toLong, s"U_$i", i % 4)).toDF("id", "v", "p")
+    val w = DatasetWriter(ds, WriteMode.Upsert).withDeltaSubset("id")
+    var deleted = -1L
+    inParallel(
+      { deleted = DatasetDelete.deleteWhere(spark, ds, col("id") <= 50) },
+      w.write(spark, batch))
+
+    assert(deleted == 50, s"delete reported $deleted of 50")
+    val out = ds.df(spark).select("id", "v").as[(Long, String)].collect().toMap
+    assert(out.size == 200, s"expected 200 distinct ids, got ${out.size}")
+    assert(!out.contains(1L) && !out.contains(50L), "purged ids must stay gone")
+    (51 to 100).foreach(i => assert(out(i.toLong) == s"seed_$i"))
+    (101 to 150).foreach(i => assert(out(i.toLong) == s"U_$i"))
+    (201 to 250).foreach(i => assert(out(i.toLong) == s"U_$i"))
+  }
+
   test("lock: second acquirer times out while held, then proceeds on release") {
     val dir = tmpDir("graft_lock_to")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
