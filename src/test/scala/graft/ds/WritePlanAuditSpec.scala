@@ -99,6 +99,33 @@ class WritePlanAuditSpec extends AnyFunSuite {
     assert(ds.df(spark).count() == 401)
   }
 
+  test("partition-scoped delete prunes the kept-scan to affected partitions") {
+    val dir = tmpDir("graft_audit_delete")
+    val ds = GraftDataset(s"$dir/t", partitioning = Seq("p"))
+    val seed = (1 to 400).map(i => (i.toLong, s"seed_$i", i % 8)).toDF("id", "v", "p")
+    DatasetWriter(ds).write(spark, seed)
+    // doomed rows live in partitions 0 and 1 only — the staged kept-
+    // rewrite must prune to them (O(touched partitions), not O(dataset))
+    val plans = capturePlans {
+      assert(DatasetDelete.deleteWhere(spark, ds,
+        col("p") <= 1 && col("id") <= 100) == 25)
+    }
+    assertNoPathologies(plans, "delete")
+    assert(plans.exists(p => partitionFiltersNonEmpty.findFirstIn(p).nonEmpty),
+      "the delete kept-scan must prune to affected partitions (PartitionFilters at the scan)")
+    assert(ds.df(spark).count() == 375)
+
+    // keyed purge: the doomed-location scan + anti-join carry keys
+    val plans2 = capturePlans {
+      assert(DatasetDelete.deleteByKeys(spark, ds,
+        Seq(200L, 300L).toDF("id"), Seq("id")) == 2)
+    }
+    assertNoPathologies(plans2, "deleteByKeys")
+    assert(plans2.exists(_.contains("LeftAnti")),
+      "keyed delete must keep surviving rows via a left-anti key join")
+    assert(ds.df(spark).count() == 373)
+  }
+
   test("compact's rewrite scan prunes to fragmented partitions only") {
     val dir = tmpDir("graft_audit_compact")
     val ds = GraftDataset(s"$dir/t", partitioning = Seq("p"))
