@@ -79,6 +79,11 @@ object Multimodal {
   def imageDims(id: Long): (Int, Int) = (16 + (id % 32).toInt, 16 + ((id / 32) % 16).toInt)
   def imageColor(id: Long): (Int, Int, Int) =
     ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+  /** (timescale, durationUnits, width, height) — all oracle-derivable. */
+  def videoParams(id: Long): (Int, Int, Int, Int) =
+    (1000 + (id % 8).toInt * 500, 24 + (id % 240).toInt,
+      320 + (id % 16).toInt * 8, 180 + (id % 9).toInt * 20)
+
   def audioParams(id: Long): (Int, Int, Int) = // (sampleRate, nSamples, amplitude)
     (8000, 160 + (id % 320).toInt, ((id % 200).toInt - 100) * 163)
 
@@ -112,10 +117,14 @@ object Multimodal {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       (bos.toByteArray, "audio", "audio/wav")
     case _ =>
-      // no JDK video codec exists — an opaque deterministic byte stream
-      // stands in for the container bytes
-      val bytes = (s"video_payload_$id:" * 8).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      (bytes, "video", "video/mp4")
+      // a REAL (valid-by-construction) ISO-BMFF container: box
+      // structure, mvhd timing and tkhd geometry parse back through
+      // [[Mp4.parse]]; the mdat payload is the deterministic stand-in
+      // for coded frames (no JDK video codec exists to produce real
+      // ones — that seam stays fake, see fakeVideoFeatures)
+      val (tsc, dur, w, h) = videoParams(id)
+      val mdat = (s"video_payload_$id:" * 8).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (Mp4.build(tsc, dur, w, h, mdat), "video", "video/mp4")
   }
 
   private def md5Hex(bytes: Array[Byte]): String =
@@ -151,6 +160,7 @@ object Multimodal {
         val d =
           if (mime.startsWith("image/")) decodeImage(bytes)
           else if (mime == "audio/wav" || mime == "audio/x-wav") decodeWav(bytes)
+          else if (mime == "video/mp4") decodeMp4(bytes, videoFeatureDim)
           else Row(null, null, null, null, null, fakeVideoFeatures(bytes, videoFeatureDim))
         Row.fromSeq(row.toSeq ++ d.toSeq)
       }
@@ -207,6 +217,20 @@ object Multimodal {
         Seq(mean.toFloat, rms.toFloat))
     } finally ais.close()
   }
+
+  /** REAL ISO-BMFF container parse ([[Mp4.parse]]): tkhd display
+    * geometry → width/height, mvhd timebase → sample_rate (units/s)
+    * and n_samples (duration units) — the audio columns' closest
+    * video analogs, so the decode schema stays one struct. Only the
+    * FEATURE vector remains fake (frame decode needs codecs the JDK
+    * lacks); it runs over the extracted mdat payload. Unparseable
+    * bytes degrade to metadata-less rows, never an executor crash. */
+  private def decodeMp4(bytes: Array[Byte], featureDim: Int): Row =
+    Mp4.parse(bytes) match {
+      case Some(info) => Row(info.width, info.height, null,
+        info.timescale, info.duration, fakeVideoFeatures(info.mdat, featureDim))
+      case None => Row(null, null, null, null, null, fakeVideoFeatures(bytes, featureDim))
+    }
 
   /** The ONE remaining fake: video feature extraction. Deterministic
     * chunk-hash features so pipelines exercise the exact shape a real

@@ -439,11 +439,15 @@ object ExtQueries {
   val multimodalSql: String =
     """SELECT doc_id AS media_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-      |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 32 AS INT) END AS width,
-      |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id // 32) % 16 AS INT) END AS height,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 32 AS INT)
+      |       WHEN doc_id % 3 = 2 THEN CAST(320 + (doc_id % 16) * 8 AS INT) END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id // 32) % 16 AS INT)
+      |       WHEN doc_id % 3 = 2 THEN CAST(180 + (doc_id % 9) * 20 AS INT) END AS height,
       |  CASE WHEN doc_id % 3 = 0 THEN 3 WHEN doc_id % 3 = 1 THEN 1 END AS channels,
-      |  CASE WHEN doc_id % 3 = 1 THEN 8000 END AS sample_rate,
-      |  CASE WHEN doc_id % 3 = 1 THEN CAST(160 + doc_id % 320 AS BIGINT) END AS n_samples,
+      |  CASE WHEN doc_id % 3 = 1 THEN 8000
+      |       WHEN doc_id % 3 = 2 THEN CAST(1000 + (doc_id % 8) * 500 AS INT) END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 1 THEN CAST(160 + doc_id % 320 AS BIGINT)
+      |       WHEN doc_id % 3 = 2 THEN CAST(24 + doc_id % 240 AS BIGINT) END AS n_samples,
       |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS INT)
       |       WHEN doc_id % 3 = 1 THEN CAST((doc_id % 200 - 100) * 163 AS INT) END AS sig_mean,
       |  4 AS n_frames,
