@@ -17,9 +17,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * executor hot path. */
 object Mp4 {
 
-  /** Parsed container metadata. `duration` is in `timescale` units. */
+  /** Parsed container metadata. `duration` is in `timescale` units.
+    * mdat travels as OFFSETS into the container bytes, not a copy —
+    * the decode hot path would otherwise hold every payload twice. */
   final case class Info(timescale: Int, duration: Long,
-      width: Int, height: Int, mdat: Array[Byte])
+      width: Int, height: Int, mdatStart: Int, mdatEnd: Int) {
+    def mdat(container: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOfRange(container, mdatStart, mdatEnd)
+  }
 
   // ---- writer ---------------------------------------------------------
 
@@ -76,22 +81,52 @@ object Mp4 {
 
   // ---- parser ---------------------------------------------------------
 
-  /** Top-level (or child) box walk: (type, contentStart, contentEnd). */
+  /** Top-level (or child) box walk: (type, contentStart, contentEnd).
+    * Handles all three spec size encodings — plain 32-bit, `size==1`
+    * with a 64-bit largesize (standard for >4 GB mdat), and `size==0`
+    * meaning box-extends-to-end — and stops at the first malformed
+    * header (a parse over the prefix is still usable). */
   private def boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
     val out = Seq.newBuilder[(String, Int, Int)]
     var p = from
     while (p + 8 <= to) {
-      val size = ByteBuffer.wrap(b, p, 4).order(ByteOrder.BIG_ENDIAN).getInt
-      if (size < 8 || p + size > to) return out.result() // malformed tail: stop
+      val size32 = ByteBuffer.wrap(b, p, 4).order(ByteOrder.BIG_ENDIAN).getInt
       val tpe = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      out += ((tpe, p + 8, p + size))
-      p += size
+      val (hdr, size): (Int, Long) = size32 match {
+        case 0 => (8, (to - p).toLong) // last box: extends to end
+        case 1 =>
+          if (p + 16 > to) return out.result()
+          (16, ByteBuffer.wrap(b, p + 8, 8).order(ByteOrder.BIG_ENDIAN).getLong)
+        case s => (8, (s.toLong & 0xFFFFFFFFL))
+      }
+      if (size < hdr || p + size > to) return out.result() // malformed tail: stop
+      out += ((tpe, p + hdr, (p + size).toInt))
+      p = (p + size).toInt
     }
     out.result()
   }
 
   private def find(b: Array[Byte], from: Int, to: Int, tpe: String): Option[(Int, Int)] =
     boxes(b, from, to).collectFirst { case (`tpe`, s, e) => (s, e) }
+
+  /** tkhd geometry for one trak, if present and non-degenerate. */
+  private def trakGeometry(bytes: Array[Byte], ts: Int, te: Int): Option[(Int, Int)] =
+    find(bytes, ts, te, "tkhd").flatMap { case (ks, ke) =>
+      val bb = ByteBuffer.wrap(bytes, ks, ke - ks).order(ByteOrder.BIG_ENDIAN)
+      val version = bb.get() & 0xFF
+      val geomOff = version match {
+        // verflags4 + ctime4 mtime4 id4 res4 dur4 res8 l2 a2 v2 r2 matrix36
+        case 0 => 76
+        // verflags4 + ctime8 mtime8 id4 res4 dur8 res8 l2 a2 v2 r2 matrix36
+        case 1 => 88
+        case _ => -1
+      }
+      if (geomOff < 0 || ks + geomOff + 8 > ke) None
+      else {
+        val gb = ByteBuffer.wrap(bytes, ks + geomOff, 8).order(ByteOrder.BIG_ENDIAN)
+        Some((gb.getInt >>> 16, gb.getInt >>> 16)) // 16.16 → integer part
+      }
+    }
 
   def parse(bytes: Array[Byte]): Option[Info] =
     try {
@@ -103,36 +138,28 @@ object Mp4 {
           val bb = ByteBuffer.wrap(bytes, hs, he - hs).order(ByteOrder.BIG_ENDIAN)
           val version = bb.get() & 0xFF
           bb.position(bb.position() + 3) // flags
+          // timescale/duration are spec-UNSIGNED 32-bit in version 0 —
+          // a plain getInt sign-extends long recordings negative
           version match {
             case 0 => bb.position(bb.position() + 8) // 32-bit times
-              Some((bb.getInt, bb.getInt.toLong))
+              Some((bb.getInt, bb.getInt.toLong & 0xFFFFFFFFL))
             case 1 => bb.position(bb.position() + 16) // 64-bit times
               Some((bb.getInt, bb.getLong))
             case _ => None
           }
         }
-        (ks, ke) <- find(bytes, ms, me, "trak").flatMap { case (s, e) => find(bytes, s, e, "tkhd") }
+        if ts > 0 // unsigned-overflowed or zero timescale: malformed
+        // real muxed files often order [audio, video]; an audio tkhd
+        // carries 0×0 geometry, so take the first trak with a NON-ZERO
+        // box rather than blindly the first trak
         (w, h) <- {
-          val bb = ByteBuffer.wrap(bytes, ks, ke - ks).order(ByteOrder.BIG_ENDIAN)
-          val version = bb.get() & 0xFF
-          bb.position(bb.position() + 3)
-          val geomOff = version match {
-            // verflags4 + ctime4 mtime4 id4 res4 dur4 res8 l2 a2 v2 r2 matrix36
-            case 0 => 76
-            // verflags4 + ctime8 mtime8 id4 res4 dur8 res8 l2 a2 v2 r2 matrix36
-            case 1 => 88
-            case _ => -1
-          }
-          if (geomOff < 0 || ks + geomOff + 8 > ke) None
-          else {
-            val gb = ByteBuffer.wrap(bytes, ks + geomOff, 8).order(ByteOrder.BIG_ENDIAN)
-            Some((gb.getInt >>> 16, gb.getInt >>> 16)) // 16.16 → integer part
-          }
+          val geoms = boxes(bytes, ms, me).collect { case ("trak", s, e) => (s, e) }
+            .flatMap { case (s, e) => trakGeometry(bytes, s, e) }
+          geoms.find { case (gw, gh) => gw > 0 && gh > 0 }.orElse(geoms.headOption)
         }
       } yield {
-        val mdat = top.collectFirst { case ("mdat", s, e) =>
-          java.util.Arrays.copyOfRange(bytes, s, e) }.getOrElse(Array.emptyByteArray)
-        Info(ts, dur, w, h, mdat)
+        val (mdS, mdE) = top.collectFirst { case ("mdat", s, e) => (s, e) }.getOrElse((0, 0))
+        Info(ts, dur, w, h, mdS, mdE)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }

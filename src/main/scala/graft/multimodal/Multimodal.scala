@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   *
   * Image (PNG/BMP/JPEG/GIF) and WAV audio decode are REAL, via the
   * pure-JDK codecs (`javax.imageio`, `javax.sound.sampled`) — no
-  * external libraries. Video has no JDK codec, so its decode is a
-  * clearly-documented deterministic fake behind the same seam
-  * ([[Multimodal.fakeVideoFeatures]]): schema, dispatch, partitioning
-  * and batch shape are identical to the real paths, and a real ffmpeg
-  * binding would replace exactly that one function.
+  * external libraries. Video METADATA decode is also real: [[Mp4]]
+  * parses the ISO-BMFF container structure (box walk, mvhd timing,
+  * tkhd geometry) in pure bytes. Only video FRAME features remain a
+  * clearly-documented deterministic fake ([[fakeVideoFeatures]], run
+  * over the parsed mdat payload) — pixel decode needs codecs the JDK
+  * does not ship, and a real ffmpeg binding would replace exactly that
+  * one function.
   */
 object Multimodal {
 
@@ -50,9 +52,11 @@ object Multimodal {
     * id % 3 == 0 → a solid-color PNG/BMP whose dimensions and fill
     * color are closed-form in the id; == 1 → a constant-amplitude
     * 16-bit PCM WAV whose rate/length/amplitude are closed-form;
-    * == 2 → an opaque "video" byte stream. Because every parameter is
-    * arithmetic in the id, an oracle can verify the ENCODE→DECODE
-    * round trip through the actual JDK codecs with plain SQL. */
+    * == 2 → a valid ISO-BMFF (MP4) container whose timing and
+    * geometry are closed-form. Because every parameter is arithmetic
+    * in the id, an oracle can verify the ENCODE→DECODE round trip
+    * through the actual JDK codecs (and the Mp4 box parser) with
+    * plain SQL. */
   def synthesize(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
@@ -132,8 +136,8 @@ object Multimodal {
       .map(b => f"$b%02x").mkString
 
   /** Schema the decoder appends: image rows fill width/height/channels,
-    * audio rows fill sample_rate/n_samples/channels, video rows only
-    * the (fake) feature vector. */
+    * audio rows fill sample_rate/n_samples/channels, video rows fill
+    * width/height (tkhd) + timebase (mvhd) and a fake feature vector. */
   private def decodedFields(inSchema: StructType): StructType =
     StructType(inSchema.fields ++ Seq(
       StructField("width", IntegerType), StructField("height", IntegerType),
@@ -141,9 +145,10 @@ object Multimodal {
       StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
       StructField("features", ArrayType(FloatType))))
 
-  /** REAL decode for image (javax.imageio: PNG/BMP/JPEG/GIF) and WAV
-    * audio (javax.sound.sampled); video falls through to the documented
-    * deterministic fake. Dispatch is on `meta.mime`. One decoder
+  /** REAL decode for image (javax.imageio: PNG/BMP/JPEG/GIF), WAV
+    * audio (javax.sound.sampled), and MP4 container metadata ([[Mp4]]);
+    * only video FRAME features use the documented deterministic fake.
+    * Dispatch is on `meta.mime`. One decoder
     * context per partition; constant memory per row (media bytes are
     * decoded and released row by row, never collected). */
   def decode(payloads: DataFrame, videoFeatureDim: Int = 8): DataFrame = {
@@ -228,7 +233,10 @@ object Multimodal {
   private def decodeMp4(bytes: Array[Byte], featureDim: Int): Row =
     Mp4.parse(bytes) match {
       case Some(info) => Row(info.width, info.height, null,
-        info.timescale, info.duration, fakeVideoFeatures(info.mdat, featureDim))
+        info.timescale, info.duration,
+        // features over the mdat RANGE of the original bytes — no
+        // second copy of a multi-MB payload per row
+        fakeVideoFeatures(bytes, featureDim, info.mdatStart, info.mdatEnd))
       case None => Row(null, null, null, null, null, fakeVideoFeatures(bytes, featureDim))
     }
 
@@ -236,11 +244,19 @@ object Multimodal {
     * chunk-hash features so pipelines exercise the exact shape a real
     * ffmpeg/JNI binding would plug into; replace this function (only)
     * to make video decode real. */
-  def fakeVideoFeatures(bytes: Array[Byte], featureDim: Int): Seq[Float] =
+  def fakeVideoFeatures(bytes: Array[Byte], featureDim: Int,
+      from: Int = 0, until: Int = -1): Seq[Float] = {
+    val end = if (until < 0) bytes.length else until
+    val len = end - from
     (0 until featureDim).map { i =>
-      val chunk = bytes.slice(i * bytes.length / featureDim, (i + 1) * bytes.length / featureDim)
-      java.util.Arrays.hashCode(chunk).toFloat / Int.MaxValue
+      val s = from + i * len / featureDim
+      val e = from + (i + 1) * len / featureDim
+      // Arrays.hashCode over the range, computed in place (no chunk copy)
+      var h = 1; var j = s
+      while (j < e) { h = 31 * h + bytes(j); j += 1 }
+      h.toFloat / Int.MaxValue
     }
+  }
 
   /** Frame-sampling plumbing for video-like payloads: split the payload
     * into `frames` equal byte-ranges and explode one row per sampled
