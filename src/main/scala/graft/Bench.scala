@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Driver-run benchmark: every declared query at SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout. Each query is forced through a `noop` write
@@ -30,12 +31,42 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the status store is live even with the UI off, and its default
+      // retention (1000 jobs / 1000 stages, tasks per stage) grows all
+      // session long — by the 100th query the listener bus is churning
+      // a store two orders of magnitude bigger than any one query
+      // needs, measured as suite-wide drift on UNTOUCHED queries
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // Ops queries mint graft_q_* temp datasets (plus streaming
+    // checkpoints) and never delete them — a full bench leaves 100s of
+    // dirs / GBs in java.io.tmpdir, and the tail queries run against a
+    // page cache and tmpfs full of dead data. Sweep them after every
+    // rep; each invocation creates fresh dirs, so nothing live is ever
+    // deleted. (Only this JVM's naming pattern is touched.)
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def sweepTmp(): Unit =
+      try {
+        val it = java.nio.file.Files.list(tmpRoot)
+        try it.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft_q_"))
+          .foreach { d =>
+            try {
+              java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverseIterator
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            } catch { case _: Throwable => () } // best-effort hygiene
+          }
+        finally it.close()
+      } catch { case _: Throwable => () }
 
     // warmup: JVM, codegen, parquet reader paths
     force(SparkEntry.entry(spark))
@@ -51,6 +82,7 @@ object Bench {
         // tail queries are measured under 40+ queries of accumulated
         // driver state and slow down 2-5x.
         spark.catalog.clearCache()
+        sweepTmp()
         System.gc()
         dt
       }

@@ -34,18 +34,33 @@ import org.apache.spark.util.sketch.BloomFilter
   * Capacity: the filter is sized at creation (`expectedItems`, `fpp`)
   * and batch merges reuse the SAME parameters (Spark bloom merge
   * requires identical layout). Past ~expectedItems inserted keys the
-  * real fpp degrades — more false positives, never wrong results;
-  * [[build]] with a larger budget resizes. */
+  * real fpp degrades — more false positives, never wrong results. The
+  * sidecar header therefore carries a running OCCUPANCY estimate:
+  * `inserted` counts rows absorbed by build + every merge (an upper
+  * bound on distinct keys — duplicate-keyed rows overcount, which only
+  * rebuilds earlier), and `deleted` counts rows removed by
+  * [[DatasetDelete]] (their keys linger as false positives until a
+  * rebuild). When `inserted + deleted > expectedItems` the maintained
+  * writers auto-[[build]] at the end of their mutation — inside the
+  * lock they already hold, resized to 4× the then-live rows, so the
+  * budget grows geometrically and the rebuild cost amortizes to O(1)
+  * per ingested row. Without this the fast path decays silently into
+  * "anti-join everything" under exactly the continuous-ingest regime
+  * the index exists for. */
 object BloomIndex {
   val FileName = "_bloom_index"
   private val Magic = "graft-bloom-v1"
   val DefaultFpp = 0.01
 
   final case class Index(cols: Seq[String], expectedItems: Long, fpp: Double,
-      bytes: Array[Byte]) {
+      bytes: Array[Byte], inserted: Long = 0L, deleted: Long = 0L) {
     @transient lazy val bloom: BloomFilter =
       BloomFilter.readFrom(new ByteArrayInputStream(bytes))
   }
+
+  /** Occupancy past budget — the maintained-write rebuild trigger. */
+  def needsRebuild(idx: Index): Boolean =
+    idx.inserted + idx.deleted > idx.expectedItems
 
   def sidecar(dsPath: String): Path = new Path(dsPath, FileName)
 
@@ -68,10 +83,18 @@ object BloomIndex {
       val nl = all.indexOf('\n'.toByte)
       if (nl < 0) return None
       val header = new String(all, 0, nl, java.nio.charset.StandardCharsets.UTF_8).split('\t')
-      if (header.length != 4 || header(0) != Magic) return None
+      if ((header.length != 4 && header.length != 6) || header(0) != Magic) return None
+      val expected = header(2).toLong
+      // 4-field headers predate occupancy tracking: reconstruct the
+      // build-time estimate from the sizing rule then in force
+      // (expectedItems = 4× rows at build) rather than starting at 0,
+      // which would delay the first rebuild by a full extra budget
+      val (ins, del) =
+        if (header.length == 6) (header(4).toLong, header(5).toLong)
+        else (expected / 4, 0L)
       val idx = Index(header(1).split(',').toSeq.filter(_.nonEmpty),
-        header(2).toLong, header(3).toDouble,
-        java.util.Arrays.copyOfRange(all, nl + 1, all.length))
+        expected, header(3).toDouble,
+        java.util.Arrays.copyOfRange(all, nl + 1, all.length), ins, del)
       idx.bloom // validate the filter payload deserializes (lazy-cached for use)
       Some(idx)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -86,7 +109,7 @@ object BloomIndex {
     val out = fs.create(tmp, true)
     try {
       out.write((Seq(Magic, idx.cols.mkString(","), idx.expectedItems.toString,
-        idx.fpp.toString).mkString("\t") + "\n")
+        idx.fpp.toString, idx.inserted.toString, idx.deleted.toString).mkString("\t") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.write(idx.bytes)
     } finally out.close()
@@ -109,26 +132,66 @@ object BloomIndex {
       expectedItems: Long, fpp: Double): BloomFilter =
     df.select(keyHash(cols).as("__h")).stat.bloomFilter("__h", expectedItems, fpp)
 
+  /** [[fromBatch]] plus the batch's row count, in ONE distributed pass
+    * (the occupancy estimate would otherwise cost every merge a second
+    * scan of the batch). Same treeAggregate shape Spark's own
+    * `stat.bloomFilter` uses; Spark's BloomFilter is Serializable, so
+    * the (filter, count) pair rides the normal combiner path. */
+  def fromBatchCounted(df: DataFrame, cols: Seq[String],
+      expectedItems: Long, fpp: Double): (BloomFilter, Long) =
+    df.select(keyHash(cols).as("__h")).rdd
+      .treeAggregate((BloomFilter.create(expectedItems, fpp), 0L))(
+        seqOp = { case ((bf, n), row) => bf.putLong(row.getLong(0)); (bf, n + 1) },
+        combOp = { case ((a, na), (b, nb)) => a.mergeInPlace(b); (a, na + nb) })
+
   /** Build (or resize) the sidecar from the dataset's current rows.
     * `expectedItems` defaults to 4× the current count — headroom for
-    * subsequent batch merges before fpp degrades. */
+    * subsequent batch merges before fpp degrades. Occupancy restarts at
+    * the dataset's live row count, deletions at zero (a rebuild scans
+    * only live rows, so purged keys really are gone from the filter). */
   def build(spark: SparkSession, ds: GraftDataset, cols: Seq[String],
       expectedItems: Option[Long] = None, fpp: Double = DefaultFpp): Index = {
     val df = ds.raw(spark)
-    val items = expectedItems.getOrElse(math.max(1L << 16, df.count() * 4))
-    val idx = Index(cols, items, fpp, serialize(fromBatch(df, cols, items, fpp)))
+    val idx = expectedItems match {
+      case Some(items) => // caller-sized: count rides the filter pass
+        val (bf, n) = fromBatchCounted(df, cols, items, fpp)
+        Index(cols, items, fpp, serialize(bf), inserted = n)
+      case None => // self-sized: the count pass must precede the filter pass
+        val n = df.count()
+        val items = math.max(1L << 16, n * 4)
+        Index(cols, items, fpp, serialize(fromBatch(df, cols, items, fpp)), inserted = n)
+    }
     write(ds.fs(spark), ds.path, idx)
     idx
   }
 
   /** Merge a written batch's keys into an index (same layout params →
-    * mergeable), returning the updated index. Deserializes a FRESH
-    * filter — `idx.bloom` is cached and mergeInPlace mutates. */
+    * mergeable), returning the updated index with occupancy advanced by
+    * the batch's rows. Deserializes a FRESH filter — `idx.bloom` is
+    * cached and mergeInPlace mutates. */
   def merged(idx: Index, batch: DataFrame): Index = {
     val bf = BloomFilter.readFrom(new ByteArrayInputStream(idx.bytes))
-    bf.mergeInPlace(fromBatch(batch, idx.cols, idx.expectedItems, idx.fpp))
-    idx.copy(bytes = serialize(bf))
+    val (bbf, n) = fromBatchCounted(batch, idx.cols, idx.expectedItems, idx.fpp)
+    bf.mergeInPlace(bbf)
+    idx.copy(bytes = serialize(bf), inserted = idx.inserted + n)
   }
+
+  /** Record `n` deleted rows against the sidecar (their keys stay in
+    * the filter as false positives until the occupancy rebuild). */
+  def recordDeleted(fs: FileSystem, dsPath: String, idx: Index, n: Long): Index = {
+    val bumped = idx.copy(deleted = idx.deleted + n)
+    write(fs, dsPath, bumped)
+    bumped
+  }
+
+  /** Maintained-write hook: rebuild the sidecar when occupancy exceeds
+    * its budget. `idx` is the just-written in-memory index (no second
+    * sidecar read on the hot path). Callers hold the dataset lock and
+    * have already committed their data, so the rebuild scans exactly
+    * the live rows. Amortized O(1)/row: each rebuild quadruples the
+    * budget relative to the rows that triggered it. */
+  def rebuildIfOverBudget(spark: SparkSession, ds: GraftDataset, idx: Index): Unit =
+    if (needsRebuild(idx)) { build(spark, ds, idx.cols, fpp = idx.fpp); () }
 
   /** The membership probe column for `df`'s rows against `idx`. */
   def mightContain(spark: SparkSession, idx: Index): Column =

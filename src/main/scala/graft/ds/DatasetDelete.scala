@@ -34,9 +34,9 @@ import org.apache.spark.sql.functions._
   *
   * Bloom sidecar: deleting rows can only SHRINK the live key set, so an
   * existing [[BloomIndex]] stays a superset — deleted keys linger as
-  * false positives (an anti-join probe each) until the next
-  * overwrite/build resizes the filter. The root-swap path carries the
-  * sidecar through the swap unchanged.
+  * false positives (an anti-join probe each). Both paths bump the
+  * sidecar's deleted-count, so the occupancy trigger rebuilds the
+  * filter over live rows once cumulative churn exceeds its budget.
   *
   * Predicate semantics follow SQL DELETE: rows where the predicate is
   * TRUE are removed; FALSE and NULL rows are kept. */
@@ -56,11 +56,30 @@ object DatasetDelete {
 
   /** Delete rows whose `keyCols` tuple appears in `keys` (null-safe:
     * a NULL key deletes NULL-keyed rows — the same `<=>` rule delta
-    * and upsert use). Returns rows deleted. */
+    * and upsert use). Returns rows deleted.
+    *
+    * Bloom fast path: with a [[BloomIndex]] sidecar recorded over
+    * exactly `keyCols`, the doomed keys probe the filter FIRST — keys
+    * definitely absent from the dataset drop out before any data scan
+    * (the same map-side probe the delta write uses). The common GDPR
+    * sweep — a big id list with little or no overlap — then costs
+    * O(keys): a no-overlap purge reads ZERO data files, and a small
+    * overlap pays the semi/anti joins with only the surviving keys.
+    * Safe because the filter is a superset of live keys (no false
+    * negatives), and ordered correctly because the probe is forced
+    * lazily INSIDE the dataset lock — a key added by a writer we
+    * serialized behind is in the sidecar before we read it. */
   def deleteByKeys(spark: SparkSession, target: GraftDataset,
       keys: DataFrame, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "deleteByKeys needs key columns")
-    val k = keys.select(keyCols.map(col): _*).distinct()
+    val k0 = keys.select(keyCols.map(col): _*).distinct()
+    // lazy: first use happens inside deleteCore's lock (earlyEmpty or
+    // the closures), never before
+    lazy val k = BloomIndex.load(target.fs(spark), target.path)
+      .filter(_.cols == keyCols) match {
+        case Some(idx) => k0.filter(BloomIndex.mightContain(spark, idx))
+        case None => k0
+      }
     def cond(df: DataFrame) = keyCols.map(c => df(c) <=> k(c)).reduce(_ && _)
     deleteCore(spark, target,
       // input_file_name MUST be projected below the join (it reads the
@@ -70,21 +89,28 @@ object DatasetDelete {
         val withF = df.withColumn("__f", input_file_name())
         withF.join(k, cond(withF), "left_semi")
       },
-      keptOf = df => df.join(k, cond(df), "left_anti"))
+      keptOf = df => df.join(k, cond(df), "left_anti"),
+      // LIMIT-1 over the (probed) key list only — zero dataset IO when
+      // every doomed key is definitely absent
+      earlyEmpty = () => k.isEmpty)
   }
 
   /** Shared machinery. `doomedWithFile(existing)` = rows to delete WITH
     * a `__f` input-file column valid at the scan; `keptOf(existing)` =
-    * rows to keep. Runs under the dataset lock — a delete racing an
+    * rows to keep; `earlyEmpty` = a cheap in-lock check that the doomed
+    * set is provably empty (bloom-probed key list) BEFORE any dataset
+    * scan is planned. Runs under the dataset lock — a delete racing an
     * upsert/compact would interleave staged renames. */
   private def deleteCore(spark: SparkSession, target: GraftDataset,
       doomedWithFile: DataFrame => DataFrame,
-      keptOf: DataFrame => DataFrame): Long = {
+      keptOf: DataFrame => DataFrame,
+      earlyEmpty: () => Boolean = () => false): Long = {
     val fs = target.fs(spark)
     val root = new Path(target.path)
     if (!fs.exists(root)) return 0L
     DatasetLock.withLock(fs, root) {
       if (target.dataFiles(spark).isEmpty) 0L
+      else if (earlyEmpty()) 0L
       else {
         val existing = target.df(spark)
         val partCols = target.partitioning
@@ -110,13 +136,20 @@ object DatasetDelete {
       clusterBy = target.clusterBy, locking = false)
       .write(spark, keptOf(existing))
     // the sidecars live inside the root and would die in the swap. The
-    // bloom filter carries unchanged (a delete only shrinks the key
-    // set — the old filter is still a superset); the stats index names
-    // only dead files — remember its columns and rebuild instead
-    BloomIndex.load(fs, target.path).foreach(idx => BloomIndex.write(fs, tmp.toString, idx))
+    // bloom filter carries with its deleted-count bumped: the filter
+    // stays a superset (deleted keys linger as false positives), and
+    // the bump lets the occupancy trigger rebuild it once churn
+    // exceeds the budget; the stats index names only dead files —
+    // remember its columns and rebuild instead
+    val carried = BloomIndex.load(fs, target.path).map { idx =>
+      val bumped = idx.copy(deleted = idx.deleted + doomed)
+      BloomIndex.write(fs, tmp.toString, bumped)
+      bumped
+    }
     val statCols = StatsIndex.load(fs, target.path).map(_.cols)
     DatasetWriter.swapInPlace(fs, tmp, root)
     statCols.foreach(cs => StatsIndex.build(spark, target, cs))
+    carried.foreach(idx => BloomIndex.rebuildIfOverBudget(spark, target, idx))
     doomed
   }
 
@@ -183,6 +216,13 @@ object DatasetDelete {
     // drop stats entries for rewritten/deleted files, index the staged
     // ones — O(staged files) footer IO inside the lock we already hold
     StatsIndex.maintain(spark, target)
+    // partition swaps leave the root sidecar in place — bump its
+    // deleted count so purge churn feeds the occupancy rebuild (the
+    // filter itself stays a valid superset throughout)
+    BloomIndex.load(fs, target.path).foreach { idx =>
+      val bumped = BloomIndex.recordDeleted(fs, target.path, idx, doomed)
+      BloomIndex.rebuildIfOverBudget(spark, target, bumped)
+    }
     doomed
   }
 }

@@ -204,6 +204,24 @@ object DatasetLock {
             if (running && stillOurs) {
               val out = fs.create(lock, true)
               try out.write(tokBytes) finally out.close()
+              // shrink the residual dual-holder window to read-after-
+              // write: a thief that completes its steal AFTER our
+              // create shows up here as a foreign token — stop
+              // claiming ownership and scream rather than beat over
+              // it. (A thief that wrote BEFORE our create was just
+              // clobbered and cannot be detected without conditional
+              // ops — the irreducible sliver this path documents; on
+              // the no-op-setTimes connectors where this fallback
+              // runs, that sliver is create-to-read, not check-to-
+              // create, after this change.)
+              readToken(fs, lock) match {
+                case Some(tok) if tok != ourToken =>
+                  running = false
+                  System.err.println(s"[graft] DatasetLock $lock: heartbeat " +
+                    "overwrite raced a TTL steal — lock ceded to " +
+                    s"$tok; this holder's write may conflict (dual-holder window)")
+                case _ => () // ours, or transient read failure — next beat retries
+              }
             }
           }
         } catch {

@@ -177,8 +177,11 @@ final case class DatasetWriter(
         // atomically with its data. The old post-swap merge left a
         // crash window where rows were live but their keys were not,
         // and the next delta re-appended them as duplicates.
-        sideIdx.foreach(idx =>
-          BloomIndex.write(fs, tmp.toString, BloomIndex.merged(idx, alignKeys(pinned, idx))))
+        val mergedIdx = sideIdx.map { idx =>
+          val m = BloomIndex.merged(idx, alignKeys(pinned, idx))
+          BloomIndex.write(fs, tmp.toString, m)
+          m
+        }
         // the stats sidecar's entries all name files the swap kills —
         // carrying it would be dead weight; remember its columns and
         // rebuild over the merged result instead (an O(files) footer
@@ -187,6 +190,7 @@ final case class DatasetWriter(
         DatasetWriter.swapInPlace(fs, tmp, targetPath)
         if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
         statCols.foreach(cs => StatsIndex.build(spark, target, cs))
+        mergedIdx.foreach(m => BloomIndex.rebuildIfOverBudget(spark, target, m))
         return n
       } finally pinned.unpersist()
     }
@@ -259,8 +263,11 @@ final case class DatasetWriter(
     // which silently re-appends them. Merge-first is the one crash-safe
     // order.
     val overwrote = saveMode == SaveMode.Overwrite || !existed
-    if (!overwrote) sideIdx.foreach(idx =>
-      BloomIndex.write(fs, target.path, BloomIndex.merged(idx, alignKeys(toWrite, idx))))
+    val mergedIdx = if (overwrote) None else sideIdx.map { idx =>
+      val m = BloomIndex.merged(idx, alignKeys(toWrite, idx))
+      BloomIndex.write(fs, target.path, m)
+      m
+    }
 
     // Row count captured via Observation during the single write job —
     // no caching of the (potentially huge) output.
@@ -287,6 +294,11 @@ final case class DatasetWriter(
     // stats sidecar stays fresh across ingest: O(new files) footer IO,
     // no-op unless one was built (an overwrite deleted it with the dir)
     StatsIndex.maintain(spark, target)
+    // occupancy check AFTER the data commit: the rebuild scans live
+    // rows, and the pre-commit merge above already persisted the
+    // superset either way (crash between commit and rebuild leaves a
+    // degraded-but-correct filter, healed at the next maintained write)
+    mergedIdx.foreach(m => BloomIndex.rebuildIfOverBudget(spark, target, m))
     written
     } finally {
       if (mode == WriteMode.Delta && existed) toWrite.unpersist()
@@ -392,8 +404,11 @@ final case class DatasetWriter(
     // a promotion with the old post-merge order hid freshly-live keys
     // from the next delta — silent duplicates. Partition swaps leave
     // the root sidecar in place, so merging here is durable.
-    sideIdx.foreach(idx =>
-      BloomIndex.write(fs, target.path, BloomIndex.merged(idx, alignKeys(pinned, idx))))
+    val mergedIdx = sideIdx.map { idx =>
+      val m = BloomIndex.merged(idx, alignKeys(pinned, idx))
+      BloomIndex.write(fs, target.path, m)
+      m
+    }
 
     // Partitions that lost their LAST matched row to another partition
     // and got nothing back hold ONLY rows being moved (unmatched rows
@@ -419,6 +434,7 @@ final case class DatasetWriter(
     fs.delete(tmp, true)
     if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
     StatsIndex.maintain(spark, target)
+    mergedIdx.foreach(m => BloomIndex.rebuildIfOverBudget(spark, target, m))
     n
   }
 

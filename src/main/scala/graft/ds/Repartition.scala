@@ -66,8 +66,15 @@ object Repartition {
         n
       }
     } else {
-      DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)
-        .write(spark, source.df(spark))
+      // plain cross-location copy: still a critical section on the
+      // SOURCE — a concurrent in-place rewrite/compact swaps the
+      // source's files away mid-job, and with ignoreMissingFiles a
+      // partial dataset would copy over silently. Same source→dest
+      // lock order as the move branch (the inner write locks dest).
+      DatasetLock.withLock(source.fs(spark), new Path(source.path)) {
+        DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)
+          .write(spark, source.df(spark))
+      }
     }
   }
 

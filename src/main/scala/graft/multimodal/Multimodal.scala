@@ -80,18 +80,25 @@ object Multimodal {
 
   /** Closed-form media parameters (shared by the generator, the specs
     * and the SQL oracle — one definition, three consumers). */
-  def imageDims(id: Long): (Int, Int) = (16 + (id % 32).toInt, 16 + ((id / 32) % 16).toInt)
+  // floorMod throughout: Scala % is negative for negative ids, and a
+  // negative channel value makes java.awt.Color THROW inside the
+  // executor — the decode paths promise no executor crashes, so the
+  // generator must not crash on them either. Fixture ids are
+  // non-negative, where floorMod == % and the SQL oracles agree.
+  private def fm(v: Long, m: Long): Long = Math.floorMod(v, m)
+  def imageDims(id: Long): (Int, Int) =
+    (16 + fm(id, 32).toInt, 16 + fm(Math.floorDiv(id, 32), 16).toInt)
   def imageColor(id: Long): (Int, Int, Int) =
-    ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+    (fm(id, 256).toInt, fm(id * 7, 256).toInt, fm(id * 13, 256).toInt)
   /** (timescale, durationUnits, width, height) — all oracle-derivable. */
   def videoParams(id: Long): (Int, Int, Int, Int) =
-    (1000 + (id % 8).toInt * 500, 24 + (id % 240).toInt,
-      320 + (id % 16).toInt * 8, 180 + (id % 9).toInt * 20)
+    (1000 + fm(id, 8).toInt * 500, 24 + fm(id, 240).toInt,
+      320 + fm(id, 16).toInt * 8, 180 + fm(id, 9).toInt * 20)
 
   def audioParams(id: Long): (Int, Int, Int) = // (sampleRate, nSamples, amplitude)
-    (8000, 160 + (id % 320).toInt, ((id % 200).toInt - 100) * 163)
+    (8000, 160 + fm(id, 320).toInt, (fm(id, 200).toInt - 100) * 163)
 
-  private def synthesizeOne(id: Long): (Array[Byte], String, String) = (id % 3) match {
+  private def synthesizeOne(id: Long): (Array[Byte], String, String) = fm(id, 3) match {
     case 0 =>
       val (w, h) = imageDims(id)
       val (r, g, b) = imageColor(id)
@@ -100,7 +107,7 @@ object Multimodal {
       gfx.setColor(new java.awt.Color(r, g, b)); gfx.fillRect(0, 0, w, h); gfx.dispose()
       // alternate container formats so BOTH JDK image codecs are on the
       // round-trip path (both lossless — the color oracle stays exact)
-      val fmt = if (id % 2 == 0) "png" else "bmp"
+      val fmt = if (fm(id, 2) == 0) "png" else "bmp"
       val bos = new ByteArrayOutputStream()
       require(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK encoder for $fmt")
       (bos.toByteArray, "image", s"image/$fmt")

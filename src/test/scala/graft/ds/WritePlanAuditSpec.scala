@@ -126,6 +126,36 @@ class WritePlanAuditSpec extends AnyFunSuite {
     assert(ds.df(spark).count() == 373)
   }
 
+  test("bloom-probed no-overlap purge reads zero data files") {
+    val dir = tmpDir("graft_audit_bloomdel")
+    val ds = GraftDataset(s"$dir/t")
+    DatasetWriter(ds).withDeltaSubset("id").withBloomIndex
+      .write(spark, (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val fs = ds.fs(spark)
+    val before = ds.dataFiles(spark)
+      .map(f => f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime)
+      .toMap
+    // a GDPR-shaped sweep whose ids are all absent: the doomed keys die
+    // at the bloom probe, so the delete must plan ZERO queries against
+    // the dataset — only the LIMIT-1 emptiness check over the key list
+    val plans = capturePlans {
+      assert(DatasetDelete.deleteByKeys(spark, ds,
+        (100001L to 101000L).toDF("id"), Seq("id")) == 0)
+    }
+    assert(plans.nonEmpty, "the emptiness gate itself must execute")
+    assert(!plans.exists(_.contains(dir)),
+      s"no executed plan may scan the dataset:\n${plans.filter(_.contains(dir)).mkString("\n")}")
+    val after = ds.dataFiles(spark)
+      .map(f => f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime)
+      .toMap
+    assert(after == before, "no data file may be rewritten by a no-overlap purge")
+    // overlap still resolves exactly through the same probe path (false
+    // positives and true hits fall through to the semi/anti joins)
+    assert(DatasetDelete.deleteByKeys(spark, ds,
+      Seq(42L, 999999L).toDF("id"), Seq("id")) == 1)
+    assert(ds.df(spark).count() == 499)
+  }
+
   test("compact's rewrite scan prunes to fragmented partitions only") {
     val dir = tmpDir("graft_audit_compact")
     val ds = GraftDataset(s"$dir/t", partitioning = Seq("p"))
