@@ -32,28 +32,69 @@ import org.apache.spark.sql.types._
   *  - corrupt sidecars load as absent (same rule as [[BloomIndex]]).
   *
   * Column domains covered: integral (long), floating (double), DATE
-  * (epoch days) and TIMESTAMP (normalized to micros). Strings are
-  * deliberately excluded — parquet writers may truncate binary
-  * min/max, and a truncated max used verbatim could wrongly prune.
+  * (epoch days), TIMESTAMP (normalized to micros), and UTF-8 STRING.
   * Cross-domain comparisons (a DATE literal against TIMESTAMP stats)
-  * are not attempted: kinds must match exactly. */
+  * are not attempted: kinds must match exactly.
+  *
+  * STRING bounds — the trust model, spelled out because footer binary
+  * stats may be TRUNCATED:
+  *  - The parquet spec requires `min_value`/`max_value` to stay VALID
+  *    bounds even when compacted (its own example stores min="B",
+  *    max="C" for "Blart Versenwald III") — truncation may widen the
+  *    range, never narrow it. parquet-mr's BinaryTruncator increments
+  *    the last byte when cutting a max (keeps the full value when it
+  *    cannot), arrow/parquet-cpp DROPS oversized stats rather than
+  *    truncate, and parquet-mr's reader already suppresses binary
+  *    stats from the PARQUET-251 corrupt-sort-order writer era. So a
+  *    recorded bound is exactly as trustworthy as the numeric stats
+  *    this index already relies on; pruning needs validity, not
+  *    exactness (the `is_*_value_exact` footer flags matter only to
+  *    consumers using the bound AS a value, e.g. min/max pushdown).
+  *  - The MIN side is one-sidedly robust even to a SPEC-VIOLATING
+  *    naive prefix cut: a byte prefix always sorts <= the original,
+  *    so it stays a valid lower bound no matter what the writer did.
+  *  - Bounds live as RAW UTF-8 BYTES end to end (base64 in the
+  *    sidecar) and compare UNSIGNED — never decoded to String: a
+  *    truncated bound can cut mid-codepoint, and decoding would swap
+  *    in U+FFFD bytes that break the ordering. Unsigned byte order is
+  *    parquet's UTF8 sort order AND Spark's default (binary
+  *    collation) string comparison, so range logic matches the
+  *    engine's own semantics. Literals of non-default COLLATED string
+  *    types are not extracted at all (their dataType is not the
+  *    `StringType` singleton) → collations degrade to no-pruning. */
 object StatsIndex {
   val FileName = "_stats_index"
   private val Magic = "graft-stats-v1"
 
   /** One column's file-level range. `kind`: "l" integral, "d" double,
-    * "date" epoch-day, "ts" epoch-micros. BigDecimal keeps long
-    * comparisons exact past 2^53 (a double roundtrip there could
-    * wrongly prune a boundary file). `nulls` = the file's null count
-    * for this column, or -1 when any row group left it unset. */
+    * "date" epoch-day, "ts" epoch-micros, "s" UTF-8 string. BigDecimal
+    * keeps long comparisons exact past 2^53 (a double roundtrip there
+    * could wrongly prune a boundary file). Kind "s" carries its bounds
+    * in `smin`/`smax` as raw UTF-8 bytes (numeric fields null) — see
+    * the STRING trust-model note above. `nulls` = the file's null
+    * count for this column, or -1 when any row group left it unset. */
   final case class ColRange(kind: String, min: BigDecimal, max: BigDecimal,
-      nulls: Long = -1L) {
+      nulls: Long = -1L, smin: Array[Byte] = null, smax: Array[Byte] = null) {
     def overlaps(op: String, v: BigDecimal): Boolean = op match {
       case ">"  => max > v
       case ">=" => max >= v
       case "<"  => min < v
       case "<=" => min <= v
       case "="  => min <= v && v <= max
+    }
+    /** Same keep/prune algebra at unsigned byte order. Identical
+      * safety argument as the numeric form given VALID (possibly
+      * widened) bounds: prune `>` iff smax <= v, `<` iff smin >= v,
+      * `=` iff v outside [smin, smax]. */
+    def overlapsStr(op: String, v: Array[Byte]): Boolean = {
+      def c(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
+      op match {
+        case ">"  => c(smax, v) > 0
+        case ">=" => c(smax, v) >= 0
+        case "<"  => c(smin, v) < 0
+        case "<=" => c(smin, v) <= 0
+        case "="  => c(smin, v) <= 0 && c(v, smax) <= 0
+      }
     }
   }
 
@@ -74,6 +115,13 @@ object StatsIndex {
       val header = lines.head.split('\t')
       if (header.length != 2 || header(0) != Magic) return None
       val cols = header(1).split(',').toSeq.filter(_.nonEmpty)
+      // kind "s" bounds are base64 raw bytes, everything else decimal
+      // text; a malformed field throws → NonFatal → sidecar absent
+      def range(kind: String, mn: String, mx: String, nulls: Long): ColRange =
+        if (kind == "s") {
+          val dec = java.util.Base64.getDecoder
+          ColRange("s", null, null, nulls, dec.decode(mn), dec.decode(mx))
+        } else ColRange(kind, BigDecimal(mn), BigDecimal(mx), nulls)
       val files = lines.tail.map { ln =>
         // 5-field lines are the pre-null-count format — parse them with
         // nulls unknown (-1) rather than invalidating every sidecar
@@ -81,9 +129,9 @@ object StatsIndex {
         // kill maintenance forever: maintain() no-ops on None)
         ln.split('\t') match {
           case Array(rel, c, kind, mn, mx) =>
-            (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx), -1L))
+            (rel, c, range(kind, mn, mx, -1L))
           case Array(rel, c, kind, mn, mx, nulls) =>
-            (rel, c, ColRange(kind, BigDecimal(mn), BigDecimal(mx), nulls.toLong))
+            (rel, c, range(kind, mn, mx, nulls.toLong))
         }
       }.groupBy(_._1).map { case (rel, rows) =>
         // "none" tombstone: a memoized stats-less file (footer had no
@@ -104,8 +152,12 @@ object StatsIndex {
       if (byCol.isEmpty) // tombstone — see load()
         sb.append(rel).append("\t-\tnone\t0\t0\t-1\n")
       else byCol.toSeq.sortBy(_._1).foreach { case (c, r) =>
+        val enc = java.util.Base64.getEncoder
+        val (mn, mx) =
+          if (r.kind == "s") (enc.encodeToString(r.smin), enc.encodeToString(r.smax))
+          else (r.min.toString, r.max.toString)
         sb.append(rel).append('\t').append(c).append('\t').append(r.kind)
-          .append('\t').append(r.min).append('\t').append(r.max)
+          .append('\t').append(mn).append('\t').append(mx)
           .append('\t').append(r.nulls).append('\n')
       }
     }
@@ -161,16 +213,28 @@ object StatsIndex {
                   case (l: java.lang.Long, "INT64") => Some(("l", BigDecimal(l.longValue())))
                   case (fl: java.lang.Float, _) => Some(("d", BigDecimal(fl.toDouble)))
                   case (d: java.lang.Double, _) => Some(("d", BigDecimal(d.doubleValue())))
-                  case _ => None // binary/bool/byte-array decimal: out of scope
+                  case _ => None // non-string binary/bool/byte-array decimal: out of scope
                 }
-                for {
+                val blkNulls = if (s.isNumNullsSet) s.getNumNulls else -1L
+                // STRING annotation exactly (ENUM/JSON/BSON are binary
+                // too but carry no string comparison contract): bounds
+                // taken as raw bytes — possibly spec-truncated, still
+                // valid bounds (see trust-model note in the header)
+                if (prim == "BINARY" && ann == "STRING")
+                  (s.genericGetMin.asInstanceOf[AnyRef],
+                    s.genericGetMax.asInstanceOf[AnyRef]) match {
+                    case (mn: org.apache.parquet.io.api.Binary,
+                          mx: org.apache.parquet.io.api.Binary) =>
+                      Some(ColRange("s", null, null, blkNulls, mn.getBytes, mx.getBytes))
+                    case _ => None
+                  }
+                else for {
                   (k1, mn) <- asBD(s.genericGetMin.asInstanceOf[AnyRef])
                   (_, mx) <- asBD(s.genericGetMax.asInstanceOf[AnyRef])
                   // per-block null count from the SAME chunk lookup
                   // (a second getColumns.find per block would double
                   // the footer walk on the distributed build path)
-                } yield ColRange(k1, mn, mx,
-                  if (s.isNumNullsSet) s.getNumNulls else -1L)
+                } yield ColRange(k1, mn, mx, blkNulls)
               }
             }
           }
@@ -181,7 +245,13 @@ object StatsIndex {
             // recorded one; -1 (unknown) disables isNull pruning
             val nulls =
               if (rs.exists(_.nulls < 0)) -1L else rs.map(_.nulls).sum
-            Some(c -> ColRange(rs.head.kind, rs.map(_.min).min, rs.map(_.max).max, nulls))
+            if (rs.head.kind == "s") {
+              def cu(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
+              Some(c -> ColRange("s", null, null, nulls,
+                rs.map(_.smin).reduce((a, b) => if (cu(a, b) <= 0) a else b),
+                rs.map(_.smax).reduce((a, b) => if (cu(a, b) >= 0) a else b)))
+            } else
+              Some(c -> ColRange(rs.head.kind, rs.map(_.min).min, rs.map(_.max).max, nulls))
           }
         }.toMap
       } finally r.close()
@@ -250,12 +320,16 @@ object StatsIndex {
     idx
   }
 
+  /** An extracted literal: numeric kinds carry `num`, kind "s" carries
+    * raw UTF-8 bytes in `str`. */
+  private[ds] final case class Bound(kind: String, num: BigDecimal, str: Array[Byte] = null)
+
   /** A prunable conjunct. */
   private[ds] sealed trait Constraint
   /** col ⋈ literal at a type domain. */
-  private[ds] final case class Cmp(col: String, op: String, kind: String, v: BigDecimal) extends Constraint
+  private[ds] final case class Cmp(col: String, op: String, b: Bound) extends Constraint
   /** col IN (literals) — file kept if ANY value lands in its range. */
-  private[ds] final case class InSet(col: String, kind: String, vs: Seq[BigDecimal]) extends Constraint
+  private[ds] final case class InSet(col: String, kind: String, bs: Seq[Bound]) extends Constraint
   /** col IS NULL — file pruned when its recorded null count is ZERO. */
   private[ds] final case class NullCheck(col: String) extends Constraint
 
@@ -274,19 +348,28 @@ object StatsIndex {
         Some(u.nameParts.head)
       case _ => None
     }
-    def value(x: Expression): Option[(String, BigDecimal)] = x match {
+    def value(x: Expression): Option[Bound] = x match {
       case Literal(null, _) => None
-      case Literal(v: Byte, _) => Some(("l", BigDecimal(v.toLong)))
-      case Literal(v: Short, _) => Some(("l", BigDecimal(v.toLong)))
-      case Literal(v: Int, DateType) => Some(("date", BigDecimal(v.toLong)))
-      case Literal(v: Int, _) => Some(("l", BigDecimal(v.toLong)))
-      case Literal(v: Long, TimestampType) => Some(("ts", BigDecimal(v)))
-      case Literal(v: Long, _) => Some(("l", BigDecimal(v)))
+      case Literal(v: Byte, _) => Some(Bound("l", BigDecimal(v.toLong)))
+      case Literal(v: Short, _) => Some(Bound("l", BigDecimal(v.toLong)))
+      case Literal(v: Int, DateType) => Some(Bound("date", BigDecimal(v.toLong)))
+      case Literal(v: Int, _) => Some(Bound("l", BigDecimal(v.toLong)))
+      case Literal(v: Long, TimestampType) => Some(Bound("ts", BigDecimal(v)))
+      case Literal(v: Long, _) => Some(Bound("l", BigDecimal(v)))
       // NaN/Infinity have no BigDecimal form (and NaN's SQL comparison
       // semantics don't map to a range anyway) — unextractable, which
       // degrades to "no pruning", never a crash
-      case Literal(v: Float, _) if !v.isNaN && !v.isInfinite => Some(("d", BigDecimal(v.toDouble)))
-      case Literal(v: Double, _) if !v.isNaN && !v.isInfinite => Some(("d", BigDecimal(v)))
+      case Literal(v: Float, _) if !v.isNaN && !v.isInfinite => Some(Bound("d", BigDecimal(v.toDouble)))
+      case Literal(v: Double, _) if !v.isNaN && !v.isInfinite => Some(Bound("d", BigDecimal(v)))
+      // DEFAULT StringType only (the singleton == binary collation):
+      // a collated literal compares under collation rules that byte
+      // ranges cannot answer, so it must not extract. UTF8String's
+      // bytes ARE the comparison domain — no String decode roundtrip
+      // (it would mangle bounds cut mid-codepoint)
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) if v != null =>
+        Some(Bound("s", null, v.getBytes))
+      case Literal(v: String, StringType) =>
+        Some(Bound("s", null, v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       case _ => None
     }
     def flip(op: String): String = op match {
@@ -294,8 +377,8 @@ object StatsIndex {
     }
     def cmp(op: String, l: Expression, r: Expression): Seq[Constraint] =
       (attr(l), value(r), attr(r), value(l)) match {
-        case (Some(a), Some((k, v)), _, _) => Seq(Cmp(a, op, k, v))
-        case (_, _, Some(a), Some((k, v))) => Seq(Cmp(a, flip(op), k, v))
+        case (Some(a), Some(b), _, _) => Seq(Cmp(a, op, b))
+        case (_, _, Some(a), Some(b)) => Seq(Cmp(a, flip(op), b))
         case _ => Nil
       }
     def inSet(target: Expression, items: Seq[Expression]): Seq[Constraint] =
@@ -306,8 +389,8 @@ object StatsIndex {
           // understood IN could wrongly prune the files holding the
           // values we failed to read
           if (vs.nonEmpty && vs.forall(_.isDefined) &&
-              vs.flatten.map(_._1).distinct.sizeIs == 1)
-            Seq(InSet(a, vs.flatten.head._1, vs.flatten.map(_._2)))
+              vs.flatten.map(_.kind).distinct.sizeIs == 1)
+            Seq(InSet(a, vs.flatten.head.kind, vs.flatten))
           else Nil
         case None => Nil
       }
@@ -369,12 +452,14 @@ object StatsIndex {
       idx.files.get(fs.makeQualified(new Path(f)).toString.stripPrefix(qr)) match {
         case None => true
         case Some(byCol) => cs.forall {
-          case Cmp(c, op, kind, v) => byCol.get(c) match {
-            case Some(r) if r.kind == kind => r.overlaps(op, v)
+          case Cmp(c, op, b) => byCol.get(c) match {
+            case Some(r) if r.kind == b.kind =>
+              if (b.kind == "s") r.overlapsStr(op, b.str) else r.overlaps(op, b.num)
             case _ => true
           }
-          case InSet(c, kind, vs) => byCol.get(c) match {
-            case Some(r) if r.kind == kind => vs.exists(v => r.overlaps("=", v))
+          case InSet(c, kind, bs) => byCol.get(c) match {
+            case Some(r) if r.kind == kind => bs.exists(b =>
+              if (kind == "s") r.overlapsStr("=", b.str) else r.overlaps("=", b.num))
             case _ => true
           }
           case NullCheck(c) => byCol.get(c) match {

@@ -410,6 +410,46 @@ object OpsQueries {
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'""".stripMargin
 
+  // ---- W19: string-bounds file pruning --------------------------------
+  /** W18's proof on a STRING-clustered layout — the other most common
+    * lake key family: date-as-string (`yyyy-MM-dd` sorts like the date
+    * it encodes), id prefixes. Lineitem lands range-arranged on a
+    * ship-day STRING; the sidecar records raw-UTF-8 footer bounds
+    * (valid even under spec truncation — [[graft.ds.StatsIndex]]'s
+    * trust-model note); a string range predicate then scans the pruned
+    * file list. Byte-order safety is property-tested in
+    * StatsIndexPropertySpec; semantics are oracled here with
+    * `skip_proven` carrying the file-count evidence. */
+  def w19StringSkip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w19")
+    val ds = GraftDataset(out)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        col("l_quantity"))
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .withClusterBy("ship_day")
+      .write(spark, li.repartitionByRange(16, col("ship_day")))
+    graft.ds.StatsIndex.build(spark, ds, Seq("ship_day"))
+    val pred = col("ship_day") >= lit("1995-01-01") && col("ship_day") < lit("1995-04-01")
+    val total = ds.dataFiles(spark).size
+    require(total >= 8, s"w19: only $total files — fixture too small to prove pruning")
+    val pruned = ds.pruned(spark, pred)
+    val skipProven = pruned.files.nonEmpty && pruned.files.size < total
+    pruned.df(spark).filter(pred)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("n_rows"), col("sum_qty"),
+        lit(if (skipProven) 1 else 0).as("skip_proven"))
+  }
+  val w19Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  1 AS skip_proven
+      |FROM lineitem
+      |WHERE STRFTIME(l_shipdate, '%Y-%m-%d') >= '1995-01-01'
+      |  AND STRFTIME(l_shipdate, '%Y-%m-%d') < '1995-04-01'""".stripMargin
+
   // ---- W17: row-level delete (predicate + keyed purge) ----------------
   /** [[graft.ds.DatasetDelete]] as a contract surface: customer lands
     * hive-partitioned on market segment, then takes (1) a predicate
@@ -846,6 +886,7 @@ object OpsQueries {
     "w16_bloom_delta" -> (w16BloomDelta _),
     "w17_delete_where" -> (w17DeleteWhere _),
     "w18_stats_skip" -> (w18StatsSkip _),
+    "w19_string_skip" -> (w19StringSkip _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -883,6 +924,7 @@ object OpsQueries {
     "w16_bloom_delta" -> w16Sql,
     "w17_delete_where" -> w17Sql,
     "w18_stats_skip" -> w18Sql,
+    "w19_string_skip" -> w19Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,

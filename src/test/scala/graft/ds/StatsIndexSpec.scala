@@ -280,6 +280,82 @@ class StatsIndexSpec extends AnyFunSuite {
       Seq(ds.path + "/f0.parquet"), col("id").isNull).nonEmpty)
   }
 
+  test("string bounds prune; comparisons are UTF-8 byte order, not UTF-16") {
+    val ds = GraftDataset(tmpDir("graft_stats_str"))
+    val df = (0 until 800).map(i => (i.toLong, f"k$i%04d")).toDF("id", "k")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .write(spark, df.repartitionByRange(8, col("k")))
+    StatsIndex.build(spark, ds, Seq("k"))
+    val all = ds.dataFiles(spark).size
+    assert(all == 8)
+
+    val pred = col("k") >= "k0100" && col("k") < "k0300"
+    val pruned = ds.pruned(spark, pred)
+    assert(pruned.files.nonEmpty && pruned.files.size < all,
+      s"string range must prune (kept ${pruned.files.size} of $all)")
+    assert(pruned.df(spark).filter(pred).count() == ds.df(spark).filter(pred).count())
+
+    val inPred = col("k").isin("k0005", "k0015")
+    val inPruned = ds.pruned(spark, inPred)
+    assert(inPruned.files.size < all, "string IN must prune")
+    assert(inPruned.df(spark).filter(inPred).count() == 2)
+
+    // ORDER SEMANTICS: U+FFFD sorts BELOW U+10000 in UTF-8 bytes (EF..
+    // vs F0..) but ABOVE it in Java-String UTF-16 units (FFFD vs the
+    // D800 surrogate) — an implementation comparing decoded Strings
+    // would prune the supplementary-plane file for this predicate and
+    // lose its rows. Tab/newline values also round-trip the sidecar
+    // (base64) without breaking the TSV format.
+    val ds2 = GraftDataset(tmpDir("graft_stats_utf"))
+    Seq(("�-replacement", 1L)).toDF("k", "id").write.mode("append").parquet(ds2.path)
+    Seq(("𐀀-supplementary", 2L)).toDF("k", "id").write.mode("append").parquet(ds2.path)
+    Seq(("tab\there\nand-newline", 3L)).toDF("k", "id").write.mode("append").parquet(ds2.path)
+    StatsIndex.build(spark, ds2, Seq("k"))
+    val p2 = col("k") >= "𐀀" // bytes F0 90 80 80
+    val kept = ds2.pruned(spark, p2)
+    assert(kept.df(spark).filter(p2).count() == ds2.df(spark).filter(p2).count(),
+      "byte-order pruning must keep every Spark-matching row")
+    // and it actually fires: the low-ASCII tab file is prunable — while
+    // the supplementary-plane file (which UTF-16 comparison would
+    // wrongly rank BELOW the probe and drop) must survive
+    val p3 = col("k") >= "�"
+    val kept3 = ds2.pruned(spark, p3)
+    assert(kept3.files.size < ds2.dataFiles(spark).size,
+      "UTF-8-ordered prune must drop the ASCII file")
+    assert(kept3.df(spark).filter(p3).count() == ds2.df(spark).filter(p3).count(),
+      "supplementary-plane file must be kept for a >= U+FFFD probe")
+  }
+
+  test("widened (spec-truncated) string bounds never prune wrongly") {
+    val ds = rangedDataset() // has string col "v" = s"v$i"
+    StatsIndex.build(spark, ds, Seq("id", "v"))
+    val fs = ds.fs(spark)
+    val idx = StatsIndex.load(fs, ds.path).get
+    // simulate a spec-compliant truncating writer: min cut to a prefix
+    // (valid lower bound), max cut with its last byte incremented
+    // (valid upper bound) — the exact shape parquet-mr's
+    // BinaryTruncator produces for long binary values
+    val widened = StatsIndex.Index(idx.cols, idx.files.map { case (f, byCol) =>
+      f -> byCol.map {
+        case (c, r) if r.kind == "s" && r.smin.length > 1 && r.smax.length > 1 =>
+          val mx = r.smax.take(2); mx(1) = (mx(1) + 1).toByte
+          c -> r.copy(smin = r.smin.take(2), smax = mx)
+        case kv => kv
+      }
+    })
+    StatsIndex.write(fs, ds.path, widened)
+    val all = ds.dataFiles(spark).size
+    for (probe <- Seq("v100", "v42", "v7", "zzz", "")) {
+      val p = col("v") === probe
+      val got = ds.pruned(spark, p).df(spark).filter(p).count()
+      assert(got == ds.df(spark).filter(p).count(),
+        s"widened bounds lost rows for probe '$probe'")
+    }
+    // widening loses precision but not the whole point: a probe far
+    // outside every 2-byte-widened range still prunes
+    assert(ds.pruned(spark, col("v") === "zzz").files.size < all)
+  }
+
   test("corrupt sidecar loads as absent; build heals it") {
     val ds = rangedDataset()
     StatsIndex.build(spark, ds, Seq("id"))
