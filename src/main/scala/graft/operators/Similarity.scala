@@ -234,8 +234,13 @@ object Similarity {
     * corpus-derived [[lshTopPairsPolicy]]: a fixed nbits has constant
     * selectivity, so Σ bucket² degenerates quadratically once
     * n ≫ 2^nbits, while the policy grows nbits with log2(n) and keeps
-    * candidate volume linear-in-n for a fixed targetBucket. Callers on
-    * known datasets pass corpusSize to skip the count(). */
+    * candidate volume linear-in-n for a fixed targetBucket. The size
+    * feeding the policy resolves cheapest-first: caller-supplied
+    * corpusSize, then parquet footer metadata
+    * ([[graft.sources.ParquetMeta.metadataRowCount]] — zero scan jobs
+    * for row-preserving plans over parquet), and only then a real
+    * count() — never a full corpus pass at 100 TB just to pick a bit
+    * width. */
   def lshNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nbits: Int = -1,
@@ -243,7 +248,10 @@ object Similarity {
 
     val dBits =
       if (nbits > 0) nbits
-      else lshTopPairsPolicy(corpusSize.getOrElse(df.count()), targetBucket)._1
+      else lshTopPairsPolicy(
+        corpusSize
+          .orElse(graft.sources.ParquetMeta.metadataRowCount(df))
+          .getOrElse(df.count()), targetBucket)._1
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"), lshBucket(col(vecCol), dBits).as("bucket"))
     v.as("a").join(v.as("b"), Seq("bucket"))

@@ -183,9 +183,14 @@ object ExtQueries {
     val planted = emb.filter(col("vec_id") < 50)
       .withColumn("vec_id", col("vec_id") + 10000)
     // nbits defaults to the corpus-derived policy (planted-pair recall
-    // is 1 at every nbits); corpusSize is known → no extra count() pass
+    // is 1 at every nbits); corpusSize comes from parquet FOOTER
+    // metadata — zero count() jobs anywhere in this query's plan
+    // (the union+filter itself is not metadata-countable, so the size
+    // is derived from the base scan and adjusted for the 50 plants)
     Similarity.lshNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
-        threshold = 0.95, corpusSize = Some(emb.count() + 50))
+        threshold = 0.95,
+        corpusSize = Some(graft.sources.ParquetMeta.metadataRowCount(emb)
+          .getOrElse(emb.count()) + 50))
       // score the retrieval task itself: did LSH recover every planted
       // copy? (restricting both sides to planted pairs keeps the oracle
       // exact even if a future fixture contains natural >=0.95 pairs,
