@@ -49,7 +49,17 @@ object ZOrder {
 
   /** Linear min-max bucket id in [0, 2^bits): `floor((v-min)/(max-min)
     * * (2^bits-1) + 0.5)`. Nulls and degenerate (min==max) columns map
-    * to bucket 0 — they carry no ordering information either way. */
+    * to bucket 0 — they carry no ordering information either way.
+    *
+    * PRECISION BOUND: the double math quantizes integers past 2^53 —
+    * near Long.MaxValue adjacent ids collapse into ulp-sized (1024)
+    * clumps, so a narrow id range at huge magnitude degrades to a few
+    * coarse buckets. Layout-only (the scan still applies the real
+    * predicate) but wasteful for snowflake-style 63-bit keys — which
+    * is why [[zValue]] routes INTEGRAL columns through
+    * [[bucketizeLong]] and this double path serves only
+    * float/date/timestamp-derived columns, whose domains live well
+    * inside 2^53. */
   def bucketize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
     val span = hi - lo
     val maxBucket = (1L << bits) - 1
@@ -60,17 +70,53 @@ object ZOrder {
       lit(0L))
   }
 
+  /** Exact integral bucketing at ANY magnitude: stepped floor division
+    * `(v - lo) / step` with `step = ceil((span+1)/2^bits)`, all in long
+    * arithmetic — adjacent 63-bit ids keep distinct buckets where the
+    * double path would clump them (ulp(2^63) = 1024). Monotone by
+    * construction and bounded: `step * 2^bits >= span+1` keeps every
+    * bucket < 2^bits. When `hi-lo` itself overflows a signed long
+    * (crossing most of the domain) it falls back to the double path —
+    * at that span the bucket width is >= 2^51, so double rounding error
+    * (<= 512) cannot move a value across a bucket boundary anyway. */
+  def bucketizeLong(v: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val span = BigInt(hi) - BigInt(lo)
+    if (span <= 0) lit(0L)
+    else if (span >= BigInt(Long.MaxValue)) bucketize(v, lo.toDouble, hi.toDouble, bits)
+    else {
+      val step = ((span + (BigInt(1) << bits)) / (BigInt(1) << bits)).max(1).toLong
+      coalesce(floor((v.cast("long") - lit(lo)) / lit(step)).cast("long"), lit(0L))
+    }
+  }
+
   /** The z-value column for `cols`, bucketed from the dataframe's own
-    * min/max (ONE scalar agg job). */
+    * min/max (ONE scalar agg job). Integral columns keep exact long
+    * arithmetic end to end ([[bucketizeLong]]) so 63-bit ids bucket
+    * cleanly; everything else takes the double path. */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
     require(cols.nonEmpty, "zValue needs at least one column")
-    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = cols.map(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    val aggs = cols.zip(integral).flatMap { case (c, isInt) =>
+      val cast = if (isInt) col(c).cast("long") else col(c).cast("double")
+      Seq(min(cast), max(cast))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) =
-        (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
-          if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
-      bucketize(col(c), lo, hi, bits)
+      if (integral(i)) {
+        val (lo, hi) =
+          (if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i),
+            if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1))
+        bucketizeLong(col(c), lo, hi, bits)
+      } else {
+        val (lo, hi) =
+          (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
+            if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
+        bucketize(col(c), lo, hi, bits)
+      }
     }
     interleave(buckets, bits)
   }

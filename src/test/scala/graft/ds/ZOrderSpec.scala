@@ -98,6 +98,30 @@ class ZOrderSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir/linear").agg(sum($"x" + $"y")).head.getLong(0))
   }
 
+  test("63-bit ids past 2^53 keep distinct monotone buckets (no double clumping)") {
+    // 8192 adjacent snowflake-style ids just under Long.MaxValue: a
+    // double roundtrip quantizes them to ulp(2^63)=1024 clumps (~9
+    // distinct buckets); exact long bucketing must spread them over
+    // ~2^12 buckets and stay monotone
+    val base = Long.MaxValue - 8192L
+    val df = spark.range(8192L).select(($"id" + base).as("id"))
+    val z = df.select($"id", ZOrder.zValue(df, Seq("id"), bits = 12).as("z"))
+      .orderBy("id").as[(Long, Long)].collect()
+    val distinct = z.map(_._2).distinct.length
+    assert(distinct > 1000, s"expected ~4096 distinct buckets past 2^53, got $distinct")
+    assert(z.sliding(2).forall { case Array(a, b) => a._2 <= b._2 },
+      "bucketing must stay monotone in the id")
+    assert(z.forall { case (_, zv) => zv >= 0 && zv < (1L << 12) },
+      "single-column z equals the bucket and must stay inside [0, 2^bits)")
+
+    // full-domain span (hi-lo overflows signed long) falls back to the
+    // double path without error
+    val wide = Seq(Long.MinValue + 1, -1L, 0L, 1L, Long.MaxValue - 1).toDF("id")
+    val wz = wide.select(ZOrder.zValue(wide, Seq("id"), bits = 12).as("z"))
+      .as[Long].collect()
+    assert(wz.forall(v => v >= 0 && v < (1L << 12)))
+  }
+
   test("nulls and constant columns bucket to zero instead of failing") {
     val df = Seq((Some(1L), 7L), (None, 7L), (Some(5L), 7L)).toDF("a", "c")
     val arranged = ZOrder.arrange(df, Seq("a", "c"), bits = 4, numPartitions = Some(1))
