@@ -48,6 +48,35 @@ object DatasetLock {
   def lockPath(dataset: Path): Option[Path] =
     Option(dataset.getParent).map(par => new Path(par, s".${dataset.getName}__lock"))
 
+  /** Contention counters for one lock, cumulative over this JVM's
+    * lifetime. `acquires` counts successful acquisitions, `contended`
+    * the subset that found the lock held at least once, `waitedMs`
+    * total time spent spinning (successful AND timed-out attempts),
+    * `steals` TTL steals this process performed, `timeouts` acquire
+    * give-ups. Acquire previously spun SILENTLY for up to 30 minutes —
+    * these counters are what a production lake reads (persisted under
+    * `[maintenance]` by [[graft.meta.Manager.compactAll]]) to see lock
+    * pressure instead of diagnosing it from job wall-clock. */
+  final case class LockStats(acquires: Long = 0, contended: Long = 0,
+      waitedMs: Long = 0, steals: Long = 0, timeouts: Long = 0)
+
+  private val statsMap =
+    new java.util.concurrent.ConcurrentHashMap[String, LockStats]()
+  private def record(lock: Path)(f: LockStats => LockStats): Unit =
+    statsMap.compute(lock.toString,
+      (_, v) => f(if (v == null) LockStats() else v))
+
+  /** Counters for one dataset's lock (zeroes if never contended here). */
+  def statsFor(dataset: Path): LockStats =
+    lockPath(dataset).flatMap(l => Option(statsMap.get(l.toString)))
+      .getOrElse(LockStats())
+
+  /** All lock-file counters observed by this JVM, by lock path. */
+  def allStats(): Map[String, LockStats] = {
+    import scala.jdk.CollectionConverters._
+    statsMap.asScala.toMap
+  }
+
   /** Run `body` holding the dataset's write lock. */
   def withLock[T](fs: FileSystem, dataset: Path,
       ttlMs: Long = DefaultTtlMs,
@@ -108,10 +137,17 @@ object DatasetLock {
 
   private def acquire(fs: FileSystem, lock: Path, ttlMs: Long, timeoutMs: Long): String = {
     val tok = token()
-    val deadline = System.currentTimeMillis() + timeoutMs
+    val start = System.currentTimeMillis()
+    val deadline = start + timeoutMs
     var attempt = 0
     while (true) {
-      if (createExclusive(fs, lock, tok)) return tok
+      if (createExclusive(fs, lock, tok)) {
+        val waited = System.currentTimeMillis() - start
+        record(lock)(s => s.copy(acquires = s.acquires + 1,
+          contended = s.contended + (if (attempt > 0) 1 else 0),
+          waitedMs = s.waitedMs + waited))
+        return tok
+      }
       // lock held — steal iff the holder stopped heartbeating for a ttl
       val mtime =
         try Some(fs.getFileStatus(lock).getModificationTime)
@@ -121,15 +157,23 @@ object DatasetLock {
           // rename-first steal: atomic, exactly one stealer wins the
           // rename; the create-exclusive race that follows is fair
           val stale = new Path(lock.getParent, s"${lock.getName}.stale${System.nanoTime()}")
-          try { if (fs.rename(lock, stale)) fs.delete(stale, false) }
+          try {
+            if (fs.rename(lock, stale)) {
+              fs.delete(stale, false)
+              record(lock)(s => s.copy(steals = s.steals + 1))
+            }
+          }
           catch { case _: IOException => () } // lost the steal race — fine
         }
       }
-      if (System.currentTimeMillis() >= deadline)
+      if (System.currentTimeMillis() >= deadline) {
+        record(lock)(s => s.copy(timeouts = s.timeouts + 1,
+          waitedMs = s.waitedMs + (System.currentTimeMillis() - start)))
         throw new IllegalStateException(
           s"graft: timed out after ${timeoutMs} ms waiting for dataset lock $lock " +
             s"(holder: ${readToken(fs, lock).getOrElse("<gone>")}); if the holder is dead, " +
             s"the lock self-expires ${ttlMs} ms after its last heartbeat")
+      }
       attempt += 1
       // capped jittered backoff — contention is between a handful of
       // writers, not thousands; 25–250 ms keeps waiters responsive

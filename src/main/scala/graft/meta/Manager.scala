@@ -167,12 +167,22 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     // dataset NAMED like a summary key (e.g. "last_sweep") can't collide
     val prevDs = Toml.getTbl(maint, "dataset").getOrElse(Toml.Tbl.empty)
     val dsTbl = results.foldLeft(prevDs.v) { case (m, (name, st, vac)) =>
+      // lock pressure: cumulative this-JVM counters for the dataset's
+      // lock file — the sweep itself holds the lock, so acquires >= 1
+      // here and a contended lake shows up as waited-ms/steals without
+      // anyone having to correlate job wall-clocks
+      val lk = graft.ds.DatasetLock.statsFor(new Path(load(name).path))
       m.updated(name, Toml.Tbl(
         "swept_at" -> Toml.Str(sweptAt),
         "partitions_compacted" -> Toml.Int64(st.partitionsCompacted.toLong),
         "files_before" -> Toml.Int64(st.filesBefore),
         "files_after" -> Toml.Int64(st.filesAfter),
-        "vacuumed_paths" -> Toml.Int64(vac.toLong)))
+        "vacuumed_paths" -> Toml.Int64(vac.toLong),
+        "lock_acquires" -> Toml.Int64(lk.acquires),
+        "lock_contended" -> Toml.Int64(lk.contended),
+        "lock_waited_ms" -> Toml.Int64(lk.waitedMs),
+        "lock_steals" -> Toml.Int64(lk.steals),
+        "lock_timeouts" -> Toml.Int64(lk.timeouts)))
     }
     writeConfig(Toml.Tbl(cfg.v.updated("maintenance", Toml.Tbl(maint.v
       .updated("last_sweep", Toml.Str(sweptAt): Toml.Value)
@@ -183,7 +193,10 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
   /** The persisted `[maintenance]` section (empty table before the
     * first sweep): `last_sweep` plus a `dataset` sub-table with
     * per-dataset swept_at / partitions_compacted / files_before /
-    * files_after / vacuumed_paths. */
+    * files_after / vacuumed_paths and the lock-pressure counters
+    * lock_acquires / lock_contended / lock_waited_ms / lock_steals /
+    * lock_timeouts (cumulative over the sweeping JVM's lifetime —
+    * see [[graft.ds.DatasetLock.LockStats]]). */
   def maintenanceInfo(): Toml.Tbl =
     Toml.getTbl(readConfig(), "maintenance").getOrElse(Toml.Tbl.empty)
 }

@@ -52,6 +52,50 @@ class TimeFlySpec extends AnyFunSuite {
     assert(graft.core.Toml.getArr(graft.core.Toml.getTbl(cfg, "snapshot").get, "deleted") == Seq(id1))
   }
 
+  test("stats-index sidecar travels with snapshots: time-travel reads and restores prune") {
+    import org.apache.spark.sql.functions.col
+    import graft.ds.StatsIndex
+    val root = tmp() + "/statsnap"
+    val tf = new TimeFly(spark, root)
+    tf.init("indexed")
+    val cur = tf.currentDataset()
+    val df = (0 until 800).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    DatasetWriter(cur, WriteMode.Overwrite)
+      .write(spark, df.repartitionByRange(8, col("id")))
+    StatsIndex.build(spark, cur, Seq("id"))
+    val pred = col("id") < 100L
+    val prunedBefore = cur.pruned(spark, pred).files.size
+    assert(prunedBefore > 0 && prunedBefore < cur.dataFiles(spark).size,
+      "fixture must prune before any snapshot exists")
+
+    val id = tf.addSnapshot(Instant.parse("2024-01-01T00:00:00Z")) // copy incl. sidecar
+
+    // current marches on — the maintained sidecar learns the new file
+    DatasetWriter(cur, WriteMode.Append).write(spark,
+      (10000 until 10100).map(i => (i.toLong, "x")).toDF("id", "v"))
+    val filesAfterAppend = cur.dataFiles(spark).size
+
+    // time-travel read AT the snapshot: the copied sidecar prunes that
+    // point-in-time view (rel paths survive the copy unchanged)
+    val snapDs = tf.read(Some(Instant.parse("2023-12-01T00:00:00Z")))
+    val snapPruned = snapDs.pruned(spark, pred)
+    assert(snapPruned.files.nonEmpty &&
+      snapPruned.files.size < snapDs.dataFiles(spark).size,
+      "snapshot read must prune via the snapshot's own sidecar")
+    assert(snapPruned.df(spark).filter(pred).count() == 100)
+
+    // restore: current/ gets the snapshot-era files AND sidecar back —
+    // the pruned file count must match the pre-snapshot layout exactly
+    tf.loadSnapshot(id)
+    val restored = tf.currentDataset()
+    assert(restored.dataFiles(spark).size < filesAfterAppend,
+      "restore must drop the post-snapshot append")
+    val rp = restored.pruned(spark, pred)
+    assert(rp.files.size == prunedBefore,
+      s"restored sidecar must prune to the snapshot-era count ($prunedBefore), got ${rp.files.size}")
+    assert(rp.df(spark).filter(pred).count() == 100)
+  }
+
   test("manifest snapshot: O(metadata) create, time-travel read, restore") {
     val root = tmp() + "/manifest"
     val tf = new TimeFly(spark, root)
@@ -259,11 +303,26 @@ class ManagerSpec extends AnyFunSuite {
     assert(graft.core.Toml.getStr(flat, "swept_at") ==
       graft.core.Toml.getStr(maint, "last_sweep"))
 
+    // lock-pressure counters persist: the sweep itself held each
+    // dataset's lock, so acquires >= 1; a no-contention lake shows
+    // zero steals/timeouts. Counters round-trip the on-disk toml and
+    // match the in-JVM registry they were sampled from.
+    val lkFlat = graft.ds.DatasetLock.statsFor(
+      new org.apache.hadoop.fs.Path(m.load("flat").path))
+    assert(lkFlat.acquires >= 1, "compact must have taken the lock")
+    assert(flat.v("lock_acquires").asInstanceOf[graft.core.Toml.Int64].v >= 1L)
+    assert(flat.v("lock_steals") == graft.core.Toml.Int64(lkFlat.steals))
+    assert(flat.v("lock_timeouts") == graft.core.Toml.Int64(0L))
+    assert(flat.v("lock_waited_ms").isInstanceOf[graft.core.Toml.Int64])
+
     // a second sweep finds healthy datasets: zero work, stats overwrite
     val stats2 = m.compactAll().toMap
     assert(stats2.values.forall(_.partitionsCompacted == 0))
     val maint2 = new Manager(spark, lake).maintenanceInfo()
-    assert(graft.core.Toml.getTbl(graft.core.Toml.getTbl(maint2, "dataset").get, "flat")
-      .get.v("partitions_compacted") == graft.core.Toml.Int64(0L))
+    val flat2 = graft.core.Toml.getTbl(graft.core.Toml.getTbl(maint2, "dataset").get, "flat").get
+    assert(flat2.v("partitions_compacted") == graft.core.Toml.Int64(0L))
+    // counters are cumulative: the second sweep's acquire count grows
+    assert(flat2.v("lock_acquires").asInstanceOf[graft.core.Toml.Int64].v >=
+      flat.v("lock_acquires").asInstanceOf[graft.core.Toml.Int64].v)
   }
 }
