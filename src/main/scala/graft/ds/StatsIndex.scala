@@ -26,9 +26,12 @@ import org.apache.spark.sql.types._
   *  - rewrites produce fresh file names (Spark part-UUIDs), so a stale
   *    entry can never describe a live file's content — it just never
   *    matches the listing and is dropped on the next refresh;
-  *  - only predicate conjuncts the extractor understands participate;
-  *    everything else is ignored (the full predicate is still applied
-  *    by the scan afterwards);
+  *  - only predicate shapes the compiler understands participate —
+  *    comparisons/IN/IS [NOT] NULL under arbitrary AND/OR nesting; an
+  *    un-compilable AND side is dropped (widens the kept set), an
+  *    un-compilable OR side disables that whole OR, and everything
+  *    else is ignored (the full predicate is still applied by the
+  *    scan afterwards);
   *  - corrupt sidecars load as absent (same rule as [[BloomIndex]]).
   *
   * Column domains covered: integral (long), floating (double), DATE
@@ -115,13 +118,15 @@ object StatsIndex {
       val header = lines.head.split('\t')
       if (header.length != 2 || header(0) != Magic) return None
       val cols = header(1).split(',').toSeq.filter(_.nonEmpty)
-      // kind "s" bounds are base64 raw bytes, everything else decimal
-      // text; a malformed field throws → NonFatal → sidecar absent
+      // kind "s" bounds are base64 raw bytes, kind "nulls" (all-null
+      // marker) has no bounds, everything else decimal text; a
+      // malformed field throws → NonFatal → sidecar absent
       def range(kind: String, mn: String, mx: String, nulls: Long): ColRange =
         if (kind == "s") {
           val dec = java.util.Base64.getDecoder
           ColRange("s", null, null, nulls, dec.decode(mn), dec.decode(mx))
-        } else ColRange(kind, BigDecimal(mn), BigDecimal(mx), nulls)
+        } else if (kind == "nulls") ColRange("nulls", null, null, nulls)
+        else ColRange(kind, BigDecimal(mn), BigDecimal(mx), nulls)
       val files = lines.tail.map { ln =>
         // 5-field lines are the pre-null-count format — parse them with
         // nulls unknown (-1) rather than invalidating every sidecar
@@ -155,6 +160,7 @@ object StatsIndex {
         val enc = java.util.Base64.getEncoder
         val (mn, mx) =
           if (r.kind == "s") (enc.encodeToString(r.smin), enc.encodeToString(r.smax))
+          else if (r.kind == "nulls") ("0", "0")
           else (r.min.toString, r.max.toString)
         sb.append(rel).append('\t').append(c).append('\t').append(r.kind)
           .append('\t').append(mn).append('\t').append(mx)
@@ -188,8 +194,16 @@ object StatsIndex {
           val perBlock = blocks.map { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { ch =>
               val s = ch.getStatistics
-              if (s == null || s.isEmpty || !s.hasNonNullValue) None
-              else {
+              if (s == null || s.isEmpty) None
+              else if (!s.hasNonNullValue) {
+                // PROVABLY all-null block (stats present, null count
+                // known, zero values): an "all-null marker" range. At
+                // file level this prunes IS NOT NULL and every
+                // comparison/IN (NULL never satisfies them) — distinct
+                // from stats-ABSENT (None → column unknown → kept)
+                if (s.isNumNullsSet) Some(ColRange("nulls", null, null, s.getNumNulls))
+                else None
+              } else {
                 val ann = String.valueOf(ch.getPrimitiveType.getLogicalTypeAnnotation)
                 val prim = ch.getPrimitiveType.getPrimitiveTypeName.name
                 def asBD(v: AnyRef): Option[(String, BigDecimal)] = (v, prim) match {
@@ -245,13 +259,19 @@ object StatsIndex {
             // recorded one; -1 (unknown) disables isNull pruning
             val nulls =
               if (rs.exists(_.nulls < 0)) -1L else rs.map(_.nulls).sum
-            if (rs.head.kind == "s") {
+            // all-null marker blocks contribute only their null count;
+            // the value bounds come from the blocks that HAVE values.
+            // Every block a marker → the whole file is all-null for c.
+            val vals = rs.filter(_.kind != "nulls")
+            if (vals.isEmpty)
+              Some(c -> ColRange("nulls", null, null, nulls))
+            else if (vals.head.kind == "s") {
               def cu(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
               Some(c -> ColRange("s", null, null, nulls,
-                rs.map(_.smin).reduce((a, b) => if (cu(a, b) <= 0) a else b),
-                rs.map(_.smax).reduce((a, b) => if (cu(a, b) >= 0) a else b)))
+                vals.map(_.smin).reduce((a, b) => if (cu(a, b) <= 0) a else b),
+                vals.map(_.smax).reduce((a, b) => if (cu(a, b) >= 0) a else b)))
             } else
-              Some(c -> ColRange(rs.head.kind, rs.map(_.min).min, rs.map(_.max).max, nulls))
+              Some(c -> ColRange(vals.head.kind, vals.map(_.min).min, vals.map(_.max).max, nulls))
           }
         }.toMap
       } finally r.close()
@@ -324,20 +344,27 @@ object StatsIndex {
     * raw UTF-8 bytes in `str`. */
   private[ds] final case class Bound(kind: String, num: BigDecimal, str: Array[Byte] = null)
 
-  /** A prunable conjunct. */
-  private[ds] sealed trait Constraint
-  /** col ⋈ literal at a type domain. */
-  private[ds] final case class Cmp(col: String, op: String, b: Bound) extends Constraint
-  /** col IN (literals) — file kept if ANY value lands in its range. */
-  private[ds] final case class InSet(col: String, kind: String, bs: Seq[Bound]) extends Constraint
-  /** col IS NULL — file pruned when its recorded null count is ZERO. */
-  private[ds] final case class NullCheck(col: String) extends Constraint
+  /** A compiled "might this file match?" test over one file's recorded
+    * ranges. Compiled ONCE per predicate, applied per file — a
+    * million-file listing pays closure calls, not expression walks. */
+  private[ds] type FileTest = Map[String, ColRange] => Boolean
 
-  /** Extract the conjuncts this index can act on. Anything
-    * unrecognized — ORs, UDFs, casts, cross-column comparisons —
-    * contributes nothing, so the pruned set can only be a superset of
-    * the truly-needed files. */
-  private[ds] def constraints(e: Expression): Seq[Constraint] = {
+  /** Compile the predicate into a [[FileTest]], or None when nothing
+    * in it is actionable (→ no pruning). The boolean algebra of
+    * conservatism:
+    *  - AND may drop an un-compilable side (restricting to fewer
+    *    conjuncts only widens the kept set);
+    *  - OR requires BOTH sides compiled — one unknown disjunct makes
+    *    the whole OR satisfiable by any file. With both sides known,
+    *    disjunctive predicates (`day < a OR day > b`, q19-style
+    *    multi-branch filters) prune every file outside ALL branches;
+    *  - leaves answer `true` on missing entries / kind mismatches,
+    *    `false` only on a proven-impossible range. An all-null marker
+    *    (kind "nulls") fails every comparison/IN and IS NOT NULL —
+    *    SQL NULL satisfies none of them — while IS NULL keeps it;
+    *  - NOT is not compiled (negation of a conservative answer is not
+    *    conservative); a NOT anywhere simply degrades that subtree. */
+  private[ds] def compile(e: Expression): Option[FileTest] = {
     def attr(x: Expression): Option[String] = x match {
       case a: AttributeReference => Some(a.name)
       // single-part names ONLY: a struct-field or table-qualified
@@ -375,25 +402,54 @@ object StatsIndex {
     def flip(op: String): String = op match {
       case ">" => "<" case ">=" => "<=" case "<" => ">" case "<=" => ">=" case o => o
     }
-    def cmp(op: String, l: Expression, r: Expression): Seq[Constraint] =
+    def cmpTest(c: String, op: String, b: Bound): FileTest = byCol =>
+      byCol.get(c) match {
+        case Some(r) if r.kind == "nulls" => false // all-null: no comparison matches
+        case Some(r) if r.kind == b.kind =>
+          if (b.kind == "s") r.overlapsStr(op, b.str) else r.overlaps(op, b.num)
+        case _ => true
+      }
+    def cmp(op: String, l: Expression, r: Expression): Option[FileTest] =
       (attr(l), value(r), attr(r), value(l)) match {
-        case (Some(a), Some(b), _, _) => Seq(Cmp(a, op, b))
-        case (_, _, Some(a), Some(b)) => Seq(Cmp(a, flip(op), b))
-        case _ => Nil
+        case (Some(a), Some(b), _, _) => Some(cmpTest(a, op, b))
+        case (_, _, Some(a), Some(b)) => Some(cmpTest(a, flip(op), b))
+        case _ => None
       }
-    def inSet(target: Expression, items: Seq[Expression]): Seq[Constraint] =
-      attr(target) match {
-        case Some(a) =>
-          val vs = items.map(value)
-          // every list element must extract at ONE kind — a partially
-          // understood IN could wrongly prune the files holding the
-          // values we failed to read
-          if (vs.nonEmpty && vs.forall(_.isDefined) &&
-              vs.flatten.map(_.kind).distinct.sizeIs == 1)
-            Seq(InSet(a, vs.flatten.head.kind, vs.flatten))
-          else Nil
-        case None => Nil
+    def inSet(target: Expression, items: Seq[Expression]): Option[FileTest] =
+      attr(target).flatMap { a =>
+        val vs = items.map(value)
+        // every list element must extract at ONE kind — a partially
+        // understood IN could wrongly prune the files holding the
+        // values we failed to read
+        if (vs.nonEmpty && vs.forall(_.isDefined) &&
+            vs.flatten.map(_.kind).distinct.sizeIs == 1) {
+          val kind = vs.flatten.head.kind
+          val bs = vs.flatten
+          Some((byCol: Map[String, ColRange]) => byCol.get(a) match {
+            case Some(r) if r.kind == "nulls" => false
+            case Some(r) if r.kind == kind => bs.exists(b =>
+              if (kind == "s") r.overlapsStr("=", b.str) else r.overlaps("=", b.num))
+            case _ => true
+          })
+        } else None
       }
+    def isNullTest(c: String): FileTest = byCol => byCol.get(c) match {
+      // recorded zero nulls → no NULL row can exist in the file;
+      // -1 (unknown) keeps it; the all-null marker keeps it too
+      case Some(r) => r.nulls != 0L
+      case _ => true
+    }
+    def isNotNullTest(c: String): FileTest = byCol => byCol.get(c) match {
+      case Some(r) if r.kind == "nulls" => false // provably all-null
+      case _ => true
+    }
+    def both(a: Option[FileTest], b: Option[FileTest]): Option[FileTest] = (a, b) match {
+      case (Some(f), Some(g)) => Some(m => f(m) && g(m))
+      case (x, None) => x
+      case (None, y) => y
+    }
+    def either(a: Option[FileTest], b: Option[FileTest]): Option[FileTest] =
+      for { f <- a; g <- b } yield (m: Map[String, ColRange]) => f(m) || g(m)
     e match {
       // the classic Column API builds comparisons as UnresolvedFunction
       // nodes named after the operator ('and('>=('id, 100), ...)); the
@@ -401,25 +457,30 @@ object StatsIndex {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.lengthCompare(1) == 0 =>
         (f.nameParts.head.toLowerCase, f.arguments) match {
-          case ("and", Seq(l, r)) => constraints(l) ++ constraints(r)
+          case ("and", Seq(l, r)) => both(compile(l), compile(r))
+          case ("or", Seq(l, r)) => either(compile(l), compile(r))
           case ("=" | "==", Seq(l, r)) => cmp("=", l, r)
           case (">", Seq(l, r)) => cmp(">", l, r)
           case (">=", Seq(l, r)) => cmp(">=", l, r)
           case ("<", Seq(l, r)) => cmp("<", l, r)
           case ("<=", Seq(l, r)) => cmp("<=", l, r)
           case ("in", target +: items) if items.nonEmpty => inSet(target, items)
-          case ("isnull", Seq(t)) => attr(t).map(NullCheck).toSeq
-          case _ => Nil
+          case ("isnull", Seq(t)) => attr(t).map(isNullTest)
+          case ("isnotnull", Seq(t)) => attr(t).map(isNotNullTest)
+          case _ => None
         }
-      case And(a, b) => constraints(a) ++ constraints(b)
+      case And(a, b) => both(compile(a), compile(b))
+      case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+        either(compile(a), compile(b))
       case EqualTo(l, r) => cmp("=", l, r)
       case GreaterThan(l, r) => cmp(">", l, r)
       case GreaterThanOrEqual(l, r) => cmp(">=", l, r)
       case LessThan(l, r) => cmp("<", l, r)
       case LessThanOrEqual(l, r) => cmp("<=", l, r)
       case org.apache.spark.sql.catalyst.expressions.In(t, items) => inSet(t, items)
-      case org.apache.spark.sql.catalyst.expressions.IsNull(t) => attr(t).map(NullCheck).toSeq
-      case _ => Nil
+      case org.apache.spark.sql.catalyst.expressions.IsNull(t) => attr(t).map(isNullTest)
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(t) => attr(t).map(isNotNullTest)
+      case _ => None
     }
   }
 
@@ -438,39 +499,22 @@ object StatsIndex {
 
   /** The subset of `files` that can hold rows matching `predicate`.
     * Kept when: no index entry, no recorded range for a constrained
-    * column, kind mismatch, or every constraint's range overlaps. */
+    * column, kind mismatch, or the compiled test says the file's
+    * ranges could satisfy the predicate. */
   def prunedFiles(fs: FileSystem, dsPath: String, idx: Index,
-      files: Seq[String], predicate: Column): Seq[String] = {
-    val cs = toExpression(predicate).map(constraints).getOrElse(Nil)
-    if (cs.isEmpty) files
-    else {
-    // qualify the root ONCE — per-file re-qualification is O(files)
-    // redundant Path construction on exactly the million-file listings
-    // this index exists to serve
-    val qr = fs.makeQualified(new Path(dsPath)).toString + "/"
-    files.filter { f =>
-      idx.files.get(fs.makeQualified(new Path(f)).toString.stripPrefix(qr)) match {
-        case None => true
-        case Some(byCol) => cs.forall {
-          case Cmp(c, op, b) => byCol.get(c) match {
-            case Some(r) if r.kind == b.kind =>
-              if (b.kind == "s") r.overlapsStr(op, b.str) else r.overlaps(op, b.num)
-            case _ => true
-          }
-          case InSet(c, kind, bs) => byCol.get(c) match {
-            case Some(r) if r.kind == kind => bs.exists(b =>
-              if (kind == "s") r.overlapsStr("=", b.str) else r.overlaps("=", b.num))
-            case _ => true
-          }
-          case NullCheck(c) => byCol.get(c) match {
-            // recorded zero nulls → no NULL row can exist in the file;
-            // -1 (unknown) keeps it
-            case Some(r) => r.nulls != 0L
-            case _ => true
+      files: Seq[String], predicate: Column): Seq[String] =
+    toExpression(predicate).flatMap(compile) match {
+      case None => files
+      case Some(test) =>
+        // qualify the root ONCE — per-file re-qualification is O(files)
+        // redundant Path construction on exactly the million-file
+        // listings this index exists to serve
+        val qr = fs.makeQualified(new Path(dsPath)).toString + "/"
+        files.filter { f =>
+          idx.files.get(fs.makeQualified(new Path(f)).toString.stripPrefix(qr)) match {
+            case None => true
+            case Some(byCol) => test(byCol)
           }
         }
-      }
     }
-    }
-  }
 }

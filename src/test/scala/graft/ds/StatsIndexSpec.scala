@@ -43,9 +43,18 @@ class StatsIndexSpec extends AnyFunSuite {
     val p2 = ds.pruned(spark, col("score") <= 5.0)
     assert(p2.files.size < all.size, "double-kind constraint must prune")
 
-    // an OR predicate has no extractable conjuncts → nothing pruned
-    assert(ds.pruned(spark, col("id") < 10L || col("id") > 790L)
-      .dataFiles(spark).size == all.size, "OR must not prune")
+    // disjunctions prune: only the head and tail range files can hold
+    // id<10 OR id>790 — everything between drops
+    val orPred = col("id") < 10L || col("id") > 790L
+    val orPruned = ds.pruned(spark, orPred)
+    assert(orPruned.files.size == 2,
+      s"OR must keep exactly the two edge files, kept ${orPruned.files.size}")
+    assert(orPruned.df(spark).filter(orPred).count() ==
+      ds.df(spark).filter(orPred).count())
+    // but an OR with an un-compilable side is satisfiable by anything —
+    // zero pruning, identity dataset back
+    assert(ds.pruned(spark, col("id") < 10L || col("id") % 2 === 0L)
+      .dataFiles(spark).size == all.size, "unknown OR side must not prune")
 
     // a constraint on an unindexed column keeps everything
     assert(ds.pruned(spark, col("v") === "v5").dataFiles(spark).size == all.size)
@@ -164,8 +173,9 @@ class StatsIndexSpec extends AnyFunSuite {
       .dataFiles(spark).size == all)
 
     // nothing-pruned returns THIS (no pinned file snapshot): later
-    // appends stay visible through the returned dataset
-    val same = ds.pruned(spark, col("id") < 10L || col("id") > 190L)
+    // appends stay visible through the returned dataset — an OR with a
+    // modulo side compiles to nothing
+    val same = ds.pruned(spark, col("id") < 10L || col("id") % 7 === 0L)
     assert(same.files.isEmpty, "no pruning → identity, not a full-listing copy")
   }
 
@@ -233,8 +243,11 @@ class StatsIndexSpec extends AnyFunSuite {
     val nullPruned = ds2.pruned(spark, col("opt").isNull)
     assert(nullPruned.files.size < ds2.dataFiles(spark).size, "zero-null files must be pruned")
     assert(nullPruned.df(spark).filter(col("opt").isNull).count() == 1)
-    // isNotNull is NOT prunable (all-null files carry no ranges) — identity
-    assert(ds2.pruned(spark, col("opt").isNotNull).files.isEmpty)
+    // isNotNull prunes only PROVABLY valueless files (all-null markers,
+    // zero-row part files); mixed files always survive — same answer
+    val nn = ds2.pruned(spark, col("opt").isNotNull)
+    assert(nn.df(spark).filter(col("opt").isNotNull).count() ==
+      ds2.df(spark).filter(col("opt").isNotNull).count())
   }
 
   test("windowed delta composes with the index: pruned existing side, same semantics") {
@@ -278,6 +291,44 @@ class StatsIndexSpec extends AnyFunSuite {
     // unknown nulls keep the file for IS NULL probes (never a wrong prune)
     assert(StatsIndex.prunedFiles(fs, ds.path, idx.get,
       Seq(ds.path + "/f0.parquet"), col("id").isNull).nonEmpty)
+  }
+
+  test("all-null files carry markers: IS NOT NULL, comparisons, and IN prune them") {
+    val ds = GraftDataset(tmpDir("graft_stats_allnull"))
+    // file A: values; file B: opt entirely null; file C: mixed
+    Seq[(Long, java.lang.Long)]((0L, 1L), (1L, 2L)).toDF("id", "opt")
+      .coalesce(1).write.mode("append").parquet(ds.path)
+    Seq[(Long, java.lang.Long)]((2L, null), (3L, null)).toDF("id", "opt")
+      .coalesce(1).write.mode("append").parquet(ds.path)
+    Seq[(Long, java.lang.Long)]((4L, null), (5L, 9L)).toDF("id", "opt")
+      .coalesce(1).write.mode("append").parquet(ds.path)
+    StatsIndex.build(spark, ds, Seq("id", "opt"))
+    val all = ds.dataFiles(spark).size
+    assert(all == 3)
+
+    // IS NOT NULL drops the provably-all-null file, keeps A and C
+    val nn = ds.pruned(spark, col("opt").isNotNull)
+    assert(nn.files.size == 2, s"all-null file must drop for IS NOT NULL (${nn.files.size})")
+    assert(nn.df(spark).filter(col("opt").isNotNull).count() == 3)
+
+    // comparisons and IN never match NULL — the marker file drops there too
+    val cmp = ds.pruned(spark, col("opt") >= 1L)
+    assert(cmp.files.size == 2, "all-null file must drop for a comparison")
+    assert(cmp.df(spark).filter(col("opt") >= 1L).count() == 3)
+    val in = ds.pruned(spark, col("opt").isin(1L, 9L))
+    assert(in.files.size == 2, "all-null file must drop for IN")
+    assert(in.df(spark).filter(col("opt").isin(1L, 9L)).count() == 2)
+
+    // IS NULL keeps the marker file (and drops the zero-null file A)
+    val isn = ds.pruned(spark, col("opt").isNull)
+    assert(isn.files.size == 2, "IS NULL must keep marker + mixed, drop zero-null")
+    assert(isn.df(spark).filter(col("opt").isNull).count() == 3)
+
+    // markers round-trip the sidecar (this read went through load once
+    // already via pruned; assert the kind survives explicitly)
+    val idx = StatsIndex.load(ds.fs(spark), ds.path).get
+    assert(idx.files.values.exists(_.get("opt").exists(_.kind == "nulls")),
+      "the all-null file must serialize a 'nulls' marker range")
   }
 
   test("string bounds prune; comparisons are UTF-8 byte order, not UTF-16") {
