@@ -327,10 +327,14 @@ object Similarity {
         // for nbits=2
         (nbits, lshTablesFor(nbits))
       } else {
-        // policy needs n; callers on known datasets pass corpusSize to
-        // skip this count() — at 100 TB an extra full pass per call is
-        // real money (row counts are free from parquet footers)
-        val (pb, pt) = lshTopPairsPolicy(corpusSize.getOrElse(df.count()), targetBucket)
+        // policy needs n, resolved cheapest-first: caller-supplied →
+        // parquet footer metadata (zero scan jobs for row-preserving
+        // plans) → count() — at 100 TB an extra full pass per call is
+        // real money when the footers already record the answer
+        val (pb, pt) = lshTopPairsPolicy(
+          corpusSize
+            .orElse(graft.sources.ParquetMeta.metadataRowCount(df))
+            .getOrElse(df.count()), targetBucket)
         (pb, if (tables > 0) tables else pt)
       }
     // numeric ids only: casting a string id yields nulls that vanish

@@ -190,8 +190,11 @@ object OpsQueries {
     val customer = Tables.load(spark, dir, "customer")
     // fragment relative to table size so the fixture fractures at EVERY
     // scale factor (a fixed 100-row batch stops fragmenting once
-    // partitions drop under 100 rows, e.g. sf0.001's 30-row segments)
-    val batch = math.max(1L, customer.count() / 150)
+    // partitions drop under 100 rows, e.g. sf0.001's 30-row segments);
+    // size comes from footer metadata, not a count job
+    val batch = math.max(1L,
+      graft.sources.ParquetMeta.metadataRowCount(customer)
+        .getOrElse(customer.count()) / 150)
     DatasetWriter(ds, WriteMode.Overwrite, batchRows = Some(batch))
       .write(spark, customer)
     val stats = Repartition.compact(spark, ds)
