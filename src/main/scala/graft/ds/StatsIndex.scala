@@ -382,6 +382,16 @@ object StatsIndex {
       case Literal(v: Int, DateType) => Some(Bound("date", BigDecimal(v.toLong)))
       case Literal(v: Int, _) => Some(Bound("l", BigDecimal(v.toLong)))
       case Literal(v: Long, TimestampType) => Some(Bound("ts", BigDecimal(v)))
+      // NTZ literals are micros too (tz-naive parquet columns — the
+      // common lake shape — read as TIMESTAMP_NTZ in Spark 4, and their
+      // footers annotate TIMESTAMP(MICROS,false) → kind "ts"). In a
+      // RESOLVED plan a bare attribute only compares against a literal
+      // of its own type (a cross-type comparison casts the COLUMN,
+      // which stops attr() extraction), so ntz-vs-ntz never involves a
+      // timezone; the unresolved Column path conflates LTZ/NTZ micros
+      // by design — every graft entry point pins the session to UTC,
+      // where the two domains coincide
+      case Literal(v: Long, TimestampNTZType) => Some(Bound("ts", BigDecimal(v)))
       case Literal(v: Long, _) => Some(Bound("l", BigDecimal(v)))
       // NaN/Infinity have no BigDecimal form (and NaN's SQL comparison
       // semantics don't map to a range anyway) — unextractable, which

@@ -686,5 +686,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => TopKPairs(es(0), es(1), intArg(es, 2)).toAggregateExpression())
     inject("graft_bloom_contains", classOf[BloomMightContain],
       es => BloomMightContain(es(0), es(1)))
+    // automatic stats-index file skipping for plain reads — analyzer
+    // run-once batch, one sidecar-exists probe per query; see
+    // graft.ds.AutoPrune for the full design note
+    ext.injectPostHocResolutionRule(graft.ds.StatsPruneRule.apply)
   }
 }

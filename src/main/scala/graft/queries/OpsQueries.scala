@@ -453,6 +453,64 @@ object OpsQueries {
       |WHERE STRFTIME(l_shipdate, '%Y-%m-%d') >= '1995-01-01'
       |  AND STRFTIME(l_shipdate, '%Y-%m-%d') < '1995-04-01'""".stripMargin
 
+  // ---- W20: AUTOMATIC stats pruning on SQL passthrough ----------------
+  /** [[graft.ds.AutoPrune]] as a contract surface: the same clustered
+    * layout + sidecar as w18, but the query side never touches the
+    * graft API — a child session with [[graft.ds.StatsPruneRule]]
+    * installed reads the directory with PLAIN `spark.read.parquet`,
+    * registers a temp view, and runs plain SQL. The rule wraps the
+    * relation's FileIndex, `FileSourceScanExec` hands its pushed data
+    * filters to `listFiles`, and the sidecar drops the out-of-range
+    * files — file skipping with zero query changes, the deployment
+    * shape a SQL-only user gets from `spark.sql.extensions`.
+    * `skip_proven` carries the executed-scan file-count evidence
+    * (`numFiles` metric vs the dataset's full listing). */
+  def w20AutoPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w20")
+    val ds = GraftDataset(out)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .withClusterBy("l_shipdate")
+      .write(spark, li.repartitionByRange(16, col("l_shipdate")))
+    graft.ds.StatsIndex.build(spark, ds, Seq("l_shipdate"))
+    val total = ds.dataFiles(spark).size
+    require(total >= 8, s"w20: only $total files — fixture too small to prove pruning")
+    // isolated child session: the rule lives in ITS ExperimentalMethods,
+    // the caller's planning pipeline is untouched
+    val child = spark.newSession()
+    graft.ds.AutoPrune.enable(child)
+    child.read.parquet(ds.path).createOrReplaceTempView("w20_lineitem")
+    val q = child.sql(
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM w20_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'""".stripMargin)
+    val row = q.collect().head
+    val scanned = scannedFiles(q)
+    val skipProven = scanned > 0 && scanned < total
+    import spark.implicits._
+    Seq((row.getLong(0), row.getDouble(1), if (skipProven) 1 else 0))
+      .toDF("n_rows", "sum_qty", "skip_proven")
+  }
+  val w20Sql: String = w18Sql
+
+  /** Files the EXECUTED scan read, summed over its FileSourceScanExecs
+    * (AQE plans hide scans inside leaf query stages — unwrap both). */
+  private def scannedFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scan(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+      case s: QueryStageExec => scan(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scan)
+    }
+    scan(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
   // ---- W17: row-level delete (predicate + keyed purge) ----------------
   /** [[graft.ds.DatasetDelete]] as a contract surface: customer lands
     * hive-partitioned on market segment, then takes (1) a predicate
@@ -890,6 +948,7 @@ object OpsQueries {
     "w17_delete_where" -> (w17DeleteWhere _),
     "w18_stats_skip" -> (w18StatsSkip _),
     "w19_string_skip" -> (w19StringSkip _),
+    "w20_autoprune" -> (w20AutoPrune _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -928,6 +987,7 @@ object OpsQueries {
     "w17_delete_where" -> w17Sql,
     "w18_stats_skip" -> w18Sql,
     "w19_string_skip" -> w19Sql,
+    "w20_autoprune" -> w20Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,

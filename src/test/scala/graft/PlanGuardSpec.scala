@@ -66,7 +66,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "w6_delta_write", "w7_batch_count", "w8_time_batch",
     "w9_transform_write", "w10_unify_rewrite", "w11_repartition",
     "w12_upsert", "w13_compact", "w14_clustered_write", "w15_zorder_write",
-    "w16_bloom_delta", "w17_delete_where", "w18_stats_skip", "s3_feather_roundtrip", "s4_csv_roundtrip",
+    "w16_bloom_delta", "w17_delete_where", "w18_stats_skip", "w20_autoprune",
+    "s3_feather_roundtrip", "s4_csv_roundtrip",
     "s9_directory_partitioning", "s10_arrow_export", "s11_json_roundtrip",
     "s12_orc_roundtrip", "e2_incremental_update", "t7_snapshot_restore",
     "t8_time_travel", "t9_catalog", "x_stream_e2e", "x_stream_enrich",
