@@ -57,6 +57,20 @@ final case class DatasetWriter(
     // EVERY graft write keeps it a superset of live keys regardless of
     // this flag (a stale filter would silently break delta idempotency)
     bloomIndex: Boolean = false,
+    // parquet ROW-GROUP bloom filters on these columns (each is
+    // (name, expected-NDV; None = parquet's default sizing)): the
+    // skipping layer BELOW the file-stats index, for point lookups on
+    // high-cardinality UNCLUSTERED keys where min/max ranges span the
+    // whole domain and neither the sidecar nor footer stats can
+    // discriminate. Spark's parquet reader consumes them automatically
+    // for pushed = / IN predicates — nothing to configure at read
+    // time. Parquet is ADAPTIVE about materializing them: a chunk
+    // whose dictionary encoding holds (repetitive keys) gets exact
+    // dictionary-page filtering and no bloom; the bloom lands exactly
+    // when the dictionary falls back (near-unique keys — content
+    // hashes, uuids — the regime the flag exists for). Parquet-only
+    // (other formats ignore the options)
+    rowGroupBloom: Seq[(String, Option[Long])] = Nil,
     transform: DataFrame => DataFrame = identity,
     // internal staged writes (upsert/repartition temps) run under the
     // PARENT operation's lock — locking their own tmp path would only
@@ -72,6 +86,10 @@ final case class DatasetWriter(
   def withTransform(f: DataFrame => DataFrame): DatasetWriter = copy(transform = f)
   def withClusterBy(cols: String*): DatasetWriter = copy(clusterBy = cols)
   def withBloomIndex: DatasetWriter = copy(bloomIndex = true)
+  def withRowGroupBloom(cols: String*): DatasetWriter =
+    copy(rowGroupBloom = cols.map(_ -> None))
+  def withRowGroupBloomNdv(cols: (String, Long)*): DatasetWriter =
+    copy(rowGroupBloom = cols.map { case (c, n) => c -> Some(n) })
 
   /** Writer-level clusterBy wins; otherwise the dataset's recorded
     * clustering contract applies — so upsert merges and other internal
@@ -278,6 +296,10 @@ final case class DatasetWriter(
       .option("compression", codec)
     resolvedBatchRows.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
     rowGroupSize.foreach(n => w = w.option("parquet.block.size", (n * 128).toString))
+    rowGroupBloom.foreach { case (c, ndv) =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      ndv.foreach(n => w = w.option(s"parquet.bloom.filter.expected.ndv#$c", n.toString))
+    }
     if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
     target.format match {
       case "parquet" => w.parquet(target.path)

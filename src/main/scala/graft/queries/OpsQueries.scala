@@ -496,6 +496,63 @@ object OpsQueries {
   }
   val w20Sql: String = w18Sql
 
+  // ---- W21: parquet row-group bloom filters for point lookups ---------
+  /** [[graft.ds.DatasetWriter.withRowGroupBloom]] as a contract
+    * surface: lineitem lands under a globally-unique md5 document key
+    * in NATURAL (unclustered) order — the shape where every row group's
+    * min/max spans the whole key domain and neither the stats sidecar
+    * nor footer ranges can skip anything — with row-group bloom filters
+    * on that key. A point lookup (the GDPR/takedown shape: a handful of
+    * ids against a big fact table) then reads back exactly; Spark's
+    * parquet reader consumes the blooms automatically for the pushed IN
+    * predicate, skipping row groups that definitely lack the keys.
+    * `bloom_proven` asserts the filters physically exist in every
+    * footer (offset recorded per doc_key chunk); RowGroupBloomSpec
+    * proves the no-false-negative + low-fp semantics from the
+    * deserialized filters. */
+  def w21RowGroupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("w21")
+    val ds = GraftDataset(out)
+    // a globally-unique derived document key (the content-hash / uuid
+    // id shape): dictionary encoding is INEFFECTIVE on all-unique
+    // values, parquet falls back to plain — which is precisely when it
+    // materializes the bloom (dict-effective chunks get exact
+    // dictionary-page filtering instead and need no bloom)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("doc_key"),
+        col("l_quantity"))
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .withRowGroupBloom("doc_key")
+      .write(spark, li.repartition(1))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    import scala.jdk.CollectionConverters._
+    val offsets = ds.dataFiles(spark).flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), hconf))
+      try r.getFooter.getBlocks.asScala.toSeq.flatMap(
+        _.getColumns.asScala.filter(_.getPath.toDotString == "doc_key")
+          .map(_.getBloomFilterOffset))
+      finally r.close()
+    }
+    val proven = offsets.nonEmpty && offsets.forall(_ >= 0)
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    ds.df(spark)
+      .filter(col("doc_key").isin(m("1-1"), m("3-1"), m("7-1"), m("9999999-9")))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("n_rows"), col("sum_qty"),
+        lit(if (proven) 1 else 0).as("bloom_proven"))
+  }
+  val w21Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  1 AS bloom_proven
+      |FROM lineitem
+      |WHERE MD5(CONCAT(l_orderkey, '-', l_linenumber))
+      |  IN (MD5('1-1'), MD5('3-1'), MD5('7-1'), MD5('9999999-9'))""".stripMargin
+
   /** Files the EXECUTED scan read, summed over its FileSourceScanExecs
     * (AQE plans hide scans inside leaf query stages — unwrap both). */
   private def scannedFiles(df: DataFrame): Long = {
@@ -949,6 +1006,7 @@ object OpsQueries {
     "w18_stats_skip" -> (w18StatsSkip _),
     "w19_string_skip" -> (w19StringSkip _),
     "w20_autoprune" -> (w20AutoPrune _),
+    "w21_rowgroup_bloom" -> (w21RowGroupBloom _),
     "a2_dedup_first" -> (a2DedupFirst _),
     "p6_semi_filter" -> (p6SemiFilter _),
     "e2_incremental_update" -> (e2IncrementalUpdate _),
@@ -988,6 +1046,7 @@ object OpsQueries {
     "w18_stats_skip" -> w18Sql,
     "w19_string_skip" -> w19Sql,
     "w20_autoprune" -> w20Sql,
+    "w21_rowgroup_bloom" -> w21Sql,
     "a2_dedup_first" -> a2Sql,
     "p6_semi_filter" -> p6Sql,
     "e2_incremental_update" -> e2Sql,

@@ -1,0 +1,108 @@
+package graft.ds
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import scala.jdk.CollectionConverters._
+
+/** Parquet row-group bloom filters via [[DatasetWriter.withRowGroupBloom]]:
+  * the skipping layer BELOW the file-stats index. Min/max footer stats
+  * (and therefore the `_stats_index` sidecar) cannot discriminate point
+  * lookups on a high-cardinality UNCLUSTERED key — every range spans
+  * the domain — but a per-row-group bloom answers "definitely absent"
+  * for exactly that shape, and Spark's parquet reader consumes it
+  * automatically for pushed = / IN predicates. The spec proves the
+  * filters physically exist in the footers, behave like blooms
+  * (no false negatives, low false-positive rate), and that reads stay
+  * exact. */
+class RowGroupBloomSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/ds"
+
+  /** doc_id is a high-cardinality string key in RANDOM order — the
+    * anti-clustered shape where min/max stats are useless. */
+  private def writeCorpus(dir: String, bloom: Boolean): GraftDataset = {
+    val ds = GraftDataset(dir)
+    val df = (0 until 20000).map(i => (f"doc-${(i * 2654435761L) % 1000003}%08d", i.toLong))
+      .toDF("doc_id", "n")
+    val base = DatasetWriter(ds, WriteMode.Overwrite, rowGroupSize = Some(2000L))
+    val w = if (bloom) base.withRowGroupBloom("doc_id") else base
+    w.write(spark, df.repartition(2))
+    ds
+  }
+
+  private def bloomOffsets(ds: GraftDataset): Seq[Long] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    ds.dataFiles(spark).flatMap { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), hconf))
+      try r.getFooter.getBlocks.asScala.toSeq.flatMap(
+        _.getColumns.asScala.filter(_.getPath.toDotString == "doc_id")
+          .map(_.getBloomFilterOffset))
+      finally r.close()
+    }
+  }
+
+  test("withRowGroupBloom lands real bloom filters; plain writes do not") {
+    val plain = writeCorpus(tmpDir("graft_rgbloom_off"), bloom = false)
+    assert(bloomOffsets(plain).forall(_ < 0), "no bloom expected without the option")
+
+    val ds = writeCorpus(tmpDir("graft_rgbloom_on"), bloom = true)
+    val offs = bloomOffsets(ds)
+    assert(offs.nonEmpty && offs.forall(_ >= 0),
+      s"every doc_id chunk must carry a bloom filter, offsets=$offs")
+
+    // bloom semantics straight from the footer: every WRITTEN key in a
+    // row group must test true there (no false negatives — the property
+    // skipping correctness rests on); absent keys mostly test false
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val f = ds.dataFiles(spark).head
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), hconf))
+    try {
+      val block = r.getFooter.getBlocks.asScala.head
+      val ch = block.getColumns.asScala.find(_.getPath.toDotString == "doc_id").get
+      val bf = r.getBloomFilterDataReader(block).readBloomFilter(ch)
+      assert(bf != null, "bloom filter must deserialize")
+      val rows = spark.read.parquet(f).select("doc_id").limit(200).as[String].collect()
+      rows.foreach { k =>
+        assert(bf.findHash(bf.hash(Binary.fromString(k))),
+          s"written key $k must test present in its row group's bloom")
+      }
+      val absent = (0 until 1000).count(i =>
+        bf.findHash(bf.hash(Binary.fromString(s"nope-$i-${i * 7919}"))))
+      assert(absent < 200, s"false-positive rate too high: $absent/1000")
+    } finally r.close()
+
+    // reads stay exact with pushdown on (point lookup + a miss)
+    val hit = spark.read.parquet(ds.path).filter(col("doc_id") === "doc-00000000")
+    val bare = ds.df(spark).filter(col("doc_id") === "doc-00000000")
+    assert(hit.count() == bare.count())
+    assert(spark.read.parquet(ds.path)
+      .filter(col("doc_id") === "absent-key").count() == 0)
+  }
+
+  test("dict-effective columns stay bloom-less: parquet's adaptive rule") {
+    // a REPETITIVE key keeps its dictionary encoding, and parquet then
+    // deliberately omits the bloom — the dictionary page already gives
+    // the reader EXACT row-group membership. This pins the adaptive
+    // semantics so nobody reads a missing offset as a broken flag: the
+    // bloom materializes exactly when the dictionary falls back
+    // (near-unique keys), which is the regime the flag exists for.
+    val ds = GraftDataset(tmpDir("graft_rgbloom_dict"))
+    val df = (0 until 20000).map(i => (s"cat-${i % 50}", i.toLong)).toDF("doc_id", "n")
+    DatasetWriter(ds, WriteMode.Overwrite)
+      .withRowGroupBloom("doc_id")
+      .write(spark, df.repartition(2))
+    assert(bloomOffsets(ds).forall(_ < 0),
+      "a 50-value column must stay dictionary-encoded with no bloom")
+    // and lookups are still exact (dictionary filtering path)
+    assert(spark.read.parquet(ds.path).filter(col("doc_id") === "cat-7").count() == 400)
+  }
+}
