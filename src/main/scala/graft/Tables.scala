@@ -15,14 +15,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and truncate to micros — the same
-    // truncation DuckDB applies (its timestamps are micro-resolution), so
-    // oracle comparisons line up exactly.
+    // `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) across fixture vintages, so
+    // the loader branches on the dtype Spark actually infers rather than
+    // assuming one encoding. Either branch lands on micro-resolution
+    // TimestampType — the same resolution DuckDB uses — so oracle
+    // comparisons line up exactly and downstream consumers (unix_micros
+    // time-batching, watermarks) see one stable dtype.
     if (name == "events") {
+      // Keep nanosAsLong on so a NANOS-vintage file still loads (Spark's
+      // vectorized reader rejects TIMESTAMP(NANOS) otherwise); it is a
+      // no-op for MICROS files.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        // NANOS vintage (loaded as long): truncate to micros, as DuckDB does.
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // MICROS vintage (isAdjustedToUTC=false loads as timestamp_ntz):
+        // reinterpret in the UTC session — identical micros value, and the
+        // dtype every consumer was built against.
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
