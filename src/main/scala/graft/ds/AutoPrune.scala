@@ -40,10 +40,13 @@ import org.apache.spark.sql.types.StructType
   * carries a `_stats_index` sidecar — one driver-side `exists` RPC per
   * unwrapped file relation per rule pass (the analyzer injection runs
   * once; the experimental batch converges in two passes because wrapped
-  * relations are skipped). A wrapped scan then pays one small sidecar
-  * read in `listFiles` — always fresh, never cached across writes. At
-  * 100 TB those driver RPCs buy removing thousands of files from the
-  * scan before listing, scheduling, or footer IO happens. */
+  * relations are skipped). A wrapped scan then pays one sidecar read
+  * in `listFiles` through [[StatsIndex.loadCached]] — an unchanged
+  * root/segment file revalidates by (mtime, length) for the cost of a
+  * `getFileStatus`, and writes invalidate naturally (fresh segment
+  * names, changed root stamp). At 100 TB those driver RPCs buy
+  * removing thousands of files from the scan before listing,
+  * scheduling, or footer IO happens. */
 object AutoPrune {
 
   /** Install [[StatsPruneRule]] on a live session (idempotent). */
@@ -114,7 +117,7 @@ final class StatsPrunedFileIndex(
     val base = underlying.listFiles(partitionFilters, dataFilters)
     if (dataFilters.isEmpty) return base
     val fs = root.getFileSystem(hconf)
-    StatsIndex.load(fs, root.toString) match {
+    StatsIndex.loadCached(fs, root.toString) match {
       case None => base // sidecar vanished/corrupt since wrap: no pruning
       case Some(idx) =>
         val tests = dataFilters.flatMap(StatsIndex.compile)

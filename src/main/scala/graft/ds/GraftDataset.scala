@@ -76,7 +76,7 @@ final case class GraftDataset(
     * the driver drops most of a clustered dataset's million-file
     * listing from one sidecar read, zero footer RPCs. */
   def pruned(spark: SparkSession, predicate: Column): GraftDataset =
-    StatsIndex.load(fs(spark), path) match {
+    StatsIndex.loadCached(fs(spark), path) match {
       case None => this
       case Some(idx) =>
         val all = dataFiles(spark)

@@ -67,6 +67,19 @@ import org.apache.spark.sql.types._
   *    `StringType` singleton) → collations degrade to no-pruning. */
 object StatsIndex {
   val FileName = "_stats_index"
+  /** Segment directory beside the root sidecar (hidden from Spark and
+    * from [[GraftDataset.dataFiles]] by the leading underscore). Each
+    * maintained write appends ONE `seg-*` file holding only that
+    * write's new-file entries; the effective index is root ∪ segments.
+    * This is what makes [[maintain]] O(new files) instead of
+    * O(total files): the monolithic-root rewrite per ingest batch was
+    * the one remaining whole-dataset driver cost on the write path. */
+  val SegDirName = "_stats_index.d"
+  /** Segment count that triggers folding everything back into the
+    * root (inside the write that crossed the threshold). Keeps the
+    * read side bounded at ≤ CompactAt+1 sidecar reads while amortizing
+    * the O(total-files) fold to 1/CompactAt per write. */
+  private[ds] val CompactAt = 16
   private val Magic = "graft-stats-v1"
 
   /** One column's file-level range. `kind`: "l" integral, "d" double,
@@ -106,14 +119,81 @@ object StatsIndex {
   final case class Index(cols: Seq[String], files: Map[String, Map[String, ColRange]])
 
   def sidecar(dsPath: String): Path = new Path(dsPath, FileName)
+  def segDir(dsPath: String): Path = new Path(dsPath, SegDirName)
 
-  def load(fs: FileSystem, dsPath: String): Option[Index] = {
-    val p = sidecar(dsPath)
+  /** Effective index: the root sidecar plus every segment, merged.
+    * Root absent/corrupt → None (segments alone carry no authority —
+    * they are deltas against a base that must exist). A corrupt
+    * SEGMENT is skipped: its files simply have no entries → never
+    * pruned, the same degradation rule as everywhere else. */
+  def load(fs: FileSystem, dsPath: String): Option[Index] =
+    loadWith(fs, dsPath, cached = false)
+
+  /** [[load]] through a driver-side (mtime, length)-keyed fragment
+    * cache: an unchanged sidecar file costs one `getFileStatus` RPC
+    * instead of a full read + parse. This is the per-SCAN path
+    * ([[AutoPrune]]'s `listFiles`, [[GraftDataset.pruned]]) — a query
+    * storm over one dataset re-validates cheap metadata rather than
+    * re-reading a million-entry index per query. Writes invalidate
+    * naturally: segments get fresh names, a root promote changes
+    * (mtime, length). */
+  def loadCached(fs: FileSystem, dsPath: String): Option[Index] =
+    loadWith(fs, dsPath, cached = true)
+
+  private def loadWith(fs: FileSystem, dsPath: String, cached: Boolean): Option[Index] =
+    readParsed(fs, sidecar(dsPath), cached).map { root =>
+      val segs = listSegments(fs, dsPath)
+      if (segs.isEmpty) root
+      else Index(root.cols, segs.foldLeft(root.files) { (acc, seg) =>
+        readParsed(fs, seg, cached).fold(acc)(acc ++ _.files)
+      })
+    }
+
+  /** Segment files, oldest first (names sort by creation order; later
+    * entries win the merge, though rewrites minting fresh data-file
+    * names make key collisions impossible in practice). */
+  private def listSegments(fs: FileSystem, dsPath: String): Seq[Path] =
     try {
-      if (!fs.exists(p)) return None
+      val d = segDir(dsPath)
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("seg-"))
+        .map(_.getPath).sortBy(_.getName)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Parsed-fragment cache: qualified path → (mtime, length, parse
+    * result). Bounded by wholesale clear — correctness never depends
+    * on the cache, so eviction policy only affects RPC counts. */
+  private val fragCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Option[Index])]()
+  private[ds] def cacheSize: Int = fragCache.size
+  private[ds] def clearCache(): Unit = fragCache.clear()
+
+  private def readParsed(fs: FileSystem, p: Path, cached: Boolean): Option[Index] = {
+    val st = try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None
+              case scala.util.control.NonFatal(_) => return None }
+    val key = fs.makeQualified(p).toString
+    if (cached) {
+      val hit = fragCache.get(key)
+      if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
+        return hit._3
+    }
+    val parsed = try {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      parse(text)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    if (cached) {
+      if (fragCache.size > 4096) fragCache.clear()
+      fragCache.put(key, (st.getModificationTime, st.getLen, parsed))
+    }
+    parsed
+  }
+
+  private def parse(text: String): Option[Index] =
+    try {
       val lines = text.split('\n').filter(_.nonEmpty)
       val header = lines.head.split('\t')
       if (header.length != 2 || header(0) != Magic) return None
@@ -145,16 +225,12 @@ object StatsIndex {
       }
       Some(Index(cols, files))
     } catch { case scala.util.control.NonFatal(_) => None }
-  }
 
-  /** Stage + rename, same durability rule as [[BloomIndex.write]]. */
-  def write(fs: FileSystem, dsPath: String, idx: Index): Unit = {
-    val dst = sidecar(dsPath)
-    val tmp = new Path(dst.getParent, s"${FileName}__tmp")
+  private def render(idx: Index): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(Magic).append('\t').append(idx.cols.mkString(",")).append('\n')
     idx.files.toSeq.sortBy(_._1).foreach { case (rel, byCol) =>
-      if (byCol.isEmpty) // tombstone — see load()
+      if (byCol.isEmpty) // tombstone — see parse()
         sb.append(rel).append("\t-\tnone\t0\t0\t-1\n")
       else byCol.toSeq.sortBy(_._1).foreach { case (c, r) =>
         val enc = java.util.Base64.getEncoder
@@ -167,15 +243,43 @@ object StatsIndex {
           .append('\t').append(r.nulls).append('\n')
       }
     }
-    val out = fs.create(tmp, true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"stats index: cannot promote $tmp to $dst")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  def delete(fs: FileSystem, dsPath: String): Boolean =
+  /** Promote `idx` as the COMPLETE index: stage + rename the root
+    * (same durability rule as [[BloomIndex.write]]), then drop every
+    * segment — their entries are either folded into `idx` or
+    * deliberately discarded by a rebuild. */
+  def write(fs: FileSystem, dsPath: String, idx: Index): Unit = {
+    val dst = sidecar(dsPath)
+    val tmp = new Path(dst.getParent, s"${FileName}__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(render(idx)) finally out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"stats index: cannot promote $tmp to $dst")
+    fs.delete(segDir(dsPath), true); ()
+  }
+
+  /** Append one segment holding only `files`' entries. Fresh unique
+    * name (no reader ever sees a half-written segment thanks to the
+    * same stage + rename); the monotonic name component keeps merge
+    * order stable. */
+  private def writeSegment(fs: FileSystem, dsPath: String,
+      cols: Seq[String], files: Map[String, Map[String, ColRange]]): Unit = {
+    val d = segDir(dsPath)
+    fs.mkdirs(d)
+    val name = f"seg-${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = new Path(d, s".${name}__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(render(Index(cols, files))) finally out.close()
+    require(fs.rename(tmp, new Path(d, name)),
+      s"stats index: cannot promote segment $name at $dsPath")
+  }
+
+  def delete(fs: FileSystem, dsPath: String): Boolean = {
+    fs.delete(segDir(dsPath), true)
     fs.delete(sidecar(dsPath), false)
+  }
 
   /** Footer → per-column file range. Returns only columns whose every
     * row group carries usable stats (a single stats-less group makes
@@ -304,12 +408,32 @@ object StatsIndex {
     * [[DatasetWriter]]/[[DatasetDelete]]/[[Repartition.compact]] at the
     * end of their mutations (inside the dataset lock), so an index a
     * user built once stays fresh across ingest without the advisory
-    * "files unpruned until refresh" window. Incremental: only files
-    * the index has never seen pay a footer read. */
+    * "files unpruned until refresh" window.
+    *
+    * Cost shape, the point of the segment layout: O(new files) footer
+    * IO + ONE segment write — the root (O(total files)) is untouched.
+    * Every [[CompactAt]]-th maintained write instead folds root +
+    * segments + fresh entries into a new root (dropping entries whose
+    * files vanished under rewrites), so segment count stays bounded
+    * and the fold amortizes to 1/CompactAt of a full rewrite per
+    * ingest batch. A no-change write (no unseen files) writes
+    * nothing at all. */
   def maintain(spark: SparkSession, ds: GraftDataset): Unit = {
     val fs = ds.fs(spark)
-    load(fs, ds.path).foreach(prior =>
-      buildFrom(spark, ds, prior.cols, ds.dataFiles(spark), prior.files))
+    loadCached(fs, ds.path).foreach { prior =>
+      val rels = ds.dataFiles(spark).map(f => f -> relOf(fs, ds.path, f))
+      val need = rels.filterNot { case (_, rel) => prior.files.contains(rel) }
+      if (need.nonEmpty) {
+        val fresh = scanRanges(spark, prior.cols.toSet, need)
+        if (listSegments(fs, ds.path).size + 1 >= CompactAt) {
+          // fold: live files only — stale entries (rewritten/deleted
+          // files) exit the index here, exactly as a full refresh would
+          val live = rels.map(_._2).toSet
+          write(fs, ds.path, Index(prior.cols,
+            (prior.files ++ fresh).filter { case (rel, _) => live.contains(rel) }))
+        } else writeSegment(fs, ds.path, prior.cols, fresh.toMap)
+      }
+    }
   }
 
   private def buildFrom(spark: SparkSession, ds: GraftDataset, cols: Seq[String],
@@ -317,28 +441,32 @@ object StatsIndex {
     val fs = ds.fs(spark)
     val rels = files.map(f => f -> relOf(fs, ds.path, f))
     val (have, need) = rels.partition { case (_, rel) => known.contains(rel) }
-    val colSet = cols.toSet
-    val fresh: Seq[(String, Map[String, ColRange])] =
-      if (need.size <= 64) {
-        val hconf = spark.sparkContext.hadoopConfiguration
-        need.map { case (f, rel) => rel -> footerRanges(f, colSet, hconf) }
-      } else {
-        val conf = new org.apache.spark.util.SerializableConfiguration(
-          spark.sparkContext.hadoopConfiguration)
-        val pairs = need
-        spark.sparkContext.parallelize(pairs, math.min(pairs.size, 256))
-          .map { case (f, rel) => rel -> footerRanges(f, colSet, conf.value) }
-          .collect().toSeq
-      }
-    // stats-less files keep their EMPTY entry (serialized as a "none"
-    // tombstone): still never pruned, but memoized — without it every
-    // maintain() would re-open their footers forever, the exact
-    // per-file RPC fan-out this index exists to avoid
+    val fresh = scanRanges(spark, cols.toSet, need)
     val idx = Index(cols,
       (have.map { case (_, rel) => rel -> known(rel) } ++ fresh).toMap)
     write(fs, ds.path, idx)
     idx
   }
+
+  /** Footer-scan `need` (full-path, rel-path pairs): distributed above
+    * 64 files (one task per footer — the same scale rule as schema
+    * unification), driver-side below. Stats-less files keep their
+    * EMPTY entry (serialized as a "none" tombstone): still never
+    * pruned, but memoized — without it every maintain() would re-open
+    * their footers forever, the exact per-file RPC fan-out this index
+    * exists to avoid. */
+  private def scanRanges(spark: SparkSession, colSet: Set[String],
+      need: Seq[(String, String)]): Seq[(String, Map[String, ColRange])] =
+    if (need.size <= 64) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      need.map { case (f, rel) => rel -> footerRanges(f, colSet, hconf) }
+    } else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext.parallelize(need, math.min(need.size, 256))
+        .map { case (f, rel) => rel -> footerRanges(f, colSet, conf.value) }
+        .collect().toSeq
+    }
 
   /** An extracted literal: numeric kinds carry `num`, kind "s" carries
     * raw UTF-8 bytes in `str`. */

@@ -419,4 +419,64 @@ class StatsIndexSpec extends AnyFunSuite {
     StatsIndex.build(spark, ds, Seq("id"))
     assert(StatsIndex.load(fs, ds.path).nonEmpty)
   }
+
+  test("maintain is O(new files): each write appends one segment, root untouched") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id"))
+    val fs = ds.fs(spark)
+    val root0 = fs.getFileStatus(StatsIndex.sidecar(ds.path))
+    // three maintained appends (DatasetWriter calls maintain itself)
+    (0 until 3).foreach { i =>
+      DatasetWriter(ds, WriteMode.Append).write(spark,
+        Seq((20000L + i, 0.0, "x")).toDF("id", "score", "v"))
+    }
+    val segs = fs.listStatus(StatsIndex.segDir(ds.path))
+      .filter(_.getPath.getName.startsWith("seg-"))
+    assert(segs.length == 3, s"expected one segment per write, saw ${segs.length}")
+    val root1 = fs.getFileStatus(StatsIndex.sidecar(ds.path))
+    assert(root1.getModificationTime == root0.getModificationTime &&
+      root1.getLen == root0.getLen,
+      "an ingest batch must not rewrite the O(total-files) root")
+    // the effective index covers every file, and the new files prune
+    val idx = StatsIndex.load(fs, ds.path).get
+    assert(idx.files.size == ds.dataFiles(spark).size)
+    val cachedIdx = StatsIndex.loadCached(fs, ds.path).get
+    assert(cachedIdx.files.keySet == idx.files.keySet,
+      "cached load must see the same effective index")
+    val pruned = ds.pruned(spark, col("id") < 100L)
+    assert(pruned.files.size < ds.dataFiles(spark).size,
+      "post-append queries must prune the out-of-range appended files")
+    assert(pruned.df(spark).filter(col("id") < 100L).count() == 100)
+    // a write with no unseen files writes nothing
+    val segCount = segs.length
+    StatsIndex.maintain(spark, ds)
+    assert(fs.listStatus(StatsIndex.segDir(ds.path))
+      .count(_.getPath.getName.startsWith("seg-")) == segCount,
+      "a no-change maintain must not mint a segment")
+  }
+
+  test("segment count is bounded: the CompactAt-th write folds into the root") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id"))
+    val fs = ds.fs(spark)
+    (0 until StatsIndex.CompactAt).foreach { i =>
+      DatasetWriter(ds, WriteMode.Append).write(spark,
+        Seq((30000L + i, 0.0, "x")).toDF("id", "score", "v"))
+    }
+    // the CompactAt-th maintained write folded root+segments → no segments left
+    val segsAfter =
+      if (!fs.exists(StatsIndex.segDir(ds.path))) 0
+      else fs.listStatus(StatsIndex.segDir(ds.path))
+        .count(_.getPath.getName.startsWith("seg-"))
+    assert(segsAfter < StatsIndex.CompactAt - 1,
+      s"compaction must bound segment count, saw $segsAfter")
+    val idx = StatsIndex.load(fs, ds.path).get
+    assert(idx.files.size == ds.dataFiles(spark).size,
+      "the folded root must cover every live file")
+    // and pruning still answers correctly across the fold
+    val pred = col("id") >= 30000L
+    val pruned = ds.pruned(spark, pred)
+    assert(pruned.files.size < ds.dataFiles(spark).size)
+    assert(pruned.df(spark).filter(pred).count() == StatsIndex.CompactAt.toLong)
+  }
 }
