@@ -134,15 +134,22 @@ object BloomIndex {
 
   /** [[fromBatch]] plus the batch's row count, in ONE distributed pass
     * (the occupancy estimate would otherwise cost every merge a second
-    * scan of the batch). Same treeAggregate shape Spark's own
-    * `stat.bloomFilter` uses; Spark's BloomFilter is Serializable, so
-    * the (filter, count) pair rides the normal combiner path. */
+    * scan of the batch) and with zero RDD hops: the count rides the
+    * filter job as an `observe` metric (CollectMetrics accumulators),
+    * so the whole path stays on the codegen'd Dataset lane — Spark 4's
+    * `stat.bloomFilter` IS the BloomFilterAggregate expression, and
+    * the former `.rdd.treeAggregate` here paid per-row boxing on every
+    * maintained write for the same result. Layout compatibility with
+    * sidecar merges is unchanged: BloomFilterAggregate sizes bits and
+    * hash count by the same optimal formulas as `BloomFilter.create`. */
   def fromBatchCounted(df: DataFrame, cols: Seq[String],
-      expectedItems: Long, fpp: Double): (BloomFilter, Long) =
-    df.select(keyHash(cols).as("__h")).rdd
-      .treeAggregate((BloomFilter.create(expectedItems, fpp), 0L))(
-        seqOp = { case ((bf, n), row) => bf.putLong(row.getLong(0)); (bf, n + 1) },
-        combOp = { case ((a, na), (b, nb)) => a.mergeInPlace(b); (a, na + nb) })
+      expectedItems: Long, fpp: Double): (BloomFilter, Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val keyed = df.select(keyHash(cols).as("__h"))
+      .observe(obs, count(lit(1)).as("n"))
+    val bf = keyed.stat.bloomFilter("__h", expectedItems, fpp)
+    (bf, obs.get("n").asInstanceOf[Long])
+  }
 
   /** Build (or resize) the sidecar from the dataset's current rows.
     * `expectedItems` defaults to 4× the current count — headroom for
