@@ -70,6 +70,21 @@ object Bench {
 
     // warmup: JVM, codegen, parquet reader paths
     force(SparkEntry.entry(spark))
+    // ... and the WRITE path: committer init + FileFormatWriter JIT
+    // otherwise land on whichever write query runs first (measured as
+    // 3-5 s charged to w13_compact/w6_delta_write in round 6/7 drift
+    // adjudication). One throwaway managed overwrite + append warms
+    // the full DatasetWriter lane; the graft_q_ prefix puts the litter
+    // under the existing sweep.
+    locally {
+      val wtmp = java.nio.file.Files.createTempDirectory("graft_q_warmup").toString + "/ds"
+      val wds = graft.ds.GraftDataset(wtmp)
+      val wdf = spark.range(0, 10000)
+        .selectExpr("id", "cast(id as double) as v", "cast(id % 7 as string) as k")
+      graft.ds.DatasetWriter(wds, graft.ds.WriteMode.Overwrite).write(spark, wdf)
+      graft.ds.DatasetWriter(wds, graft.ds.WriteMode.Append).write(spark, wdf.limit(1000))
+      sweepTmp()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
