@@ -59,31 +59,60 @@ object AutoPrune {
   }
 }
 
-/** Swaps a [[StatsPrunedFileIndex]] into every single-root
-  * [[HadoopFsRelation]] whose root directory carries a stats sidecar.
-  * Pure metadata rewrite — output attributes, schema, and semantics are
-  * untouched, so it is safe at any plan phase. Multi-root relations
-  * (explicit file lists, unioned schema-group reads) are left alone:
-  * their roots are FILES, not dataset directories, and the graft API
-  * already prunes those through [[GraftDataset.pruned]]. */
+/** Swaps a [[StatsPrunedFileIndex]] into every [[HadoopFsRelation]]
+  * whose governing dataset directory carries a stats sidecar. Pure
+  * metadata rewrite — output attributes, schema, and semantics are
+  * untouched, so it is safe at any plan phase.
+  *
+  * Root resolution: a single-root relation's root IS the dataset dir
+  * (the common `spark.read.parquet(dir)` shape). A MULTI-root relation
+  * is an explicit file list — [[GraftDataset.dfUnified]]'s per-schema-
+  * group reads are the in-house producer — whose dataset dir is the
+  * deepest common ancestor of the roots; if that dir carries the
+  * sidecar, the same wrapper applies (sidecar keys are dataset-dir-
+  * relative, so pruning is root-shape-agnostic). A union of unrelated
+  * dirs resolves to some ancestor WITHOUT a sidecar and is left alone,
+  * and the ancestor fold is O(distinct parent dirs), not O(files). */
 case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case l: LogicalRelation =>
       l.relation match {
         case r: HadoopFsRelation if !r.location.isInstanceOf[StatsPrunedFileIndex]
-            && r.location.rootPaths.sizeIs == 1 =>
-          val root = r.location.rootPaths.head
+            && r.location.rootPaths.nonEmpty =>
           val hconf = spark.sessionState.newHadoopConf()
-          val hasSidecar =
-            try root.getFileSystem(hconf).exists(StatsIndex.sidecar(root.toString))
+          val root = StatsPruneRule.datasetRootOf(r.location.rootPaths)
+          val hasSidecar = root.exists { rt =>
+            try rt.getFileSystem(hconf).exists(StatsIndex.sidecar(rt.toString))
             catch { case scala.util.control.NonFatal(_) => false }
+          }
           if (!hasSidecar) l
           else l.copy(relation =
-            r.copy(location = new StatsPrunedFileIndex(r.location, root, hconf))(
+            r.copy(location = new StatsPrunedFileIndex(r.location, root.get, hconf))(
               r.sparkSession))
         case _ => l
       }
   }
+}
+
+object StatsPruneRule {
+  /** The dataset directory governing a relation's roots: the single
+    * root itself, or the deepest common ancestor of an explicit
+    * file-list's PARENTS (distinct-ed first — a hive layout has few
+    * distinct leaf dirs however many files it holds). */
+  private[ds] def datasetRootOf(roots: Seq[Path]): Option[Path] =
+    if (roots.sizeIs == 1) Some(roots.head)
+    else {
+      def common(a: Path, b: Path): Path = {
+        val as = a.toString.split('/')
+        val bs = b.toString.split('/')
+        val n = as.zip(bs).takeWhile { case (x, y) => x == y }.length
+        if (n == 0) null else new Path(as.take(n).mkString("/"))
+      }
+      try Option(roots.map(_.getParent).filter(_ != null).distinct.reduce { (a, b) =>
+        if (a == null || b == null) null else common(a, b)
+      })
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
 }
 
 /** A [[FileIndex]] that delegates listing to `underlying`, then drops
@@ -102,13 +131,28 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * every [[FileIndex]] (`FileSourceScanExec` holds its relation
   * transiently). */
 final class StatsPrunedFileIndex(
-    underlying: FileIndex, root: Path, hconf: Configuration) extends FileIndex {
+    private val underlying: FileIndex, root: Path, hconf: Configuration) extends FileIndex {
 
   override def rootPaths: Seq[Path] = underlying.rootPaths
   override def inputFiles: Array[String] = underlying.inputFiles
   override def refresh(): Unit = underlying.refresh()
   override def sizeInBytes: Long = underlying.sizeInBytes
   override def partitionSchema: StructType = underlying.partitionSchema
+
+  // CacheManager and sameResult compare relations with equals():
+  // HadoopFsRelation (a case class) recurses into its FileIndex, and
+  // InMemoryFileIndex compares by root paths. Without a matching
+  // override here the wrapper compares by object identity, so with the
+  // rule enabled a second read of a cached sidecar-bearing path builds
+  // a NEW wrapper instance and silently misses df.cache() — the
+  // wrapper must be exactly as equal as what it wraps. Pruning state
+  // is NOT part of identity: the sidecar only changes which files the
+  // scan lists, never the relation's logical result.
+  override def equals(other: Any): Boolean = other match {
+    case o: StatsPrunedFileIndex => underlying == o.underlying
+    case _ => false
+  }
+  override def hashCode(): Int = underlying.hashCode()
 
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],

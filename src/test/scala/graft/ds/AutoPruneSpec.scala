@@ -137,6 +137,79 @@ class AutoPruneSpec extends AnyFunSuite {
     assert(q.count() == bare.count())
   }
 
+  test("unified multi-root reads prune too: schema-group unions through spark.sql") {
+    // two schema VINTAGES in one dataset dir — the dfUnified retry
+    // shape: group A (id, v), group B adds a column. Each file holds a
+    // narrow contiguous id range so the sidecar can discriminate.
+    val ds = GraftDataset(tmpDir("graft_autoprune_uni"))
+    (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+      .write.parquet(ds.path)
+    (400 until 800).map(i => (i.toLong, s"v$i", i * 2.0)).toDF("id", "v", "extra")
+      .repartitionByRange(4, col("id"))
+      .write.mode("append").parquet(ds.path)
+    StatsIndex.build(spark, ds, Seq("id"))
+    assert(ds.dataFiles(spark).size == 8)
+
+    // unified read = one multi-root relation per schema group; register
+    // and query through plain SQL so the rule (not the graft call site)
+    // must do the pruning
+    ds.dfUnified(spark).createOrReplaceTempView("autoprune_uni")
+    val q = spark.sql("SELECT SUM(id) AS s, COUNT(*) AS n FROM autoprune_uni WHERE id < 100")
+    val n = scannedFiles(q)
+    assert(n < 8, s"unified read must prune schema-group file lists, scanned $n of 8")
+    val row = q.head
+    assert(row.getLong(0) == (0 until 100).map(_.toLong).sum && row.getLong(1) == 100)
+
+    // and a predicate straddling both groups still answers exactly
+    val q2 = spark.sql("SELECT COUNT(*) AS n FROM autoprune_uni WHERE id >= 350 AND id < 450")
+    assert(q2.head.getLong(0) == 100)
+  }
+
+  test("wrapped relations keep cache identity: second read hits df.cache()") {
+    val ds = indexedDataset()
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(ds.path)
+
+    // unit level: wrappers over path-equal underlying indexes are equal
+    def inMem() = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, Seq(root), Map.empty, None)
+    val a = new StatsPrunedFileIndex(inMem(), root, hconf)
+    val b = new StatsPrunedFileIndex(inMem(), root, hconf)
+    assert(a == b && a.hashCode == b.hashCode,
+      "wrapper equality must delegate to the underlying index")
+
+    // end-to-end through the analyzer-injection path (the cluster
+    // deploy shape): with GraftExtensions the ANALYZED plan carries the
+    // wrapper, so cache lookup equality runs through it
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions().apply(_)).getOrCreate()
+    val df1 = s2.read.parquet(ds.path)
+    try {
+      val wrapped = df1.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.isInstanceOf[StatsPrunedFileIndex] => l
+      }
+      assert(wrapped.nonEmpty, "extensions session must wrap the analyzed relation")
+      df1.persist()
+      df1.count()
+      val df2 = s2.read.parquet(ds.path).filter(col("id") < 100L)
+      val hit = df2.queryExecution.withCachedData.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(hit.nonEmpty, "second read of the cached path must hit the cache")
+      assert(df2.count() == 100)
+    } finally {
+      df1.unpersist()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("enable is idempotent; extensions class wires without error") {
     AutoPrune.enable(spark); AutoPrune.enable(spark)
     assert(spark.experimental.extraOptimizations
