@@ -131,9 +131,12 @@ object DatasetDelete {
     val staged = GraftDataset(tmp.toString, format = target.format,
       compression = target.compression)
     // kept scans the LIVE target lazily — the staged write must fully
-    // materialize before the swap touches it
+    // materialize before the swap touches it. The bloom contract rides
+    // the staged writer: options re-applied, contract file staged and
+    // promoted with the data.
     DatasetWriter(staged, WriteMode.Overwrite,
-      clusterBy = target.clusterBy, locking = false)
+      clusterBy = target.clusterBy,
+      rowGroupBloom = RowGroupBloom.load(fs, target.path), locking = false)
       .write(spark, keptOf(existing))
     // the sidecars live inside the root and would die in the swap. The
     // bloom filter carries with its deleted-count bumped: the filter
@@ -191,7 +194,8 @@ object DatasetDelete {
     val staged = GraftDataset(tmp.toString, format = target.format,
       partitioning = partCols, compression = target.compression)
     DatasetWriter(staged, WriteMode.Overwrite,
-      clusterBy = target.clusterBy, locking = false)
+      clusterBy = target.clusterBy,
+      rowGroupBloom = RowGroupBloom.load(fs, target.path), locking = false)
       .write(spark, keptOf(existing.filter(affectedPred)))
 
     val stagedLeaves = DatasetWriter.hiveLeafDirs(fs, tmp, partCols.length)

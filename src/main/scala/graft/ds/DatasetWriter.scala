@@ -115,10 +115,23 @@ final case class DatasetWriter(
     if (!locking) writeBody(spark, input)
     else DatasetLock.withLock(target.fs(spark), new Path(target.path))(writeBody(spark, input))
 
+  /** Explicit writer bloom columns win; otherwise the dataset's
+    * persisted [[RowGroupBloom]] contract applies (parquet-only). */
+  private def effectiveRowGroupBloom(fs: FileSystem): Seq[(String, Option[Long])] =
+    if (rowGroupBloom.nonEmpty) rowGroupBloom
+    else if (target.format == "parquet") RowGroupBloom.load(fs, target.path)
+    else Nil
+
   private def writeBody(spark: SparkSession, input: DataFrame): Long = {
     val fs = target.fs(spark)
     val targetPath = new Path(target.path)
     val existed = fs.exists(targetPath) && target.dataFiles(spark).nonEmpty
+
+    // effective row-group-bloom columns: explicit writer columns win,
+    // else the dataset's persisted contract re-applies — so maintenance
+    // rewrites and plain appends keep the filter layer the original
+    // writes paid for (see [[RowGroupBloom]]). Parquet-only.
+    val rgbContract = effectiveRowGroupBloom(fs)
 
     val prepared = transform(target.pipeline(input))
 
@@ -188,7 +201,8 @@ final case class DatasetWriter(
           partitioning = target.partitioning, compression = target.compression)
         val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
           timeBatch = timeBatch, rowGroupSize = rowGroupSize,
-          clusterBy = effectiveClusterBy, locking = false)
+          clusterBy = effectiveClusterBy, rowGroupBloom = rgbContract,
+          locking = false)
           .write(spark, merged)
         // the sidecar lives INSIDE the root and would die in the swap —
         // write the key-merged copy into the STAGED dir so it promotes
@@ -296,10 +310,7 @@ final case class DatasetWriter(
       .option("compression", codec)
     resolvedBatchRows.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
     rowGroupSize.foreach(n => w = w.option("parquet.block.size", (n * 128).toString))
-    rowGroupBloom.foreach { case (c, ndv) =>
-      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
-      ndv.foreach(n => w = w.option(s"parquet.bloom.filter.expected.ndv#$c", n.toString))
-    }
+    w = RowGroupBloom.applyOptions(w, rgbContract)
     if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
     target.format match {
       case "parquet" => w.parquet(target.path)
@@ -307,6 +318,11 @@ final case class DatasetWriter(
       case other => w.format(other).save(target.path)
     }
     val written = obs.get("rows").asInstanceOf[Long]
+    // persist the bloom contract beside the data it describes (fresh
+    // dirs — staged rewrites included — get it here, so a staged swap
+    // promotes contract and files together)
+    if (rgbContract.nonEmpty && target.format == "parquet")
+      RowGroupBloom.write(fs, target.path, rgbContract)
     // fresh/overwritten datasets get their sidecar AFTER the write (a
     // build scans the data that just landed); merges already happened
     // pre-commit above. An existing sidecar is always maintained (its
@@ -411,8 +427,13 @@ final case class DatasetWriter(
     fs.delete(tmp, true)
     val staged = GraftDataset(tmp.toString, format = target.format,
       partitioning = partCols, compression = target.compression)
+    // the staged tmp ROOT (and the contract file the staged write drops
+    // there) is discarded after per-partition promotion — persist the
+    // contract on the live root below instead
+    val rgb = effectiveRowGroupBloom(fs)
     val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
-      rowGroupSize = rowGroupSize, clusterBy = effectiveClusterBy, locking = false)
+      rowGroupSize = rowGroupSize, clusterBy = effectiveClusterBy,
+      rowGroupBloom = rgb, locking = false)
       .write(spark, merged)
 
     // leaf partition dirs of the staged output (depth = partCols.length)
@@ -454,6 +475,8 @@ final case class DatasetWriter(
       }
     }
     fs.delete(tmp, true)
+    if (rgb.nonEmpty && target.format == "parquet")
+      RowGroupBloom.write(fs, target.path, rgb)
     if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
     StatsIndex.maintain(spark, target)
     mergedIdx.foreach(m => BloomIndex.rebuildIfOverBudget(spark, target, m))

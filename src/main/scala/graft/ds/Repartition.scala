@@ -40,7 +40,9 @@ object Repartition {
         fs.delete(tmpPath, true)
         val staged = dest.copy(path = tmpPath.toString)
         val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
-          timeBatch = timeBatch, locking = false).write(spark, df)
+          timeBatch = timeBatch,
+          rowGroupBloom = RowGroupBloom.load(fs, source.path), locking = false)
+          .write(spark, df)
         // carry the bloom sidecar (a repartition pipeline only keeps or
         // drops rows — dedup/distinct/filter — so the old filter stays
         // a key superset); rebuild the stats index, whose entries all
@@ -60,7 +62,8 @@ object Repartition {
       // source→dest here, and two opposite-direction moves of the same
       // pair are already user error.)
       DatasetLock.withLock(source.fs(spark), new Path(source.path)) {
-        val n = DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)
+        val n = DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch,
+          rowGroupBloom = RowGroupBloom.load(source.fs(spark), source.path))
           .write(spark, source.df(spark))
         source.fs(spark).delete(new Path(source.path), true)
         n
@@ -72,7 +75,8 @@ object Repartition {
       // partial dataset would copy over silently. Same source→dest
       // lock order as the move branch (the inner write locks dest).
       DatasetLock.withLock(source.fs(spark), new Path(source.path)) {
-        DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch)
+        DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch,
+          rowGroupBloom = RowGroupBloom.load(source.fs(spark), source.path))
           .write(spark, source.df(spark))
       }
     }
@@ -169,8 +173,13 @@ object Repartition {
     val dataCols = df.columns.filterNot(parts.contains)
     val codec = DatasetWriter.resolveCodec(ds.format, ds.compression)
 
+    // compaction must not shed the dataset's bloom contract: re-apply
+    // the persisted options to the staged rewrite
+    val rgb = if (ds.format == "parquet") RowGroupBloom.load(fs, ds.path) else Nil
+
     def writeStaged(arranged: org.apache.spark.sql.DataFrame): Unit = {
       var w = arranged.write.mode("overwrite").option("compression", codec)
+      w = RowGroupBloom.applyOptions(w, rgb)
       if (parts.nonEmpty) w = w.partitionBy(parts: _*)
       ds.format match {
         case "parquet" => w.parquet(tmp.toString)
@@ -195,6 +204,7 @@ object Repartition {
       // (still a superset); the stats index names only dying files —
       // remember its columns and rebuild over the compacted result
       BloomIndex.load(fs, ds.path).foreach(idx => BloomIndex.write(fs, tmp.toString, idx))
+      if (rgb.nonEmpty) RowGroupBloom.write(fs, tmp.toString, rgb)
       val statCols = StatsIndex.load(fs, ds.path).map(_.cols)
       DatasetWriter.swapInPlace(fs, tmp, root)
       statCols.foreach(cs => StatsIndex.build(spark, ds, cs))

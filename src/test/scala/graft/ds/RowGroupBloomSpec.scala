@@ -88,6 +88,45 @@ class RowGroupBloomSpec extends AnyFunSuite {
       .filter(col("doc_id") === "absent-key").count() == 0)
   }
 
+  test("the bloom contract survives maintenance rewrites (append/compact/delete)") {
+    val ds = writeCorpus(tmpDir("graft_rgbloom_keep"), bloom = true)
+    val fs = ds.fs(spark)
+    assert(RowGroupBloom.load(fs, ds.path) == Seq("doc_id" -> None),
+      "a contracted write must persist the contract sidecar")
+
+    // fragment with plain appends that never restate the option — the
+    // persisted contract must apply on its own
+    (0 until 3).foreach { i =>
+      DatasetWriter(ds, WriteMode.Append)
+        .write(spark, (0 until 3000)
+          .map(j => (f"doc-extra-$i-${(j * 2654435761L) % 999983}%08d", 100000L + j))
+          .toDF("doc_id", "n").repartition(1))
+    }
+    val appended = bloomOffsets(ds)
+    assert(appended.nonEmpty && appended.forall(_ >= 0),
+      s"un-restated appends must still land bloom filters, offsets=$appended")
+
+    // compaction rewrites every file: filters must survive the rewrite
+    // and the contract file must survive the root swap
+    val stats = Repartition.compact(spark, ds, targetFileBytes = 512L * 1024 * 1024)
+    assert(stats.partitionsCompacted > 0, "fixture must actually compact")
+    val compacted = bloomOffsets(ds)
+    assert(compacted.nonEmpty && compacted.forall(_ >= 0),
+      s"compacted files must keep bloom filters, offsets=$compacted")
+    assert(RowGroupBloom.load(fs, ds.path) == Seq("doc_id" -> None),
+      "the contract must ride the compaction swap")
+
+    // delete-where rewrites kept rows: same invariant
+    assert(DatasetDelete.deleteWhere(spark, ds, col("n") >= 100000L) > 0)
+    val afterDelete = bloomOffsets(ds)
+    assert(afterDelete.nonEmpty && afterDelete.forall(_ >= 0),
+      s"delete rewrite must keep bloom filters, offsets=$afterDelete")
+    assert(RowGroupBloom.load(fs, ds.path) == Seq("doc_id" -> None),
+      "the contract must ride the delete swap")
+    // and the data is still exact
+    assert(spark.read.parquet(ds.path).count() == 20000)
+  }
+
   test("dict-effective columns stay bloom-less: parquet's adaptive rule") {
     // a REPETITIVE key keeps its dictionary encoding, and parquet then
     // deliberately omits the bloom — the dictionary page already gives
