@@ -167,11 +167,12 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     // dataset NAMED like a summary key (e.g. "last_sweep") can't collide
     val prevDs = Toml.getTbl(maint, "dataset").getOrElse(Toml.Tbl.empty)
     val dsTbl = results.foldLeft(prevDs.v) { case (m, (name, st, vac)) =>
-      // lock pressure: cumulative this-JVM counters for the dataset's
-      // lock file — the sweep itself holds the lock, so acquires >= 1
-      // here and a contended lake shows up as waited-ms/steals without
-      // anyone having to correlate job wall-clocks
-      val lk = graft.ds.DatasetLock.statsFor(new Path(load(name).path))
+      // lock pressure: CROSS-PROCESS counters for the dataset's lock —
+      // every writer process flushes its contention into the lock-stats
+      // sidecar on release, so a contended lake shows up as
+      // waited-ms/steals here even when the ingest writers are separate
+      // JVMs from the sweeping one
+      val lk = graft.ds.DatasetLock.combinedStats(fs, new Path(load(name).path))
       m.updated(name, Toml.Tbl(
         "swept_at" -> Toml.Str(sweptAt),
         "partitions_compacted" -> Toml.Int64(st.partitionsCompacted.toLong),
@@ -195,8 +196,9 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     * per-dataset swept_at / partitions_compacted / files_before /
     * files_after / vacuumed_paths and the lock-pressure counters
     * lock_acquires / lock_contended / lock_waited_ms / lock_steals /
-    * lock_timeouts (cumulative over the sweeping JVM's lifetime —
-    * see [[graft.ds.DatasetLock.LockStats]]). */
+    * lock_timeouts (combined across every writer process that released
+    * the lock, plus the sweeping JVM's unflushed remainder — see
+    * [[graft.ds.DatasetLock.combinedStats]]). */
   def maintenanceInfo(): Toml.Tbl =
     Toml.getTbl(readConfig(), "maintenance").getOrElse(Toml.Tbl.empty)
 }

@@ -225,6 +225,44 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(!fs.exists(lock2))
   }
 
+  test("lock stats combine across writer processes via the sidecar") {
+    val root = new Path(tmpDir("graft_lockstats") + "/ds")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val lock = DatasetLock.lockPath(root).get
+
+    // this process: a locked mutation flushes its delta on release
+    val before = DatasetLock.combinedStats(fs, root)
+    DatasetLock.withLock(fs, root)(())
+    val local = DatasetLock.combinedStats(fs, root)
+    assert(local.acquires == before.acquires + 1,
+      "a released lock must flush its acquire into the sidecar view")
+    assert(DatasetLock.statsFor(root).acquires >= 1)
+
+    // a SECOND writer process's release runs exactly this merge while
+    // holding the lock — stood in for directly here (same code path a
+    // separate JVM executes)
+    DatasetLock.mergeIntoSidecar(fs, lock,
+      DatasetLock.LockStats(acquires = 3, contended = 2, waitedMs = 1234, steals = 1, timeouts = 1))
+    val combined = DatasetLock.combinedStats(fs, root)
+    assert(combined.acquires == local.acquires + 3,
+      "combined view must include foreign-process acquires")
+    assert(combined.contended == local.contended + 2)
+    assert(combined.waitedMs == local.waitedMs + 1234)
+    assert(combined.steals == local.steals + 1)
+    assert(combined.timeouts == local.timeouts + 1)
+    // scopes stay explicit: the process-local registry never absorbs
+    // foreign counters
+    assert(DatasetLock.statsFor(root).acquires < combined.acquires)
+
+    // and this process's NEXT release only flushes its new delta —
+    // foreign history is never double-counted or clobbered
+    DatasetLock.withLock(fs, root)(())
+    val again = DatasetLock.combinedStats(fs, root)
+    assert(again.acquires == combined.acquires + 1)
+    assert(again.steals == combined.steals)
+  }
+
   test("vacuum cleans crashed-steal residue but never the live lock") {
     val dir = tmpDir("graft_lock_vac")
     val ds = GraftDataset(s"$dir/t")
