@@ -49,6 +49,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkDir).count() == nStreamed)
   }
 
+  test("streaming sink maintains the bloom and stats sidecars across micro-batch runs") {
+    import graft.ds.{BloomIndex, GraftDataset, StatsIndex}
+    val tmp = Files.createTempDirectory("graft_stream_maint_").toString
+    val srcDir = s"$tmp/src"; val sinkDir = s"$tmp/sink"
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+    // raw passthrough sink (no windowing — watermark lateness must not
+    // confound the MAINTENANCE assertions) on ONE continuous
+    // checkpoint: each restart of the AvailableNow job processes
+    // exactly the new source files, the production incremental-ingest
+    // shape
+    val ckpt = s"$tmp/ckpt"
+    def runSink(): Unit = {
+      val q = EventsStream.startDeltaSink(
+        EventsStream.readEvents(spark, srcDir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+        sinkDir, ckpt)
+      q.awaitTermination(120000)
+    }
+
+    // increment 1 lands the dataset; then the user builds both indexes
+    events.filter(pmod(col("event_id"), lit(3)) === 0)
+      .coalesce(1).write.parquet(srcDir)
+    runSink()
+    val sinkDs = GraftDataset(sinkDir)
+    val fs = sinkDs.fs(spark)
+    BloomIndex.build(spark, sinkDs, Seq("event_id"))
+    StatsIndex.build(spark, sinkDs, Seq("ts", "event_id"))
+    val bloom0 = BloomIndex.load(fs, sinkDir).get
+    val root0 = fs.getFileStatus(StatsIndex.sidecar(sinkDir))
+    def segCount: Int =
+      if (!fs.exists(StatsIndex.segDir(sinkDir))) 0
+      else fs.listStatus(StatsIndex.segDir(sinkDir))
+        .count(_.getPath.getName.startsWith("seg-"))
+
+    // two more incremental runs: every micro-batch write must advance
+    // the bloom occupancy and keep the stats index covering ALL files —
+    // without rewriting the O(total-files) root
+    events.filter(pmod(col("event_id"), lit(3)) === 1)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runSink()
+    val bloom1 = BloomIndex.load(fs, sinkDir).get
+    assert(bloom1.inserted > bloom0.inserted,
+      s"run 2 must merge its batch keys into the bloom sidecar " +
+        s"(${bloom0.inserted} -> ${bloom1.inserted})")
+    assert(segCount >= 1, "run 2's maintain must land a stats segment")
+
+    events.filter(pmod(col("event_id"), lit(3)) === 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runSink()
+    val bloom2 = BloomIndex.load(fs, sinkDir).get
+    assert(bloom2.inserted > bloom1.inserted,
+      s"run 3 must advance occupancy (${bloom1.inserted} -> ${bloom2.inserted})")
+    assert(segCount >= 2, "run 3 must land another segment")
+    val root1 = fs.getFileStatus(StatsIndex.sidecar(sinkDir))
+    assert(root1.getModificationTime == root0.getModificationTime &&
+      root1.getLen == root0.getLen,
+      "streaming maintenance must never rewrite the stats root per batch")
+
+    // the effective index covers every sink file — nothing escaped
+    // maintenance — and a window_start range query can prune
+    val idx = StatsIndex.load(fs, sinkDir).get
+    assert(idx.files.size == sinkDs.dataFiles(spark).size,
+      s"stats index must cover all files: ${idx.files.size} of ${sinkDs.dataFiles(spark).size}")
+    assert(spark.read.parquet(sinkDir).count() > 0)
+  }
+
   test("stream-static enrichment joins via broadcast and matches the batch twin") {
     val tmp = Files.createTempDirectory("graft_enrich_").toString
     val srcDir = s"$tmp/src"; val sinkDir = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
