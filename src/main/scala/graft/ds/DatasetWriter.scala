@@ -624,6 +624,9 @@ object DatasetWriter {
     if (equal) return false
     val unified = if (sortCols) SchemaUnify.sorted(unified0) else unified0
     val fs = ds.fs(spark)
+    // a unify rewrite is maintenance too: rewritten groups must keep
+    // the dataset's persisted row-group bloom layer
+    val rgb = RowGroupBloom.load(fs, ds.path)
     // group by (schema, parent dir): partition values live ONLY in the
     // directory names, so rewritten files must land back in the same
     // directory they came from or a hive layout loses its partitions
@@ -637,8 +640,9 @@ object DatasetWriter {
           else lit(null).cast(f.dataType).as(f.name)
         }
         val tmp = new Path(ds.path, s"_unify_tmp_${System.nanoTime()}")
-        df.select(aligned: _*).write
-          .option("compression", ds.compression).parquet(tmp.toString)
+        RowGroupBloom.applyOptions(
+          df.select(aligned: _*).write.option("compression", ds.compression), rgb)
+          .parquet(tmp.toString)
         // swap order matters: promote the rewritten files FIRST, then
         // delete originals — a crash between the two duplicates rows
         // (recoverable) instead of losing the group (not recoverable)

@@ -39,9 +39,12 @@ class RowGroupBloomSpec extends AnyFunSuite {
     ds
   }
 
-  private def bloomOffsets(ds: GraftDataset): Seq[Long] = {
+  private def bloomOffsets(ds: GraftDataset): Seq[Long] =
+    bloomOffsetsOf(ds.dataFiles(spark))
+
+  private def bloomOffsetsOf(files: Seq[String]): Seq[Long] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    ds.dataFiles(spark).flatMap { f =>
+    files.flatMap { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), hconf))
       try r.getFooter.getBlocks.asScala.toSeq.flatMap(
         _.getColumns.asScala.filter(_.getPath.toDotString == "doc_id")
@@ -125,6 +128,21 @@ class RowGroupBloomSpec extends AnyFunSuite {
       "the contract must ride the delete swap")
     // and the data is still exact
     assert(spark.read.parquet(ds.path).count() == 20000)
+  }
+
+  test("unify rewrite keeps the bloom contract on rewritten groups") {
+    val ds = writeCorpus(tmpDir("graft_rgbloom_unify"), bloom = true)
+    // a FOREIGN append with a wider schema forces the original group
+    // through the unify rewrite (unified schema promotes to the wider)
+    (0 until 100).map(i => (s"x-$i", i.toLong, i * 1.0)).toDF("doc_id", "n", "extra")
+      .coalesce(1).write.mode("append").parquet(ds.path)
+    val before = ds.dataFiles(spark).toSet
+    assert(DatasetWriter.unifySchemaRewrite(spark, ds), "rewrite must trigger")
+    val rewritten = ds.dataFiles(spark).filterNot(before)
+    assert(rewritten.nonEmpty, "the narrow-schema group must have been rewritten")
+    val offs = bloomOffsetsOf(rewritten)
+    assert(offs.nonEmpty && offs.forall(_ >= 0),
+      s"rewritten files must keep the contracted blooms, offsets=$offs")
   }
 
   test("dict-effective columns stay bloom-less: parquet's adaptive rule") {
