@@ -455,6 +455,39 @@ class StatsIndexSpec extends AnyFunSuite {
       "a no-change maintain must not mint a segment")
   }
 
+  test("a corrupt segment degrades to unpruned files, never a broken index") {
+    val ds = rangedDataset()
+    StatsIndex.build(spark, ds, Seq("id"))
+    val fs = ds.fs(spark)
+    // two maintained appends → two segments
+    (0 until 2).foreach { i =>
+      DatasetWriter(ds, WriteMode.Append).write(spark,
+        Seq((40000L + i, 0.0, "x")).toDF("id", "score", "v"))
+    }
+    val segs = fs.listStatus(StatsIndex.segDir(ds.path))
+      .filter(_.getPath.getName.startsWith("seg-")).map(_.getPath).sortBy(_.getName)
+    assert(segs.length == 2)
+    // corrupt the FIRST segment in place (crash-mid-write shape)
+    val out = fs.create(segs.head, true)
+    try out.write("garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // the index still loads: root + the healthy segment
+    val idx = StatsIndex.load(fs, ds.path).get
+    assert(idx.files.size == ds.dataFiles(spark).size - 1,
+      "exactly the corrupt segment's file must lose its entry")
+    // ...and pruning answers stay exact: the uncovered file is KEPT
+    val pred = col("id") === 40000L || col("id") === 40001L
+    val got = ds.pruned(spark, pred).df(spark).filter(pred).count()
+    assert(got == 2, s"rows behind the corrupt segment must survive pruning, saw $got")
+    // a later maintained write re-indexes the uncovered file (it reads
+    // as unseen) — the index self-heals
+    DatasetWriter(ds, WriteMode.Append).write(spark,
+      Seq((40002L, 0.0, "x")).toDF("id", "score", "v"))
+    val healed = StatsIndex.load(fs, ds.path).get
+    assert(healed.files.size == ds.dataFiles(spark).size,
+      "maintain must re-index files a corrupt segment dropped")
+  }
+
   test("segment count is bounded: the CompactAt-th write folds into the root") {
     val ds = rangedDataset()
     StatsIndex.build(spark, ds, Seq("id"))
