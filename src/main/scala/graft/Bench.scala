@@ -83,6 +83,19 @@ object Bench {
         .selectExpr("id", "cast(id as double) as v", "cast(id % 7 as string) as k")
       graft.ds.DatasetWriter(wds, graft.ds.WriteMode.Overwrite).write(spark, wdf)
       graft.ds.DatasetWriter(wds, graft.ds.WriteMode.Append).write(spark, wdf.limit(1000))
+      // ... and the STREAMING engine: MicroBatchExecution class-load +
+      // codegen otherwise bill the first x_stream_* query ~1-2 s of
+      // one-time init. One tiny AvailableNow file-stream round-trip.
+      val sdir = java.nio.file.Files.createTempDirectory("graft_q_swarm").toString
+      spark.range(0, 100).selectExpr("id", "timestamp_micros(id) as ts")
+        .coalesce(1).write.parquet(s"$sdir/src")
+      val q = spark.readStream
+        .schema("id BIGINT, ts TIMESTAMP").parquet(s"$sdir/src")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$sdir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
       sweepTmp()
     }
 

@@ -149,7 +149,7 @@ object DatasetDelete {
       BloomIndex.write(fs, tmp.toString, bumped)
       bumped
     }
-    val statCols = StatsIndex.load(fs, target.path).map(_.cols)
+    val statCols = StatsIndex.loadCached(fs, target.path).map(_.cols)
     DatasetWriter.swapInPlace(fs, tmp, root)
     statCols.foreach(cs => StatsIndex.build(spark, target, cs))
     carried.foreach(idx => BloomIndex.rebuildIfOverBudget(spark, target, idx))

@@ -218,7 +218,7 @@ final case class DatasetWriter(
         // carrying it would be dead weight; remember its columns and
         // rebuild over the merged result instead (an O(files) footer
         // pass after an O(dataset) rewrite — proportionally free)
-        val statCols = StatsIndex.load(fs, target.path).map(_.cols)
+        val statCols = StatsIndex.loadCached(fs, target.path).map(_.cols)
         DatasetWriter.swapInPlace(fs, tmp, targetPath)
         if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
         statCols.foreach(cs => StatsIndex.build(spark, target, cs))

@@ -49,7 +49,7 @@ object Repartition {
         // name files the swap kills
         BloomIndex.load(fs, source.path).foreach(idx =>
           BloomIndex.write(fs, tmpPath.toString, idx))
-        val statCols = StatsIndex.load(fs, source.path).map(_.cols)
+        val statCols = StatsIndex.loadCached(fs, source.path).map(_.cols)
         DatasetWriter.swapInPlace(fs, tmpPath, new Path(dest.path))
         statCols.foreach(cs => StatsIndex.build(spark, dest, cs))
         n
@@ -205,7 +205,7 @@ object Repartition {
       // remember its columns and rebuild over the compacted result
       BloomIndex.load(fs, ds.path).foreach(idx => BloomIndex.write(fs, tmp.toString, idx))
       if (rgb.nonEmpty) RowGroupBloom.write(fs, tmp.toString, rgb)
-      val statCols = StatsIndex.load(fs, ds.path).map(_.cols)
+      val statCols = StatsIndex.loadCached(fs, ds.path).map(_.cols)
       DatasetWriter.swapInPlace(fs, tmp, root)
       statCols.foreach(cs => StatsIndex.build(spark, ds, cs))
       promoted = 1
