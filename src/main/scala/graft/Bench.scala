@@ -95,7 +95,10 @@ object Bench {
         .option("checkpointLocation", s"$sdir/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      // a timed-out warmup must be STOPPED before the sweep deletes its
+      // source/checkpoint — a live query bleeding into the measured
+      // loop is the exact skew this warmup removes
+      if (!q.awaitTermination(60000)) q.stop()
       sweepTmp()
     }
 

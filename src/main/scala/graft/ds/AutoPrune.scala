@@ -97,8 +97,11 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object StatsPruneRule {
   /** The dataset directory governing a relation's roots: the single
     * root itself, or the deepest common ancestor of an explicit
-    * file-list's PARENTS (distinct-ed first — a hive layout has few
-    * distinct leaf dirs however many files it holds). */
+    * file-list's PARENTS. Cost honesty: every root pays one getParent
+    * (unavoidable — O(roots) cheap driver work per rule invocation on
+    * the relation, ~tens of ms at a million files), but the ancestor
+    * FOLD runs over the distinct parent set only — a hive layout has
+    * few distinct leaf dirs however many files it holds. */
   private[ds] def datasetRootOf(roots: Seq[Path]): Option[Path] =
     if (roots.sizeIs == 1) Some(roots.head)
     else {
@@ -108,10 +111,16 @@ object StatsPruneRule {
         val n = as.zip(bs).takeWhile { case (x, y) => x == y }.length
         if (n == 0) null else new Path(as.take(n).mkString("/"))
       }
-      try Option(roots.map(_.getParent).filter(_ != null).distinct.reduce { (a, b) =>
-        if (a == null || b == null) null else common(a, b)
-      })
-      catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        // single pass, no intermediate per-file collection: parents
+        // dedup into a small set as they stream by
+        val parents = scala.collection.mutable.LinkedHashSet.empty[Path]
+        roots.foreach { r => val p = r.getParent; if (p != null) parents += p }
+        if (parents.isEmpty) None
+        else Option(parents.reduce { (a, b) =>
+          if (a == null || b == null) null else common(a, b)
+        })
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 }
 

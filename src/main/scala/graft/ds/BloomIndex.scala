@@ -147,7 +147,16 @@ object BloomIndex {
     val obs = new org.apache.spark.sql.Observation()
     val keyed = df.select(keyHash(cols).as("__h"))
       .observe(obs, count(lit(1)).as("n"))
-    val bf = keyed.stat.bloomFilter("__h", expectedItems, fpp)
+    // ZERO-ROW batches: BloomFilterAggregate.eval returns null at
+    // cardinality 0 and Spark's stat.bloomFilter feeds that straight to
+    // BloomFilter.readFrom → NPE. Empty batches are routine in
+    // scheduled ingest (the old treeAggregate produced an empty filter
+    // for them), so substitute the same empty filter. The aggregation
+    // action has already run by the time readFrom throws, so the
+    // observed count (0) is valid either way.
+    val bf =
+      try keyed.stat.bloomFilter("__h", expectedItems, fpp)
+      catch { case _: NullPointerException => BloomFilter.create(expectedItems, fpp) }
     (bf, obs.get("n").asInstanceOf[Long])
   }
 

@@ -122,29 +122,38 @@ object DatasetLock {
     LockStats(a.acquires - b.acquires, a.contended - b.contended,
       a.waitedMs - b.waitedMs, a.steals - b.steals, a.timeouts - b.timeouts)
 
-  /** Merge `delta` into the sidecar. Package-visible so a spec can
-    * stand in for a second process's flush. Callers must hold the lock
-    * (or be the only process, as in tests) — the sidecar write is a
-    * read-modify-write serialized only by the lock itself. */
-  private[ds] def mergeIntoSidecar(fs: FileSystem, lock: Path, delta: LockStats): Unit =
+  /** Merge `delta` into the sidecar; true on success. Package-visible
+    * so a spec can stand in for a second process's flush. Callers must
+    * hold the lock (or be the only process, as in tests) — the sidecar
+    * write is a read-modify-write serialized only by the lock itself.
+    * Stage + rename like every other sidecar: an UNLOCKED reader
+    * (combinedStats from a sweep JVM) must never see a torn file, and
+    * a crash mid-write must cost at most this one delta, never the
+    * accumulated history. */
+  private[ds] def mergeIntoSidecar(fs: FileSystem, lock: Path, delta: LockStats): Boolean =
     try {
       val merged = plus(readSidecar(fs, lock), delta)
-      val out = fs.create(statsSidecar(lock), true)
+      val dst = statsSidecar(lock)
+      val tmp = new Path(dst.getParent, s"${dst.getName}__tmp")
+      val out = fs.create(tmp, true)
       try out.write((Seq(StatsMagic, merged.acquires, merged.contended,
         merged.waitedMs, merged.steals, merged.timeouts).mkString("\t") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
+      fs.delete(dst, false)
+      fs.rename(tmp, dst)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private def flushStats(fs: FileSystem, lock: Path): Unit = {
     val key = lock.toString
     val cur = Option(statsMap.get(key)).getOrElse(LockStats())
     val flushed = Option(flushedMap.get(key)).getOrElse(LockStats())
     val delta = minus(cur, flushed)
-    if (delta != LockStats()) {
-      mergeIntoSidecar(fs, lock, delta)
+    // advance the flushed snapshot ONLY on a successful write — a
+    // swallowed transient FS failure must leave the delta riding the
+    // next release, not silently dropped from the cross-process view
+    if (delta != LockStats() && mergeIntoSidecar(fs, lock, delta))
       flushedMap.put(key, cur)
-    }
   }
 
   /** Combined counters for one dataset's lock: every process's flushed

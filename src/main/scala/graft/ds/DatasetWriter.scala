@@ -71,6 +71,8 @@ final case class DatasetWriter(
     // hashes, uuids — the regime the flag exists for). Parquet-only
     // (other formats ignore the options)
     rowGroupBloom: Seq[(String, Option[Long])] = Nil,
+    // explicit contract OPT-OUT — see [[withoutRowGroupBloom]]
+    rowGroupBloomOff: Boolean = false,
     transform: DataFrame => DataFrame = identity,
     // internal staged writes (upsert/repartition temps) run under the
     // PARENT operation's lock — locking their own tmp path would only
@@ -90,6 +92,12 @@ final case class DatasetWriter(
     copy(rowGroupBloom = cols.map(_ -> None))
   def withRowGroupBloomNdv(cols: (String, Long)*): DatasetWriter =
     copy(rowGroupBloom = cols.map { case (c, n) => c -> Some(n) })
+  /** END the persisted bloom contract: this write (and all later ones)
+    * runs without the parquet bloom options and deletes the
+    * `_rowgroup_bloom` sidecar. Without this there would be no API
+    * path out of a contract — an empty `rowGroupBloom` means "inherit",
+    * so the persisted columns would re-apply forever. */
+  def withoutRowGroupBloom: DatasetWriter = copy(rowGroupBloomOff = true)
 
   /** Writer-level clusterBy wins; otherwise the dataset's recorded
     * clustering contract applies — so upsert merges and other internal
@@ -116,9 +124,11 @@ final case class DatasetWriter(
     else DatasetLock.withLock(target.fs(spark), new Path(target.path))(writeBody(spark, input))
 
   /** Explicit writer bloom columns win; otherwise the dataset's
-    * persisted [[RowGroupBloom]] contract applies (parquet-only). */
+    * persisted [[RowGroupBloom]] contract applies (parquet-only).
+    * [[withoutRowGroupBloom]] overrides both. */
   private def effectiveRowGroupBloom(fs: FileSystem): Seq[(String, Option[Long])] =
-    if (rowGroupBloom.nonEmpty) rowGroupBloom
+    if (rowGroupBloomOff) Nil
+    else if (rowGroupBloom.nonEmpty) rowGroupBloom
     else if (target.format == "parquet") RowGroupBloom.load(fs, target.path)
     else Nil
 
@@ -188,7 +198,8 @@ final case class DatasetWriter(
         // null-safe: a NULL key replaces a NULL key (same rule as delta)
         val cond = deltaSubset.map(c => existing(c) <=> keys(c)).reduce(_ && _)
         if (target.partitioning.nonEmpty && timeBatch.isEmpty)
-          return upsertPartitionScoped(spark, fs, targetPath, existing, pinned, keys, cond, sideIdx)
+          return upsertPartitionScoped(spark, fs, targetPath, existing, pinned, keys, cond,
+            sideIdx, rgbContract)
         val kept = existing.join(keys, cond, "left_anti")
           .select(pinned.columns.map(col): _*)
         val merged = kept.unionByName(pinned)
@@ -320,8 +331,11 @@ final case class DatasetWriter(
     val written = obs.get("rows").asInstanceOf[Long]
     // persist the bloom contract beside the data it describes (fresh
     // dirs — staged rewrites included — get it here, so a staged swap
-    // promotes contract and files together)
-    if (rgbContract.nonEmpty && target.format == "parquet")
+    // promotes contract and files together); an explicit opt-out
+    // deletes it — the one API path OUT of a contract
+    if (rowGroupBloomOff && target.format == "parquet")
+      RowGroupBloom.delete(fs, target.path)
+    else if (rgbContract.nonEmpty && target.format == "parquet")
       RowGroupBloom.write(fs, target.path, rgbContract)
     // fresh/overwritten datasets get their sidecar AFTER the write (a
     // build scans the data that just landed); merges already happened
@@ -385,7 +399,8 @@ final case class DatasetWriter(
       spark: SparkSession, fs: FileSystem, targetPath: Path,
       existing: DataFrame, pinned: DataFrame,
       keys: DataFrame, cond: org.apache.spark.sql.Column,
-      sideIdx: Option[BloomIndex.Index]): Long = {
+      sideIdx: Option[BloomIndex.Index],
+      rgb: Seq[(String, Option[Long])]): Long = {
     val partCols = target.partitioning
     val qualifiedRoot = fs.makeQualified(targetPath).toString
     def relDirOf(file: String): String = {
@@ -428,9 +443,9 @@ final case class DatasetWriter(
     val staged = GraftDataset(tmp.toString, format = target.format,
       partitioning = partCols, compression = target.compression)
     // the staged tmp ROOT (and the contract file the staged write drops
-    // there) is discarded after per-partition promotion — persist the
-    // contract on the live root below instead
-    val rgb = effectiveRowGroupBloom(fs)
+    // there) is discarded after per-partition promotion — the contract
+    // (threaded from writeBody: ONE sidecar read per write) persists on
+    // the live root below instead
     val n = DatasetWriter(staged, WriteMode.Overwrite, batchRows = batchRows,
       rowGroupSize = rowGroupSize, clusterBy = effectiveClusterBy,
       rowGroupBloom = rgb, locking = false)
@@ -475,7 +490,9 @@ final case class DatasetWriter(
       }
     }
     fs.delete(tmp, true)
-    if (rgb.nonEmpty && target.format == "parquet")
+    if (rowGroupBloomOff && target.format == "parquet")
+      RowGroupBloom.delete(fs, target.path)
+    else if (rgb.nonEmpty && target.format == "parquet")
       RowGroupBloom.write(fs, target.path, rgb)
     if (sideIdx.isEmpty && bloomIndex) BloomIndex.build(spark, target, deltaSubset)
     StatsIndex.maintain(spark, target)

@@ -63,7 +63,7 @@ object Repartition {
       // pair are already user error.)
       DatasetLock.withLock(source.fs(spark), new Path(source.path)) {
         val n = DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch,
-          rowGroupBloom = RowGroupBloom.load(source.fs(spark), source.path))
+          rowGroupBloom = carriedContract(spark, source, dest))
           .write(spark, source.df(spark))
         source.fs(spark).delete(new Path(source.path), true)
         n
@@ -76,11 +76,20 @@ object Repartition {
       // lock order as the move branch (the inner write locks dest).
       DatasetLock.withLock(source.fs(spark), new Path(source.path)) {
         DatasetWriter(dest, mode, batchRows = batchRows, timeBatch = timeBatch,
-          rowGroupBloom = RowGroupBloom.load(source.fs(spark), source.path))
+          rowGroupBloom = carriedContract(spark, source, dest))
           .write(spark, source.df(spark))
       }
     }
   }
+
+  /** Bloom contract for a cross-location copy/move: the DESTINATION's
+    * own contracted columns win per column (an existing contracted dest
+    * must not lose its layer to an append from elsewhere), the source's
+    * carry over for columns the dest never contracted. */
+  private def carriedContract(spark: SparkSession, source: GraftDataset,
+      dest: GraftDataset): Seq[(String, Option[Long])] =
+    (RowGroupBloom.load(dest.fs(spark), dest.path) ++
+      RowGroupBloom.load(source.fs(spark), source.path)).distinctBy(_._1)
 
   /** True when source and dest name the SAME storage location — the
     * trigger for staged-swap in-place rewriting. Compared on the

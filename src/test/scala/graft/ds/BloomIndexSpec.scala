@@ -71,6 +71,29 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(ds.df(spark).select("id").distinct().count() == 702)
   }
 
+  test("an EMPTY batch is a no-op merge, not a crash (scheduled-ingest shape)") {
+    // Spark 4's BloomFilterAggregate returns null for zero-row input;
+    // fromBatchCounted must substitute an empty filter instead of
+    // letting the writer NPE — empty batches are routine between
+    // scheduled ingest runs
+    val dir = tmpDir("graft_bloom_empty")
+    val ds = GraftDataset(dir)
+    val w = DatasetWriter(ds).withDeltaSubset("id").withBloomIndex
+    w.write(spark, (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val fs = ds.fs(spark)
+    val before = BloomIndex.load(fs, ds.path).get
+    // empty APPEND (not delta — the delta path is emptiness-gated)
+    DatasetWriter(ds, WriteMode.Append)
+      .write(spark, Seq.empty[(Long, String)].toDF("id", "v"))
+    val after = BloomIndex.load(fs, ds.path).get
+    assert(after.inserted == before.inserted, "an empty batch must not advance occupancy")
+    // and the filter still answers: all original keys present
+    val (bf, n) = BloomIndex.fromBatchCounted(
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"), 1024, 0.01)
+    assert(n == 0 && !bf.mightContainLong(42L))
+    assert(ds.df(spark).count() == 100)
+  }
+
   test("all-new batch skips the existing-side anti-join (the 100 TB fast path)") {
     val dir = tmpDir("graft_bloom_fast")
     val ds = GraftDataset(dir)

@@ -145,6 +145,27 @@ class RowGroupBloomSpec extends AnyFunSuite {
       s"rewritten files must keep the contracted blooms, offsets=$offs")
   }
 
+  test("withoutRowGroupBloom ends the contract: options off, sidecar gone") {
+    val ds = writeCorpus(tmpDir("graft_rgbloom_end"), bloom = true)
+    val fs = ds.fs(spark)
+    assert(RowGroupBloom.load(fs, ds.path).nonEmpty)
+    val before = ds.dataFiles(spark).toSet
+    DatasetWriter(ds, WriteMode.Append).withoutRowGroupBloom
+      .write(spark, (0 until 3000)
+        .map(j => (f"doc-end-${(j * 2654435761L) % 999983}%08d", 1L))
+        .toDF("doc_id", "n").repartition(1))
+    assert(RowGroupBloom.load(fs, ds.path).isEmpty,
+      "opting out must delete the persisted contract")
+    val newFiles = ds.dataFiles(spark).filterNot(before)
+    assert(newFiles.nonEmpty && bloomOffsetsOf(newFiles).forall(_ < 0),
+      "the opted-out write must not carry blooms")
+    // and later plain appends stay contract-free
+    DatasetWriter(ds, WriteMode.Append).write(spark,
+      (0 until 3000).map(j => (f"doc-end2-${(j * 2654435761L) % 999983}%08d", 2L))
+        .toDF("doc_id", "n").repartition(1))
+    assert(RowGroupBloom.load(fs, ds.path).isEmpty)
+  }
+
   test("dict-effective columns stay bloom-less: parquet's adaptive rule") {
     // a REPETITIVE key keeps its dictionary encoding, and parquet then
     // deliberately omits the bloom — the dictionary page already gives
