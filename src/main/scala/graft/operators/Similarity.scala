@@ -317,6 +317,14 @@ object Similarity {
       targetBucket: Int = 500, corpusSize: Option[Long] = None): DataFrame = {
 
     val spark = df.sparkSession
+    // policy-path corpus size, resolved cheapest-first: caller-supplied
+    // → parquet footer metadata (zero scan jobs for row-preserving
+    // plans) → count() — at 100 TB an extra full pass per call is real
+    // money when the footers already record the answer. Lazy: the
+    // caller-pinned-knobs branch never needs it.
+    lazy val nEst: Long = corpusSize
+      .orElse(graft.sources.ParquetMeta.metadataRowCount(df))
+      .getOrElse(df.count())
     val (dBits, dTables) =
       if (nbits > 0 && tables > 0) (nbits, tables)
       else if (nbits > 0) {
@@ -327,16 +335,22 @@ object Similarity {
         // for nbits=2
         (nbits, lshTablesFor(nbits))
       } else {
-        // policy needs n, resolved cheapest-first: caller-supplied →
-        // parquet footer metadata (zero scan jobs for row-preserving
-        // plans) → count() — at 100 TB an extra full pass per call is
-        // real money when the footers already record the answer
-        val (pb, pt) = lshTopPairsPolicy(
-          corpusSize
-            .orElse(graft.sources.ParquetMeta.metadataRowCount(df))
-            .getOrElse(df.count()), targetBucket)
+        val (pb, pt) = lshTopPairsPolicy(nEst, targetBucket)
         (pb, if (tables > 0) tables else pt)
       }
+    // Small-corpus direct path: at the policy's nbits FLOOR (n within
+    // ~4 buckets' worth), the tables' buckets jointly cover essentially
+    // every pair — the LSH machinery would enumerate near-all pairs
+    // REDUNDANTLY (dTables× pre-distinct blowup) and then pay an
+    // explode + distinct shuffle to collapse them. Enumerating each
+    // unordered pair exactly once via a broadcast self-join is the same
+    // result (the contract here is exact top-n over the candidate-
+    // covered pairs, which at this size IS all pairs) for a fraction of
+    // the work. Never fires at scale: past the floor the policy
+    // tightens nbits and candidate volume stays linear in n. Only the
+    // policy branch takes it — caller-pinned knobs mean the caller
+    // chose the selectivity regime deliberately.
+    val smallAllPairs = nbits <= 0 && tables <= 0 && nEst <= 4L * targetBucket
     // numeric ids only: casting a string id yields nulls that vanish
     // silently in collect_list instead of failing loudly
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -358,22 +372,8 @@ object Similarity {
       raise_error(concat(lit(s"lshTopPairs: id '$idCol' outside [0, 2^31): "),
         rawId.cast("string")))).otherwise(rawId)
 
-    val keyed = df.select(checkedId.as("id"),
-      explode(array((0 until dTables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col(vecCol), dBits, t).as("b"))): _*)).as("key"))
-
-    val cand = keyed.groupBy(col("key"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(graft.plans.GraftExpressions.orderedPairs(spark, col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-
-    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nm"))
-    cand
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nm").as("na")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nm").as("nb")), Seq("id_b"))
+    // shared scoring tail: (id_a, id_b, va, vb, na, nb) → global top-n
+    def scored(pairs: DataFrame): DataFrame = pairs
       .select((dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"),
         shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")).as("pid"))
       .agg(graft.plans.GraftExpressions.topK(spark, col("sim"), col("pid"), n).as("top"))
@@ -381,6 +381,30 @@ object Similarity {
       .select(shiftright(col("p.id"), 32).as("id_a"),
         col("p.id").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
         col("p.sim").as("sim"))
+
+    if (smallAllPairs) {
+      val vecs = df.select(checkedId.as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nm"))
+      val a = vecs.select(col("id").as("id_a"), col("v").as("va"), col("nm").as("na"))
+      val b = vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nm").as("nb"))
+      scored(a.join(broadcast(b), col("id_a") < col("id_b")))
+    } else {
+      val keyed = df.select(checkedId.as("id"),
+        explode(array((0 until dTables).map(t =>
+          struct(lit(t).as("t"), lshBucket(col(vecCol), dBits, t).as("b"))): _*)).as("key"))
+
+      val cand = keyed.groupBy(col("key"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(graft.plans.GraftExpressions.orderedPairs(spark, col("ids"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .distinct()
+
+      val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nm"))
+      scored(cand
+        .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nm").as("na")), Seq("id_a"))
+        .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nm").as("nb")), Seq("id_b")))
+    }
   }
 
   /** Corpus-derived (nbits, tables) for [[lshTopPairs]].
