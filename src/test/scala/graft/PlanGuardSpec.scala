@@ -32,7 +32,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "x_sim_ivf_topk" -> "broadcast centroid table joined lit(true) for argmin assignment (Similarity.scala assignClusters)",
     "x_sim_brute_topk" -> "broadcast probe set vs corpus — the documented brute-force baseline",
     "q11_important_parts" -> "1-row broadcast of the group-share threshold (SqlSurface.scala:793)",
-    "q22_no_orders" -> "1-row broadcast of the avg-balance cutoff"
+    "q22_no_orders" -> "1-row broadcast of the avg-balance cutoff",
+    "x_embed_top_pairs" -> ("below the LSH policy floor the corpus fits ~4 buckets, so the " +
+      "bounded broadcast pair enumeration replaces 16x-redundant LSH tables + distinct " +
+      "(Similarity.lshTopPairs smallAllPairs); past the floor the LSH path plans, " +
+      "guarded by SimilaritySpec")
   )
 
   /** Queries whose defining predicate must be PUSHED to the parquet
