@@ -976,7 +976,32 @@ object OpsQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- T11: s5cmd-style bulk object ops (distributed cp/sync) ---------
+  /** Mirrors the whole sf directory through FsOps' executor-parallel copy
+    * (one task per object, biggest-first round-robin), proves the second
+    * sync pass is a byte-level no-op, then answers an aggregate FROM THE
+    * MIRROR — the oracle computes it from the originals, so any corrupted
+    * or missing byte in the transfer breaks the hash match. */
+  def t11ObjectOps(spark: SparkSession, dir: String): DataFrame = {
+    val mirror = tmp("t11") + "/mirror"
+    val copied = graft.sources.FsOps.cp(spark, dir, mirror)
+    require(copied.files > 0, "object-ops mirror copied nothing")
+    val again = graft.sources.FsOps.sync(spark, dir, mirror)
+    require(again.files == 0, s"sync re-copied ${again.files} unchanged objects")
+    spark.read.parquet(s"$mirror/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+  val t11Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_object_ops" -> (t11ObjectOps _),
     "s3_feather_roundtrip" -> (s3FeatherRoundtrip _),
     "s10_arrow_export" -> (s10ArrowExport _),
     "w12_upsert" -> (w12Upsert _),
@@ -1017,6 +1042,7 @@ object OpsQueries {
     "f5_size_units" -> (f5SizeUnits _))
 
   val oracles: Map[String, String] = Map(
+    "t11_object_ops" -> t11Sql,
     "s3_feather_roundtrip" -> s3Sql,
     "s10_arrow_export" -> s10Sql,
     "w12_upsert" -> w12Sql,

@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.LongAccumulator
+
+/** Bulk object-store operations — the Spark-native answer to the
+  * reference's s5cmd shell-outs (`filesystem/s5cmd.py:201` `s5ls`, `:259`
+  * `s5cp`, `:306` `sync`, `:351` `s5rm`, `:394` `s5mv`, `:531` `s5du`,
+  * `:575` `s5cat`).
+  *
+  * s5cmd's value over plain `aws s3 cp` is a client-side worker pool that
+  * saturates the link with concurrent transfers. On a cluster the worker
+  * pool we already have is the executors: the driver lists the source
+  * prefix (one LIST per page — the same cost s5cmd pays), plans the
+  * transfer, and ships the file manifest through a Dataset so every
+  * executor core streams objects concurrently. At 1000 executors that is
+  * three orders of magnitude more aggregate bandwidth than any
+  * single-host tool, with Spark's task retry as the (idempotent) failure
+  * handler.
+  *
+  * Everything threads through `Path.getFileSystem(conf)`, so the same
+  * code serves `file:`, `hdfs:`, `s3a:`, or any configured custom scheme
+  * (proven over `graftfs:` in FsOpsSpec); the Hadoop conf travels to
+  * executors via an explicit writable wrapper, keeping per-bucket
+  * credentials/endpoints intact.
+  *
+  * Scale notes:
+  *  - The manifest is sorted by size descending and round-robined across
+  *    slices, so a handful of huge objects cannot pile onto one task
+  *    (the classic copy-job straggler).
+  *  - Transfers write to a dot-prefixed temp name and rename into place:
+  *    on file-like FSes the rename is atomic, on S3-like stores it is a
+  *    server-side COPY with no data egress — either way readers never
+  *    observe a half-written object under its final name, and a task
+  *    retry simply overwrites its own temp file.
+  *  - `sync` diffs by (relative path, size, mtime) exactly like s5cmd
+  *    sync: copy when missing, size differs, or the source is newer.
+  */
+object FsOps {
+
+  /** One listed object. `rel` is the path relative to the listed root —
+    * the join key for sync diffs and the layout-preserving copy target. */
+  case class Entry(path: String, rel: String, size: Long, mtime: Long)
+
+  case class TransferStats(files: Long, bytes: Long, skipped: Long, deleted: Long)
+
+  /** Hadoop Configuration is a Writable, not Serializable; wrap it so a
+    * Dataset closure can carry it to executors without relying on any
+    * Spark-private helper. */
+  private class SerConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private def fsFor(uri: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(uri)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Recursive listing under a prefix (or a single object). Driver-side:
+    * one RemoteIterator page at a time — on S3A this is the flat LIST
+    * s5cmd itself issues, never one RPC per directory. */
+  def ls(spark: SparkSession, uri: String): Seq[Entry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (fs, p) = fsFor(uri, conf)
+    if (!fs.exists(p)) return Seq.empty
+    val rootQ = fs.makeQualified(p)
+    val st = fs.getFileStatus(rootQ)
+    if (st.isFile)
+      return Seq(Entry(rootQ.toString, rootQ.getName, st.getLen, st.getModificationTime))
+    val rootPrefix = rootQ.toString.stripSuffix("/") + "/"
+    val it = fs.listFiles(rootQ, true)
+    val out = Seq.newBuilder[Entry]
+    while (it.hasNext) {
+      val f = it.next()
+      val full = f.getPath.toString
+      out += Entry(full, full.stripPrefix(rootPrefix), f.getLen, f.getModificationTime)
+    }
+    out.result()
+  }
+
+  /** Total (object count, bytes) under a prefix — s5cmd `du`. */
+  def du(spark: SparkSession, uri: String): (Long, Long) = {
+    val entries = ls(spark, uri)
+    (entries.size.toLong, entries.map(_.size).sum)
+  }
+
+  /** Whole-object driver-side read — s5cmd `cat`. For small control files
+    * (manifests, configs), not data plane. */
+  def cat(spark: SparkSession, uri: String): Array[Byte] = {
+    val (fs, p) = fsFor(uri, spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    require(st.getLen <= 256L * 1024 * 1024, s"cat refuses ${st.getLen} bytes (driver-side)")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](st.getLen.toInt)
+      org.apache.hadoop.io.IOUtils.readFully(in, buf, 0, buf.length)
+      buf
+    } finally in.close()
+  }
+
+  /** mkdir — s5cmd `mb` (make bucket) analog for path-style stores. */
+  def mkdirs(spark: SparkSession, uri: String): Boolean = {
+    val (fs, p) = fsFor(uri, spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+  }
+
+  /** Distributed copy src → dest, preserving the relative layout.
+    * A file src copies to exactly `dest`; a directory src replicates its
+    * tree under `dest`. */
+  def cp(spark: SparkSession, src: String, dest: String): TransferStats = {
+    val entries = ls(spark, src)
+    val srcIsFile = {
+      val (fs, p) = fsFor(src, spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.getFileStatus(p).isFile
+    }
+    transfer(spark, entries, dest, destIsExactPath = srcIsFile)
+  }
+
+  /** Distributed move: copy then delete the source objects. On stores
+    * without native rename (S3) this is exactly what s5cmd mv does. */
+  def mv(spark: SparkSession, src: String, dest: String): TransferStats = {
+    val stats = cp(spark, src, dest)
+    rm(spark, src)
+    stats
+  }
+
+  /** One-way sync src → dest (s5cmd `sync`): copy objects that are
+    * missing, size-changed, or newer on the source; with `delete=true`
+    * also remove dest objects that no longer exist under src. */
+  def sync(spark: SparkSession, src: String, dest: String,
+           delete: Boolean = false): TransferStats = {
+    val srcEntries = ls(spark, src)
+    val destEntries = ls(spark, dest).map(e => e.rel -> e).toMap
+    val (changed, same) = srcEntries.partition { e =>
+      destEntries.get(e.rel) match {
+        case None    => true
+        case Some(d) => d.size != e.size || e.mtime > d.mtime
+      }
+    }
+    val deleted =
+      if (!delete) 0L
+      else {
+        val srcRels = srcEntries.map(_.rel).toSet
+        val doomed = destEntries.valuesIterator.filterNot(e => srcRels(e.rel)).map(_.path).toSeq
+        deletePaths(spark, doomed)
+      }
+    val t = transfer(spark, changed, dest, destIsExactPath = false)
+    t.copy(skipped = t.skipped + same.size, deleted = deleted)
+  }
+
+  /** Distributed delete of every object under the prefix, then the empty
+    * tree itself. Per-key DELETEs fan out over executors — on an object
+    * store that is the only option s5cmd has too. */
+  def rm(spark: SparkSession, uri: String): Long = {
+    val n = deletePaths(spark, ls(spark, uri).map(_.path))
+    val (fs, p) = fsFor(uri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // sweep now-empty dirs (no-op keys on S3)
+    n
+  }
+
+  // ---- data plane -------------------------------------------------------
+
+  private def slices(spark: SparkSession, n: Int): Int =
+    math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 2))
+
+  private def transfer(spark: SparkSession, entries: Seq[Entry], destRoot: String,
+                       destIsExactPath: Boolean): TransferStats = {
+    if (entries.isEmpty) return TransferStats(0, 0, 0, 0)
+    val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val bytesAcc: LongAccumulator = spark.sparkContext.longAccumulator("fsops.bytes")
+    val n = slices(spark, entries.size)
+    // biggest objects first, round-robin over slices: no one-task pile-up
+    val planned = entries.sortBy(e => (-e.size, e.rel)).zipWithIndex
+      .map { case (e, i) => (i % n, e.path, e.rel, e.size) }
+    import spark.implicits._
+    planned.toDS().repartition(n, org.apache.spark.sql.functions.col("_1"))
+      .foreachPartition { it: Iterator[(Int, String, String, Long)] =>
+        val c = conf.value
+        val buf = new Array[Byte](4 * 1024 * 1024)
+        it.foreach { case (_, srcPath, rel, _) =>
+          val sp = new Path(srcPath)
+          val sfs = sp.getFileSystem(c)
+          val target =
+            if (destIsExactPath) new Path(destRoot)
+            else new Path(destRoot.stripSuffix("/") + "/" + rel)
+          val dfs = target.getFileSystem(c)
+          if (target.getParent != null) dfs.mkdirs(target.getParent)
+          val tmp = new Path(target.getParent, s"._graft_fsops_${target.getName}")
+          val in = sfs.open(sp)
+          val out = dfs.create(tmp, true)
+          var copied = 0L
+          try {
+            var r = in.read(buf)
+            while (r >= 0) {
+              if (r > 0) { out.write(buf, 0, r); copied += r }
+              r = in.read(buf)
+            }
+          } finally { in.close(); out.close() }
+          if (dfs.exists(target)) dfs.delete(target, false)
+          if (!dfs.rename(tmp, target))
+            throw new java.io.IOException(s"fsops: rename $tmp -> $target failed")
+          bytesAcc.add(copied)
+        }
+      }
+    TransferStats(entries.size.toLong, bytesAcc.value, 0, 0)
+  }
+
+  private def deletePaths(spark: SparkSession, paths: Seq[String]): Long = {
+    if (paths.isEmpty) return 0L
+    val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val n = slices(spark, paths.size)
+    import spark.implicits._
+    paths.toDS().repartition(n).foreachPartition { it: Iterator[String] =>
+      val c = conf.value
+      it.foreach { s =>
+        val p = new Path(s)
+        p.getFileSystem(c).delete(p, false)
+      }
+    }
+    paths.size.toLong
+  }
+}
