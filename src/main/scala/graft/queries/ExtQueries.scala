@@ -1014,6 +1014,71 @@ object ExtQueries {
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  // ---- streaming ingest dedup (stateful dropDuplicates) ------------------
+  /** Exactly-once ingest through the REAL micro-batch path: the events
+    * table streams in two event-time slices, then a third REPLAY file
+    * re-delivers every 7th event verbatim ([[graft.streaming
+    * .EventsStream.dedupStream]] = watermarked
+    * `dropDuplicatesWithinWatermark` on event_id). A replayed row is
+    * dropped whichever side of the watermark its event time lands on:
+    * at/above it the original's state entry is still live (state is
+    * evicted only once the watermark passes the event time), below it
+    * the row is discarded as late input — so the emitted set is exactly
+    * the first occurrences and the oracle is the plain events table.
+    * This is the at-least-once-source → exactly-once-sink contract a
+    * 100 TB ingest pipeline needs, with state bounded by the watermark
+    * horizon rather than the stream's full key history. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_sdedup_").toString
+    val staged = base + "/src"
+    val ev = Tables.load(spark, dir, "events")
+    // two contiguous event-time slices, lexicographic file order =
+    // event-time order (same staging argument as x_stream_e2e)
+    ev.repartitionByRange(2, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .write.parquet(staged)
+    val parts = Option(new java.io.File(staged).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length == 2, s"stream staging: expected 2 slices, got ${parts.length}")
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(1000000L * (i + 1)),
+        s"stream staging: cannot set mtime on $f")
+    }
+    // the replay file: every 7th event re-arrives AFTER both originals
+    val dupDir = base + "/dup"
+    ev.filter(pmod(col("event_id"), lit(7)) === 0).coalesce(1).write.parquet(dupDir)
+    val dupPart = new java.io.File(dupDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val replay = new java.io.File(staged, "part-00002-replay.parquet")
+    graft.sources.FsOps.cp(spark, dupPart.getAbsolutePath, replay.getAbsolutePath)
+    require(replay.setLastModified(3000000L),
+      s"stream staging: cannot set mtime on $replay")
+    val sink = base + "/sink"
+    val q = withStateWidth(spark, 8) {
+      val s = graft.streaming.EventsStream.dedupStream(
+          graft.streaming.EventsStream.readEvents(spark, staged))
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      s.awaitTermination(); s
+    }
+    // the replay batch must have EXECUTED (so the dedup decision was
+    // made by streaming state, not by the staging layout)
+    val data = q.recentProgress.filter(_.numInputRows > 0)
+    require(data.length >= 3,
+      s"x_stream_dedup expected >=3 data micro-batches, saw ${data.length}")
+    spark.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+  val streamDedupSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- dup-pair connected components -----------------------------------
   /** Near-dup CLUSTERING — the stage after pair generation: LSH pairs →
     * hash-min connected components ([[Dedup.clusters]]) → one dedup
@@ -1127,6 +1192,7 @@ object ExtQueries {
     "x_rep_signals" -> (repSignals _),
     "x_stream_enrich" -> (streamEnrich _),
     "x_stream_attrib" -> (streamAttrib _),
+    "x_stream_dedup" -> (streamDedup _),
     "x_profile" -> (profileQuery _),
     "x_dedup_incremental" -> (dedupIncremental _),
     "x_redact_pii" -> (redactPii _),
@@ -1163,6 +1229,7 @@ object ExtQueries {
     "x_rep_signals" -> repSignalsSql,
     "x_stream_enrich" -> streamEnrichSql,
     "x_stream_attrib" -> streamAttribSql,
+    "x_stream_dedup" -> streamDedupSql,
     "x_profile" -> profileSql,
     "x_dedup_incremental" -> dedupIncrementalSql,
     "x_redact_pii" -> redactPiiSql,
