@@ -33,6 +33,15 @@ object TextFunctions {
     graft.plans.GraftExpressions.shingles(
       org.apache.spark.sql.SparkSession.active, text, n, distinct = true)
 
+  /** Sorted distinct xxhash64 values of the same shingle set — the
+    * representation the shuffle-heavy set-similarity joins run on (8
+    * bytes per shingle through every exchange instead of the shingle
+    * text). See [[graft.plans.WordShingleHashes]] for the collision
+    * bound. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.plans.GraftExpressions.shingleHashes(
+      org.apache.spark.sql.SparkSession.active, text, n)
+
   /** Lower-cased whitespace tokens via the same compiled tokenizer
     * (order and duplicates preserved — SimHash weighting needs them). */
   def tokens(text: Column): Column =

@@ -139,7 +139,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
 
-    val docs = pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")))
+    // hashed shingle space: every downstream exchange (df count, prefix
+    // window, candidate join, verify) moves 8-byte longs, not shingle
+    // text; prefix-filter completeness only needs SOME global total
+    // order on the shingle space, so ordering by (df, hash) instead of
+    // (df, text) is equally exact (collision bound in
+    // WordShingleHashes' scaladoc)
+    val docs = pin(df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh")))
     val posting = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
 

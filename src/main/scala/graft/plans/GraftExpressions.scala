@@ -340,6 +340,63 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Sorted DISTINCT 64-bit shingle hashes — the shuffle-slim twin of
+  * [[WordShingles]](distinct = true). Same tokenizer, same shingle
+  * strings, but each shingle leaves the expression as `xxhash64` of the
+  * shingle text (seed 42, byte-identical to Spark's built-in), so every
+  * downstream stage of a set-similarity join — df count, prefix window,
+  * candidate equi-join, verify merge — shuffles 8-byte longs instead of
+  * n-word strings (~3 words ≈ 20-30 bytes each, plus per-string compare
+  * cost in every sort). Set semantics survive modulo 64-bit collisions:
+  * P(any collision among m distinct shingles) ≈ m²/2⁶⁵, i.e. ~5·10⁻⁹ at
+  * a BILLION distinct shingles — far below any empirical dedup noise
+  * floor, which is why hashed tokens are the standard representation in
+  * the ssjoin literature and the large-scale dedup pipelines this
+  * mirrors. */
+case class WordShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hashes expects string, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  // delegate shingling to the reference implementation (distinct =
+  // true), then hash; the two expressions can never drift apart
+  @transient private lazy val shingler = WordShingles(child, n, distinct = true)
+
+  override def nullSafeEval(input: Any): Any = {
+    val shingled = shingler.nullSafeEval(input).asInstanceOf[ArrayData]
+    val m = shingled.numElements()
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(shingled.getUTF8String(i), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // input was distinct as strings; a (cosmically unlikely) hash
+    // collision would leave adjacent duplicates — drop them so array
+    // size still equals set cardinality
+    var w = 0; i = 0
+    while (i < m) {
+      if (w == 0 || hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    val out = new Array[Any](w)
+    i = 0
+    while (i < w) { out(i) = hashes(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes = copy(child = c)
+}
+
 /** All ordered pairs (a, b), a < b, from an array of longs, in ONE
   * pass: sorts a primitive copy, emits n·(n−1)/2 pair structs directly.
   * Replaces the `transform(arr, (a,i) => transform(slice(arr, i+2, n),
@@ -399,21 +456,35 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_intersect_count expects two array<string>, got $l, $r")
+        s"graft_intersect_count expects two array<string> or two array<bigint>, got $l, $r")
     }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_intersect_count"
+
+  @transient private lazy val longElems =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
-    while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (longElems) {
+      while (i < nx && j < ny) {
+        val l = x.getLong(i); val r = y.getLong(j)
+        if (l == r) { c += 1; i += 1; j += 1 }
+        else if (l < r) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -594,6 +665,11 @@ object GraftExpressions {
         val d = es(2).eval(InternalRow.empty).asInstanceOf[Boolean]
         WordShingles(es(0), n, d)
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      { es: Seq[Expression] =>
+        val n = es(1).eval(InternalRow.empty).asInstanceOf[Int]
+        WordShingleHashes(es(0), n)
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_count",
       { es: Seq[Expression] => SortedIntersectCount(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_ordered_pairs",
@@ -631,6 +707,10 @@ object GraftExpressions {
     register(spark)
     call_function("graft_shingles", text,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(distinct))
+  }
+  def shingleHashes(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
   }
   def intersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_intersect_count", a, b)
@@ -674,6 +754,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("graft_shingles", classOf[WordShingles],
       es => WordShingles(es(0), intArg(es, 1),
         es(2).eval(InternalRow.empty).asInstanceOf[Boolean]))
+    inject("graft_shingle_hashes", classOf[WordShingleHashes],
+      es => WordShingleHashes(es(0), intArg(es, 1)))
     inject("graft_intersect_count", classOf[SortedIntersectCount],
       es => SortedIntersectCount(es(0), es(1)))
     inject("graft_ordered_pairs", classOf[OrderedPairs],

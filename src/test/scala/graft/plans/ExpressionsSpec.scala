@@ -40,6 +40,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(compiled == declarative)
   }
 
+  test("WordShingleHashes == sorted xxhash64 of the shingle set") {
+    // pins the compiled hasher to Spark's PUBLIC xxhash64 (seed 42)
+    // semantics — the hashed dedup pipelines inherit WordShingles'
+    // shingling exactly, just under a 64-bit image of the space
+    val declarative = texts.select($"id",
+      array_sort(transform(TextFunctions.shingleSet($"text", 3), s => xxhash64(s))).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val compiled = texts.select($"id", TextFunctions.shingleHashes($"text", 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(compiled == declarative)
+  }
+
+  test("SortedIntersectCount on array<bigint> == size(array_intersect)") {
+    val pairs = texts.as("a").join(texts.as("b"), $"a.id" < $"b.id")
+      .select(
+        TextFunctions.shingleHashes($"a.text", 2).as("sa"),
+        TextFunctions.shingleHashes($"b.text", 2).as("sb"))
+    val both = pairs.select(
+      GraftExpressions.intersectCount(spark, $"sa", $"sb").as("fast"),
+      size(array_intersect($"sa", $"sb")).as("ref"))
+      .as[(Int, Int)].collect()
+    assert(both.forall { case (f, r) => f == r }, both.mkString(","))
+  }
+
   test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
     val pairs = texts.as("a").join(texts.as("b"), $"a.id" < $"b.id")
       .select(
@@ -98,7 +122,8 @@ class ExpressionsSpec extends AnyFunSuite {
     val reg = org.apache.spark.sql.GraftExtensionsTestAccess
       .registered(ext, new SimpleFunctionRegistry)
     val names = Seq("graft_dot", "graft_simhash", "graft_simhash_md5",
-      "graft_minhash", "graft_shingles", "graft_intersect_count",
+      "graft_minhash", "graft_shingles", "graft_shingle_hashes",
+      "graft_intersect_count",
       "graft_ordered_pairs", "graft_rolling_hash", "graft_lsh_bits", "graft_topk")
     names.foreach(fn => assert(reg.functionExists(FunctionIdentifier(fn)), fn))
     // builders construct working expressions (not just names)
