@@ -28,15 +28,19 @@ object Tables {
       // no-op for MICROS files.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.functions.expr
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       raw.schema("ts").dataType match {
         // NANOS vintage (loaded as long): truncate to micros, as DuckDB does.
         case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         // MICROS vintage (isAdjustedToUTC=false loads as timestamp_ntz):
-        // reinterpret in the UTC session — identical micros value, and the
-        // dtype every consumer was built against.
-        case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+        // the wall-clock values ARE UTC instants, so shift them into the
+        // session zone BEFORE the cast (cast interprets NTZ wall clock in
+        // the session zone) — identical micros in any session timezone,
+        // not just a UTC one; a bare cast would skew every ts by the
+        // session offset and diverge from the NANOS branch.
+        case TimestampNTZType => raw.withColumn("ts",
+          expr("cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"))
         case _ => raw
       }
     } else spark.read.parquet(s"$dir/$name.parquet")

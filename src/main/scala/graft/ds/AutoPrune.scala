@@ -80,15 +80,33 @@ case class StatsPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case r: HadoopFsRelation if !r.location.isInstanceOf[StatsPrunedFileIndex]
             && r.location.rootPaths.nonEmpty =>
           val hconf = spark.sessionState.newHadoopConf()
-          val root = StatsPruneRule.datasetRootOf(r.location.rootPaths)
-          val hasSidecar = root.exists { rt =>
+          val root0 = StatsPruneRule.datasetRootOf(r.location.rootPaths)
+          def sidecarAt(rt: Path): Boolean =
             try rt.getFileSystem(hconf).exists(StatsIndex.sidecar(rt.toString))
             catch { case scala.util.control.NonFatal(_) => false }
+          // a single root can be a FILE (a one-file schema group from
+          // dfUnified, or spark.read.parquet(file)) — its dataset dir
+          // is the parent, same as the multi-root ancestor fold. Only
+          // the sidecar-miss path pays the extra isFile RPC, and only
+          // a root PROVEN to be a file retries the parent (a partition
+          // subdir read must not silently adopt the whole dataset's
+          // sidecar — its keys wouldn't match the listing anyway).
+          val root = root0.filter(sidecarAt).orElse(root0.flatMap { rt =>
+            val parent = rt.getParent
+            if (parent == null) None
+            else {
+              val isFile =
+                try rt.getFileSystem(hconf).getFileStatus(rt).isFile
+                catch { case scala.util.control.NonFatal(_) => false }
+              if (isFile && sidecarAt(parent)) Some(parent) else None
+            }
+          })
+          root match {
+            case None => l
+            case Some(rt) => l.copy(relation =
+              r.copy(location = new StatsPrunedFileIndex(r.location, rt, hconf))(
+                r.sparkSession))
           }
-          if (!hasSidecar) l
-          else l.copy(relation =
-            r.copy(location = new StatsPrunedFileIndex(r.location, root.get, hconf))(
-              r.sparkSession))
         case _ => l
       }
   }

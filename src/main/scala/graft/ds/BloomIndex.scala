@@ -52,6 +52,22 @@ object BloomIndex {
   private val Magic = "graft-bloom-v1"
   val DefaultFpp = 0.01
 
+  /** Hard ceiling on the serialized filter (256 MB ≈ 2.1 G bits ≈ 220M
+    * keys at fpp 0.01). The filter is a SINGLE driver-held object whose
+    * bytes ride the probe expression into every task and the sidecar
+    * file whole — unbounded, a 10B-row dataset would demand a ~12 GB
+    * filter (driver OOM, GB-scale task broadcast, GB sidecar read per
+    * write). Past the ceiling the bloom layer SWITCHES OFF loudly
+    * (build returns None and removes any stale sidecar — never a
+    * silently undersized filter, which would degrade fpp toward 1
+    * exactly when the dataset is biggest): deltas fall back to the
+    * stats-pruned exact anti-join, and point-lookup skipping stays with
+    * the per-file parquet row-group blooms, which scale with file
+    * count. Datasets that need key-level skipping beyond the ceiling
+    * should partition and run per-partition deltas — each partition's
+    * filter then fits. */
+  val DefaultMaxFilterBytes: Long = 256L * 1024 * 1024
+
   final case class Index(cols: Seq[String], expectedItems: Long, fpp: Double,
       bytes: Array[Byte], inserted: Long = 0L, deleted: Long = 0L) {
     @transient lazy val bloom: BloomFilter =
@@ -126,11 +142,32 @@ object BloomIndex {
     bos.toByteArray
   }
 
+  /** Run `body` with the runtime-bloom-join conf caps raised to exactly
+    * this filter's layout (items, optimal bits), restoring the previous
+    * session values after. See [[fromBatchCounted]] for why the clamp
+    * must never bind on a persistent index build. */
+  private def withBloomCaps[A](df: DataFrame, expectedItems: Long, fpp: Double)(body: => A): A = {
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = conf.getOption(itemsKey); val prevBits = conf.getOption(bitsKey)
+    try {
+      conf.set(itemsKey, math.max(expectedItems, 1L).toString)
+      conf.set(bitsKey, BloomFilter.optimalNumOfBits(expectedItems, fpp).toString)
+      body
+    } finally {
+      prevItems.fold(conf.unset(itemsKey))(v => conf.set(itemsKey, v))
+      prevBits.fold(conf.unset(bitsKey))(v => conf.set(bitsKey, v))
+    }
+  }
+
   /** Filter over `df`'s key hashes at the GIVEN layout parameters
-    * (distributed treeAggregate — no driver materialization of keys). */
+    * (distributed aggregate — no driver materialization of keys). */
   def fromBatch(df: DataFrame, cols: Seq[String],
       expectedItems: Long, fpp: Double): BloomFilter =
-    df.select(keyHash(cols).as("__h")).stat.bloomFilter("__h", expectedItems, fpp)
+    withBloomCaps(df, expectedItems, fpp) {
+      df.select(keyHash(cols).as("__h")).stat.bloomFilter("__h", expectedItems, fpp)
+    }
 
   /** [[fromBatch]] plus the batch's row count, in ONE distributed pass
     * (the occupancy estimate would otherwise cost every merge a second
@@ -147,16 +184,29 @@ object BloomIndex {
     val obs = new org.apache.spark.sql.Observation()
     val keyed = df.select(keyHash(cols).as("__h"))
       .observe(obs, count(lit(1)).as("n"))
+    // BloomFilterAggregate silently CLAMPS its layout at the
+    // runtime-bloom-join conf caps (4M items / 64M bits by default) —
+    // sized for Spark's own runtime join filters, not for a persistent
+    // key index. Unclamped, its layout is byte-identical to
+    // BloomFilter.create (probe-verified: bitSize 95,850,624 both ways
+    // at 10M items), but a clamped filter is silently undersized (fpp
+    // → 1 as occupancy blows past the cap) AND layout-incompatible
+    // with every create()-built filter, so mergeInPlace throws.
+    // Raise the caps to this filter's exact layout for the duration of
+    // the aggregate, then restore — session-scoped, so concurrent
+    // queries in OTHER sessions never see widened runtime-join caps.
+    //
     // ZERO-ROW batches: BloomFilterAggregate.eval returns null at
-    // cardinality 0 and Spark's stat.bloomFilter feeds that straight to
-    // BloomFilter.readFrom → NPE. Empty batches are routine in
-    // scheduled ingest (the old treeAggregate produced an empty filter
-    // for them), so substitute the same empty filter. The aggregation
-    // action has already run by the time readFrom throws, so the
-    // observed count (0) is valid either way.
-    val bf =
+    // cardinality 0 and Spark's stat.bloomFilter feeds that straight
+    // to BloomFilter.readFrom → NPE. Empty batches are routine in
+    // scheduled ingest, so substitute an empty filter — same layout
+    // now that the clamp can't bind. The aggregation action has
+    // already run by the time readFrom throws, so the observed count
+    // (0) is valid either way.
+    val bf = withBloomCaps(df, expectedItems, fpp) {
       try keyed.stat.bloomFilter("__h", expectedItems, fpp)
       catch { case _: NullPointerException => BloomFilter.create(expectedItems, fpp) }
+    }
     (bf, obs.get("n").asInstanceOf[Long])
   }
 
@@ -166,19 +216,36 @@ object BloomIndex {
     * the dataset's live row count, deletions at zero (a rebuild scans
     * only live rows, so purged keys really are gone from the filter). */
   def build(spark: SparkSession, ds: GraftDataset, cols: Seq[String],
-      expectedItems: Option[Long] = None, fpp: Double = DefaultFpp): Index = {
+      expectedItems: Option[Long] = None, fpp: Double = DefaultFpp,
+      maxFilterBytes: Long = DefaultMaxFilterBytes): Option[Index] = {
     val df = ds.raw(spark)
-    val idx = expectedItems match {
-      case Some(items) => // caller-sized: count rides the filter pass
-        val (bf, n) = fromBatchCounted(df, cols, items, fpp)
-        Index(cols, items, fpp, serialize(bf), inserted = n)
+    def overBudget(items: Long): Boolean =
+      BloomFilter.optimalNumOfBits(items, fpp) / 8 > maxFilterBytes
+    val sized: Option[(Long, Option[Long])] = expectedItems match {
+      case Some(items) => if (overBudget(items)) None else Some((items, None))
       case None => // self-sized: the count pass must precede the filter pass
         val n = df.count()
         val items = math.max(1L << 16, n * 4)
-        Index(cols, items, fpp, serialize(fromBatch(df, cols, items, fpp)), inserted = n)
+        if (overBudget(items)) None else Some((items, Some(n)))
     }
-    write(ds.fs(spark), ds.path, idx)
-    idx
+    sized match {
+      case None =>
+        // over the ceiling: the bloom layer switches OFF for this
+        // dataset — a stale (now non-superset after overwrite, or
+        // undersized) sidecar must not survive
+        delete(ds.fs(spark), ds.path)
+        None
+      case Some((items, precounted)) =>
+        val idx = precounted match {
+          case Some(n) =>
+            Index(cols, items, fpp, serialize(fromBatch(df, cols, items, fpp)), inserted = n)
+          case None => // caller-sized: count rides the filter pass
+            val (bf, n) = fromBatchCounted(df, cols, items, fpp)
+            Index(cols, items, fpp, serialize(bf), inserted = n)
+        }
+        write(ds.fs(spark), ds.path, idx)
+        Some(idx)
+    }
   }
 
   /** Merge a written batch's keys into an index (same layout params →

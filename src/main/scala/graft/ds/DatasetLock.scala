@@ -102,17 +102,35 @@ object DatasetLock {
 
   private val StatsMagic = "graft-lockstats-v1"
 
-  private def readSidecar(fs: FileSystem, lock: Path): LockStats =
-    try {
-      val in = fs.open(statsSidecar(lock))
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      text.trim.split('\t') match {
-        case Array(StatsMagic, a, c, w, s, t) =>
-          LockStats(a.toLong, c.toLong, w.toLong, s.toLong, t.toLong)
-        case _ => LockStats()
+  private def readSidecar(fs: FileSystem, lock: Path): LockStats = {
+    // the writer's delete→rename promotion has a brief NO-FILE window
+    // (rename-with-overwrite isn't portable across Hadoop FS impls, and
+    // FileContext would break custom schemes with no AbstractFileSystem
+    // binding). An unlocked reader that lands inside it must not report
+    // zero flushed history for a contended dataset — retry over the
+    // window; a dataset with genuinely no sidecar just pays two short
+    // sleeps on a monitoring-only path.
+    def once(): Option[LockStats] =
+      try {
+        val in = fs.open(statsSidecar(lock))
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        text.trim.split('\t') match {
+          case Array(StatsMagic, a, c, w, s, t) =>
+            Some(LockStats(a.toLong, c.toLong, w.toLong, s.toLong, t.toLong))
+          case _ => Some(LockStats()) // torn/corrupt: history lost, not absent
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => None
+        case scala.util.control.NonFatal(_) => Some(LockStats())
       }
-    } catch { case scala.util.control.NonFatal(_) => LockStats() }
+    var attempt = 0
+    var res = once()
+    while (res.isEmpty && attempt < 2) {
+      Thread.sleep(25); attempt += 1; res = once()
+    }
+    res.getOrElse(LockStats())
+  }
 
   private def plus(a: LockStats, b: LockStats): LockStats =
     LockStats(a.acquires + b.acquires, a.contended + b.contended,

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.{ObjectInputStream, ObjectOutputStream}
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
@@ -16,7 +14,9 @@ import org.apache.spark.util.LongAccumulator
   * saturates the link with concurrent transfers. On a cluster the worker
   * pool we already have is the executors: the driver lists the source
   * prefix (one LIST per page — the same cost s5cmd pays), plans the
-  * transfer, and ships the file manifest through a Dataset so every
+  * transfer, and ships one manifest slice per task (plain parallelize —
+  * byte-copy loops are genuine per-partition imperative work, the one
+  * place the RDD lane is the right tool) so every
   * executor core streams objects concurrently. At 1000 executors that is
   * three orders of magnitude more aggregate bandwidth than any
   * single-host tool, with Spark's task retry as the (idempotent) failure
@@ -32,11 +32,15 @@ import org.apache.spark.util.LongAccumulator
   *  - The manifest is sorted by size descending and round-robined across
   *    slices, so a handful of huge objects cannot pile onto one task
   *    (the classic copy-job straggler).
-  *  - Transfers write to a dot-prefixed temp name and rename into place:
-  *    on file-like FSes the rename is atomic, on S3-like stores it is a
-  *    server-side COPY with no data egress — either way readers never
-  *    observe a half-written object under its final name, and a task
-  *    retry simply overwrites its own temp file.
+  *  - Transfers write to a dot-prefixed, ATTEMPT-UNIQUE temp name and
+  *    rename into place: on file-like FSes the rename is atomic, on
+  *    S3-like stores it is a server-side COPY with no data egress —
+  *    either way readers never observe a half-written object under its
+  *    final name, and concurrent attempts of one task (speculation,
+  *    retry-while-zombie-runs) can never interleave writes into a
+  *    shared temp file. A dead attempt can orphan its temp object; dot
+  *    names are invisible to the data plane and a later sync/rm sweeps
+  *    them.
   *  - `sync` diffs by (relative path, size, mtime) exactly like s5cmd
   *    sync: copy when missing, size differs, or the source is newer.
   */
@@ -48,19 +52,10 @@ object FsOps {
 
   case class TransferStats(files: Long, bytes: Long, skipped: Long, deleted: Long)
 
-  /** Hadoop Configuration is a Writable, not Serializable; wrap it so a
-    * Dataset closure can carry it to executors without relying on any
-    * Spark-private helper. */
-  private class SerConf(@transient var value: Configuration) extends Serializable {
-    private def writeObject(out: ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); value.write(out)
-    }
-    private def readObject(in: ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new Configuration(false)
-      value.readFields(in)
-    }
-  }
+  /** Hadoop Configuration shipped to executors the same way the rest of
+    * the codebase does it (StatsIndex.scanRanges) — one conf-serialization
+    * mechanism to maintain, not two. */
+  private type SerConf = org.apache.spark.util.SerializableConfiguration
 
   private def fsFor(uri: String, conf: Configuration): (FileSystem, Path) = {
     val p = new Path(uri)
@@ -174,21 +169,34 @@ object FsOps {
   private def slices(spark: SparkSession, n: Int): Int =
     math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 2))
 
+  /** Biggest objects first, round-robin over exactly `n` slices; each
+    * slice becomes ONE task via parallelize. (A hash `repartition` on
+    * the slice id is NOT a bijection onto n partitions — ~1/e of them
+    * end up empty and the two largest objects can collapse onto one
+    * task, the exact copy-job straggler this planning exists to
+    * prevent.) */
+  private[sources] def planSlices(entries: Seq[Entry], n: Int): Seq[Seq[(String, String)]] =
+    entries.sortBy(e => (-e.size, e.rel)).zipWithIndex
+      .groupBy { case (_, i) => i % n }.toSeq.sortBy(_._1)
+      .map { case (_, g) => g.map { case (e, _) => (e.path, e.rel) } }
+
   private def transfer(spark: SparkSession, entries: Seq[Entry], destRoot: String,
                        destIsExactPath: Boolean): TransferStats = {
     if (entries.isEmpty) return TransferStats(0, 0, 0, 0)
     val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
     val bytesAcc: LongAccumulator = spark.sparkContext.longAccumulator("fsops.bytes")
     val n = slices(spark, entries.size)
-    // biggest objects first, round-robin over slices: no one-task pile-up
-    val planned = entries.sortBy(e => (-e.size, e.rel)).zipWithIndex
-      .map { case (e, i) => (i % n, e.path, e.rel, e.size) }
-    import spark.implicits._
-    planned.toDS().repartition(n, org.apache.spark.sql.functions.col("_1"))
-      .foreachPartition { it: Iterator[(Int, String, String, Long)] =>
+    val planned = planSlices(entries, n)
+    spark.sparkContext.parallelize(planned, planned.size)
+      .foreach { slice =>
         val c = conf.value
         val buf = new Array[Byte](4 * 1024 * 1024)
-        it.foreach { case (_, srcPath, rel, _) =>
+        // attempt-unique temp name: speculative or retried attempts of
+        // this task must never interleave writes into one temp file
+        val attemptTag = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.taskAttemptId()}")
+          .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+        slice.foreach { case (srcPath, rel) =>
           val sp = new Path(srcPath)
           val sfs = sp.getFileSystem(c)
           val target =
@@ -196,7 +204,7 @@ object FsOps {
             else new Path(destRoot.stripSuffix("/") + "/" + rel)
           val dfs = target.getFileSystem(c)
           if (target.getParent != null) dfs.mkdirs(target.getParent)
-          val tmp = new Path(target.getParent, s"._graft_fsops_${target.getName}")
+          val tmp = new Path(target.getParent, s"._graft_fsops_${attemptTag}_${target.getName}")
           val in = sfs.open(sp)
           val out = dfs.create(tmp, true)
           var copied = 0L
@@ -220,14 +228,22 @@ object FsOps {
     if (paths.isEmpty) return 0L
     val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
     val n = slices(spark, paths.size)
-    import spark.implicits._
-    paths.toDS().repartition(n).foreachPartition { it: Iterator[String] =>
-      val c = conf.value
-      it.foreach { s =>
-        val p = new Path(s)
-        p.getFileSystem(c).delete(p, false)
-      }
+    // fs.delete returning false is a FAILED delete (permissions, races)
+    // unless the key is already gone — counting attempts as successes
+    // would let mv report success while source objects survive (silent
+    // duplication). Count real deletions; fail loudly on stragglers.
+    val okAcc = spark.sparkContext.longAccumulator("fsops.deleted")
+    val failAcc = spark.sparkContext.collectionAccumulator[String]("fsops.deleteFailed")
+    spark.sparkContext.parallelize(paths, n).foreach { s =>
+      val p = new Path(s)
+      val fs = p.getFileSystem(conf.value)
+      if (fs.delete(p, false)) okAcc.add(1)
+      else if (fs.exists(p)) failAcc.add(s) // false + still there = failure
+      // false + gone = concurrently deleted; neither success nor failure
     }
-    paths.size.toLong
+    if (!failAcc.value.isEmpty)
+      throw new java.io.IOException(
+        s"fsops: ${failAcc.value.size} object(s) could not be deleted, e.g. ${failAcc.value.get(0)}")
+    okAcc.value
   }
 }

@@ -166,6 +166,28 @@ class AutoPruneSpec extends AnyFunSuite {
     assert(q2.head.getLong(0) == 100)
   }
 
+  test("a single-FILE root resolves to its parent dataset dir and prunes") {
+    // a one-file schema group from dfUnified (or a direct
+    // spark.read.parquet(file)) has rootPaths = [that file]; the
+    // dataset dir carrying the sidecar is the PARENT — without the
+    // file-root fallback this shape silently scans unpruned while its
+    // multi-file siblings prune
+    val ds = indexedDataset()
+    val fs = ds.fs(spark)
+    val one = fs.listStatus(new org.apache.hadoop.fs.Path(ds.path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.head
+    val q = spark.read.parquet(one).filter(col("id") >= 700L)
+    q.collect() // execute; answer correctness is covered by superset safety
+    val wrapped = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.isInstanceOf[StatsPrunedFileIndex]
+    }
+    assert(wrapped.nonEmpty && wrapped.forall(identity),
+      "single-file root was not wrapped with the pruning index")
+  }
+
   test("wrapped relations keep cache identity: second read hits df.cache()") {
     val ds = indexedDataset()
     val hconf = spark.sessionState.newHadoopConf()

@@ -94,6 +94,58 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(ds.df(spark).count() == 100)
   }
 
+  test("layout survives the runtime-bloom conf caps above 4M expected items") {
+    // BloomFilterAggregate clamps at spark.sql.optimizer.runtime.
+    // bloomFilter.maxNumItems/maxNumBits (4M items / 64M bits default)
+    // — fine for runtime join filters, fatal for a persistent key
+    // index: a clamped 10M-item filter is silently undersized AND
+    // layout-incompatible with BloomFilter.create(10M, fpp), so the
+    // empty-batch fallback (and any create()-built sidecar) would
+    // throw IncompatibleMergeException on merge. fromBatchCounted must
+    // lift the caps for its own aggregate.
+    val tenM = 10L * 1000 * 1000
+    val (bf, n) = BloomIndex.fromBatchCounted(
+      spark.range(0, 1000).selectExpr("id"), Seq("id"), tenM, 0.01)
+    assert(n == 1000)
+    val ref = org.apache.spark.util.sketch.BloomFilter.create(tenM, 0.01)
+    assert(bf.bitSize() == ref.bitSize(),
+      s"clamped layout: agg=${bf.bitSize()} create=${ref.bitSize()}")
+    ref.mergeInPlace(bf) // must not throw
+    // ... and the session caps are restored after the build
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+      <= 67108864L)
+    // empty batch at the same capacity: same layout, mergeable
+    val (ebf, en) = BloomIndex.fromBatchCounted(
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"), tenM, 0.01)
+    assert(en == 0)
+    ebf.mergeInPlace(bf) // must not throw either
+  }
+
+  test("over the size ceiling the bloom layer switches off, never undersizes") {
+    // a filter past maxFilterBytes would be a driver-OOM-scale object
+    // riding the probe expression into every task; the contract is
+    // loud absence (delta falls back to the exact anti-join), never a
+    // silently degraded filter
+    val dir = tmpDir("graft_bloom_budget")
+    val ds = GraftDataset(dir)
+    DatasetWriter(ds).write(spark, (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val fs = ds.fs(spark)
+    // in-budget build works
+    assert(BloomIndex.build(spark, ds, Seq("id")).nonEmpty)
+    assert(BloomIndex.load(fs, ds.path).nonEmpty)
+    // a build whose layout would exceed the ceiling refuses AND clears
+    // the stale sidecar (post-overwrite it is no longer a superset)
+    val res = BloomIndex.build(spark, ds, Seq("id"),
+      expectedItems = Some(1L << 40), maxFilterBytes = 1024L * 1024)
+    assert(res.isEmpty)
+    assert(BloomIndex.load(fs, ds.path).isEmpty,
+      "stale sidecar must not survive an over-budget rebuild")
+    // ... and delta writes still work without the fast path
+    DatasetWriter(ds, WriteMode.Delta).withDeltaSubset("id")
+      .write(spark, Seq((1L, "v1"), (999L, "new")).toDF("id", "v"))
+    assert(ds.df(spark).count() == 51)
+  }
+
   test("all-new batch skips the existing-side anti-join (the 100 TB fast path)") {
     val dir = tmpDir("graft_bloom_fast")
     val ds = GraftDataset(dir)

@@ -109,11 +109,6 @@ class FsOpsSpec extends AnyFunSuite {
   }
 
   test("large-object manifest is spread across slices, not piled on one task") {
-    // plan shape only: biggest-first round-robin ⇒ the two biggest objects
-    // land in different slices. Verified through the planned layout cp
-    // produces (copy a tree whose sizes are wildly skewed and assert the
-    // wall-clock winner isn't serialized behind both giants — structural
-    // proxy: the sort+mod assignment in FsOps.transfer).
     val src = tmp(); val dest = tmp() + "/m"
     put(src, "big1", "x" * 2000000)
     put(src, "big2", "y" * 1900000)
@@ -122,5 +117,22 @@ class FsOpsSpec extends AnyFunSuite {
     assert(stats.files == 22 && stats.bytes == 2000000 + 1900000 + 200)
     val (n, bytes) = FsOps.du(spark, dest)
     assert(n == 22 && bytes == stats.bytes)
+  }
+
+  test("planSlices: every slice non-empty, giants split, one task each") {
+    // the distribution itself, not a byte-total proxy: a hash
+    // repartition of slice ids would leave ~1/e of partitions empty and
+    // could serialize both giants behind one task
+    def e(name: String, size: Long) = FsOps.Entry(s"/x/$name", name, size, 0L)
+    val entries = Seq(e("big1", 2000000), e("big2", 1900000)) ++
+      (1 to 20).map(i => e(s"small$i", 10))
+    val n = 8
+    val plan = FsOps.planSlices(entries, n)
+    assert(plan.size == n, s"expected $n slices, got ${plan.size}")
+    assert(plan.forall(_.nonEmpty), "round-robin must leave no slice empty")
+    val sliceOf = plan.zipWithIndex.flatMap { case (s, i) => s.map(_._1 -> i) }.toMap
+    assert(sliceOf("/x/big1") != sliceOf("/x/big2"),
+      "the two largest objects must land on different tasks")
+    assert(plan.flatten.size == entries.size)
   }
 }
