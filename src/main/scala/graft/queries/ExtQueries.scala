@@ -426,7 +426,10 @@ object ExtQueries {
     * exercise the one remaining (documented) fake feature extractor. */
   def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val media = Multimodal.synthesize(docs, "doc_id")
+    // synthesis (real ImageIO/AudioSystem/ISO-BMFF encodes per row) is
+    // by far the heaviest stage and feeds BOTH consumers below —
+    // materialize once instead of encoding the corpus twice
+    val media = Multimodal.synthesize(docs, "doc_id").localCheckpoint(false)
     val decoded = Multimodal.decode(media)
     val frames = Multimodal.sampleFrames(media, frames = 4)
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))

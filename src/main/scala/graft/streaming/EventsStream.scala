@@ -94,6 +94,33 @@ object EventsStream {
       }
       .start()
 
+  /** Run `body` with the RocksDB state store provider selected for any
+    * streaming query STARTED inside it (the provider is latched into
+    * the query's checkpoint at first start; a restarted query keeps its
+    * original provider).
+    *
+    * Why this is the 100 TB knob: the default HDFSBackedStateStore
+    * keeps every state key on the executor HEAP — fine for the bounded
+    * fixture windows here, a hard ceiling once session/dedup/
+    * stream-join state reaches tens of millions of keys per partition.
+    * RocksDB holds state off-heap on local disk (memory bounded by
+    * block cache, not key count) and, with
+    * `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
+    * .enabled=true`, checkpoints per-batch CHANGELOGS instead of full
+    * snapshots — per-batch upload cost proportional to what changed,
+    * which is the difference between minutes and seconds of commit
+    * latency on large state. Everything else in this file is
+    * provider-agnostic; the spec proves identical answers under both
+    * providers on the same input. */
+  def withRocksDBState[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   /** Exactly-once-per-key streaming dedup: drops events whose
     * `event_id` was already seen within the watermark horizon. State is
     * bounded — ids older than the watermark are evicted, which is the

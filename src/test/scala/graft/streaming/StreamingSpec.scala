@@ -203,6 +203,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == 200)
   }
 
+  test("RocksDB state store: same answers as the default provider, provider proven engaged") {
+    val tmp = Files.createTempDirectory("graft_stream_rocks_").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .coalesce(1).write.parquet(s"$tmp/src")
+    def run(sub: String, wrap: (=> org.apache.spark.sql.streaming.StreamingQuery) =>
+        org.apache.spark.sql.streaming.StreamingQuery) = {
+      val q = wrap {
+        EventsStream.windowedAgg(EventsStream.readEvents(spark, s"$tmp/src"),
+          window_ = "1 hour", watermark = "0 seconds")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/$sub/out")
+          .option("checkpointLocation", s"$tmp/$sub/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination(120000)
+      q
+    }
+    val qDefault = run("hdfs", identity(_))
+    val qRocks = run("rocks", body => EventsStream.withRocksDBState(spark)(body))
+    // provider really engaged: RocksDB reports its own state metrics
+    val metrics = qRocks.recentProgress.flatMap(p =>
+      p.stateOperators.flatMap(_.customMetrics.keySet().toArray(Array.empty[String])))
+    assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"no rocksdb state metrics in progress: ${metrics.distinct.mkString(",")}")
+    // byte-identical answers across providers
+    val a = spark.read.parquet(s"$tmp/hdfs/out").orderBy("window_start", "event_type").collect()
+    val b = spark.read.parquet(s"$tmp/rocks/out").orderBy("window_start", "event_type").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // ... and the session conf is restored for later suites
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .forall(!_.contains("RocksDB")))
+  }
+
   test("flatMapGroupsWithState fires one threshold alert per user") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_alert_").toString
