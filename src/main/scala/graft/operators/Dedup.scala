@@ -339,4 +339,40 @@ object Dedup {
     }
     labels
   }
+
+  /** Cross-document repeated-SPAN statistics — the exact-substring
+    * dedup shape (fixed-length token windows instead of suffix arrays:
+    * the shuffle-native formulation): every sliding `n`-token window of
+    * every document is fingerprinted, and a span that occurs in MORE
+    * THAN ONE document marks all its occurrences as cross-doc
+    * duplicated text. Returns per-doc `(doc_id, n_spans,
+    * cross_doc_spans, dup_frac)` — the per-document fraction of token
+    * windows shared with some other document, the signal used to trim
+    * boilerplate/templated spans from training corpora.
+    *
+    * Scale shape: spans explode to ~one row per corpus TOKEN, but the
+    * string leaves the pipeline immediately — only (xxhash64, doc_id)
+    * longs ride the shuffles, and every aggregate is map-side
+    * combinable. Documents shorter than `n` tokens contribute one
+    * whole-document span (WordShingles semantics), so short-doc exact
+    * duplicates are still counted. Fingerprint collisions (~m²/2⁶⁵)
+    * can only merge two spans — the documented hashed-dedup trade. */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val spans = df.select(col(idCol).as("doc_id"),
+      explode(graft.plans.GraftExpressions.shingles(
+        spark, col(textCol), n, distinct = false)).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("fp"))
+    // (fp, doc) occurrence counts; then the fp's document spread
+    val perDocFp = pin(spans.groupBy("fp", "doc_id").agg(count(lit(1)).as("cnt")))
+    val spread = perDocFp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    val totals = perDocFp.groupBy("doc_id").agg(sum(col("cnt")).as("n_spans"))
+    val dups = perDocFp.join(spread.filter(col("ndocs") > 1), Seq("fp"))
+      .groupBy("doc_id").agg(sum(col("cnt")).as("dup"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup"), lit(0L)).as("cross_doc_spans"),
+        (coalesce(col("dup"), lit(0L)).cast("double") / col("n_spans")).as("dup_frac"))
+  }
 }

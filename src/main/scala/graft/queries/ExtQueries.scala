@@ -76,6 +76,39 @@ object ExtQueries {
         "doc_id", "text", maxHamming = 3, md5Bits = true)
       .orderBy("id_a", "id_b")
 
+  // ---- Cross-document span dedup (exact-substring shape) ---------------
+  /** Per-document fraction of 10-token sliding windows shared with some
+    * OTHER document — the exact-substring dedup signal computed with
+    * hashed fixed-length windows instead of a suffix array (the
+    * shuffle-native formulation; see Dedup.spanDupStats). The oracle
+    * groups the span STRINGS themselves, so equality of the per-doc
+    * counts also certifies the hashed grouping (any fingerprint
+    * collision would skew a count). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDupStats(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", n = 10)
+      .orderBy("doc_id")
+
+  val spanDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS words
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id,
+      |    array_to_string(words[i + 1 : i + 10], ' ') AS span
+      |  FROM w, unnest(range(0, greatest(len(words) - 9, 1))) AS u(i)),
+      |spread AS (
+      |  SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY span),
+      |perdoc AS (
+      |  SELECT s.doc_id,
+      |    COUNT(*) AS n_spans,
+      |    COALESCE(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END), 0) AS cross_doc_spans
+      |  FROM spans s JOIN spread d USING (span)
+      |  GROUP BY s.doc_id)
+      |SELECT doc_id, n_spans, cross_doc_spans,
+      |  CAST(cross_doc_spans AS DOUBLE) / n_spans AS dup_frac
+      |FROM perdoc ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[graft.plans.Md5SimHash64]]: per-token bit b =
     * bit b%8 (LSB-first) of md5-digest byte b/8, read out of the hex
     * string nibble-wise; ±1 votes; sign → signature bit; pairs within
@@ -1219,6 +1252,7 @@ object ExtQueries {
     "a6_percentiles" -> (percentiles _),
     "x_text_chunks" -> (textChunks _),
     "x_chunk_dedup" -> (chunkDedup _),
+    "x_span_dedup" -> (spanDedup _),
     "x_vocab_topk" -> (vocabTopK _),
     "x_retention" -> (retention _),
     "x_funnel" -> (funnel _),
@@ -1256,6 +1290,7 @@ object ExtQueries {
     "a6_percentiles" -> percentilesSql,
     "x_text_chunks" -> textChunksSql,
     "x_chunk_dedup" -> chunkDedupSql,
+    "x_span_dedup" -> spanDedupSql,
     "x_vocab_topk" -> vocabTopKSql,
     "x_retention" -> retentionSql,
     "x_funnel" -> funnelSql,

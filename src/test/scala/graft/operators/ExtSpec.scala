@@ -28,6 +28,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("span dedup: hand-counted cross-doc window fractions") {
+    // n=3 windows over 9-word docs → 7 spans each. Docs 1 and 2 differ
+    // only in the last word, so exactly the windows not touching it
+    // (positions 0..5 → 6 spans) are shared; doc 4 ≡ doc 1 after
+    // case/space normalization (all 7 shared); docs 3 and 5 share none.
+    val stats = Dedup.spanDupStats(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "n_spans", "cross_doc_spans")
+      .as[(Long, Long, Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(stats(1L) == ((7L, 7L))) // all 7 shared with doc 4
+    assert(stats(4L) == ((7L, 7L)))
+    assert(stats(2L) == ((7L, 6L))) // 6 of 7 shared with docs 1/4
+    assert(stats(3L)._2 == 0L && stats(5L)._2 == 0L)
+    // short doc (< n tokens) contributes its whole text as one span
+    val short = Seq((10L, "tiny doc"), (11L, "tiny doc"), (12L, "other")).toDF("doc_id", "text")
+    val s2 = Dedup.spanDupStats(short, "doc_id", "text", n = 3)
+      .select("doc_id", "n_spans", "cross_doc_spans")
+      .as[(Long, Long, Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(s2(10L) == ((1L, 1L)) && s2(11L) == ((1L, 1L)) && s2(12L) == ((1L, 0L)))
+  }
+
   test("bipartite LSH finds cross-corpus near-dups only") {
     val corpus = docs.filter($"doc_id" <= 3)
     val batch = docs.filter($"doc_id" >= 4)
