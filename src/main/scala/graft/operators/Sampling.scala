@@ -57,6 +57,33 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Weighted source mixing with per-source caps — the
+    * corpus-composition step of a training pipeline ("30% web, 20%
+    * code, …"): given target `weights` per source and a `totalRows`
+    * budget, keep per source the first min(⌈wᵢ/Σw · total⌉, nᵢ) rows in
+    * content-hash order. Deterministic (hash-ranked like
+    * [[stratifiedSample]], zero RNG state), no replacement — a source
+    * short of its target yields what it has (the standard cap;
+    * re-normalizing the shortfall across surplus sources is the
+    * caller's loop, policy not mechanism). Sources absent from
+    * `weights` are dropped. One shuffle on the source key; weights ride
+    * a literal map (tiny by construction — sources are a hand-curated
+    * list, never data-scale). */
+  def mixSources(df: DataFrame, sourceCol: String, textCol: String,
+      idCol: String, weights: Map[String, Double], totalRows: Long): DataFrame = {
+    require(weights.nonEmpty && weights.valuesIterator.forall(_ >= 0)
+      && weights.valuesIterator.sum > 0, "mixSources: weights must be non-negative, sum > 0")
+    val sumW = weights.valuesIterator.sum
+    val wr = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(textCol).cast("binary")), col(idCol))
+    df.withColumn("__w", element_at(typedLit(weights), col(sourceCol)))
+      .filter(col("__w").isNotNull)
+      .withColumn("__target", ceil(col("__w") / sumW * totalRows))
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__w", "__target", "__rn")
+  }
+
   /** Eval-set contamination: corpus documents sharing ANY word n-gram
     * with a test document. The join carries exploded shingles, not
     * document pairs — candidate volume is O(postings), never O(n²);

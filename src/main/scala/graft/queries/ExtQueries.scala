@@ -640,6 +640,27 @@ object ExtQueries {
       |WHERE rn <= ceil(n * 0.1)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Corpus-composition mixing: weight sources 4:2:1 (heavy/medium/
+    * light, everything else dropped) toward a 60-row budget with the
+    * no-replacement cap — src0's 35-row target caps at its 25 rows,
+    * the exact shape the mixture op must surface rather than hide.
+    * Output is the kept rows themselves (doc_id-ordered), so the
+    * oracle certifies per-row selection, not just counts. */
+  def mixSources(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixSources(
+        Tables.load(spark, dir, "documents"), "source", "text", "doc_id",
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0), totalRows = 60)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  val mixSourcesSql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn,
+      |    CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0 WHEN 'src2' THEN 1.0 END AS w
+      |  FROM documents)
+      |WHERE w IS NOT NULL AND rn <= ceil(w / 7.0 * 60)
+      |ORDER BY doc_id""".stripMargin
+
   /** Token-budget packing profile: per source, how many 10k-char
     * context bins the corpus packs into (streaming first-fit
     * approximation — running sum, no global sort). */
@@ -1236,6 +1257,7 @@ object ExtQueries {
     "x_pipeline_e2e" -> (pipelineE2E _),
     "x_split_hash" -> (splitHash _),
     "x_sample_stratified" -> (sampleStratified _),
+    "x_mix_sources" -> (mixSources _),
     "x_pack_budget" -> (packBudget _),
     "x_contamination" -> (contamination _),
     "x_stream_e2e" -> (streamE2E _),
@@ -1274,6 +1296,7 @@ object ExtQueries {
     "x_pipeline_e2e" -> pipelineE2ESql,
     "x_split_hash" -> splitHashSql,
     "x_sample_stratified" -> sampleStratifiedSql,
+    "x_mix_sources" -> mixSourcesSql,
     "x_pack_budget" -> packBudgetSql,
     "x_contamination" -> contaminationSql,
     "x_stream_e2e" -> streamE2ESql,

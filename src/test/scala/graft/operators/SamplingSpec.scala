@@ -46,6 +46,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("source mixing: proportional targets, shortfall caps, unlisted sources dropped") {
+    // weights a:2 b:1 over 6 rows budget → targets ceil(2/3·6)=4 (a has
+    // only 3 → cap) and ceil(1/3·6)=2; source c is unlisted → dropped
+    val extra = docs.union(Seq((7L, "unlisted source row", "c", 19))
+      .toDF("doc_id", "text", "source", "n_chars"))
+    val kept = Sampling.mixSources(extra, "source", "text", "doc_id",
+        Map("a" -> 2.0, "b" -> 1.0), totalRows = 6)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("a" -> 3L, "b" -> 2L))
+    // deterministic: same call → same rows
+    val ids1 = Sampling.mixSources(extra, "source", "text", "doc_id",
+      Map("a" -> 2.0, "b" -> 1.0), 6).select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.mixSources(extra, "source", "text", "doc_id",
+      Map("a" -> 2.0, "b" -> 1.0), 6).select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("budget packing: no bin starts after the budget boundary it fills") {
     val out = Sampling.packBudget(docs, "source", "doc_id", "n_chars", 40L)
       .select("source", "doc_id", "bin").as[(String, Long, Long)].collect()
