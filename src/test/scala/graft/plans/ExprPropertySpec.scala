@@ -37,6 +37,36 @@ class ExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingle hashes == sorted xxhash64 image of the shingle set on random text") {
+    // random whitespace-noisy unicode-ish docs: the hashed twin must
+    // track WordShingles through every tokenizer edge the generator
+    // can produce (empty docs, runs of whitespace, short docs < n)
+    val words = Vector("alpha", "Beta", "γάμμα", "d", "Ée", "", "  ", "\t", "zeta0")
+    val docs = (1 to 300).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, (1 to n).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val bad = df.select(
+      graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("fast"),
+      array_sort(transform(
+        graft.functions.TextFunctions.shingleSet(col("text"), 3),
+        s => xxhash64(s))).as("ref"))
+      .filter(not(col("fast") === col("ref"))).count()
+    assert(bad == 0L)
+    // intersect counts agree across representations (jaccard carrier)
+    val pairs = df.as("a").join(df.as("b"), col("a.id") < col("b.id")).limit(2000)
+      .select(
+        GraftExpressions.intersectCount(spark,
+          graft.functions.TextFunctions.shingleHashes(col("a.text"), 3),
+          graft.functions.TextFunctions.shingleHashes(col("b.text"), 3)).as("h"),
+        GraftExpressions.intersectCount(spark,
+          graft.functions.TextFunctions.shingleSet(col("a.text"), 3),
+          graft.functions.TextFunctions.shingleSet(col("b.text"), 3)).as("s"))
+      .filter(col("h") =!= col("s")).count()
+    assert(pairs == 0L)
+  }
+
   test("sorted-merge intersect count equals set intersection size") {
     val rows = (1 to 200).map { _ =>
       val a = (1 to rnd.nextInt(40)).map(_ => s"s${rnd.nextInt(50)}").distinct.sorted
