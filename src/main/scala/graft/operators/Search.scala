@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Scored keyword retrieval over a document corpus — the lexical twin
+  * of the embedding ANN surface in [[Similarity]]. The reference
+  * (pydala) has no search surface; this is extension scope for the
+  * training-data pipeline (e.g. targeted corpus audits: "show me the
+  * documents most about X" without an embedding pass).
+  *
+  * Scale shape (the inverted-index shuffle, not a scan-per-query):
+  * tokens explode to ~one row per corpus token but are filtered to the
+  * query's terms BEFORE any exchange (the explode+filter collapses
+  * map-side), per-(doc, term) tf and per-term df are partial-combine
+  * aggregates, corpus stats (N, avgdl) and the per-term df table are
+  * tiny broadcasts, and the final top-k plans as TakeOrderedAndProject
+  * — no global sort. One pass over the corpus per query batch.
+  */
+object Search {
+
+  /** Okapi BM25 top-k: rank documents against `queryTerms` and return
+    * the `k` best as (doc_id, score_r, n_terms_hit).
+    *
+    * Scoring (standard BM25 with the +1 idf floor, so idf is never
+    * negative even for terms in most documents):
+    * {{{
+    *   idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+    *   s(d, t) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    * }}}
+    * All math in double; the score is rounded to 6 decimals so an
+    * independent engine computing the same formula lands on the same
+    * bytes (FP sum order across a handful of per-term partials is
+    * below the rounding grain). Document length `dl` counts ALL
+    * tokens, not just query terms. */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    require(terms.nonEmpty, "bm25TopK: empty query")
+
+    val withLen = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.words(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")).cast("double"))
+    // N and avgdl over ALL docs (zero-token docs included — they are
+    // part of the corpus the statistics describe)
+    val stats = withLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // postings restricted to query terms before the (doc, term) shuffle
+    val postings = withLen
+      .select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    // document frequency per query term (postings are one row per
+    // (doc, term) already, so a plain count is df)
+    val dfreq = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+
+    postings.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      // parenthesization mirrors the DuckDB oracle operation-for-
+      // operation so the doubles are bit-identical before rounding
+      .withColumn("__s", col("__idf") * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("__s")).as("__score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("__score"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("__score"), 6).as("score_r"),
+        col("n_terms_hit"))
+  }
+
+  /** Per-document top TF-IDF terms — the corpus-keyword profile used
+    * for topic audits and cluster labeling. Returns
+    * (doc_id, term, rank) for each document's `perDoc` highest-scoring
+    * terms; smoothed idf = ln(N / df) over DISTINCT term presence.
+    * Same inverted-index shape as [[bm25TopK]] but over the full
+    * vocabulary: tf and df are partial-combine aggregates and the
+    * per-doc ranking is a bounded window over each doc's own distinct
+    * terms (vocabulary-sized, not corpus-sized). */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String,
+      perDoc: Int): DataFrame = {
+
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.words(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val n = docs.select(col(idCol)).agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(desc("__score"), col("term"))
+    tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+      .withColumn("__score", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .select(col("doc_id"), col("term"), col("rank"))
+  }
+}

@@ -261,6 +261,47 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered, cosine comparisons
+    * happen only WITHIN a cluster, and a vector is dropped when a
+    * lower-id cluster-mate sits above the similarity threshold. The
+    * reference (pydala) has no embedding surface at all — this is the
+    * extension family's "semantic near-dup" rung between exact/LSH
+    * dedup (bit-level) and topical clustering.
+    *
+    * Scale shape: candidate volume is Σ clusterᵢ², never n² — the
+    * centroid table is tiny and broadcast (assignment is one corpus
+    * scan with map-side argmax, no corpus-side shuffle), the within-
+    * cluster self-join shuffles on `cid`, and at write time `cid`
+    * doubles as a hive partition key so the pairwise stage reads each
+    * cluster's files co-located. Oversized clusters are a k knob
+    * problem (SemDeDup uses k ≈ n/5000); the deterministic
+    * [[kmeansRefine]] centroids drop straight in.
+    *
+    * Decision rule: drop iff ∃ cluster-mate with lower id at
+    * `sim ≥ threshold` — deterministic and engine-portable (no
+    * iteration-order dependence), at the cost of occasionally dropping
+    * both `b` and `c` of a chain a~b, b~c where SemDeDup's
+    * keep-one-per-group would keep `c`. Documented, oracle-pinned.
+    *
+    * Returns one row per input vector: (id, cid, keep). */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+
+    val assigned = assignClusters(df, idCol, vecCol, centroids, outId = "id")
+    val slim = assigned.select(col("id"), col("cid"), col("xv"), col("xn"))
+    val droppedIds = slim.as("a").join(slim.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(dot(col("a.xv"), col("b.xv")) / (col("a.xn") * col("b.xn"))
+        >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.select(col("id"), col("cid"))
+      .join(droppedIds.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        not(coalesce(col("__dropped"), lit(false))).as("keep"))
+  }
+
   /** Brute-force all-pairs cosine (id_a < id_b, sim ≥ threshold) — a
     * SMALL-CORPUS DIAGNOSTIC only. The inequality-only join condition
     * plans as a broadcast-nested-loop/cartesian product over n·(n−1)/2

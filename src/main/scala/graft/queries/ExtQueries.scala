@@ -1244,7 +1244,144 @@ object ExtQueries {
       |FROM base b JOIN tw USING (doc_id) JOIN tb USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- semantic (embedding-space) dedup --------------------------------
+  /** SemDeDup-style semantic dedup (cluster → within-cluster cosine →
+    * drop-above-threshold) over a corpus with 50 planted exact copies:
+    * every planted copy lands in its original's cluster (identical
+    * vector ⇒ identical argmax) and must be dropped; originals all
+    * survive. Centroids are the deterministic id<16 seed set — the
+    * [[graft.operators.Similarity.kmeansRefine]] output drops in
+    * without changing the plan (oracle replicates the approximation,
+    * pattern of `x_sim_ivf_topk`). */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 10000))
+    val centroids = corpus.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    Similarity.semanticDedup(corpus, "vec_id", "embedding", centroids,
+        threshold = 0.95)
+      .select(col("id").as("vec_id"), col("cid"), col("keep"))
+      .orderBy("vec_id")
+  }
+  val dedupSemanticSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM (
+      |    SELECT vec_id, embedding FROM embeddings
+      |    UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50)),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |asg AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+      |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+      |  WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95)
+      |SELECT asg.vec_id, asg.cid, asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+      |FROM asg ORDER BY asg.vec_id""".stripMargin
+
+  // ---- BM25 keyword search ---------------------------------------------
+  /** Okapi BM25 top-10 for a fixed term query — the lexical retrieval
+    * twin of the ANN queries (inverted-index shuffle shape: postings
+    * filtered to the query's terms map-side, stats broadcast, top-k as
+    * TakeOrderedAndProject). */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.bm25TopK(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", Seq("vector", "stream", "merge", "filter"), k = 10)
+  val bm25SearchSql: String =
+    """WITH wl AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl, words FROM
+      |      (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM wl),
+      |post AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(words) AS term FROM wl)
+      |  WHERE term IN ('vector', 'stream', 'merge', 'filter') GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY term),
+      |scored AS (SELECT doc_id,
+      |    SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score,
+      |    COUNT(*) AS n_terms_hit
+      |  FROM post JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id)
+      |SELECT doc_id, round(score, 6) AS score_r, n_terms_hit FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- per-document TF-IDF keywords ------------------------------------
+  /** Top-3 TF-IDF terms per document — the corpus-keyword profile
+    * (topic audits, cluster labeling). Full-vocabulary inverted-index
+    * aggregates; per-doc ranking windows over each doc's own distinct
+    * terms only. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.tfidfTopTerms(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", perDoc = 3)
+      .select(col("doc_id"), col("term"), col("rank").cast("int").as("rank"))
+      .orderBy("doc_id", "rank")
+  val tfidfTermsSql: String =
+    """WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS term FROM documents)
+      |  GROUP BY doc_id, term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT doc_id, term, rank FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * ln(n_docs / df) DESC, tf.term) AS INT) AS rank
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---- quality-aware duplicate resolution ------------------------------
+  /** Near-dup clusters with KEEP-BEST representative selection: instead
+    * of keep-lowest-id, each cluster keeps its highest-quality document
+    * (ties → lowest id) — the curation rule real pipelines want when a
+    * cleaner copy of boilerplate-wrapped text exists. Same LSH pair
+    * pipeline as `x_dup_clusters`; the decision layer changes. */
+  def dupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.8)
+    val comp = Dedup.clusters(pairs)
+    val labeled = docs
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        col("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(desc("q"), col("doc_id"))
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), round(col("q"), 6).as("q_r"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+  val dupKeepBestSql: String =
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(words) - 2, 1)),
+      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
+      |  )) AS s
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS id, d AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+      |comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id),
+      |m AS (SELECT dd.doc_id, COALESCE(c.cluster_id, dd.doc_id) AS cluster_id, dd.text
+      |      FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id),
+      |qq AS (SELECT doc_id, cluster_id, $qualitySql AS q FROM
+      |      (SELECT doc_id, cluster_id, text,
+      |         list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words FROM m))
+      |SELECT doc_id, cluster_id, round(q, 6) AS q_r,
+      |  ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) = 1 AS keep
+      |FROM qq ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_semantic" -> (dedupSemantic _),
+    "x_bm25_search" -> (bm25Search _),
+    "x_tfidf_terms" -> (tfidfTerms _),
+    "x_dup_keep_best" -> (dupKeepBest _),
     "x_dup_clusters" -> (dupClusters _),
     "x_rep_signals" -> (repSignals _),
     "x_stream_enrich" -> (streamEnrich _),
@@ -1284,6 +1421,10 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_semantic" -> dedupSemanticSql,
+    "x_bm25_search" -> bm25SearchSql,
+    "x_tfidf_terms" -> tfidfTermsSql,
+    "x_dup_keep_best" -> dupKeepBestSql,
     "x_dup_clusters" -> dupClustersSql,
     "x_rep_signals" -> repSignalsSql,
     "x_stream_enrich" -> streamEnrichSql,

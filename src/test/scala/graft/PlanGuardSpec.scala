@@ -36,7 +36,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "x_embed_top_pairs" -> ("below the LSH policy floor the corpus fits ~4 buckets, so the " +
       "bounded broadcast pair enumeration replaces 16x-redundant LSH tables + distinct " +
       "(Similarity.lshTopPairs smallAllPairs); past the floor the LSH path plans, " +
-      "guarded by SimilaritySpec")
+      "guarded by SimilaritySpec"),
+    "x_dedup_semantic" -> "broadcast centroid table joined lit(true) for argmax assignment (Similarity.assignClusters); the pairwise stage itself is a cid equi-join",
+    "x_bm25_search" -> "1-row broadcast of corpus stats (N, avgdl) crossed into the per-term postings (Search.bm25TopK)",
+    "x_tfidf_terms" -> "1-row broadcast of the corpus doc count crossed into tf/df scores (Search.tfidfTopTerms)"
   )
 
   /** Queries whose defining predicate must be PUSHED to the parquet

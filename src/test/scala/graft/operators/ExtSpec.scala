@@ -187,6 +187,31 @@ class SimilaritySpec extends AnyFunSuite {
     (0L to 4L).foreach(i => assert(pairs.contains((i, i + 100L)), s"vec $i"))
   }
 
+  test("semantic dedup drops within-cluster near-dups and keeps cluster-straddling pairs") {
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)),  // near-dup of 0, same cluster
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.02f)),  // near-dup of 2, same cluster
+      (4L, Array(0.70f, 0.70f, 0.0f)),  // diagonal → cluster 0 (tie → lowest cid)
+      (5L, Array(0.69f, 0.72f, 0.0f))   // near-dup of 4 but lands in cluster 1
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cv")
+    val res = Similarity.semanticDedup(data, "vec_id", "embedding", cents,
+        threshold = 0.98)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(res(0L)._2, "lowest id survives its dup pair")
+    assert(!res(1L)._2, "near-dup of 0 dropped")
+    assert(res(2L)._2)
+    assert(!res(3L)._2, "near-dup of 2 dropped")
+    // the documented approximation: 4~5 are near-dups (cos ≈ 0.9998)
+    // but straddle the cluster boundary, so SemDeDup never compares them
+    assert(res(4L)._1 == 0L && res(5L)._1 == 1L, "4 and 5 in different clusters")
+    assert(res(4L)._2 && res(5L)._2, "cross-cluster near-dups both survive")
+  }
+
   test("ivf top-k equals brute force when every cluster is probed") {
     // 5 vectors, 2 centroids (vec_id < 2), nprobe = 2 probes everything
     // → IVF must reduce to exact search
