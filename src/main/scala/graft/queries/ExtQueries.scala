@@ -1377,7 +1377,180 @@ object ExtQueries {
       |  ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) = 1 AS keep
       |FROM qq ORDER BY doc_id""".stripMargin
 
+  // ---- topic map (cluster → size + labeling terms) ---------------------
+  /** Corpus topic map: embeddings clustered (broadcast centroid argmax,
+    * seed set id<8 — [[graft.operators.Similarity.kmeansRefine]] output
+    * drops in unchanged), each cluster labeled with the top-5 TF-IDF
+    * terms of its member documents. The corpus-audit view a curation
+    * team reads first: "what is in this data, roughly, by theme".
+    *
+    * Scale shape: assignment is one corpus scan (no corpus-side
+    * shuffle), term counts and corpus df are partial-combine aggregates
+    * shuffled on (cid, term)/term, the ranking window is bounded per
+    * cluster's vocabulary. Nothing touches document pairs. */
+  def topicClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val docs = Tables.load(spark, dir, "documents")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assigned = Similarity
+      .assignClusters(emb, "vec_id", "embedding", centroids, outId = "doc_id")
+      .select("doc_id", "cid")
+    val member = docs.join(assigned, Seq("doc_id"))
+    val sizes = member.groupBy("cid").agg(count(lit(1)).as("n_docs"))
+    val clusterTermCnt = member
+      .select(col("cid"), explode(TextFunctions.words(col("text"))).as("term"))
+      .groupBy("cid", "term").agg(count(lit(1)).cast("double").as("cnt"))
+    // corpus-wide df (distinct doc presence) — the idf denominator
+    val corpusTf = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = corpusTf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val nTotal = docs.agg(count(lit(1)).cast("double").as("n_docs_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(desc("__score"), col("term"))
+    clusterTermCnt.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("__score", col("cnt") * log(col("n_docs_total") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col("cid"), col("n_docs"), col("rank").cast("int").as("rank"),
+        col("term"), round(col("__score"), 6).as("score_r"))
+      .orderBy("cid", "rank")
+  }
+  val topicClustersSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id AS doc_id, cid FROM (
+      |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+      |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+      |member AS (SELECT d.doc_id, a.cid, d.text FROM documents d JOIN asg a USING (doc_id)),
+      |sizes AS (SELECT cid, COUNT(*) AS n_docs FROM member GROUP BY cid),
+      |ctc AS (SELECT cid, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM (
+      |    SELECT cid, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS term FROM member)
+      |  GROUP BY cid, term),
+      |tf AS (SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS term FROM documents)
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs_total FROM documents)
+      |SELECT cid, n_docs, rank, term, score_r FROM (
+      |  SELECT ctc.cid, ctc.term,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY ctc.cid ORDER BY ctc.cnt * ln(n_docs_total / df) DESC, ctc.term) AS INT) AS rank,
+      |    round(ctc.cnt * ln(n_docs_total / df), 6) AS score_r
+      |  FROM ctc JOIN dfreq USING (term) CROSS JOIN n) r
+      |JOIN sizes USING (cid)
+      |WHERE rank <= 5 ORDER BY cid, rank""".stripMargin
+
+  // ---- hybrid retrieval (RRF fusion of BM25 + embedding cosine) --------
+  /** Hybrid search: one lexical ranking (BM25 over fixed query terms)
+    * and one semantic ranking (exact cosine against probe vector id 7)
+    * fused by reciprocal-rank fusion, RRF(d) = Σ 1/(60 + rankᵢ(d)) —
+    * the standard fusion rule (Cormack et al., SIGIR'09). Candidates
+    * are each ranking's top-50; a doc absent from one list contributes
+    * 0 from that list. Both component rankings reuse the contract
+    * operators ([[graft.operators.Search.bm25TopK]],
+    * [[graft.operators.Similarity.cosineTopK]]); the fusion layer is a
+    * 50-row full-outer join — driver-scale, not corpus-scale. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val lex = graft.operators.Search
+      .bm25TopK(docs, "doc_id", "text",
+        Seq("vector", "stream", "merge", "filter"), k = 50)
+      .withColumn("r_lex", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score_r"), col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = Similarity
+      .cosineTopK(emb, emb.filter(col("vec_id") === 7),
+        "vec_id", "embedding", k = 50)
+      .select(col("corpus_id").as("doc_id"), col("rank").as("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("r_sem")), lit(0.0)))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        round(col("rrf"), 6).as("rrf_r"))
+  }
+  val hybridSearchSql: String =
+    """WITH wl AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl, words FROM
+      |      (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM wl),
+      |post AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(words) AS term FROM wl)
+      |  WHERE term IN ('vector', 'stream', 'merge', 'filter') GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY term),
+      |lexscore AS (SELECT doc_id,
+      |    round(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score_r
+      |  FROM post JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id),
+      |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS INT) AS r_lex
+      |  FROM (SELECT doc_id, score_r FROM lexscore ORDER BY score_r DESC, doc_id LIMIT 50)),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |scored AS (SELECT c.vec_id AS doc_id,
+      |    list_dot_product(c.v, p.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.v, p.v))) AS sim
+      |  FROM e c, e p WHERE p.vec_id = 7 AND c.vec_id <> 7),
+      |sem AS (SELECT doc_id, CAST(rank AS INT) AS r_sem FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank FROM scored)
+      |  WHERE rank <= 50),
+      |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+      |    COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex), 0) +
+      |    COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_sem), 0) AS rrf
+      |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      |SELECT doc_id, r_lex, r_sem, round(rrf, 6) AS rrf_r FROM fused
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- eval-set n-gram overlap fraction --------------------------------
+  /** Graded decontamination: for each held-out document (doc_id ≡ 0
+    * mod 23), the fraction of its distinct word 5-grams that appear
+    * anywhere in the training split — the per-document contamination
+    * score behind train/test overlap reports (binary `x_contamination`
+    * answers "touched at all"; this answers "how much").
+    *
+    * Scale shape: shingles leave the scan as xxhash64 longs
+    * ([[graft.plans.WordShingleHashes]]), the train side is a distinct
+    * hash set (combinable), the probe is one equi-join on 8-byte keys —
+    * O(postings), never O(pairs). The oracle groups the shingle
+    * STRINGS, so equality also certifies the hashed twin. */
+  def overlapFrac(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def sh(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(graft.plans.GraftExpressions.shingleHashes(
+        spark, col("text"), 5)).as("h"))
+    val train = sh(docs.filter(col("doc_id") % 23 =!= 0)).select("h").distinct()
+    sh(docs.filter(col("doc_id") % 23 === 0))
+      .join(train.withColumn("__hit", lit(true)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("overlap_frac",
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+  val overlapFracSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(words) - 4, 1)),
+      |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4], words[i+5]))) AS s
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)
+      |  WHERE len(words) > 0),
+      |tr AS (SELECT DISTINCT tok FROM (SELECT unnest(s) AS tok FROM sh WHERE doc_id % 23 <> 0)),
+      |ev AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE doc_id % 23 = 0)
+      |SELECT ev.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN tr.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(CAST(SUM(CASE WHEN tr.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_frac
+      |FROM ev LEFT JOIN tr ON ev.tok = tr.tok
+      |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_topic_clusters" -> (topicClusters _),
+    "x_hybrid_search" -> (hybridSearch _),
+    "x_overlap_frac" -> (overlapFrac _),
     "x_dedup_semantic" -> (dedupSemantic _),
     "x_bm25_search" -> (bm25Search _),
     "x_tfidf_terms" -> (tfidfTerms _),
@@ -1421,6 +1594,9 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_topic_clusters" -> topicClustersSql,
+    "x_hybrid_search" -> hybridSearchSql,
+    "x_overlap_frac" -> overlapFracSql,
     "x_dedup_semantic" -> dedupSemanticSql,
     "x_bm25_search" -> bm25SearchSql,
     "x_tfidf_terms" -> tfidfTermsSql,

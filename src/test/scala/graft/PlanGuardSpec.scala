@@ -39,7 +39,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "guarded by SimilaritySpec"),
     "x_dedup_semantic" -> "broadcast centroid table joined lit(true) for argmax assignment (Similarity.assignClusters); the pairwise stage itself is a cid equi-join",
     "x_bm25_search" -> "1-row broadcast of corpus stats (N, avgdl) crossed into the per-term postings (Search.bm25TopK)",
-    "x_tfidf_terms" -> "1-row broadcast of the corpus doc count crossed into tf/df scores (Search.tfidfTopTerms)"
+    "x_tfidf_terms" -> "1-row broadcast of the corpus doc count crossed into tf/df scores (Search.tfidfTopTerms)",
+    "x_topic_clusters" -> "broadcast centroid argmax assignment + 1-row corpus-count broadcast (ExtQueries.topicClusters)",
+    "x_hybrid_search" -> "broadcast single-probe cosine side (Similarity.cosineTopK) + 1-row BM25 stats broadcast"
   )
 
   /** Queries whose defining predicate must be PUSHED to the parquet
