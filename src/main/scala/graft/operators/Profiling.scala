@@ -75,4 +75,73 @@ object Profiling {
         col("e.min_num").as("min_num"), col("e.max_num").as("max_num"),
         col("e.min_str").as("min_str"), col("e.max_str").as("max_str"))
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * redundancy/leakage audit run before a feature set is trusted.
+    * One row per unordered pair (col_a < col_b in the given order):
+    * (col_a, col_b, n, corr_r).
+    *
+    * ENGINE-PORTABLE BY CONSTRUCTION: a streaming `corr` accumulates
+    * doubles in partition order, so no two engines (or two runs at
+    * different parallelism) agree bitwise. Here every value is first
+    * snapped to an exact integer lattice (`round(x·10^scale)` as
+    * decimal) and the six sufficient statistics per pair — n, Σx, Σy,
+    * Σxy, Σx², Σy² — are EXACT integer sums (combinable, order-free).
+    * Only the final closed form runs in floating point, on identical
+    * inputs in a pinned evaluation order, so any engine lands on the
+    * same bytes. `scale` must cover the data's decimal places
+    * (lattice snapping is part of the metric's definition, documented,
+    * not a hidden approximation).
+    *
+    * Semantics: pairwise-complete (each pair uses rows where BOTH
+    * columns are non-null — masked sums, still one scan, still
+    * map-side combinable). Zero variance on either side → corr null.
+    *
+    * Scale shape: one scan, 6·C(k,2) partial-combine aggregates, one
+    * 1-row exchange; the unpivot to pair rows is a projection of the
+    * single aggregate row. Nothing is quadratic in ROWS — only in
+    * requested columns, which a caller bounds. */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"corrMatrix: no such columns: ${missing.mkString(", ")}")
+
+    def qcol(c: String) = df.col("`" + c.replace("`", "``") + "`")
+    val mult = math.pow(10d, scale)
+    def lat(c: String) =
+      round(qcol(c).cast("double") * mult, 0).cast("decimal(38,0)")
+
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (i, j)
+    val aggs = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
+      val both = qcol(cols(i)).isNotNull && qcol(cols(j)).isNotNull
+      val xm = when(both, lat(cols(i)))
+      val ym = when(both, lat(cols(j)))
+      Seq(
+        count(when(both, 1)).as(s"__n_$p"),
+        sum(xm).as(s"__sx_$p"), sum(ym).as(s"__sy_$p"),
+        sum(xm * ym).as(s"__sxy_$p"),
+        sum(xm * xm).as(s"__sxx_$p"), sum(ym * ym).as(s"__syy_$p"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+
+    val entries = pairs.zipWithIndex.map { case ((i, j), p) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col(s"__n_$p").as("n"),
+        col(s"__sx_$p").cast("double").as("sx"),
+        col(s"__sy_$p").cast("double").as("sy"),
+        col(s"__sxy_$p").cast("double").as("sxy"),
+        col(s"__sxx_$p").cast("double").as("sxx"),
+        col(s"__syy_$p").cast("double").as("syy"))
+    }
+    val nD = col("e.n").cast("double")
+    val varx = nD * col("e.sxx") - col("e.sx") * col("e.sx")
+    val vary = nD * col("e.syy") - col("e.sy") * col("e.sy")
+    val cov = nD * col("e.sxy") - col("e.sx") * col("e.sy")
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_a").as("col_a"), col("e.col_b").as("col_b"),
+        col("e.n").as("n"),
+        round(when(varx > 0 && vary > 0,
+          cov / (sqrt(varx) * sqrt(vary))), 6).as("corr_r"))
+  }
 }

@@ -1547,7 +1547,98 @@ object ExtQueries {
       |FROM ev LEFT JOIN tr ON ev.tok = tr.tok
       |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin
 
+  // ---- numeric correlation matrix --------------------------------------
+  /** Feature-redundancy audit: pairwise Pearson correlation over
+    * lineitem's numeric measures via exact-integer sufficient
+    * statistics ([[graft.operators.Profiling.corrMatrix]] — FP only in
+    * the final closed form, so DuckDB lands on identical bytes). */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.corrMatrix(
+      Tables.load(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 4)
+      .orderBy("col_a", "col_b")
+  val corrMatrixSql: String = {
+    val cols = Seq("l_quantity" -> "a", "l_extendedprice" -> "b",
+      "l_discount" -> "c", "l_tax" -> "d")
+    val lat = cols.map { case (c, a) =>
+      s"CAST(round($c * 10000.0) AS HUGEINT) AS $a" }.mkString(", ")
+    val sums = cols.map { case (_, a) =>
+      s"CAST(SUM($a) AS DOUBLE) AS s$a, CAST(SUM($a*$a) AS DOUBLE) AS s$a$a"
+    }.mkString(", ")
+    val cross = (for {
+      i <- cols.indices; j <- i + 1 until cols.size
+      a = cols(i)._2; b = cols(j)._2
+    } yield s"CAST(SUM($a*$b) AS DOUBLE) AS s$a$b").mkString(", ")
+    val pairRows = (for {
+      i <- cols.indices; j <- i + 1 until cols.size
+      (ca, a) = cols(i); (cb, b) = cols(j)
+    } yield
+      s"""SELECT '$ca' AS col_a, '$cb' AS col_b, nn AS n,
+         |  round(CASE WHEN (nd*s$a$a - s$a*s$a) > 0 AND (nd*s$b$b - s$b*s$b) > 0
+         |    THEN (nd*s$a$b - s$a*s$b) / (sqrt(nd*s$a$a - s$a*s$a) * sqrt(nd*s$b$b - s$b*s$b)) END, 6) AS corr_r
+         |FROM s""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT $lat FROM lineitem),
+       |s AS (SELECT COUNT(*) AS nn, CAST(COUNT(*) AS DOUBLE) AS nd, $sums, $cross FROM v)
+       |SELECT * FROM ($pairRows) ORDER BY col_a, col_b""".stripMargin
+  }
+
+  // ---- per-user behavioral features ------------------------------------
+  /** Per-user lifetime features from the event stream — the feature-
+    * extraction shape of a training-data pipeline (one combinable
+    * groupBy, exact decimal value sums, timestamps surfaced as
+    * epoch-micros so the oracle compares integers). */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+        count_distinct(to_date(col("ts"))).as("active_days"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"))
+      .orderBy("user_id")
+  }
+  val userFeaturesSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+      |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- fuzzy (edit-distance) join --------------------------------------
+  /** Entity resolution: supplier names with a planted typo (3rd char
+    * dropped, re-id'd +10000) matched back to the reference table at
+    * edit distance ≤ 1 through [[graft.operators.FuzzyJoin]]'s q-gram
+    * count-filtered candidates + exact levenshtein verify. Every probe
+    * must resolve to exactly its original (neighbors differ by ≥ 2).
+    * The O(n·m) oracle cross-verify also certifies candidate
+    * COMPLETENESS — a pruned true match would show as a missing row. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+    val probes = sup.select((col("id") + 10000).as("id"),
+      concat(substring(col("name"), 1, 2), expr("substring(name, 4)")).as("name"))
+    graft.operators.FuzzyJoin.editDistanceJoin(sup, probes, "id", "name",
+        maxDist = 1, q = 3)
+      .select(col("probe_id"), col("corpus_id"), col("dist").cast("int").as("dist"))
+      .orderBy("probe_id", "corpus_id")
+  }
+  val fuzzyJoinSql: String =
+    """WITH sup AS (SELECT s_suppkey AS id, s_name AS name FROM supplier),
+      |probes AS (SELECT id + 10000 AS id,
+      |  substring(name, 1, 2) || substring(name, 4) AS name FROM sup)
+      |SELECT p.id AS probe_id, c.id AS corpus_id,
+      |  CAST(levenshtein(p.name, c.name) AS INT) AS dist
+      |FROM probes p JOIN sup c ON levenshtein(p.name, c.name) <= 1
+      |ORDER BY probe_id, corpus_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_corr_matrix" -> (corrMatrix _),
+    "x_user_features" -> (userFeatures _),
+    "x_fuzzy_join" -> (fuzzyJoin _),
     "x_topic_clusters" -> (topicClusters _),
     "x_hybrid_search" -> (hybridSearch _),
     "x_overlap_frac" -> (overlapFrac _),
@@ -1594,6 +1685,9 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "x_corr_matrix" -> corrMatrixSql,
+    "x_user_features" -> userFeaturesSql,
+    "x_fuzzy_join" -> fuzzyJoinSql,
     "x_topic_clusters" -> topicClustersSql,
     "x_hybrid_search" -> hybridSearchSql,
     "x_overlap_frac" -> overlapFracSql,

@@ -60,4 +60,102 @@ class ProfilingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("corrMatrix: perfect, anti, and independent pairs hand-checked") {
+    val d = Seq(
+      (1.0, 2.0, -1.0, 5.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0),
+      (4.0, 8.0, -4.0, 5.0)).toDF("x", "y2x", "neg", "const")
+    val m = Profiling.corrMatrix(d, Seq("x", "y2x", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m.size == 6)
+    assert(m(("x", "y2x")) == (4L, Some(1.0)), "y = 2x is corr 1")
+    assert(m(("x", "neg")) == (4L, Some(-1.0)), "y = -x is corr -1")
+    assert(m(("x", "const"))._2.isEmpty, "zero variance -> null, not NaN")
+    assert(m(("y2x", "neg")) == (4L, Some(-1.0)))
+  }
+
+  test("corrMatrix: pairwise-complete under nulls") {
+    // (x, y) complete on 3 rows where both present; the null row in y
+    // must not poison the (x, z) pair, which stays complete on 4
+    val d = Seq(
+      (Some(1.0), Some(1.0), Some(4.0)),
+      (Some(2.0), Some(2.0), Some(3.0)),
+      (Some(3.0), None, Some(2.0)),
+      (Some(4.0), Some(4.0), Some(1.0))).toDF("x", "y", "z")
+    val m = Profiling.corrMatrix(d, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m(("x", "y")) == (3L, Some(1.0)), "3 complete rows, still exact corr 1")
+    assert(m(("x", "z")) == (4L, Some(-1.0)))
+    assert(m(("y", "z"))._1 == 3L)
+  }
+
+  test("corrMatrix: matches a hand-computed non-trivial value") {
+    // x = 1..4, w = (1, 2, 4, 3): corr = 0.8 exactly
+    val d = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 4.0), (4.0, 3.0)).toDF("x", "w")
+    val r = Profiling.corrMatrix(d, Seq("x", "w")).collect().head
+    assert(r.getDouble(3) == 0.8)
+  }
+}
+
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def naive(corpus: Seq[(Long, String)], probes: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for {
+      (pid, ps) <- probes; (cid, cs) <- corpus
+      dist = lev(ps, cs) if dist <= d
+    } yield (pid, cid, dist)).toSet
+  }
+
+  private def run(corpus: Seq[(Long, String)], probes: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Int)] =
+    FuzzyJoin.editDistanceJoin(
+        corpus.toDF("id", "s"), probes.toDF("id", "s"), "id", "s", d)
+      .as[(Long, Long, Int)].collect().toSet
+
+  val corpus = Seq(
+    1L -> "warehouse-north", 2L -> "warehouse-south", 3L -> "depot-east",
+    4L -> "depot-west", 5L -> "hub-central", 6L -> "ab", 7L -> "abc")
+
+  test("equals the naive cross-join at maxDist 1 (typos, exact, misses)") {
+    val probes = Seq(
+      10L -> "warehouse-nortj",  // 1 sub of corpus 1
+      11L -> "depot-eastt",      // 1 insert of corpus 3
+      12L -> "hub-central",      // exact
+      13L -> "completely-other") // no match
+    assert(run(corpus, probes, 1) == naive(corpus, probes, 1))
+  }
+
+  test("degenerate short probes route through length keys, stay complete") {
+    // "ab" has 1 distinct 3-gram (< d*q+1 = 4) — the adversarial case
+    // where every gram can be destroyed; must still find "abc"/"ab"
+    val probes = Seq(20L -> "ab", 21L -> "abd", 22L -> "x")
+    assert(run(corpus, probes, 1) == naive(corpus, probes, 1))
+  }
+
+  test("maxDist 2 equivalence (wider prefix, multi-edit matches)") {
+    val probes = Seq(
+      30L -> "warehuse-nort",    // 2 edits of corpus 1
+      31L -> "depot-easterly")   // 4 edits — out
+    assert(run(corpus, probes, 2) == naive(corpus, probes, 2))
+  }
+
+  test("maxDist 0 degenerates to exact string match") {
+    val probes = Seq(40L -> "depot-west", 41L -> "depot-wes")
+    assert(run(corpus, probes, 0) == Set((40L, 4L, 0)))
+  }
 }
