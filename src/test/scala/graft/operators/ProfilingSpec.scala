@@ -158,4 +158,21 @@ class FuzzyJoinSpec extends AnyFunSuite {
     val probes = Seq(40L -> "depot-west", 41L -> "depot-wes")
     assert(run(corpus, probes, 0) == Set((40L, 4L, 0)))
   }
+
+  test("property: equals the naive join on random small-alphabet strings") {
+    // Small alphabet maximizes shared q-grams and repeated-gram
+    // degeneracy — the adversarial regime for count filtering. One
+    // batch, fixed seed, d drawn per-probe comparison at both 1 and 2.
+    val rnd = new scala.util.Random(4242)
+    def randStr(): String = {
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val corpus = (1L to 60L).map(i => i -> randStr())
+    val probes = (100L to 140L).map(i => i -> randStr())
+    Seq(1, 2).foreach { d =>
+      assert(run(corpus, probes, d) == naive(corpus, probes, d),
+        s"divergence from naive at maxDist=$d")
+    }
+  }
 }
