@@ -1635,7 +1635,35 @@ object ExtQueries {
       |FROM probes p JOIN sup c ON levenshtein(p.name, c.name) <= 1
       |ORDER BY probe_id, corpus_id""".stripMargin
 
+  // ---- greatest-k-per-group via bounded heap ---------------------------
+  /** Top-3 revenue line items per supplier through
+    * [[graft.operators.TopK.perGroup]] — the heap-aggregate shape
+    * (map-side partial top-k, O(groups·k) shuffle rows) where a window
+    * would sort every row of every group. Composite (orderkey,
+    * linenumber) encodes into one long exactly like the ANN ids. */
+  def topkGroup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    graft.operators.TopK.perGroup(li, Seq("l_suppkey"), "rev", "line_id", k = 3)
+      .select(col("l_suppkey"), col("rank"), col("line_id"),
+        round(col("rev"), 6).as("rev_r"))
+      .orderBy("l_suppkey", "rank")
+  }
+  val topkGroupSql: String =
+    """SELECT l_suppkey, rank, line_id, rev_r FROM (
+      |  SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS line_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY rev DESC, l_orderkey * 10 + l_linenumber) AS INT) AS rank,
+      |    round(rev, 6) AS rev_r
+      |  FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+      |          l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS rev
+      |        FROM lineitem))
+      |WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_topk_group" -> (topkGroup _),
     "x_corr_matrix" -> (corrMatrix _),
     "x_user_features" -> (userFeatures _),
     "x_fuzzy_join" -> (fuzzyJoin _),
@@ -1685,6 +1713,7 @@ object ExtQueries {
     "x_stream_window" -> (streamWindowBatch _))
 
   val oracles: Map[String, String] = Map(
+    "a7_topk_group" -> topkGroupSql,
     "x_corr_matrix" -> corrMatrixSql,
     "x_user_features" -> userFeaturesSql,
     "x_fuzzy_join" -> fuzzyJoinSql,

@@ -101,6 +101,33 @@ class ProfilingSpec extends AnyFunSuite {
   }
 }
 
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("perGroup: per-group ranks, measure-desc id-asc ties, short groups") {
+    val d = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0),
+      ("c", 6L, 3.0), ("c", 7L, 3.0), ("c", 8L, 3.0))
+      .toDF("g", "id", "m")
+    val r = TopK.perGroup(d, Seq("g"), "m", "id", k = 2)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(r == Set(
+      ("a", 1, 2L, 9.0), ("a", 2, 3L, 9.0),   // tie -> lower id first
+      ("b", 1, 5L, 2.0),                       // group smaller than k
+      ("c", 1, 6L, 3.0), ("c", 2, 7L, 3.0)))   // all-ties -> id order
+  }
+
+  test("perGroup: multi-column grouping keeps all group keys") {
+    val d = Seq((1, "x", 10L, 1.0), (1, "x", 11L, 2.0), (2, "y", 12L, 3.0))
+      .toDF("g1", "g2", "id", "m")
+    val r = TopK.perGroup(d, Seq("g1", "g2"), "m", "id", k = 1)
+      .as[(Int, String, Int, Long, Double)].collect().toSet
+    assert(r == Set((1, "x", 1, 11L, 2.0), (2, "y", 1, 12L, 3.0)))
+  }
+}
+
 class FuzzyJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
