@@ -1136,6 +1136,70 @@ object ExtQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- streaming corpus ingestion (gate + content dedup) ---------------
+  /** Streaming corpus ingest: documents arrive as two doc_id-range file
+    * slices plus a REPLAY file (every 5th doc re-delivered re-id'd,
+    * arriving last); each micro-batch passes the quality gate and the
+    * cross-batch `dropDuplicates(fp)` state drops every replay. The
+    * output aggregates by text-DERIVED keys only (lang_pred, token
+    * counts ride the fingerprint), so it is invariant to which copy of
+    * a duplicate survives — the determinism argument for a corpus that
+    * genuinely contains cross-source duplicate texts. ≥3 data
+    * micro-batches asserted from query progress: the dedup decision is
+    * made by streaming STATE, not staging layout. */
+  def streamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_singest_").toString
+    val staged = base + "/src"
+    val docs = Tables.load(spark, dir, "documents")
+    docs.repartitionByRange(2, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      .write.parquet(staged)
+    val parts = Option(new java.io.File(staged).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length == 2, s"stream staging: expected 2 slices, got ${parts.length}")
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(1000000L * (i + 1)),
+        s"stream staging: cannot set mtime on $f")
+    }
+    val dupDir = base + "/dup"
+    docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .coalesce(1).write.parquet(dupDir)
+    val dupPart = new java.io.File(dupDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val replay = new java.io.File(staged, "part-00002-replay.parquet")
+    graft.sources.FsOps.cp(spark, dupPart.getAbsolutePath, replay.getAbsolutePath)
+    require(replay.setLastModified(3000000L),
+      s"stream staging: cannot set mtime on $replay")
+    val sink = base + "/sink"
+    val q = withStateWidth(spark, 8) {
+      val s = graft.streaming.EventsStream.gatedDedupIngest(
+          graft.streaming.EventsStream.readDocuments(spark, staged))
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      s.awaitTermination(); s
+    }
+    val data = q.recentProgress.filter(_.numInputRows > 0)
+    require(data.length >= 3,
+      s"x_stream_ingest expected >=3 data micro-batches, saw ${data.length}")
+    spark.read.parquet(sink)
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok").cast("long")).as("n_tokens"))
+      .orderBy("lang_pred")
+  }
+  val streamIngestSql: String =
+    s"""WITH g AS (
+       |  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |    $langPredSql AS lang_pred, CAST(len(words) AS INT) AS tok
+       |  FROM (SELECT text,
+       |          list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
+       |        FROM documents)
+       |  WHERE $qualitySql >= 0.6),
+       |u AS (SELECT fp, MIN(lang_pred) AS lang_pred, MIN(tok) AS tok FROM g GROUP BY fp)
+       |SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+       |FROM u GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+
   // ---- dup-pair connected components -----------------------------------
   /** Near-dup CLUSTERING — the stage after pair generation: LSH pairs →
     * hash-min connected components ([[Dedup.clusters]]) → one dedup
@@ -1664,6 +1728,7 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a7_topk_group" -> (topkGroup _),
+    "x_stream_ingest" -> (streamIngest _),
     "x_corr_matrix" -> (corrMatrix _),
     "x_user_features" -> (userFeatures _),
     "x_fuzzy_join" -> (fuzzyJoin _),
@@ -1714,6 +1779,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "a7_topk_group" -> topkGroupSql,
+    "x_stream_ingest" -> streamIngestSql,
     "x_corr_matrix" -> corrMatrixSql,
     "x_user_features" -> userFeaturesSql,
     "x_fuzzy_join" -> fuzzyJoinSql,

@@ -130,6 +130,38 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** File-source stream over a directory of documents parquet files. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Streaming corpus ingestion: quality gate → exact content dedup —
+    * the live-arrival twin of the batch curation gate. Every document
+    * is fingerprinted (canonical md5), scored, and language-id'd as it
+    * streams in; sub-quality docs drop before any state is touched,
+    * and `dropDuplicates(fp)` keeps exactly one copy of each distinct
+    * content across ALL micro-batches — re-deliveries and re-crawls
+    * land on existing state and vanish.
+    *
+    * State contract: fp state is corpus-lifetime exact dedup, so it
+    * grows with distinct content (one 128-bit key per unique doc) —
+    * bounded-horizon alternatives are `dropDuplicatesWithinWatermark`
+    * when an event-time column exists, or the batch delta sink's
+    * bloom-fronted anti-join for unbounded corpora. The gate runs
+    * BEFORE dedup so rejected content never occupies state. */
+  def gatedDedupIngest(docs: DataFrame, minQuality: Double = 0.6): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("q", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("tok", TextFunctions.wsTokenCount(col("text")))
+      .filter(col("q") >= minQuality)
+      .dropDuplicates("fp")
+  }
+
   /** Custom-state example that the declarative operators cannot
     * express: emit one alert the first time a user's *cumulative*
     * event value crosses `limit` (and never again for that user).

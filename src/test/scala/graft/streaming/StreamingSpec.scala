@@ -203,6 +203,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == 200)
   }
 
+  test("gated ingest: quality gate drops before state, content dedup across batches") {
+    val tmp = Files.createTempDirectory("graft_singest_").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    // batch 1: originals; batch 2: all of them re-delivered with new ids
+    docs.coalesce(1).write.parquet(s"$tmp/src")
+    docs.withColumn("doc_id", col("doc_id") + 5000)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val q = EventsStream.gatedDedupIngest(EventsStream.readDocuments(spark, s"$tmp/src"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+    val batchGated = docs
+      .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+      .filter(col("q") >= 0.6)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+    val expectedFps = batchGated.select("fp").distinct().count()
+    assert(out.count() == expectedFps, "one survivor per distinct gated content")
+    assert(out.select("fp").distinct().count() == expectedFps)
+    // nothing below the gate leaked into the sink
+    assert(out.filter(col("q") < 0.6).count() == 0)
+  }
+
   test("RocksDB state store: same answers as the default provider, provider proven engaged") {
     val tmp = Files.createTempDirectory("graft_stream_rocks_").toString
     Tables.load(spark, "/root/testdata/sf0.001", "events")
