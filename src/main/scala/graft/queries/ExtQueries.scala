@@ -1672,6 +1672,39 @@ object ExtQueries {
       |  epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- daily + rolling time-series aggregates --------------------------
+  /** Daily event rollup with a 7-row trailing window — the monitoring
+    * time-series every ingest pipeline charts. The expensive part (per-
+    * day counts + exact decimal value sums) is one combinable groupBy;
+    * the rolling frame then runs over the DAYS-sized aggregate, not the
+    * event stream — window cost is O(days·log days), independent of
+    * event volume. ROWS frame (last 7 PRESENT days) — deterministic
+    * under gap days, documented as such. */
+  def rollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum(col("n_events")).over(w))
+      .withColumn("__v7", sum(col("__v")).over(w))
+      .select(col("day"), col("n_events"),
+        col("__v").cast("double").as("value_sum"),
+        col("n_7d"), col("__v7").cast("double").as("value_7d"))
+      .orderBy("day")
+  }
+  val rollingDailySql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+      |  FROM events GROUP BY 1)
+      |SELECT day, n_events, CAST(v AS DOUBLE) AS value_sum,
+      |  SUM(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d,
+      |  CAST(SUM(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_7d
+      |FROM d ORDER BY day""".stripMargin
+
   // ---- fuzzy (edit-distance) join --------------------------------------
   /** Entity resolution: supplier names with a planted typo (3rd char
     * dropped, re-id'd +10000) matched back to the reference table at
@@ -1729,6 +1762,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a7_topk_group" -> (topkGroup _),
     "x_stream_ingest" -> (streamIngest _),
+    "x_rolling_daily" -> (rollingDaily _),
     "x_corr_matrix" -> (corrMatrix _),
     "x_user_features" -> (userFeatures _),
     "x_fuzzy_join" -> (fuzzyJoin _),
@@ -1780,6 +1814,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "a7_topk_group" -> topkGroupSql,
     "x_stream_ingest" -> streamIngestSql,
+    "x_rolling_daily" -> rollingDailySql,
     "x_corr_matrix" -> corrMatrixSql,
     "x_user_features" -> userFeaturesSql,
     "x_fuzzy_join" -> fuzzyJoinSql,
