@@ -166,7 +166,12 @@ object BloomIndex {
   def fromBatch(df: DataFrame, cols: Seq[String],
       expectedItems: Long, fpp: Double): BloomFilter =
     withBloomCaps(df, expectedItems, fpp) {
-      df.select(keyHash(cols).as("__h")).stat.bloomFilter("__h", expectedItems, fpp)
+      // same zero-row guard as [[fromBatchCounted]]: BloomFilterAggregate
+      // returns null at cardinality 0 and stat.bloomFilter NPEs on it —
+      // build() over an empty (or just-emptied) dataset must yield an
+      // empty filter, not crash the write path
+      try df.select(keyHash(cols).as("__h")).stat.bloomFilter("__h", expectedItems, fpp)
+      catch { case _: NullPointerException => BloomFilter.create(expectedItems, fpp) }
     }
 
   /** [[fromBatch]] plus the batch's row count, in ONE distributed pass

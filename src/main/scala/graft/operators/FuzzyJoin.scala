@@ -56,11 +56,17 @@ object FuzzyJoin {
     def gramsExpr(colName: String) = expr(
       s"array_distinct(transform(sequence(1, greatest(length($colName) - ${q - 1}, 1)), i -> substring($colName, i, $q)))")
 
+    // pinned (lazy localCheckpoint, same as the Dedup pipelines): the
+    // corpus explode feeds BOTH the df count and the candidate join,
+    // and the probe explode feeds the ranked prefix and the degenerate
+    // filter — without pinning, the dominant scan+explode runs twice
     val corpusGrams = c.select(col("corpus_id"),
       explode(gramsExpr("cs")).as("g"))
+      .localCheckpoint(false)
     val probeGrams = p.select(col("probe_id"),
       explode(gramsExpr("ps")).as("g"),
       size(gramsExpr("ps")).as("ng"))
+      .localCheckpoint(false)
 
     // corpus document frequency per gram — the global rarity order
     val dfreq = corpusGrams.groupBy("g")
@@ -83,9 +89,10 @@ object FuzzyJoin {
 
     // degenerate probes: too few distinct grams for the count filter —
     // probe the 2·maxDist+1 exact length keys a match could have
-    val degenerate = p
-      .withColumn("ng", size(gramsExpr("ps")))
-      .filter(col("ng") < prefixLen)
+    // (probe ids come off the pinned gram frame; strings re-join by id)
+    val degenerate = probeGrams.filter(col("ng") < prefixLen)
+      .select("probe_id").distinct()
+      .join(p, Seq("probe_id"))
     val lengthCandidates = degenerate
       .select(col("probe_id"),
         explode(sequence(length(col("ps")) - maxDist,

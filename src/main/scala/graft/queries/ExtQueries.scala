@@ -92,7 +92,8 @@ object ExtQueries {
   val spanDedupSql: String =
     """WITH w AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS words
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) > 0),
       |spans AS (
       |  SELECT doc_id,
       |    array_to_string(words[i + 1 : i + 10], ' ') AS span
@@ -857,30 +858,12 @@ object ExtQueries {
   def streamE2E(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q_stream_").toString
     val staged = base + "/src"
-    // stage through Tables.load: events.parquet carries TIMESTAMP(NANOS),
-    // which the file-stream source cannot read directly. ONE
-    // executor-parallel job: range-partition on (ts, event_id) into 3
-    // contiguous event-time slices — part-00000 holds the earliest
-    // range, so lexicographic file order IS event-time order (no
-    // single-partition global sort; the previous ntile formulation
-    // funneled the whole table through one task).
-    Tables.load(spark, dir, "events")
-      .repartitionByRange(3, col("ts"), col("event_id"))
-      .sortWithinPartitions(col("ts"), col("event_id"))
-      .write.parquet(staged)
-    // stamp ascending mtimes in range order: the file stream source
-    // lists oldest-first, so batch order follows event-time order. The
-    // whole multi-batch determinism argument rides on source ordering =
-    // event-time ordering; a silently failed stamp could reorder
-    // batches and drop early rows as late (wrong aggregates, no
-    // error) — fail loudly instead.
-    val parts = Option(new java.io.File(staged).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    require(parts.length == 3, s"stream staging: expected 3 slices, got ${parts.length}")
-    parts.zipWithIndex.foreach { case (f, i) =>
-      require(f.setLastModified(1000000L * (i + 1)),
-        s"stream staging: cannot set mtime on $f")
-    }
+    // stage through Tables.load (events.parquet has shipped as
+    // TIMESTAMP(NANOS), which the file-stream source cannot read
+    // directly) into 3 contiguous event-time slices — see [[stageSlices]]
+    // for the ordering contract.
+    stageSlices(Tables.load(spark, dir, "events"), staged, 3,
+      Seq(col("ts"), col("event_id")))
     val q = withStateWidth(spark, 8) {
       val s = graft.streaming.EventsStream.startDeltaSink(
         graft.streaming.EventsStream.windowedAgg(
@@ -926,6 +909,59 @@ object ExtQueries {
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
+  }
+
+  /** Stage `df` as `slices` contiguous range-partitioned parquet files
+    * under `staged` — lexicographic file order IS range order (part-00000
+    * holds the earliest range; no single-partition global sort) — with
+    * ascending mtimes so the file-stream source's oldest-first listing
+    * follows range order, plus an optional REPLAY file (re-delivered
+    * rows) stamped last. The multi-batch determinism argument of every
+    * replay-shaped streaming query rides on this one contract; a
+    * silently failed mtime stamp would reorder batches and corrupt
+    * results with no error, so every step fails loudly. */
+  private def stageSlices(df: DataFrame, staged: String, slices: Int,
+      sliceCols: Seq[org.apache.spark.sql.Column],
+      replay: Option[DataFrame] = None): Unit = {
+    df.repartitionByRange(slices, sliceCols: _*)
+      .sortWithinPartitions(sliceCols: _*)
+      .write.parquet(staged)
+    val parts = Option(new java.io.File(staged).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length == slices,
+      s"stream staging: expected $slices slices, got ${parts.length}")
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(1000000L * (i + 1)),
+        s"stream staging: cannot set mtime on $f")
+    }
+    replay.foreach { r =>
+      val dupDir = staged + "__replay"
+      r.coalesce(1).write.parquet(dupDir)
+      val dupPart = new java.io.File(dupDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val rp = new java.io.File(staged, f"part-$slices%05d-replay.parquet")
+      graft.sources.FsOps.cp(r.sparkSession, dupPart.getAbsolutePath, rp.getAbsolutePath)
+      require(rp.setLastModified(1000000L * (slices + 1)),
+        s"stream staging: cannot set mtime on $rp")
+    }
+  }
+
+  /** Execute `stream` through a parquet sink with AvailableNow and
+    * assert ≥ `minDataBatches` data-carrying micro-batches ran — the
+    * proof that stateful decisions were made by streaming STATE across
+    * batches, not by staging layout. */
+  private def runAvailableNowParquet(spark: SparkSession, stream: DataFrame,
+      sink: String, ckpt: String, minDataBatches: Int, what: String): Unit = {
+    val q = withStateWidth(spark, 8) {
+      val s = stream.writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      s.awaitTermination(); s
+    }
+    val data = q.recentProgress.filter(_.numInputRows > 0)
+    require(data.length >= minDataBatches,
+      s"$what expected >=$minDataBatches data micro-batches, saw ${data.length}")
   }
 
   // ---- incremental (cross-corpus) fuzzy dedup ----------------------------
@@ -1089,42 +1125,15 @@ object ExtQueries {
     val base = java.nio.file.Files.createTempDirectory("graft_q_sdedup_").toString
     val staged = base + "/src"
     val ev = Tables.load(spark, dir, "events")
-    // two contiguous event-time slices, lexicographic file order =
-    // event-time order (same staging argument as x_stream_e2e)
-    ev.repartitionByRange(2, col("ts"), col("event_id"))
-      .sortWithinPartitions(col("ts"), col("event_id"))
-      .write.parquet(staged)
-    val parts = Option(new java.io.File(staged).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    require(parts.length == 2, s"stream staging: expected 2 slices, got ${parts.length}")
-    parts.zipWithIndex.foreach { case (f, i) =>
-      require(f.setLastModified(1000000L * (i + 1)),
-        s"stream staging: cannot set mtime on $f")
-    }
-    // the replay file: every 7th event re-arrives AFTER both originals
-    val dupDir = base + "/dup"
-    ev.filter(pmod(col("event_id"), lit(7)) === 0).coalesce(1).write.parquet(dupDir)
-    val dupPart = new java.io.File(dupDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val replay = new java.io.File(staged, "part-00002-replay.parquet")
-    graft.sources.FsOps.cp(spark, dupPart.getAbsolutePath, replay.getAbsolutePath)
-    require(replay.setLastModified(3000000L),
-      s"stream staging: cannot set mtime on $replay")
+    // two contiguous event-time slices; the replay file re-delivers
+    // every 7th event AFTER both originals
+    stageSlices(ev, staged, 2, Seq(col("ts"), col("event_id")),
+      replay = Some(ev.filter(pmod(col("event_id"), lit(7)) === 0)))
     val sink = base + "/sink"
-    val q = withStateWidth(spark, 8) {
-      val s = graft.streaming.EventsStream.dedupStream(
-          graft.streaming.EventsStream.readEvents(spark, staged))
-        .writeStream.format("parquet").option("path", sink)
-        .option("checkpointLocation", base + "/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      s.awaitTermination(); s
-    }
-    // the replay batch must have EXECUTED (so the dedup decision was
-    // made by streaming state, not by the staging layout)
-    val data = q.recentProgress.filter(_.numInputRows > 0)
-    require(data.length >= 3,
-      s"x_stream_dedup expected >=3 data micro-batches, saw ${data.length}")
+    runAvailableNowParquet(spark,
+      graft.streaming.EventsStream.dedupStream(
+        graft.streaming.EventsStream.readEvents(spark, staged)),
+      sink, base + "/ckpt", minDataBatches = 3, what = "x_stream_dedup")
     spark.read.parquet(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -1151,38 +1160,14 @@ object ExtQueries {
     val base = java.nio.file.Files.createTempDirectory("graft_q_singest_").toString
     val staged = base + "/src"
     val docs = Tables.load(spark, dir, "documents")
-    docs.repartitionByRange(2, col("doc_id")).sortWithinPartitions(col("doc_id"))
-      .write.parquet(staged)
-    val parts = Option(new java.io.File(staged).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    require(parts.length == 2, s"stream staging: expected 2 slices, got ${parts.length}")
-    parts.zipWithIndex.foreach { case (f, i) =>
-      require(f.setLastModified(1000000L * (i + 1)),
-        s"stream staging: cannot set mtime on $f")
-    }
-    val dupDir = base + "/dup"
-    docs.filter(col("doc_id") % 5 === 0)
-      .withColumn("doc_id", col("doc_id") + 100000)
-      .coalesce(1).write.parquet(dupDir)
-    val dupPart = new java.io.File(dupDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val replay = new java.io.File(staged, "part-00002-replay.parquet")
-    graft.sources.FsOps.cp(spark, dupPart.getAbsolutePath, replay.getAbsolutePath)
-    require(replay.setLastModified(3000000L),
-      s"stream staging: cannot set mtime on $replay")
+    stageSlices(docs, staged, 2, Seq(col("doc_id")),
+      replay = Some(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)))
     val sink = base + "/sink"
-    val q = withStateWidth(spark, 8) {
-      val s = graft.streaming.EventsStream.gatedDedupIngest(
-          graft.streaming.EventsStream.readDocuments(spark, staged))
-        .writeStream.format("parquet").option("path", sink)
-        .option("checkpointLocation", base + "/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      s.awaitTermination(); s
-    }
-    val data = q.recentProgress.filter(_.numInputRows > 0)
-    require(data.length >= 3,
-      s"x_stream_ingest expected >=3 data micro-batches, saw ${data.length}")
+    runAvailableNowParquet(spark,
+      graft.streaming.EventsStream.gatedDedupIngest(
+        graft.streaming.EventsStream.readDocuments(spark, staged)),
+      sink, base + "/ckpt", minDataBatches = 3, what = "x_stream_ingest")
     spark.read.parquet(sink)
       .groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok").cast("long")).as("n_tokens"))
@@ -1551,10 +1536,10 @@ object ExtQueries {
       |  WHERE term IN ('vector', 'stream', 'merge', 'filter') GROUP BY doc_id, dl, term),
       |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY term),
       |lexscore AS (SELECT doc_id,
-      |    round(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score_r
+      |    SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
       |  FROM post JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id),
-      |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS INT) AS r_lex
-      |  FROM (SELECT doc_id, score_r FROM lexscore ORDER BY score_r DESC, doc_id LIMIT 50)),
+      |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS INT) AS r_lex
+      |  FROM (SELECT doc_id, score FROM lexscore ORDER BY score DESC, doc_id LIMIT 50)),
       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |scored AS (SELECT c.vec_id AS doc_id,
       |    list_dot_product(c.v, p.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.v, p.v))) AS sim

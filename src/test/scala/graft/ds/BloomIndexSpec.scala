@@ -92,6 +92,17 @@ class BloomIndexSpec extends AnyFunSuite {
       Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"), 1024, 0.01)
     assert(n == 0 && !bf.mightContainLong(42L))
     assert(ds.df(spark).count() == 100)
+    // the self-sized arm (fromBatch) needs the same zero-row guard:
+    // build(expectedItems = None) on an empty/just-emptied dataset is
+    // the rebuildIfOverBudget + scheduled-maintenance shape
+    val bf2 = BloomIndex.fromBatch(
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"), 1024, 0.01)
+    assert(!bf2.mightContainLong(42L), "empty self-sized build must yield an empty filter")
+    val emptyDir = tmpDir("graft_bloom_empty_build")
+    val eds = GraftDataset(emptyDir)
+    DatasetWriter(eds).write(spark, Seq.empty[(Long, String)].toDF("id", "v"))
+    val built = BloomIndex.build(spark, eds, Seq("id"))
+    assert(built.forall(_.inserted == 0), "build over an empty dataset must not crash")
   }
 
   test("layout survives the runtime-bloom conf caps above 4M expected items") {

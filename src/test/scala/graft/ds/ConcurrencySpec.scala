@@ -261,6 +261,20 @@ class ConcurrencySpec extends AnyFunSuite {
     val again = DatasetLock.combinedStats(fs, root)
     assert(again.acquires == combined.acquires + 1)
     assert(again.steals == combined.steals)
+
+    // crash recovery: a flush that died between delete(dst) and rename
+    // leaves the FULL merged history only in the __tmp orphan — the
+    // next locked merge must promote it, not restart the accumulator
+    val sidecar = DatasetLock.statsSidecar(lock)
+    val orphan = new Path(lock.getParent, sidecar.getName + "__tmp")
+    assert(fs.rename(sidecar, orphan), "stage the crash state")
+    assert(!fs.exists(sidecar))
+    DatasetLock.mergeIntoSidecar(fs, lock, DatasetLock.LockStats(acquires = 1))
+    val recovered = DatasetLock.combinedStats(fs, root)
+    assert(recovered.acquires == again.acquires + 1,
+      s"history lost in crash recovery: ${recovered.acquires} vs ${again.acquires} + 1")
+    assert(recovered.waitedMs == again.waitedMs)
+    assert(!fs.exists(orphan), "orphan promoted, not left behind")
   }
 
   test("vacuum cleans crashed-steal residue but never the live lock") {
