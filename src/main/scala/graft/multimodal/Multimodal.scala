@@ -14,13 +14,14 @@ import org.apache.spark.sql.types._
   *
   * Image (PNG/BMP/JPEG/GIF) and WAV audio decode are REAL, via the
   * pure-JDK codecs (`javax.imageio`, `javax.sound.sampled`) — no
-  * external libraries. Video METADATA decode is also real: [[Mp4]]
-  * parses the ISO-BMFF container structure (box walk, mvhd timing,
-  * tkhd geometry) in pure bytes. Only video FRAME features remain a
-  * clearly-documented deterministic fake ([[fakeVideoFeatures]], run
-  * over the parsed mdat payload) — pixel decode needs codecs the JDK
-  * does not ship, and a real ffmpeg binding would replace exactly that
-  * one function.
+  * external libraries. Video decode is real end to end for the
+  * Motion-JPEG tracks this corpus carries: [[Mp4]] parses the
+  * ISO-BMFF container (box walk, mvhd timing, tkhd geometry) in pure
+  * bytes, and the mdat's MJPEG samples decode to real per-frame pixel
+  * statistics ([[decode]] → `mjpegFeatures`). Codecs the JDK cannot
+  * decode (H.264, VP9, …) fall back to a clearly-documented
+  * deterministic stand-in ([[fakeVideoFeatures]]) — a real
+  * ffmpeg/JNI binding would replace exactly that one function.
   */
 object Multimodal {
 
@@ -130,13 +131,37 @@ object Multimodal {
     case _ =>
       // a REAL (valid-by-construction) ISO-BMFF container: box
       // structure, mvhd timing and tkhd geometry parse back through
-      // [[Mp4.parse]]; the mdat payload is the deterministic stand-in
-      // for coded frames (no JDK video codec exists to produce real
-      // ones — that seam stays fake, see fakeVideoFeatures)
+      // [[Mp4.parse]]. The mdat carries REAL coded samples —
+      // Motion-JPEG (concatenated baseline JPEG frames, the classic
+      // MJPEG storage shape), the one video codec the bare JDK can
+      // both encode and decode. Frames are thumbnail-scale (tkhd
+      // geometry / 10 — a proxy track; container display size ≠ coded
+      // size is normal ISO-BMFF), solid gray varying per frame so
+      // decoded pixel statistics are predictable up to JPEG's DC
+      // quantization.
       val (tsc, dur, w, h) = videoParams(id)
-      val mdat = (s"video_payload_$id:" * 8).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      (Mp4.build(tsc, dur, w, h, mdat), "video", "video/mp4")
+      val bos = new ByteArrayOutputStream()
+      var f = 0
+      while (f < VideoFrames) {
+        val g = videoFrameGray(id, f)
+        val img = new java.awt.image.BufferedImage(
+          math.max(w / 10, 8), math.max(h / 10, 8),
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(g, g, g))
+        g2.fillRect(0, 0, img.getWidth, img.getHeight)
+        g2.dispose()
+        require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JDK JPEG encoder")
+        f += 1
+      }
+      (Mp4.build(tsc, dur, w, h, bos.toByteArray), "video", "video/mp4")
   }
+
+  /** Frames per synthesized MJPEG track. */
+  val VideoFrames: Int = 4
+
+  /** Solid gray level of synthesized video frame `f` of media `id`. */
+  def videoFrameGray(id: Long, f: Int): Int = ((id * 7 + f * 31) % 256).toInt
 
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -241,16 +266,72 @@ object Multimodal {
     Mp4.parse(bytes) match {
       case Some(info) => Row(info.width, info.height, null,
         info.timescale, info.duration,
-        // features over the mdat RANGE of the original bytes — no
-        // second copy of a multi-MB payload per row
-        fakeVideoFeatures(bytes, featureDim, info.mdatStart, info.mdatEnd))
+        // REAL frame features when the mdat holds Motion-JPEG samples
+        // (per-frame decoded pixel mean + contrast); any other codec
+        // falls back to the deterministic stand-in — the JDK ships no
+        // H.264/VP9 decoder. Both run over the mdat RANGE of the
+        // original bytes — no second copy of a multi-MB payload per row
+        mjpegFeatures(bytes, info.mdatStart, info.mdatEnd, featureDim)
+          .getOrElse(fakeVideoFeatures(bytes, featureDim, info.mdatStart, info.mdatEnd)))
       case None => Row(null, null, null, null, null, fakeVideoFeatures(bytes, featureDim))
     }
 
-  /** The ONE remaining fake: video feature extraction. Deterministic
-    * chunk-hash features so pipelines exercise the exact shape a real
-    * ffmpeg/JNI binding would plug into; replace this function (only)
-    * to make video decode real. */
+  /** Byte ranges of the JPEG frames in an MJPEG sample run: frames
+    * start at SOI (FF D8 FF) and extend to the next SOI (or range
+    * end). FF bytes inside entropy-coded data are escaped (FF 00), so
+    * a bare FF D8 FF triple only opens a frame. */
+  private[multimodal] def splitJpegFrames(
+      bytes: Array[Byte], from: Int, until: Int): Seq[(Int, Int)] = {
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = math.max(from, 0)
+    val end = math.min(until, bytes.length)
+    while (i < end - 2) {
+      if ((bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xD8 &&
+          (bytes(i + 2) & 0xFF) == 0xFF) starts += i
+      i += 1
+    }
+    starts.toSeq.zip(starts.drop(1) :+ end)
+  }
+
+  /** REAL video frame features from Motion-JPEG samples: per decoded
+    * frame, (band-0 pixel mean, band-0 pixel std) — mean tracks the
+    * frame's brightness, std its contrast (≈0 for the solid-gray
+    * fixtures, up to JPEG quantization). None when the mdat holds no
+    * decodable JPEG frames — the caller falls back to the stand-in. */
+  private def mjpegFeatures(bytes: Array[Byte], from: Int, until: Int,
+      featureDim: Int): Option[Seq[Float]] = {
+    val stats = splitJpegFrames(bytes, from, until).flatMap { case (s, e) =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes, s, e - s))
+      if (img == null) None
+      else {
+        val r = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0; var sumSq = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = r.getSample(x, y, 0).toDouble
+            sum += v; sumSq += v * v
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        val mean = sum / n
+        val std = math.sqrt(math.max(sumSq / n - mean * mean, 0.0))
+        Some((mean.toFloat, std.toFloat))
+      }
+    }
+    if (stats.isEmpty) None
+    else Some((stats.flatMap(t => Seq(t._1, t._2)) ++
+      Seq.fill(featureDim)(0f)).take(featureDim))
+  }
+
+  /** The stand-in for codecs the JDK cannot decode (H.264 etc.):
+    * deterministic chunk-hash features so pipelines exercise the exact
+    * shape a real ffmpeg/JNI binding would plug into. Synthesized
+    * MJPEG tracks never reach this — their frames decode for real. */
   def fakeVideoFeatures(bytes: Array[Byte], featureDim: Int,
       from: Int = 0, until: Int = -1): Seq[Float] = {
     val end = if (until < 0) bytes.length else until

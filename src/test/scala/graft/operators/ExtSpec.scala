@@ -512,7 +512,25 @@ class MultimodalSpec extends AnyFunSuite {
       }
   }
 
-  test("video stays a documented fake; frame sampling + real image resize") {
+  test("synthesized MJPEG video decodes REAL per-frame pixel statistics") {
+    val ids = Seq(2L, 5L, 8L).toDF("doc_id") // doc_id % 3 == 2 → video
+    val decoded = Multimodal.decode(Multimodal.synthesize(ids, "doc_id"))
+    decoded.select($"media_id", $"features").as[(Long, Seq[Float])].collect()
+      .foreach { case (id, feats) =>
+        assert(feats.length == 8)
+        // features = (mean, std) per frame: the mean must track each
+        // frame's encoded solid gray within JPEG DC quantization, and
+        // a solid frame has ~zero contrast
+        (0 until Multimodal.VideoFrames).foreach { f =>
+          val g = Multimodal.videoFrameGray(id, f)
+          assert(math.abs(feats(2 * f) - g) <= 3.0f,
+            s"media $id frame $f: decoded mean ${feats(2 * f)} vs encoded gray $g")
+          assert(feats(2 * f + 1) <= 3.0f, s"media $id frame $f: solid frame has contrast")
+        }
+      }
+  }
+
+  test("non-MJPEG video bytes fall back to the documented stand-in; frame sampling + real image resize") {
     val docs = Seq((2L, "some media content here"), (5L, "other bytes")).toDF("doc_id", "text")
     val payloads = Multimodal.asPayloadTable(docs, "doc_id", "text") // video/mp4
     val metaFields = payloads.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -522,7 +540,7 @@ class MultimodalSpec extends AnyFunSuite {
     val decoded = Multimodal.decode(payloads, videoFeatureDim = 8)
     val r = decoded.filter($"media_id" === 2L)
       .select("width", "height", "channels", "sample_rate", "n_samples").collect()(0)
-    assert((0 to 4).forall(r.isNullAt), "video rows decode no dims/rate (no JDK codec — fake)")
+    assert((0 to 4).forall(r.isNullAt), "raw text bytes are no ISO-BMFF: no dims/rate")
     assert(decoded.select(size($"features")).as[Int].collect().forall(_ == 8))
     // deterministic: same payload → same features, run to run
     val f1 = decoded.filter($"media_id" === 2L).select("features").as[Seq[Float]].collect()(0)
