@@ -93,15 +93,21 @@ object Profiling {
     * (lattice snapping is part of the metric's definition, documented,
     * not a hidden approximation).
     *
-    * Semantics: pairwise-complete (each pair uses rows where BOTH
-    * columns are non-null — masked sums, still one scan, still
-    * map-side combinable). Zero variance on either side → corr null.
+    * Semantics: pairwise-complete by default (each pair uses rows
+    * where BOTH columns are non-null — masked sums, still one scan,
+    * still map-side combinable). `listwise = true` drops rows with ANY
+    * null up front and shares the per-column sums across pairs —
+    * 2k + C(k,2) + 1 aggregates instead of 6·C(k,2), ~2.4× less
+    * decimal work at k = 4, identical results on null-free data (the
+    * standard listwise-deletion correlation matrix). Zero variance on
+    * either side → corr null.
     *
-    * Scale shape: one scan, 6·C(k,2) partial-combine aggregates, one
-    * 1-row exchange; the unpivot to pair rows is a projection of the
-    * single aggregate row. Nothing is quadratic in ROWS — only in
-    * requested columns, which a caller bounds. */
-  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
+    * Scale shape: one scan, partial-combine aggregates, one 1-row
+    * exchange; the unpivot to pair rows is a projection of the single
+    * aggregate row. Nothing is quadratic in ROWS — only in requested
+    * columns, which a caller bounds. */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 4,
+      listwise: Boolean = false): DataFrame = {
     require(cols.size >= 2, "corrMatrix: need at least two columns")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"corrMatrix: no such columns: ${missing.mkString(", ")}")
@@ -113,26 +119,48 @@ object Profiling {
 
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield (i, j)
-    val aggs = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
-      val both = qcol(cols(i)).isNotNull && qcol(cols(j)).isNotNull
-      val xm = when(both, lat(cols(i)))
-      val ym = when(both, lat(cols(j)))
-      Seq(
-        count(when(both, 1)).as(s"__n_$p"),
-        sum(xm).as(s"__sx_$p"), sum(ym).as(s"__sy_$p"),
-        sum(xm * ym).as(s"__sxy_$p"),
-        sum(xm * xm).as(s"__sxx_$p"), sum(ym * ym).as(s"__syy_$p"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
 
-    val entries = pairs.zipWithIndex.map { case ((i, j), p) =>
-      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
-        col(s"__n_$p").as("n"),
-        col(s"__sx_$p").cast("double").as("sx"),
-        col(s"__sy_$p").cast("double").as("sy"),
-        col(s"__sxy_$p").cast("double").as("sxy"),
-        col(s"__sxx_$p").cast("double").as("sxx"),
-        col(s"__syy_$p").cast("double").as("syy"))
+    val (wide, entries) = if (listwise) {
+      val src = df.na.drop(cols)
+      val aggs = (count(lit(1)).as("__n") +:
+        cols.indices.flatMap(i => Seq(
+          sum(lat(cols(i))).as(s"__s_$i"),
+          sum(lat(cols(i)) * lat(cols(i))).as(s"__ss_$i")))) ++
+        pairs.zipWithIndex.map { case ((i, j), p) =>
+          sum(lat(cols(i)) * lat(cols(j))).as(s"__sp_$p") }
+      val w = src.agg(aggs.head, aggs.tail: _*)
+      val es = pairs.zipWithIndex.map { case ((i, j), p) =>
+        struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+          col("__n").as("n"),
+          col(s"__s_$i").cast("double").as("sx"),
+          col(s"__s_$j").cast("double").as("sy"),
+          col(s"__sp_$p").cast("double").as("sxy"),
+          col(s"__ss_$i").cast("double").as("sxx"),
+          col(s"__ss_$j").cast("double").as("syy"))
+      }
+      (w, es)
+    } else {
+      val aggs = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
+        val both = qcol(cols(i)).isNotNull && qcol(cols(j)).isNotNull
+        val xm = when(both, lat(cols(i)))
+        val ym = when(both, lat(cols(j)))
+        Seq(
+          count(when(both, 1)).as(s"__n_$p"),
+          sum(xm).as(s"__sx_$p"), sum(ym).as(s"__sy_$p"),
+          sum(xm * ym).as(s"__sxy_$p"),
+          sum(xm * xm).as(s"__sxx_$p"), sum(ym * ym).as(s"__syy_$p"))
+      }
+      val w = df.agg(aggs.head, aggs.tail: _*)
+      val es = pairs.zipWithIndex.map { case ((i, j), p) =>
+        struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+          col(s"__n_$p").as("n"),
+          col(s"__sx_$p").cast("double").as("sx"),
+          col(s"__sy_$p").cast("double").as("sy"),
+          col(s"__sxy_$p").cast("double").as("sxy"),
+          col(s"__sxx_$p").cast("double").as("sxx"),
+          col(s"__syy_$p").cast("double").as("syy"))
+      }
+      (w, es)
     }
     val nD = col("e.n").cast("double")
     val varx = nD * col("e.sxx") - col("e.sx") * col("e.sx")

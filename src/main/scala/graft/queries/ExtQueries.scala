@@ -1604,7 +1604,11 @@ object ExtQueries {
   def corrMatrix(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Profiling.corrMatrix(
       Tables.load(spark, dir, "lineitem"),
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 4)
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 4,
+      // lineitem is null-free, so the shared-sum listwise path (15
+      // aggregates vs 36) is exact here — and it is what the oracle
+      // computes
+      listwise = true)
       .orderBy("col_a", "col_b")
   val corrMatrixSql: String = {
     val cols = Seq("l_quantity" -> "a", "l_extendedprice" -> "b",

@@ -99,6 +99,26 @@ class ProfilingSpec extends AnyFunSuite {
     val r = Profiling.corrMatrix(d, Seq("x", "w")).collect().head
     assert(r.getDouble(3) == 0.8)
   }
+
+  test("corrMatrix: listwise path equals pairwise on null-free data, drops rows under nulls") {
+    val clean = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 7.0, -3.0))
+      .toDF("x", "y", "z")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("col_a", "col_b").collect().map(_.toSeq).toSeq
+    assert(rows(Profiling.corrMatrix(clean, Seq("x", "y", "z"), listwise = true)) ==
+      rows(Profiling.corrMatrix(clean, Seq("x", "y", "z"))),
+      "shared-sum listwise path must be exact on null-free data")
+    // a null in ANY column drops the whole row in listwise mode
+    val holey = Seq((Some(1.0), Some(1.0), Some(1.0)),
+      (Some(2.0), None, Some(2.0)), (Some(3.0), Some(3.0), Some(3.0)))
+      .toDF("x", "y", "z")
+    val lw = Profiling.corrMatrix(holey, Seq("x", "y", "z"), listwise = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(lw.values.forall(_ == 2L), "listwise n counts only fully-complete rows")
+    val pw = Profiling.corrMatrix(holey, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pw(("x", "z")) == 3L, "pairwise keeps the (x,z)-complete row listwise drops")
+  }
 }
 
 class TopKSpec extends AnyFunSuite {
