@@ -100,7 +100,9 @@ object FuzzyJoin {
       .join(c.withColumn("len", length(col("cs"))), Seq("len"))
       .select("probe_id", "corpus_id").distinct()
 
-    gramCandidates.unionByName(lengthCandidates).distinct()
+    // the two routes partition the probe set (ng >= prefixLen vs <),
+    // so the union is already pair-distinct — no third dedup shuffle
+    gramCandidates.unionByName(lengthCandidates)
       .join(p, Seq("probe_id"))
       .join(c, Seq("corpus_id"))
       .withColumn("dist", levenshtein(col("ps"), col("cs")))

@@ -85,14 +85,26 @@ object Search {
     * vocabulary: tf and df are partial-combine aggregates and the
     * per-doc ranking is a bounded window over each doc's own distinct
     * terms (vocabulary-sized, not corpus-sized). */
+  /** Per-(doc, term) frequency table — the inverted-index base both
+    * [[tfidfTopTerms]] and corpus-labeling consumers (topic maps)
+    * aggregate from. */
+  def termTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** Corpus document frequency per term (distinct-doc presence) —
+    * the idf denominator. */
+  def termDf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termTf(docs, idCol, textCol).groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+
   def tfidfTopTerms(
       docs: DataFrame, idCol: String, textCol: String,
       perDoc: Int): DataFrame = {
 
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.words(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val tf = termTf(docs, idCol, textCol)
     val n = docs.select(col(idCol)).agg(count(lit(1)).cast("double").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val w = org.apache.spark.sql.expressions.Window

@@ -32,18 +32,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Rank scored (probe, corpus, sim) rows into per-probe top-k via the
-    * bounded-heap [[graft.plans.TopKPairs]] aggregate: map-side partial
-    * combine ships k candidates per probe per partition — a window
-    * row_number would sort EVERY scored pair through one exchange. */
+  /** Rank scored (probe, corpus, sim) rows into per-probe top-k — the
+    * generic bounded-heap operator ([[TopK.perGroup]]) with the ANN
+    * column names: map-side partial combine ships k candidates per
+    * probe per partition, where a window row_number would sort EVERY
+    * scored pair through one exchange. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored
-      .groupBy("probe_id")
-      .agg(graft.plans.GraftExpressions.topK(
-        scored.sparkSession, col("sim"), col("corpus_id"), k).as("top"))
-      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("p.id").as("corpus_id"), col("p.sim").as("sim"))
+    TopK.perGroup(scored, Seq("probe_id"), "sim", "corpus_id", k)
+      .select(col("probe_id"), col("rank"), col("corpus_id"), col("sim"))
 
   /** Brute-force cosine top-k: for each probe row, the k nearest corpus
     * rows (self-matches excluded). Probes are broadcast — the corpus is

@@ -1451,11 +1451,7 @@ object ExtQueries {
       .select(col("cid"), explode(TextFunctions.words(col("text"))).as("term"))
       .groupBy("cid", "term").agg(count(lit(1)).cast("double").as("cnt"))
     // corpus-wide df (distinct doc presence) — the idf denominator
-    val corpusTf = docs
-      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = corpusTf.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df"))
+    val dfreq = graft.operators.Search.termDf(docs, "doc_id", "text")
     val nTotal = docs.agg(count(lit(1)).cast("double").as("n_docs_total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(desc("__score"), col("term"))
