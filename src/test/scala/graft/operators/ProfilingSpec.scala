@@ -100,6 +100,41 @@ class ProfilingSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.8)
   }
 
+  test("property: corrMatrix equals a driver-side exact-lattice reference bit-for-bit") {
+    // The whole point of the operator is that any engine lands on the
+    // same BYTES: exact integer sums, doubles only in the pinned final
+    // closed form. A plain Scala replica of that recipe must agree
+    // with == on doubles — no tolerance — across random data.
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 300).map(_ => (
+      math.rint(rnd.nextDouble() * 10000) / 100.0,
+      math.rint(rnd.nextGaussian() * 1000) / 100.0,
+      math.rint(rnd.nextDouble() * 50)))
+    def ref(xs: Seq[Double], ys: Seq[Double]): Option[Double] = {
+      val xl = xs.map(v => math.rint(v * 10000).toLong)
+      val yl = ys.map(v => math.rint(v * 10000).toLong)
+      val n = xl.size.toDouble
+      val sx = xl.sum.toDouble; val sy = yl.sum.toDouble
+      val sxy = xl.zip(yl).map { case (a, b) => a * b }.sum.toDouble
+      val sxx = xl.map(a => a * a).sum.toDouble
+      val syy = yl.map(a => a * a).sum.toDouble
+      val varx = n * sxx - sx * sx; val vary = n * syy - sy * sy
+      val cov = n * sxy - sx * sy
+      if (varx > 0 && vary > 0)
+        Some(math.rint(cov / (math.sqrt(varx) * math.sqrt(vary)) * 1e6) / 1e6)
+      else None
+    }
+    val df = rows.toDF("a", "b", "c")
+    val got = Profiling.corrMatrix(df, Seq("a", "b", "c"), scale = 4, listwise = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val cols = Map("a" -> rows.map(_._1), "b" -> rows.map(_._2), "c" -> rows.map(_._3))
+    for { (ca, cb) <- Seq(("a", "b"), ("a", "c"), ("b", "c")) } {
+      assert(got((ca, cb)) == ref(cols(ca), cols(cb)),
+        s"($ca,$cb): ${got((ca, cb))} vs ref ${ref(cols(ca), cols(cb))}")
+    }
+  }
+
   test("corrMatrix: listwise path equals pairwise on null-free data, drops rows under nulls") {
     val clean = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 7.0, -3.0))
       .toDF("x", "y", "z")
