@@ -120,17 +120,10 @@ object BloomIndex {
     * delete→rename pair is not atomic on every FS — the worst case is a
     * brief window with NO sidecar (fast path off), never a corrupt one. */
   def write(fs: FileSystem, dsPath: String, idx: Index): Unit = {
-    val dst = sidecar(dsPath)
-    val tmp = new Path(dst.getParent, s"${FileName}__tmp")
-    val out = fs.create(tmp, true)
-    try {
-      out.write((Seq(Magic, idx.cols.mkString(","), idx.expectedItems.toString,
-        idx.fpp.toString, idx.inserted.toString, idx.deleted.toString).mkString("\t") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.write(idx.bytes)
-    } finally out.close()
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"bloom index: cannot promote $tmp to $dst")
+    val header = (Seq(Magic, idx.cols.mkString(","), idx.expectedItems.toString,
+      idx.fpp.toString, idx.inserted.toString, idx.deleted.toString).mkString("\t") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Sidecars.atomicWrite(fs, sidecar(dsPath), header ++ idx.bytes, "bloom index")
   }
 
   def delete(fs: FileSystem, dsPath: String): Boolean =
@@ -142,24 +135,36 @@ object BloomIndex {
     bos.toByteArray
   }
 
+  /** Serializes [[withBloomCaps]] JVM-wide: the caps live in SHARED
+    * session conf, so two concurrent builds (different datasets, each
+    * holding only its own file lock) would otherwise interleave
+    * set/restore and one aggregate would run silently clamped — an
+    * undersized, layout-incompatible filter persisted to disk. Bloom
+    * builds are one-per-write and dwarfed by the write itself, so the
+    * serialization cost is noise; correctness of the persisted layout
+    * is not. */
+  private val bloomCapsLock = new Object
+
   /** Run `body` with the runtime-bloom-join conf caps raised to exactly
     * this filter's layout (items, optimal bits), restoring the previous
     * session values after. See [[fromBatchCounted]] for why the clamp
-    * must never bind on a persistent index build. */
-  private def withBloomCaps[A](df: DataFrame, expectedItems: Long, fpp: Double)(body: => A): A = {
-    val conf = df.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = conf.getOption(itemsKey); val prevBits = conf.getOption(bitsKey)
-    try {
-      conf.set(itemsKey, math.max(expectedItems, 1L).toString)
-      conf.set(bitsKey, BloomFilter.optimalNumOfBits(expectedItems, fpp).toString)
-      body
-    } finally {
-      prevItems.fold(conf.unset(itemsKey))(v => conf.set(itemsKey, v))
-      prevBits.fold(conf.unset(bitsKey))(v => conf.set(bitsKey, v))
+    * must never bind on a persistent index build. JVM-serialized — see
+    * [[bloomCapsLock]]. */
+  private def withBloomCaps[A](df: DataFrame, expectedItems: Long, fpp: Double)(body: => A): A =
+    bloomCapsLock.synchronized {
+      val conf = df.sparkSession.conf
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val prevItems = conf.getOption(itemsKey); val prevBits = conf.getOption(bitsKey)
+      try {
+        conf.set(itemsKey, math.max(expectedItems, 1L).toString)
+        conf.set(bitsKey, BloomFilter.optimalNumOfBits(expectedItems, fpp).toString)
+        body
+      } finally {
+        prevItems.fold(conf.unset(itemsKey))(v => conf.set(itemsKey, v))
+        prevBits.fold(conf.unset(bitsKey))(v => conf.set(bitsKey, v))
+      }
     }
-  }
 
   /** Filter over `df`'s key hashes at the GIVEN layout parameters
     * (distributed aggregate — no driver materialization of keys). */

@@ -74,14 +74,20 @@ object DatasetDelete {
     require(keyCols.nonEmpty, "deleteByKeys needs key columns")
     val k0 = keys.select(keyCols.map(col): _*).distinct()
     // lazy: first use happens inside deleteCore's lock (earlyEmpty or
-    // the closures), never before
-    lazy val k = BloomIndex.load(target.fs(spark), target.path)
+    // the closures), never before. PERSISTED at that first use: the
+    // key frame feeds earlyEmpty, the doomed semi-join (which picks
+    // the partitions to rewrite) and the kept anti-join (which decides
+    // the survivors) — re-evaluating a non-deterministic caller plan
+    // between those jobs could delete rows the doomed scan never
+    // counted (the same pin DatasetWriter applies to upsert batches),
+    // and even deterministic keys would pay the distinct+probe 3×.
+    lazy val k = (BloomIndex.load(target.fs(spark), target.path)
       .filter(_.cols == keyCols) match {
         case Some(idx) => k0.filter(BloomIndex.mightContain(spark, idx))
         case None => k0
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def cond(df: DataFrame) = keyCols.map(c => df(c) <=> k(c)).reduce(_ && _)
-    deleteCore(spark, target,
+    try deleteCore(spark, target,
       // input_file_name MUST be projected below the join (it reads the
       // task's current input file, only set in the scan stage — above
       // a shuffled join it evaluates to "")
@@ -93,6 +99,7 @@ object DatasetDelete {
       // LIMIT-1 over the (probed) key list only — zero dataset IO when
       // every doomed key is definitely absent
       earlyEmpty = () => k.isEmpty)
+    finally k.unpersist()
   }
 
   /** Shared machinery. `doomedWithFile(existing)` = rows to delete WITH

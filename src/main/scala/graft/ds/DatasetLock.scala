@@ -151,23 +151,22 @@ object DatasetLock {
   private[ds] def mergeIntoSidecar(fs: FileSystem, lock: Path, delta: LockStats): Boolean =
     try {
       val dst = statsSidecar(lock)
-      val tmp = new Path(dst.getParent, s"${dst.getName}__tmp")
+      val tmp = Sidecars.tmpFor(dst)
       // Crash recovery, serialized by the dataset lock: a flush that
       // died between delete(dst) and rename left the FULL merged
-      // history orphaned in __tmp — promote it before reading, else
-      // the accumulator silently restarts from zero (unlike the
-      // stats/bloom sidecars, this one cannot be rebuilt from data).
-      // Unlocked readers (combinedStats) never recover — a reader
-      // renaming mid-flush would race the writer's own delete+rename.
+      // history orphaned in the staged tmp — promote it before
+      // reading, else the accumulator silently restarts from zero
+      // (unlike the stats/bloom sidecars, this one cannot be rebuilt
+      // from data). Unlocked readers (combinedStats) never recover — a
+      // reader renaming mid-flush would race the writer's own
+      // delete+rename.
       if (!fs.exists(dst) && fs.exists(tmp)) fs.rename(tmp, dst)
       val merged = plus(readSidecar(fs, lock), delta)
-      val out = fs.create(tmp, true)
-      try out.write((Seq(StatsMagic, merged.acquires, merged.contended,
-        merged.waitedMs, merged.steals, merged.timeouts).mkString("\t") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      fs.delete(dst, false)
-      fs.rename(tmp, dst)
+      Sidecars.atomicWrite(fs, dst,
+        (Seq(StatsMagic, merged.acquires, merged.contended,
+          merged.waitedMs, merged.steals, merged.timeouts).mkString("\t") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), "lock stats")
+      true
     } catch { case scala.util.control.NonFatal(_) => false }
 
   private def flushStats(fs: FileSystem, lock: Path): Unit = {

@@ -162,7 +162,14 @@ final case class DatasetWriter(
       else None
 
     if (mode == WriteMode.Upsert && existed) {
-      val existing = target.raw(spark)
+      // the writer-generated time bucket reads back as a hive partition
+      // column, but it is DERIVED (recomputed from the ts column when
+      // the merged result re-stages through the same timeBatch writer)
+      // — it is not part of the logical schema the batch must match
+      val existing = {
+        val raw = target.raw(spark)
+        if (timeBatch.isDefined) raw.drop("__time_bucket") else raw
+      }
       // column agreement is mandatory: the merge rewrites the WHOLE
       // dataset, so a narrower incoming batch would silently destroy
       // the missing columns for every row, not just upserted ones
@@ -242,7 +249,12 @@ final case class DatasetWriter(
       case WriteMode.Raise =>
         if (existed) throw new IllegalStateException(
           s"target ${target.path} already exists (mode=raise)")
-        (prepared, SaveMode.ErrorIfExists)
+        // the raise semantics live in the guard ABOVE (which defines
+        // "exists" as data files present); Spark's ErrorIfExists throws
+        // on the mere DIRECTORY — a dataset root holding only sidecars
+        // or an emptied layout would fail a write this layer just
+        // allowed. Append under the guard keeps the two layers agreeing.
+        (prepared, SaveMode.Append)
       case WriteMode.Overwrite => (prepared, SaveMode.Overwrite)
       case WriteMode.Append => (prepared, SaveMode.Append)
       case WriteMode.Upsert => (prepared, SaveMode.Append) // !existed → plain first write

@@ -243,14 +243,20 @@ final case class GraftDataset(
       // listFiles(recursive) descends into hidden DIRECTORIES even
       // though we filter hidden file names — a normal-named file inside
       // a `.p=v__swap_old/` backup or `_staging/` dir must not count as
-      // data (Spark's own InMemoryFileIndex applies the same rule to
-      // every path segment)
+      // data. Spark's exact rule (HadoopFSUtils.shouldFilterOutPathName)
+      // applies per segment: dot-prefixed always hidden; underscore-
+      // prefixed hidden ONLY when the name has no '=' — hive partition
+      // directories of writer-generated columns (`__time_bucket=...`)
+      // are data Spark reads, so this listing must count them too, or
+      // delta/raise existence detection silently sees an empty dataset.
+      def hiddenName(n: String): Boolean =
+        n.startsWith(".") || (n.startsWith("_") && !n.contains("="))
       val qualifiedRoot = f.makeQualified(p)
       def hiddenAncestor(q: Path): Boolean = {
         var cur = q.getParent
         while (cur != null && cur != qualifiedRoot) {
           val n = cur.getName
-          if (n.startsWith(".") || n.startsWith("_")) return true
+          if (hiddenName(n)) return true
           cur = cur.getParent
         }
         false
@@ -260,7 +266,7 @@ final case class GraftDataset(
         val name = s.getPath.getName
         val base = codecSuffixes.foldLeft(name)((n, c) =>
           if (n.endsWith(c)) n.dropRight(c.length) else n)
-        if (s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+        if (s.isFile && !hiddenName(name) &&
           (base.endsWith(ext) || base.endsWith(".parquet")) &&
           !hiddenAncestor(s.getPath))
           buf += (s.getPath.toString -> s.getLen)
@@ -389,8 +395,23 @@ final case class GraftDataset(
       // (SURVEY §7.3). keepLast flips every direction, which is exactly
       // "last row under the presort order".
       val presortNames = d.presort.cols.map(_._1).toSet
+      // MapType (and any container holding one) is not orderable in
+      // Spark — it can neither join the tie-break ordering nor ride a
+      // min/max struct payload. Such columns are excluded from the
+      // pinned order (rows equal on every ORDERABLE column may pick
+      // either map value — the order is still deterministic in all
+      // comparable dimensions) and force the window formulation, whose
+      // payload columns are never compared.
+      def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+        case _ => true
+      }
+      val unorderable = df.schema.fields.filterNot(f => orderable(f.dataType)).map(_.name).toSet
       val tieBreak = df.columns.toSeq
-        .filterNot(c => d.subset.contains(c) || presortNames.contains(c))
+        .filterNot(c => d.subset.contains(c) || presortNames.contains(c) ||
+          unorderable.contains(c))
         .map(_ -> true)
       val dirs = (d.presort.cols ++ tieBreak).map {
         case (c, a) => (c, if (d.keepLast) !a else a)
@@ -400,9 +421,10 @@ final case class GraftDataset(
       // (order-key struct, row struct) — an aggregate with MAP-SIDE
       // PARTIAL combine, so the shuffle carries ~one candidate row per
       // key per partition instead of every row (a window sort shuffles
-      // the whole table). Mixed explicit directions fall back to the
-      // window formulation.
-      val uniform = dirs.isEmpty || dirs.map(_._2).distinct.size == 1
+      // the whole table). Mixed explicit directions (or an unorderable
+      // payload column) fall back to the window formulation.
+      val uniform = (dirs.isEmpty || dirs.map(_._2).distinct.size == 1) &&
+        unorderable.isEmpty
       if (uniform) {
         val keyCols = (if (dirs.isEmpty) Seq(df.columns.head) else dirs.map(_._1)).map(col)
         val rowStruct = struct(df.columns.map(col): _*)
@@ -412,7 +434,11 @@ final case class GraftDataset(
           .agg(pick.as("__m"))
           .select(col("__m.r.*"))
       } else {
-        val orderCols = dirs.map { case (c, a) => if (a) asc(c) else desc(c) }
+        val orderCols0 = dirs.map { case (c, a) => if (a) asc(c) else desc(c) }
+        // row_number demands an ordered window; with every non-key
+        // column unorderable the order is degenerate — any constant
+        // (the key, constant per partition) satisfies the requirement
+        val orderCols = if (orderCols0.nonEmpty) orderCols0 else Seq(asc(d.subset.head))
         val w = Window.partitionBy(d.subset.map(col): _*).orderBy(orderCols: _*)
         df = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
       }

@@ -44,18 +44,13 @@ object RowGroupBloom {
       }
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
-  /** Stage + rename, same durability rule as the other sidecars. */
+  /** Stage + rename via the shared [[Sidecars]] protocol. */
   def write(fs: FileSystem, dsPath: String, cols: Seq[(String, Option[Long])]): Unit = {
-    val dst = sidecar(dsPath)
-    val tmp = new Path(dst.getParent, s"${FileName}__tmp")
     val body = (Magic +: cols.map { case (c, ndv) =>
       c + ndv.fold("")("\t" + _.toString)
     }).mkString("", "\n", "\n")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"rowgroup bloom contract: cannot promote $tmp to $dst")
+    Sidecars.atomicWrite(fs, sidecar(dsPath),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8), "rowgroup bloom contract")
   }
 
   def delete(fs: FileSystem, dsPath: String): Boolean =

@@ -251,12 +251,7 @@ object StatsIndex {
     * segment — their entries are either folded into `idx` or
     * deliberately discarded by a rebuild. */
   def write(fs: FileSystem, dsPath: String, idx: Index): Unit = {
-    val dst = sidecar(dsPath)
-    val tmp = new Path(dst.getParent, s"${FileName}__tmp")
-    val out = fs.create(tmp, true)
-    try out.write(render(idx)) finally out.close()
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"stats index: cannot promote $tmp to $dst")
+    Sidecars.atomicWrite(fs, sidecar(dsPath), render(idx), "stats index")
     fs.delete(segDir(dsPath), true); ()
   }
 
@@ -269,11 +264,8 @@ object StatsIndex {
     val d = segDir(dsPath)
     fs.mkdirs(d)
     val name = f"seg-${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
-    val tmp = new Path(d, s".${name}__tmp")
-    val out = fs.create(tmp, true)
-    try out.write(render(Index(cols, files))) finally out.close()
-    require(fs.rename(tmp, new Path(d, name)),
-      s"stats index: cannot promote segment $name at $dsPath")
+    Sidecars.atomicWrite(fs, new Path(d, name), render(Index(cols, files)),
+      "stats index segment")
   }
 
   def delete(fs: FileSystem, dsPath: String): Boolean = {

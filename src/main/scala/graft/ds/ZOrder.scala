@@ -56,9 +56,10 @@ object ZOrder {
     * clumps, so a narrow id range at huge magnitude degrades to a few
     * coarse buckets. Layout-only (the scan still applies the real
     * predicate) but wasteful for snowflake-style 63-bit keys — which
-    * is why [[zValue]] routes INTEGRAL columns through
+    * is why [[zValue]] routes INTEGRAL and DATE columns (via
+    * unix_date — Spark forbids a direct date→numeric cast) through
     * [[bucketizeLong]] and this double path serves only
-    * float/date/timestamp-derived columns, whose domains live well
+    * float/timestamp-derived columns, whose domains live well
     * inside 2^53. */
   def bucketize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
     val span = hi - lo
@@ -95,27 +96,33 @@ object ZOrder {
     * cleanly; everything else takes the double path. */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 12): Column = {
     require(cols.nonEmpty, "zValue needs at least one column")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = cols.map(c => df.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType}
+    // per-column exact-long view where one exists: integrals cast
+    // directly; DATE goes through unix_date (Spark forbids a direct
+    // date→numeric cast) and keeps day-exact bucketing. Everything
+    // else takes the double path.
+    val longView: Seq[Option[Column]] = cols.map(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => Some(col(c).cast("long"))
+      case DateType => Some(unix_date(col(c)).cast("long"))
+      case _ => None
     })
-    val aggs = cols.zip(integral).flatMap { case (c, isInt) =>
-      val cast = if (isInt) col(c).cast("long") else col(c).cast("double")
+    val aggs = cols.zip(longView).flatMap { case (c, lv) =>
+      val cast = lv.getOrElse(col(c).cast("double"))
       Seq(min(cast), max(cast))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      if (integral(i)) {
-        val (lo, hi) =
-          (if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i),
-            if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1))
-        bucketizeLong(col(c), lo, hi, bits)
-      } else {
-        val (lo, hi) =
-          (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
-            if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
-        bucketize(col(c), lo, hi, bits)
+      longView(i) match {
+        case Some(lv) =>
+          val (lo, hi) =
+            (if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i),
+              if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1))
+          bucketizeLong(lv, lo, hi, bits)
+        case None =>
+          val (lo, hi) =
+            (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
+              if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
+          bucketize(col(c), lo, hi, bits)
       }
     }
     interleave(buckets, bits)

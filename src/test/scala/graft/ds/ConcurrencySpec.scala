@@ -266,7 +266,7 @@ class ConcurrencySpec extends AnyFunSuite {
     // leaves the FULL merged history only in the __tmp orphan — the
     // next locked merge must promote it, not restart the accumulator
     val sidecar = DatasetLock.statsSidecar(lock)
-    val orphan = new Path(lock.getParent, sidecar.getName + "__tmp")
+    val orphan = Sidecars.tmpFor(sidecar)
     assert(fs.rename(sidecar, orphan), "stage the crash state")
     assert(!fs.exists(sidecar))
     DatasetLock.mergeIntoSidecar(fs, lock, DatasetLock.LockStats(acquires = 1))

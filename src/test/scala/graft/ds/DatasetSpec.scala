@@ -293,6 +293,56 @@ class DatasetSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 48)
   }
 
+  test("upsert composes with time batching: bucket column is derived, not demanded") {
+    val dir = tmp() + "/tb_upsert"
+    val ds = GraftDataset(dir)
+    def w = DatasetWriter(ds, WriteMode.Upsert)
+      .withDeltaSubset("k").withTimeBatch("ts", "1d")
+    val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00")
+    w.write(spark, Seq((1, t(1), "a"), (2, t(2), "b")).toDF("k", "ts", "v"))
+    // second write enters the merge path: the read-back __time_bucket
+    // partition column must not fail the schema-agreement gate, and a
+    // replaced row re-buckets from its NEW timestamp
+    w.write(spark, Seq((2, t(3), "b2"), (3, t(1), "c")).toDF("k", "ts", "v"))
+    val out = ds.df(spark).select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+    val f = ds.fs(spark)
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, "__time_bucket=20240103_000000")),
+      "the replaced row moved to its new day bucket")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(dir, "__time_bucket=20240102_000000")),
+      "its old bucket is gone with the merge rewrite")
+  }
+
+  test("raise succeeds over a sidecar-only directory (its own exists-check decides)") {
+    val dir = tmp() + "/raise_sidecar"
+    val fs = GraftDataset(dir).fs(spark)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // a root holding only an index sidecar has no data — graft's raise
+    // semantics allow the write; Spark's ErrorIfExists would not
+    BloomIndex.write(fs, dir, BloomIndex.Index(Seq("k"), 1024, 0.01,
+      { val b = org.apache.spark.util.sketch.BloomFilter.create(1024, 0.01)
+        val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray },
+      inserted = 0))
+    val n = DatasetWriter(GraftDataset(dir), WriteMode.Raise)
+      .write(spark, Seq((1, "a")).toDF("k", "v"))
+    assert(n == 1 && GraftDataset(dir).df(spark).count() == 1)
+  }
+
+  test("dedup tolerates unorderable (map) payload columns") {
+    val dir = tmp() + "/map_dedup"
+    val df = Seq(
+      (1L, 2, Map("a" -> "x")),
+      (1L, 1, Map("b" -> "y")),
+      (2L, 5, Map("c" -> "z"))).toDF("id", "ord", "meta")
+    df.write.parquet(dir)
+    val out = GraftDataset(dir)
+      .withDedup(Seq("id"), SortSpec.asc("ord"))
+      .df(spark)
+      .select("id", "ord").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 1), (2L, 5)),
+      "keep-first under presort must survive a map column in the payload")
+  }
+
   test("count batching bounds file sizes via maxRecordsPerFile (W7)") {
     val dir = tmp() + "/batch"
     val ds = GraftDataset(dir)

@@ -127,4 +127,19 @@ class ZOrderSpec extends AnyFunSuite {
     val arranged = ZOrder.arrange(df, Seq("a", "c"), bits = 4, numPartitions = Some(1))
     assert(arranged.count() == 3) // constant c (min==max) and null a both survive
   }
+
+  test("DATE columns z-order through the exact day lattice (no numeric-cast crash)") {
+    // Spark forbids date→double, so dates must ride the unix_date long
+    // path; day-adjacent dates must land in order-preserving buckets
+    val df = (0 until 64).map(i =>
+      (java.sql.Date.valueOf(f"2024-${1 + i / 28}%02d-${1 + i % 28}%02d"), i.toLong))
+      .toDF("d", "k")
+    val arranged = ZOrder.arrange(df, Seq("d", "k"), bits = 6, numPartitions = Some(1))
+    assert(arranged.count() == 64)
+    // single-column z-value over the date alone is monotone in the date
+    val z = df.select(col("d"), ZOrder.zValue(df, Seq("d"), bits = 6).as("z"))
+      .orderBy("d").select("z").as[Long].collect()
+    assert(z.zip(z.tail).forall { case (a, b) => a <= b }, "date buckets must be monotone")
+    assert(z.distinct.length > 1, "distinct days must spread across buckets")
+  }
 }
