@@ -17,7 +17,11 @@ object IntervalParse {
       else if (micros % 86400000000L == 0) s"INTERVAL ${micros / 86400000000L} DAY"
       else if (micros % 3600000000L == 0) s"INTERVAL ${micros / 3600000000L} HOUR"
       else if (micros % 60000000L == 0) s"INTERVAL ${micros / 60000000L} MINUTE"
-      else s"INTERVAL ${micros / 1000000L} SECOND"
+      else if (micros % 1000000L == 0) s"INTERVAL ${micros / 1000000L} SECOND"
+      // sub-second intervals (the parser accepts ms/us) render as a
+      // fractional-second literal — integer division here would
+      // silently truncate 500ms to INTERVAL 0 SECOND
+      else s"INTERVAL '${micros / 1000000L}.${f"${micros % 1000000L}%06d"}' SECOND"
   }
 
   private val Pattern = """^\s*(\d+)\s*([a-zA-Z]+)\s*$""".r

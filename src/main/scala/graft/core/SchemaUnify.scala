@@ -27,9 +27,14 @@ object SchemaUnify {
   def promote(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
     case (x: DecimalType, y: DecimalType) =>
-      DecimalType(
-        math.max(x.precision - x.scale, y.precision - y.scale) + math.max(x.scale, y.scale),
-        math.max(x.scale, y.scale))
+      val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+      val scale = math.max(x.scale, y.scale)
+      // the lossless union can exceed Spark's 38-digit ceiling (e.g.
+      // decimal(38,0) ∪ decimal(10,5) needs 43 digits); the constructor
+      // would throw there, so the lattice promotes to its top instead —
+      // string keeps every digit, which is the module's contract
+      if (intDigits + scale > DecimalType.MAX_PRECISION) StringType
+      else DecimalType(intDigits + scale, scale)
     case (x: StructType, y: StructType) => unify(x, y)._1
     case (ArrayType(x, n1), ArrayType(y, n2)) => ArrayType(promote(x, y), n1 || n2)
     case (MapType(k1, v1, n1), MapType(k2, v2, n2)) =>

@@ -66,10 +66,27 @@ object Toml {
   }
 
   // -------------------------------------------------------------- parse
+  /** Trailing comments are TOML: `[maintenance] # note` and
+    * `count = 1 # note` are what an operator hand-editing the
+    * (documented operator-facing) config writes. Cut at the first '#'
+    * outside a quoted string — without this the section form crashes
+    * the whole parse and the key form silently corrupts the value to
+    * `Str("1 # note")`. */
+  private def stripComment(l: String): String = {
+    var i = 0; var inQ = false
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (c == '"' && isRealQuote(l, i)) inQ = !inQ
+      else if (c == '#' && !inQ) return l.substring(0, i)
+      i += 1
+    }
+    l
+  }
+
   def parse(text: String): Tbl = {
     var root = ListMap.empty[String, Value]
     var path: Seq[String] = Nil
-    text.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach { line =>
+    text.linesIterator.map(l => stripComment(l.trim).trim).filter(_.nonEmpty).foreach { line =>
       if (line.startsWith("[") && line.endsWith("]")) {
         path = splitKeyPath(line.substring(1, line.length - 1))
         root = ensure(root, path)

@@ -71,18 +71,35 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     }.toMap).getOrElse(Map.empty)
 
   /** Discover datasets by `_dataset.toml` markers under the lake root
-    * (`manager.py:91-114`) and register them into the catalog. */
+    * (`manager.py:91-114`) and register them into the catalog.
+    *
+    * Additive only: a name already in the catalog keeps its existing
+    * entry untouched — re-registering would rebuild it with default
+    * format and EMPTY cluster_by, wiping the clustering contract the
+    * catalog exists to preserve. Basename collisions (teamA/data and
+    * teamB/data) get a disambiguated name instead of silently
+    * overwriting each other. */
   def discover(): Seq[String] = {
     val found = scala.collection.mutable.ArrayBuffer.empty[String]
     if (!fs.exists(rootPath)) return Nil
+    val registered = scala.collection.mutable.Map.empty[String, String] ++
+      datasets().map { case (n, (p, _)) => n -> p }
     val it = fs.listFiles(rootPath, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName == "_dataset.toml") {
         val dsRoot = st.getPath.getParent
-        val name = dsRoot.getName
-        addDataset(name, dsRoot.toString)
-        found += name
+        val base = dsRoot.getName
+        registered.find(_._2 == dsRoot.toString) match {
+          case Some((name, _)) => found += name // already cataloged, keep its entry
+          case None =>
+            val name = if (!registered.contains(base)) base
+              else Iterator.from(2).map(i => s"$base-$i")
+                .find(!registered.contains(_)).get
+            addDataset(name, dsRoot.toString)
+            registered += name -> dsRoot.toString
+            found += name
+        }
       }
     }
     found.toSeq
@@ -142,13 +159,18 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
       : Seq[(String, graft.ds.Repartition.CompactStats)] = {
     val results = datasets().keys.toSeq.sorted.map { name =>
       val ds = load(name)
+      // every FS op below runs on the DATASET's own FileSystem — a
+      // catalog may register datasets under a different scheme than the
+      // lake root (hdfs:// root, s3a:// dataset), and the root fs would
+      // throw 'Wrong FS' on their paths
+      val dsFs = ds.fs(spark)
       // vacuum FIRST: leftover swap backups contain '=' and would
       // otherwise pollute the layout inference below
       val vacuumed = ds.vacuum(spark)
       // infer the hive `col=value` chain from the directory tree —
       // compact needs depth and column names to find leaf dirs. Hidden
       // ("."/"_") dirs are never partitions.
-      def partDirs(p: Path) = fs.listStatus(p).filter { st =>
+      def partDirs(p: Path) = dsFs.listStatus(p).filter { st =>
         val n = st.getPath.getName
         st.isDirectory && n.contains("=") && !n.startsWith(".") && !n.startsWith("_")
       }
@@ -158,7 +180,8 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
       }.drop(1).takeWhile(_.isDefined).flatten
         .map(_.getName.takeWhile(_ != '=')).toSeq
       val shaped = if (names.isEmpty) ds else ds.copy(partitioning = names)
-      (name, graft.ds.Repartition.compact(spark, shaped, targetFileBytes), vacuumed.size)
+      (name, graft.ds.Repartition.compact(spark, shaped, targetFileBytes),
+        vacuumed.size, ds.path, dsFs)
     }
     val sweptAt = java.time.Instant.now().toString
     val cfg = readConfig()
@@ -166,13 +189,14 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     // per-dataset stats live under their own `dataset` sub-table so a
     // dataset NAMED like a summary key (e.g. "last_sweep") can't collide
     val prevDs = Toml.getTbl(maint, "dataset").getOrElse(Toml.Tbl.empty)
-    val dsTbl = results.foldLeft(prevDs.v) { case (m, (name, st, vac)) =>
+    val dsTbl = results.foldLeft(prevDs.v) { case (m, (name, st, vac, dsPath, dsFs)) =>
       // lock pressure: CROSS-PROCESS counters for the dataset's lock —
       // every writer process flushes its contention into the lock-stats
       // sidecar on release, so a contended lake shows up as
       // waited-ms/steals here even when the ingest writers are separate
-      // JVMs from the sweeping one
-      val lk = graft.ds.DatasetLock.combinedStats(fs, new Path(load(name).path))
+      // JVMs from the sweeping one. Path and fs ride from the sweep
+      // loop — re-load()ing here would repeat a config GET per dataset
+      val lk = graft.ds.DatasetLock.combinedStats(dsFs, new Path(dsPath))
       m.updated(name, Toml.Tbl(
         "swept_at" -> Toml.Str(sweptAt),
         "partitions_compacted" -> Toml.Int64(st.partitionsCompacted.toLong),
@@ -188,7 +212,7 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     writeConfig(Toml.Tbl(cfg.v.updated("maintenance", Toml.Tbl(maint.v
       .updated("last_sweep", Toml.Str(sweptAt): Toml.Value)
       .updated("dataset", Toml.Tbl(dsTbl): Toml.Value)))))
-    results.map { case (name, st, _) => name -> st }
+    results.map { case (name, st, _, _, _) => name -> st }
   }
 
   /** The persisted `[maintenance]` section (empty table before the

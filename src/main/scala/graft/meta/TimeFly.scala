@@ -84,16 +84,33 @@ final class TimeFly(spark: SparkSession, root: String) {
   def availableSnapshots(): Seq[String] =
     Toml.getTbl(readConfig(), "snapshot").map(t => Toml.getArr(t, "available")).getOrElse(Nil).sorted
 
-  /** Copy `current/` → `snapshot/<id>/` (reference `timefly.py:245-310`). */
-  def addSnapshot(now: Instant = Instant.now()): String = {
-    val id = Naming.snapshotId(now)
-    val dst = new Path(snapshotRoot, id)
-    fs.mkdirs(snapshotRoot)
-    if (fs.exists(currentPath))
-      FileUtil.copy(fs, currentPath, fs, dst, false, spark.sparkContext.hadoopConfiguration)
-    registerSnapshot(id, now)
-    id
+  /** Snapshot ids have second resolution; a second snapshot within the
+    * same second must NOT reuse the id — FileUtil.copy into an existing
+    * destination dir silently nests the copy under `<id>/current/`,
+    * giving a snapshot that reads back with duplicated rows. Bump the
+    * instant forward (1 s at a time) until the id is free — snapshot
+    * ordering and timestamp resolution both survive. */
+  private def freshSnapshotInstant(now: Instant): Instant = {
+    var t = now
+    while (fs.exists(new Path(snapshotRoot, Naming.snapshotId(t))))
+      t = t.plusSeconds(1)
+    t
   }
+
+  /** Copy `current/` → `snapshot/<id>/` (reference `timefly.py:245-310`).
+    * Runs under the dataset lock: a writer's staged swap mid-copy would
+    * capture a half-old half-new file mix — a born-torn snapshot. */
+  def addSnapshot(now: Instant = Instant.now()): String =
+    graft.ds.DatasetLock.withLock(fs, currentPath) {
+      fs.mkdirs(snapshotRoot)
+      val at = freshSnapshotInstant(now)
+      val id = Naming.snapshotId(at)
+      val dst = new Path(snapshotRoot, id)
+      if (fs.exists(currentPath))
+        FileUtil.copy(fs, currentPath, fs, dst, false, spark.sparkContext.hadoopConfiguration)
+      registerSnapshot(id, at)
+      id
+    }
 
   /** Record `id` in `[snapshot]` config — shared by both snapshot modes
     * so the registration schema can't drift between them. */
@@ -121,18 +138,24 @@ final class TimeFly(spark: SparkSession, root: String) {
     * that is why copy remains the default. */
   def addSnapshot(now: Instant, manifest: Boolean): String = {
     if (!manifest) return addSnapshot(now)
-    val id = Naming.snapshotId(now)
-    fs.mkdirs(new Path(snapshotRoot, id))
-    // sizes come from the same single recursive listing as the paths —
-    // a per-file getFileStatus here would be O(files) driver RPCs on an
-    // object store, defeating the O(metadata) point of the manifest
-    val entries = currentDataset().dataFileStatuses(spark).sortBy(_._1)
-      .map { case (f, len) => s"$len\t$f" }
-    val out = fs.create(manifestPath(id), true)
-    try out.write((entries.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    registerSnapshot(id, now, "manifest" -> Toml.Bool(true))
-    id
+    // locked like the copy mode: an unlocked manifest listed while a
+    // writer swaps files would record paths deleted an instant later —
+    // a snapshot that throws 'references missing file' from birth
+    graft.ds.DatasetLock.withLock(fs, currentPath) {
+      val at = freshSnapshotInstant(now)
+      val id = Naming.snapshotId(at)
+      fs.mkdirs(new Path(snapshotRoot, id))
+      // sizes come from the same single recursive listing as the paths —
+      // a per-file getFileStatus here would be O(files) driver RPCs on an
+      // object store, defeating the O(metadata) point of the manifest
+      val entries = currentDataset().dataFileStatuses(spark).sortBy(_._1)
+        .map { case (f, len) => s"$len\t$f" }
+      val out = fs.create(manifestPath(id), true)
+      try out.write((entries.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      registerSnapshot(id, at, "manifest" -> Toml.Bool(true))
+      id
+    }
   }
 
   private def manifestPath(id: String): Path =

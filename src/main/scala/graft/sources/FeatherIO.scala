@@ -34,7 +34,14 @@ object FeatherIO {
       case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
       case StringType => ArrowType.Utf8.INSTANCE
       case BooleanType => ArrowType.Bool.INSTANCE
-      case TimestampType | TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+      // instant-semantics timestamps carry an explicit UTC zone so the
+      // ROUND TRIP is type-preserving: read maps zoned arrow timestamps
+      // back to TimestampType and zone-less ones to TimestampNTZType —
+      // previously both wrote zone-less and read back NTZ, silently
+      // changing the column type and reinterpreting instants as UTC
+      // wall time in non-UTC sessions
+      case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
       case DateType => new ArrowType.Date(DateUnit.DAY)
       case other => throw new IllegalArgumentException(s"feather: unsupported type $other")
     }
@@ -160,7 +167,7 @@ object FeatherIO {
       case BooleanType => vec.asInstanceOf[BitVector].setSafe(ri, if (row.getBoolean(ci)) 1 else 0)
       case TimestampType =>
         val ts = row.getTimestamp(ci)
-        vec.asInstanceOf[TimeStampMicroVector]
+        vec.asInstanceOf[TimeStampMicroTZVector]
           .setSafe(ri, math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
       case TimestampNTZType => vec.asInstanceOf[TimeStampMicroVector]
         .setSafe(ri, java.time.Duration.between(java.time.LocalDateTime.of(1970, 1, 1, 0, 0),
@@ -227,7 +234,8 @@ object FeatherIO {
       case _: ArrowType.FloatingPoint => DoubleType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
-      case _: ArrowType.Timestamp => TimestampNTZType
+      case ts: ArrowType.Timestamp =>
+        if (ts.getTimezone == null) TimestampNTZType else TimestampType
       case _: ArrowType.Date => DateType
       case other => throw new IllegalArgumentException(s"feather: unsupported arrow type $other")
     }
@@ -246,6 +254,11 @@ object FeatherIO {
       case StringType => new String(vec.asInstanceOf[VarCharVector].get(ri),
         java.nio.charset.StandardCharsets.UTF_8)
       case BooleanType => vec.asInstanceOf[BitVector].get(ri) == 1
+      case TimestampType =>
+        val us = vec.asInstanceOf[TimeStampMicroTZVector].get(ri)
+        val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
       case TimestampNTZType =>
         java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
           .plusNanos(vec.asInstanceOf[TimeStampMicroVector].get(ri) * 1000L)

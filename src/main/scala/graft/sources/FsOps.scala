@@ -123,10 +123,23 @@ object FsOps {
   }
 
   /** Distributed move: copy then delete the source objects. On stores
-    * without native rename (S3) this is exactly what s5cmd mv does. */
+    * without native rename (S3) this is exactly what s5cmd mv does.
+    * Deletes EXACTLY the objects the copy phase listed — a fresh
+    * re-listing would also destroy objects that arrived between the
+    * two listings without ever copying them (silent loss under
+    * concurrent ingest). */
   def mv(spark: SparkSession, src: String, dest: String): TransferStats = {
-    val stats = cp(spark, src, dest)
-    rm(spark, src)
+    val entries = ls(spark, src)
+    val srcIsFile = {
+      val (fs, p) = fsFor(src, spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.getFileStatus(p).isFile
+    }
+    val stats = transfer(spark, entries, dest, destIsExactPath = srcIsFile)
+    deletePaths(spark, entries.map(_.path))
+    val (fs, p) = fsFor(src, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+        !fs.listFiles(p, true).hasNext)
+      fs.delete(p, true) // sweep the now-empty tree only (no-op keys on S3)
     stats
   }
 

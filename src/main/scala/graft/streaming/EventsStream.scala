@@ -172,7 +172,12 @@ object EventsStream {
       spark: SparkSession, events: DataFrame, limit: Double): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    // value is nullable in the events schema; the primitive Double
+    // encoder would kill the whole query on one NULL row. SQL-sum
+    // semantics (nulls contribute nothing) match the windowed aggs.
+    val typed = events.select(col("user_id"), col("value"))
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .as[(Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Double, Boolean), (Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -41,6 +41,14 @@ class SchemaUnifySpec extends AnyFunSuite {
     }
   }
 
+  test("decimal promotion past 38 digits goes to string, never a crashing DecimalType") {
+    // decimal(38,0) ∪ decimal(10,5) needs 43 digits — the constructor
+    // would throw; the lattice must promote to its top instead
+    assert(SchemaUnify.promote(DecimalType(38, 0), DecimalType(10, 5)) == StringType)
+    assert(SchemaUnify.promote(DecimalType(20, 2), DecimalType(10, 5)) == DecimalType(23, 5))
+    assert(SchemaUnify.promote(DecimalType(38, 10), DecimalType(38, 10)) == DecimalType(38, 10))
+  }
+
   test("unifyAll folds many schemas") {
     val ss = Seq(
       StructType(Seq(StructField("a", ByteType))),
@@ -66,6 +74,11 @@ class IntervalParseSpec extends AnyFunSuite {
   test("rejects garbage") {
     intercept[IllegalArgumentException](IntervalParse.parse("abc"))
     intercept[IllegalArgumentException](IntervalParse.parse("10parsecs"))
+  }
+  test("sql rendering keeps sub-second intervals (no silent truncation to 0)") {
+    assert(IntervalParse.parse("500ms").sql == "INTERVAL '0.500000' SECOND")
+    assert(IntervalParse.parse("1500ms").sql == "INTERVAL '1.500000' SECOND")
+    assert(IntervalParse.parse("90s").sql == "INTERVAL 90 SECOND")
   }
 }
 
@@ -94,6 +107,20 @@ class NamingSpec extends AnyFunSuite {
 }
 
 class TomlSpec extends AnyFunSuite {
+  test("trailing comments parse as TOML (hand-edited operator configs)") {
+    val parsed = Toml.parse(
+      """# full-line comment
+        |[maintenance] # last checked by ops
+        |count = 1 # a note
+        |label = "keep # this" # but not this
+        |flag = true# tight comment
+        |""".stripMargin)
+    val m = Toml.getTbl(parsed, "maintenance").get
+    assert(m.v("count") == Toml.Int64(1), "comment must not leak into the value")
+    assert(m.v("label") == Toml.Str("keep # this"), "# inside quotes is data")
+    assert(m.v("flag") == Toml.Bool(true))
+  }
+
   test("round-trips the reference config shape (test.toml)") {
     val t = Toml.Tbl(
       "dataset" -> Toml.Tbl(

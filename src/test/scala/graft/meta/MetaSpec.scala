@@ -257,6 +257,31 @@ class ManagerSpec extends AnyFunSuite {
     assert(m.datasets().keySet == Set("sales"))
   }
 
+  test("same-second snapshots get distinct ids; discover never wipes registered metadata") {
+    val lake = Files.createTempDirectory("graft_lake2_").toString
+    val tf = new TimeFly(spark, lake + "/ds")
+    tf.init("ds")
+    DatasetWriter(tf.currentDataset(), WriteMode.Overwrite)
+      .write(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // two snapshots at the SAME instant: FileUtil.copy into an existing
+    // dir would nest the second under <id>/current and double the rows
+    val now = java.time.Instant.parse("2025-03-01T10:00:00Z")
+    val id1 = tf.addSnapshot(now)
+    val id2 = tf.addSnapshot(now)
+    assert(id1 != id2, "second-resolution ids must not collide")
+    Seq(id1, id2).foreach { id =>
+      val read = tf.read(Some(graft.core.Naming.parseSnapshotId(id).minusSeconds(1)))
+      assert(read.df(spark).count() == 2, s"snapshot $id must read exactly the original rows")
+    }
+
+    val m = new Manager(spark, lake)
+    m.init("lake2")
+    m.addDataset("ds", lake + "/ds", clusterBy = Seq("id"))
+    m.discover()
+    assert(m.datasetClusterBy("ds") == Seq("id"),
+      "discover must keep the registered clustering contract")
+  }
+
   test("compactAll sweeps the catalog: fragmented datasets shrink, layouts inferred") {
     val lake = Files.createTempDirectory("graft_lake2_").toString
     val m = new Manager(spark, lake)

@@ -26,10 +26,27 @@ class FeatherSpec extends AnyFunSuite {
     assert(r(0).getLong(0) == 1L && r(0).getInt(1) == 10 && r(0).getDouble(2) == 1.5)
     assert(r(0).getString(4) == "alpha" && r(0).getBoolean(5))
     assert(r(1).getString(4) == "béta ünïcode")
-    // timestamps round-trip at micro resolution (feather ts is NTZ)
-    val ts0 = r(0).getAs[java.time.LocalDateTime]("ts")
-    assert(ts0 == java.time.LocalDateTime.parse("2024-03-01T12:30:45.123456"))
+    // instant timestamps round-trip at micro resolution AND type:
+    // TimestampType writes a UTC-zoned arrow column and reads back as
+    // TimestampType (not silently NTZ)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(r(0).getTimestamp(6) == java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456"))
     assert(r(1).getAs[java.sql.Date]("dt").toString == "1999-12-31")
+  }
+
+  test("timestamp round-trip is type-preserving for BOTH ts and ts_ntz") {
+    val path = Files.createTempDirectory("graft_feather_").toString + "/tz.arrow"
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-06-01 08:15:00")))
+      .toDF("id", "ts")
+      .withColumn("ntz", org.apache.spark.sql.functions.expr("cast(ts as timestamp_ntz)"))
+    assert(FeatherIO.write(df, path) == 1)
+    val back = FeatherIO.read(spark, path)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("ntz").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val r = back.collect()(0)
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-06-01 08:15:00"))
+    assert(r.getAs[java.time.LocalDateTime](2) ==
+      df.select("ntz").collect()(0).getAs[java.time.LocalDateTime](0))
   }
 
   test("feather handles nulls") {
