@@ -173,8 +173,18 @@ object Dedup {
       n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
 
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"minhashLshPairs: bands ($bands) must divide k ($k) — bands > k makes every " +
+        "band key empty (all docs collide: the n² join this operator exists to avoid), " +
+        "and k % bands != 0 silently drops the trailing hashes from the recall contract")
     val r = k / bands
-    val docs = pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")))
+    // zero-shingle docs all minhash to the identical all-MaxValue
+    // signature, collide in every band, and then divide 0/0 in the
+    // Jaccard verify (ANSI: job abort). An empty doc says nothing
+    // about near-duplication — drop it up front, same rule as
+    // simhashPairs (exact dedup still catches empty==empty).
+    val docs = pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0))
     // Signatures are tiny (id + k longs) and feed both sides of the
     // bucket self-join — materialize once.
     val sigs = pin(docs.select(col("id"), bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk")))
@@ -203,9 +213,14 @@ object Dedup {
       n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
 
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"minhashLshPairsAcross: bands ($bands) must divide k ($k) — see minhashLshPairs")
     val r = k / bands
+    // same empty-doc rule as the self-join variant (0/0 verify + all-
+    // collide signature otherwise)
     def prep(df: DataFrame) =
-      pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh")))
+      pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+        .filter(size(col("sh")) > 0))
     def buckets(docs: DataFrame) =
       docs.select(col("id"), bandKeys(minhashSignature(col("sh"), k), bands, r).as("bk"))
         .select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
@@ -214,34 +229,31 @@ object Dedup {
       .join(buckets(corpusDocs).as("b"), Seq("band", "key"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
       .distinct()
-    val spark = newDf.sparkSession
-    cands
-      .join(newDocs.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
-      .join(corpusDocs.select(col("id").as("id_corpus"), col("sh").as("sh_b")), Seq("id_corpus"))
-      .withColumn("__inter",
-        graft.plans.GraftExpressions.intersectCount(spark, col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("__inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_new"), col("id_corpus"), col("jaccard"))
+    jaccardVerify(cands, newDocs, corpusDocs, "id_new", "id_corpus", threshold)
   }
 
   /** Exact Jaccard verification of candidate pairs by re-joining the
     * shingle sets by id (signatures/arrays never ride the wide shuffle).
     * Shingle sets arrive sorted (WordShingles), so |A∩B| is a compiled
-    * merge pass and |A∪B| = |A|+|B|−|A∩B| — no per-pair hash sets. */
-  private def jaccardVerify(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val spark = docs.sparkSession
+    * merge pass and |A∪B| = |A|+|B|−|A∩B| — no per-pair hash sets.
+    * The self-join variant passes the same docs frame for both sides;
+    * the bipartite variant passes each corpus with its own id column. */
+  private def jaccardVerify(cands: DataFrame, docsA: DataFrame, docsB: DataFrame,
+      idA: String, idB: String, threshold: Double): DataFrame = {
+    val spark = docsA.sparkSession
     cands
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(docsA.select(col("id").as(idA), col("sh").as("sh_a")), Seq(idA))
+      .join(docsB.select(col("id").as(idB), col("sh").as("sh_b")), Seq(idB))
       .withColumn("__inter",
         graft.plans.GraftExpressions.intersectCount(spark, col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("__inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col(idA), col(idB), col("jaccard"))
   }
+
+  private def jaccardVerify(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+    jaccardVerify(cands, docs, docs, "id_a", "id_b", threshold)
 
   /** SimHash near-dup pairs within a Hamming radius. Banded on 4×16-bit
     * chunks of the 64-bit signature (exact for radius ≤ 3; candidates

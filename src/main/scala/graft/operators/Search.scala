@@ -43,9 +43,14 @@ object Search {
     val terms = queryTerms.map(_.toLowerCase).distinct
     require(terms.nonEmpty, "bm25TopK: empty query")
 
+    // pinned (lazy localCheckpoint, the Dedup/FuzzyJoin pattern): the
+    // tokenized frame feeds BOTH the corpus-stats aggregate and the
+    // postings aggregate, and postings feeds both df and the scoring
+    // join — unpinned, the dominant scan+tokenize pass would run twice
     val withLen = docs.select(col(idCol).as("doc_id"),
       TextFunctions.words(col(textCol)).as("__w"))
       .withColumn("dl", size(col("__w")).cast("double"))
+      .localCheckpoint(false)
     // N and avgdl over ALL docs (zero-token docs included — they are
     // part of the corpus the statistics describe)
     val stats = withLen.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -56,6 +61,7 @@ object Search {
       .filter(col("term").isInCollection(terms))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint(false)
     // document frequency per query term (postings are one row per
     // (doc, term) already, so a plain count is df)
     val dfreq = postings.groupBy("term")
@@ -77,14 +83,6 @@ object Search {
         col("n_terms_hit"))
   }
 
-  /** Per-document top TF-IDF terms — the corpus-keyword profile used
-    * for topic audits and cluster labeling. Returns
-    * (doc_id, term, rank) for each document's `perDoc` highest-scoring
-    * terms; smoothed idf = ln(N / df) over DISTINCT term presence.
-    * Same inverted-index shape as [[bm25TopK]] but over the full
-    * vocabulary: tf and df are partial-combine aggregates and the
-    * per-doc ranking is a bounded window over each doc's own distinct
-    * terms (vocabulary-sized, not corpus-sized). */
   /** Per-(doc, term) frequency table — the inverted-index base both
     * [[tfidfTopTerms]] and corpus-labeling consumers (topic maps)
     * aggregate from. */
@@ -100,11 +98,20 @@ object Search {
     termTf(docs, idCol, textCol).groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
 
+  /** Per-document top TF-IDF terms — the corpus-keyword profile used
+    * for topic audits and cluster labeling. Returns
+    * (doc_id, term, rank) for each document's `perDoc` highest-scoring
+    * terms; smoothed idf = ln(N / df) over DISTINCT term presence.
+    * Same inverted-index shape as [[bm25TopK]] but over the full
+    * vocabulary: tf and df are partial-combine aggregates and the
+    * per-doc ranking is a bounded window over each doc's own distinct
+    * terms (vocabulary-sized, not corpus-sized). The tf table is
+    * pinned — it feeds both the df aggregate and the scoring join. */
   def tfidfTopTerms(
       docs: DataFrame, idCol: String, textCol: String,
       perDoc: Int): DataFrame = {
 
-    val tf = termTf(docs, idCol, textCol)
+    val tf = termTf(docs, idCol, textCol).localCheckpoint(false)
     val n = docs.select(col(idCol)).agg(count(lit(1)).cast("double").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val w = org.apache.spark.sql.expressions.Window

@@ -30,7 +30,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Guarded cosine from a precomputed dot product and norms: a
+    * zero-norm vector (all-zero embedding — empty doc, failed encode)
+    * scores 0 against everything instead of evaluating 0/0, which
+    * aborts the whole job under Spark's default ANSI mode. Similarity
+    * 0 means "never a near-dup, never top-ranked" — the only sensible
+    * total extension of cosine to the zero vector. */
+  private def cosOf(d: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, d / (na * nb)).otherwise(lit(0.0))
+
+  def cosine(a: Column, b: Column): Column = cosOf(dot(a, b), norm(a), norm(b))
 
   /** Rank scored (probe, corpus, sim) rows into per-probe top-k — the
     * generic bounded-heap operator ([[TopK.perGroup]]) with the ANN
@@ -53,7 +62,7 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
       norm(col(vecCol)).as("pn"))
     val scored = c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
-      .withColumn("sim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+      .withColumn("sim", cosOf(dot(col("cv"), col("pv")), col("cn"), col("pn")))
     rankTopK(scored, k)
   }
 
@@ -88,7 +97,7 @@ object Similarity {
     val p = keyed(probes, "probe_id", "pv", "pn")
     val scored = c.join(broadcast(p), Seq("key"))
       .filter(col("corpus_id") =!= col("probe_id"))
-      .withColumn("sim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+      .withColumn("sim", cosOf(dot(col("cv"), col("pv")), col("cn"), col("pn")))
       // a pair found in several tables has the same sim — collapse
       .groupBy("probe_id", "corpus_id").agg(max(col("sim")).as("sim"))
     rankTopK(scored, k)
@@ -131,7 +140,7 @@ object Similarity {
     val cent = centroids.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
     df.select(col(idCol).as(outId), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
       .join(broadcast(cent), lit(true))
-      .withColumn("__csim", dot(col("__v"), col("cv")) / (col("__n") * col("cn")))
+      .withColumn("__csim", cosOf(dot(col("__v"), col("cv")), col("__n"), col("cn")))
       .groupBy(outId)
       .agg(max(struct(struct(col("__csim"), -col("cid")).as("k"),
         struct(col("cid"), col("__v"), col("__n")).as("p"))).as("__m"))
@@ -152,7 +161,7 @@ object Similarity {
     def centroidScores(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
         .join(broadcast(cent), lit(true))
-        .withColumn("__csim", dot(col("__v"), col("cv")) / (col("__n") * col("cn")))
+        .withColumn("__csim", cosOf(dot(col("__v"), col("cv")), col("__n"), col("cn")))
 
     // corpus assignment = argmax over centroids (see assignClusters)
     val assigned = assignClusters(corpus, idCol, vecCol, centroids)
@@ -166,7 +175,7 @@ object Similarity {
 
     val scored = probeClusters.join(assigned, Seq("cid"))
       .filter(col("corpus_id") =!= col("probe_id"))
-      .withColumn("sim", dot(col("pv"), col("xv")) / (col("pn") * col("xn")))
+      .withColumn("sim", cosOf(dot(col("pv"), col("xv")), col("pn"), col("xn")))
     rankTopK(scored, k)
   }
 
@@ -188,7 +197,7 @@ object Similarity {
       val scored = corpus
         .select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
         .join(broadcast(cent.withColumn("cn", norm(col("cv")))), lit(true))
-        .withColumn("__csim", dot(col("v"), col("cv")) / (col("vn") * col("cn")))
+        .withColumn("__csim", cosOf(dot(col("v"), col("cv")), col("vn"), col("cn")))
       val assigned = scored.groupBy("vid")
         .agg(max(struct(struct(col("__csim"), -col("cid")).as("k"),
           struct(col("cid"), col("v")).as("p"))).as("__m"))
@@ -248,11 +257,13 @@ object Similarity {
         corpusSize
           .orElse(graft.sources.ParquetMeta.metadataRowCount(df))
           .getOrElse(df.count()), targetBucket)._1
+    // pinned: norms + sign bits feed both sides of the bucket self-join
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"), lshBucket(col(vecCol), dBits).as("bucket"))
+      .localCheckpoint(false)
     v.as("a").join(v.as("b"), Seq("bucket"))
       .filter(col("a.id") < col("b.id"))
-      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+      .withColumn("sim", cosOf(dot(col("a.v"), col("b.v")), col("a.n"), col("b.n")))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
@@ -285,11 +296,15 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double): DataFrame = {
 
+    // pinned: the argmax assignment (a corpus × centroids scoring
+    // pass) feeds both sides of the within-cluster self-join AND the
+    // final keep projection — unpinned it would execute three times
     val assigned = assignClusters(df, idCol, vecCol, centroids, outId = "id")
+      .localCheckpoint(false)
     val slim = assigned.select(col("id"), col("cid"), col("xv"), col("xn"))
     val droppedIds = slim.as("a").join(slim.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .filter(dot(col("a.xv"), col("b.xv")) / (col("a.xn") * col("b.xn"))
+      .filter(cosOf(dot(col("a.xv"), col("b.xv")), col("a.xn"), col("b.xn"))
         >= threshold)
       .select(col("b.id").as("id")).distinct()
     assigned.select(col("id"), col("cid"))
@@ -310,7 +325,7 @@ object Similarity {
 
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("n"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("sim", dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+      .withColumn("sim", cosOf(dot(col("a.v"), col("b.v")), col("a.n"), col("b.n")))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
@@ -411,7 +426,7 @@ object Similarity {
 
     // shared scoring tail: (id_a, id_b, va, vb, na, nb) → global top-n
     def scored(pairs: DataFrame): DataFrame = pairs
-      .select((dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"),
+      .select((cosOf(dot(col("va"), col("vb")), col("na"), col("nb"))).as("sim"),
         shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")).as("pid"))
       .agg(graft.plans.GraftExpressions.topK(spark, col("sim"), col("pid"), n).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "p")))

@@ -40,9 +40,16 @@ case class VectorDot(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // dimension mismatch fails LOUDLY: silently truncating to the
+  // shorter array (schema drift mixing 384- and 768-dim embeddings)
+  // would produce a deflated not-even-truncated-space cosine — norms
+  // stay full-length — and rank wrong neighbors with no error anywhere
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"graft_dot: dimension mismatch ($n vs ${y.numElements()}) — " +
+        "mixed embedding widths in the corpus?")
     var s = 0.0; var i = 0
     val lf = isFloat(left); val rf = isFloat(right)
     while (i < n) {
@@ -60,7 +67,11 @@ case class VectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException("graft_dot: dimension mismatch (" +
+         |    $n + " vs " + $y.numElements() + ") — mixed embedding widths in the corpus?");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));

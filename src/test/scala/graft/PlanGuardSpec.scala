@@ -37,7 +37,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "bounded broadcast pair enumeration replaces 16x-redundant LSH tables + distinct " +
       "(Similarity.lshTopPairs smallAllPairs); past the floor the LSH path plans, " +
       "guarded by SimilaritySpec"),
-    "x_dedup_semantic" -> "broadcast centroid table joined lit(true) for argmax assignment (Similarity.assignClusters); the pairwise stage itself is a cid equi-join",
+    // x_dedup_semantic's centroid-argmax BNLJ no longer shows in the
+    // inspected plan: the assignment is pinned (localCheckpoint) and
+    // executes behind a LogicalRDD — the same intended broadcast shape
+    // still runs, audited via x_topic_clusters' unpinned twin
     "x_bm25_search" -> "1-row broadcast of corpus stats (N, avgdl) crossed into the per-term postings (Search.bm25TopK)",
     "x_tfidf_terms" -> "1-row broadcast of the corpus doc count crossed into tf/df scores (Search.tfidfTopTerms)",
     "x_topic_clusters" -> "broadcast centroid argmax assignment + 1-row corpus-count broadcast (ExtQueries.topicClusters)",

@@ -22,6 +22,32 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 collapses into 1
   }
 
+  test("empty/whitespace docs neither crash nor pair in the minhash paths") {
+    // empty shingle sets minhash to identical signatures; unguarded
+    // they collide in every band and divide 0/0 in the verify (ANSI
+    // abort). The guard drops them, same rule as simhash.
+    val noisy = docs.unionByName(Seq(
+      (100L, ""), (101L, "   "), (102L, "\t\n")).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLshPairs(noisy, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "empty docs must not pair with anything")
+    assert(pairs.contains((1L, 4L)), "real near-dups still found")
+    val across = Dedup.minhashLshPairsAcross(
+        Seq((200L, ""), (201L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"),
+        noisy, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5)
+      .select("id_new").as[Long].collect().toSet
+    assert(across == Set(201L), "bipartite: empty new-side doc matches nothing")
+  }
+
+  test("minhash knobs validate: bands must divide k") {
+    intercept[IllegalArgumentException](
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 32))
+    intercept[IllegalArgumentException](
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 32, bands = 7))
+  }
+
   test("ngram jaccard finds the near-dup pair exactly") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -132,6 +158,18 @@ class SimilaritySpec extends AnyFunSuite {
     (2L, Array(0.0f, 1.0f, 0.0f)),
     (3L, Array(0.0f, 0.95f, 0.05f)), // close to 2
     (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("zero-norm vectors score 0 everywhere instead of aborting under ANSI") {
+    val withZero = vecs.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.cosineTopK(withZero, withZero, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(top.nonEmpty, "the job must complete")
+    assert(top.filter(_._1 == 9L).forall(_._4 == 0.0),
+      "a zero probe scores 0 against everything")
+    assert(top.filter(_._1 == 0L).find(_._3 == 9L).forall(_._4 == 0.0),
+      "a zero corpus vector never outranks a real neighbor")
+  }
 
   test("brute-force cosine top-1 finds the geometric neighbor") {
     val top1 = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 1)

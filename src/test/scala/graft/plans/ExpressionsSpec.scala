@@ -89,6 +89,18 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out.forall { case (f, r) => f == r })
   }
 
+  test("VectorDot fails loudly on dimension mismatch (no silent truncation)") {
+    val mixed = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+    val e = intercept[Exception](
+      mixed.select(GraftExpressions.dot(spark, $"a", $"b")).collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))),
+      s"expected a dimension-mismatch error, got: $e")
+  }
+
   test("MinHashSig: deterministic, length k, more-similar sets share more slots") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
