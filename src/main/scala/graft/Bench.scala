@@ -102,11 +102,17 @@ object Bench {
       sweepTmp()
     }
 
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        // a failed rep must NOT contribute a fast-fail duration to the
+        // min — a 0.2 s crash would silently publish as the query's
+        // benchmark number (this exact shape flattered the round-7
+        // totals by ~17 s); record the failure and exclude the sample
+        val ok = try { force(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         // Drop caches left by operator pipelines and force a GC so the
         // ContextCleaner reclaims broadcasts/shuffles — without this the
@@ -115,23 +121,29 @@ object Bench {
         spark.catalog.clearCache()
         sweepTmp()
         System.gc()
-        dt
+        (dt, ok)
       }
-      name -> samples.min
+      val good = samples.filter(_._2).map(_._1)
+      if (good.isEmpty) { failed += name; name -> samples.map(_._1).min }
+      else name -> good.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // failures surface IN the artifact, not only on a stderr nobody
+    // reads back — a consumer comparing rounds must see which numbers
+    // are fail-fast artifacts
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // The per-query map (~3 KB for 90+ queries) overflowed the driver's
     // tail capture in round 3 and the whole line failed to parse. Emit it
     // FIRST (stdout + a file for post-hoc analysis), and keep the FINAL
     // stdout line compact so a bounded tail always contains valid JSON.
-    println(f"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"per_query","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     try {
       val p = java.nio.file.Paths.get("BENCH_QUERIES.json")
       java.nio.file.Files.write(p, qs.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file write failed: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size}}""")
     spark.stop()
   }
 }

@@ -160,8 +160,11 @@ object Multimodal {
   /** Frames per synthesized MJPEG track. */
   val VideoFrames: Int = 4
 
-  /** Solid gray level of synthesized video frame `f` of media `id`. */
-  def videoFrameGray(id: Long, f: Int): Int = ((id * 7 + f * 31) % 256).toInt
+  /** Solid gray level of synthesized video frame `f` of media `id` —
+    * floorMod like every other param derivation here, so a negative id
+    * can never hand java.awt.Color an out-of-range component. */
+  def videoFrameGray(id: Long, f: Int): Int =
+    java.lang.Math.floorMod(id * 7 + f * 31, 256L).toInt
 
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -189,7 +192,11 @@ object Multimodal {
     val outSchema = decodedFields(inSchema)
     val idxPayload = inSchema.fieldIndex("payload")
     val idxMeta = inSchema.fieldIndex("meta")
-    val idxMime = MetaSchema.fieldIndex("mime")
+    // resolve against the INPUT's meta struct, not the static
+    // MetaSchema: a caller-built meta with the same fields in another
+    // order would otherwise silently read the wrong slot
+    val idxMime = inSchema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldIndex("mime")
     val rdd = payloads.rdd.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idxPayload)
@@ -370,7 +377,11 @@ object Multimodal {
       StructField("thumb", BinaryType)))
     val idxPayload = inSchema.fieldIndex("payload")
     val idxMeta = inSchema.fieldIndex("meta")
-    val idxMime = MetaSchema.fieldIndex("mime")
+    // resolve against the INPUT's meta struct, not the static
+    // MetaSchema: a caller-built meta with the same fields in another
+    // order would otherwise silently read the wrong slot
+    val idxMime = inSchema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldIndex("mime")
     val rdd = decoded.rdd.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idxPayload)

@@ -19,8 +19,11 @@ object ExtQueries {
 
   // ---- exact dedup ------------------------------------------------------
   /** Exact dedup over a corpus with planted exact duplicates (the corpus
-    * unioned with re-id'd copies of itself): keep-lowest-id must recover
-    * precisely the original rows. */
+    * unioned with re-id'd copies of itself): keep-lowest-id recovers the
+    * original rows MINUS any naturally duplicated texts the fixture
+    * itself carries (sf0.1 ships 8 duplicate-fingerprint pairs), so the
+    * oracle applies the same keep-lowest-id rule rather than assuming a
+    * duplicate-free corpus. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val noisy = docs.unionByName(
@@ -32,7 +35,12 @@ object ExtQueries {
       .orderBy("doc_id")
   }
   val dedupExactSql: String =
-    "SELECT doc_id, lang, source FROM documents ORDER BY doc_id"
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source, ROW_NUMBER() OVER (
+      |    PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))
+      |    ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ---- n-gram Jaccard near-dup ----------------------------------------
   /** Prefix-filtered exact Jaccard self-join (AllPairs/PPJoin): complete
@@ -44,14 +52,25 @@ object ExtQueries {
         "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  /** Full-pairwise oracle: same shingle sets + integer-ratio Jaccard. */
-  val dedupNgramSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
+  /** Shared oracle fragments for shingle-set joins: the 3-gram
+    * shingle-set expression and the word-split subexpression (explicit
+    * Java-\s whitespace class — RE2's \s excludes U+000B, Java's
+    * includes it; see the RedactionRules note). FIVE oracles join
+    * shingle sets — one definition so they cannot drift (same rule as
+    * markerCountSql/qualitySql below). */
+  private val wordsSql: String =
+    """list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)"""
+  private val shingle3Sql: String =
+    """list_distinct(list_transform(
       |    range(0, greatest(len(words) - 2, 1)),
       |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
-      |  )) AS s
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents))
+      |  ))""".stripMargin
+
+  /** Full-pairwise oracle: same shingle sets + integer-ratio Jaccard. */
+  val dedupNgramSql: String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, $shingle3Sql AS s
+      |  FROM (SELECT doc_id, $wordsSql AS words FROM documents))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -91,9 +110,9 @@ object ExtQueries {
 
   val spanDedupSql: String =
     """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS words
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> len(t) > 0) AS words
       |  FROM documents
-      |  WHERE len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) > 0),
+      |  WHERE len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> len(t) > 0)) > 0),
       |spans AS (
       |  SELECT doc_id,
       |    array_to_string(words[i + 1 : i + 10], ' ') AS span
@@ -122,7 +141,7 @@ object ExtQueries {
     }.mkString(",\n    ")
     val sigBits = (0 until 64).map(b => s"CASE WHEN s$b > 0 THEN 1 ELSE 0 END").mkString(", ")
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS w
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> len(w) > 0)) AS w
        |  FROM documents),
        |hx AS (SELECT doc_id, md5(w) AS h FROM tok),
        |bs AS (SELECT doc_id,
@@ -173,13 +192,13 @@ object ExtQueries {
   val textStatsSql: String =
     s"""SELECT doc_id,
        |  CAST(len(words) AS INT) AS n_words,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS INT) AS bpe_tokens,
        |  CAST(length(text) AS INT) AS n_chars_measured,
        |  $qualitySql AS quality,
        |  $langPredSql AS lang_pred,
-       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp
        |FROM (SELECT doc_id, text,
-       |        list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
+       |        list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> len(w) > 0) AS words
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
@@ -307,7 +326,7 @@ object ExtQueries {
     s"""SELECT source, COUNT(*) AS n_docs FROM (
        |  SELECT source, $qualitySql AS q, $langPredSql AS lang_pred
        |  FROM (SELECT source, text,
-       |          list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
+       |          list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> len(w) > 0) AS words
        |        FROM documents))
        |WHERE q >= 0.6 AND lang_pred = 'en'
        |GROUP BY source ORDER BY source""".stripMargin
@@ -348,7 +367,7 @@ object ExtQueries {
       .orderBy("doc_id", "chunk_idx")
   val textChunksSql: String =
     """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> len(x) > 0) AS ws
       |  FROM documents WHERE doc_id < 100),
       |c AS (
       |  SELECT doc_id, i AS chunk_idx,
@@ -378,7 +397,7 @@ object ExtQueries {
   }
   val chunkDedupSql: String =
     """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> len(x) > 0) AS ws
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, md5(array_to_string(list_slice(ws, i * 40 + 1, i * 40 + 40), ' ')) AS fp
@@ -401,7 +420,7 @@ object ExtQueries {
       .limit(100)
   val vocabTopKSql: String =
     """SELECT token, COUNT(*) AS doc_freq FROM (
-      |  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS token
+      |  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> len(x) > 0))) AS token
       |  FROM documents)
       |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin
 
@@ -463,7 +482,11 @@ object ExtQueries {
     // synthesis (real ImageIO/AudioSystem/ISO-BMFF encodes per row) is
     // by far the heaviest stage and feeds BOTH consumers below —
     // materialize once instead of encoding the corpus twice
-    val media = Multimodal.synthesize(docs, "doc_id").localCheckpoint(false)
+    // ids only: synthesizeOne consumes nothing else, and the full-row
+    // RDD path would deserialize the whole text column per row for
+    // nothing (the widest column in the table)
+    val media = Multimodal.synthesize(docs.select("doc_id"), "doc_id")
+      .localCheckpoint(false)
     val decoded = Multimodal.decode(media)
     val frames = Multimodal.sampleFrames(media, frames = 4)
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
@@ -698,12 +721,9 @@ object ExtQueries {
       .orderBy("source")
   }
   val contaminationSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, source, list_distinct(list_transform(
-      |    range(0, greatest(len(words) - 2, 1)),
-      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
-      |  )) AS s
-      |  FROM (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+    s"""WITH sh AS (
+      |  SELECT doc_id, source, $shingle3Sql AS s
+      |  FROM (SELECT doc_id, source, $wordsSql AS words FROM documents)),
       |t AS (SELECT DISTINCT tok FROM (SELECT unnest(s) AS tok FROM sh WHERE doc_id % 23 = 0)),
       |cont AS (
       |  SELECT source, COUNT(*) AS n_contaminated FROM (
@@ -812,13 +832,13 @@ object ExtQueries {
   }
   val pipelineE2ESql: String =
     s"""WITH base AS (SELECT doc_id, text, source, n_chars,
-       |    list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> len(w) > 0) AS words
        |  FROM documents),
        |kept AS (SELECT doc_id, text, source, n_chars FROM base
        |  WHERE $qualitySql >= 0.6 AND $langPredSql = 'en'),
        |ded AS (SELECT doc_id, text, source, n_chars FROM (
        |    SELECT *, ROW_NUMBER() OVER (
-       |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      PARTITION BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
        |      ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
        |sp AS (SELECT *, CASE WHEN md5(text) < '1a' THEN 'val' ELSE 'train' END AS split FROM ded),
        |tb AS (SELECT source, COUNT(DISTINCT bin) AS n_train_bins FROM (
@@ -985,12 +1005,9 @@ object ExtQueries {
       .orderBy("doc_id")
   }
   val dedupIncrementalSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    range(0, greatest(len(words) - 2, 1)),
-      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
-      |  )) AS s
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+    s"""WITH sh AS (
+      |  SELECT doc_id, $shingle3Sql AS s
+      |  FROM (SELECT doc_id, $wordsSql AS words FROM documents)),
       |m AS (
       |  SELECT b.doc_id AS doc_id, MIN(a.doc_id) AS match_id
       |  FROM sh a JOIN sh b ON a.doc_id < 250 AND b.doc_id >= 250
@@ -1175,10 +1192,10 @@ object ExtQueries {
   }
   val streamIngestSql: String =
     s"""WITH g AS (
-       |  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |  SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp,
        |    $langPredSql AS lang_pred, CAST(len(words) AS INT) AS tok
        |  FROM (SELECT text,
-       |          list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words
+       |          list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> len(w) > 0) AS words
        |        FROM documents)
        |  WHERE $qualitySql >= 0.6),
        |u AS (SELECT fp, MIN(lang_pred) AS lang_pred, MIN(tok) AS tok FROM g GROUP BY fp)
@@ -1210,12 +1227,9 @@ object ExtQueries {
     * the Spark side uses label propagation instead — closure by
     * enumeration is O(component²) rows and would melt at 100 TB). */
   val dupClustersSql: String =
-    """WITH RECURSIVE sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    range(0, greatest(len(words) - 2, 1)),
-      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
-      |  )) AS s
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id, $shingle3Sql AS s
+      |  FROM (SELECT doc_id, $wordsSql AS words FROM documents)),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1275,7 +1289,7 @@ object ExtQueries {
   }
   val repSignalsSql: String =
     """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> len(x) > 0) AS w
       |  FROM documents),
       |base AS (
       |  SELECT doc_id, len(w) AS total, len(list_distinct(w)) AS dw,
@@ -1341,7 +1355,7 @@ object ExtQueries {
       "doc_id", "text", Seq("vector", "stream", "merge", "filter"), k = 10)
   val bm25SearchSql: String =
     """WITH wl AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl, words FROM
-      |      (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |      (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0) AS words FROM documents)),
       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM wl),
       |post AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
       |  FROM (SELECT doc_id, dl, unnest(words) AS term FROM wl)
@@ -1366,7 +1380,7 @@ object ExtQueries {
       .orderBy("doc_id", "rank")
   val tfidfTermsSql: String =
     """WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
-      |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS term FROM documents)
+      |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)) AS term FROM documents)
       |  GROUP BY doc_id, term),
       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
       |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
@@ -1402,11 +1416,8 @@ object ExtQueries {
   }
   val dupKeepBestSql: String =
     s"""WITH RECURSIVE sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    range(0, greatest(len(words) - 2, 1)),
-      |    i -> words[i+1] || ' ' || COALESCE(words[i+2], '') || CASE WHEN words[i+3] IS NULL THEN '' ELSE ' ' || words[i+3] END
-      |  )) AS s
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |  SELECT doc_id, $shingle3Sql AS s
+      |  FROM (SELECT doc_id, $wordsSql AS words FROM documents)),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1421,7 +1432,7 @@ object ExtQueries {
       |      FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id),
       |qq AS (SELECT doc_id, cluster_id, $qualitySql AS q FROM
       |      (SELECT doc_id, cluster_id, text,
-      |         list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS words FROM m))
+      |         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> len(w) > 0) AS words FROM m))
       |SELECT doc_id, cluster_id, round(q, 6) AS q_r,
       |  ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) = 1 AS keep
       |FROM qq ORDER BY doc_id""".stripMargin
@@ -1475,10 +1486,10 @@ object ExtQueries {
       |member AS (SELECT d.doc_id, a.cid, d.text FROM documents d JOIN asg a USING (doc_id)),
       |sizes AS (SELECT cid, COUNT(*) AS n_docs FROM member GROUP BY cid),
       |ctc AS (SELECT cid, term, CAST(COUNT(*) AS DOUBLE) AS cnt FROM (
-      |    SELECT cid, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS term FROM member)
+      |    SELECT cid, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)) AS term FROM member)
       |  GROUP BY cid, term),
       |tf AS (SELECT doc_id, term FROM (
-      |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS term FROM documents)
+      |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0)) AS term FROM documents)
       |  GROUP BY doc_id, term),
       |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs_total FROM documents)
@@ -1525,7 +1536,7 @@ object ExtQueries {
   }
   val hybridSearchSql: String =
     """WITH wl AS (SELECT doc_id, CAST(len(words) AS DOUBLE) AS dl, words FROM
-      |      (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)),
+      |      (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0) AS words FROM documents)),
       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM wl),
       |post AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
       |  FROM (SELECT doc_id, dl, unnest(words) AS term FROM wl)
@@ -1582,7 +1593,7 @@ object ExtQueries {
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(0, greatest(len(words) - 4, 1)),
       |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3], words[i+4], words[i+5]))) AS s
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS words FROM documents)
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), w -> len(w) > 0) AS words FROM documents)
       |  WHERE len(words) > 0),
       |tr AS (SELECT DISTINCT tok FROM (SELECT unnest(s) AS tok FROM sh WHERE doc_id % 23 <> 0)),
       |ev AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE doc_id % 23 = 0)

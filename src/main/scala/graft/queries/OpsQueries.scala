@@ -231,29 +231,20 @@ object OpsQueries {
     // hard-coding a unit here once made the proof vacuous — bounds in
     // the wrong unit miss every row group and `hit < total` holds for
     // ANY layout. The hit>0 require below keeps it honest either way.
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val ranges = ds.dataFiles(spark).flatMap { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), hconf))
-      try {
-        import scala.jdk.CollectionConverters._
-        r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          val c = b.getColumns.asScala.find(_.getPath.toDotString == "l_shipdate").get
-          val unit = String.valueOf(c.getPrimitiveType.getLogicalTypeAnnotation)
-          val s = c.getStatistics
-          def toDays(v: AnyRef): Long = (v, unit) match {
-            case (i: Integer, u) if u.contains("DATE") => i.toLong // INT32 days
-            case (l: java.lang.Long, u) if u.contains("NANOS") => l / 86400000000000L
-            case (l: java.lang.Long, u) if u.contains("MICROS") => l / 86400000000L
-            case (l: java.lang.Long, u) if u.contains("MILLIS") => l / 86400000L
-            case other => throw new IllegalStateException(
-              s"w14: unexpected l_shipdate stat/type $other in $f")
-          }
-          (toDays(s.genericGetMin.asInstanceOf[AnyRef]),
-            toDays(s.genericGetMax.asInstanceOf[AnyRef]))
-        }
-      } finally r.close()
+    val ranges = graft.sources.ParquetMeta.footerBlocks(spark, ds.dataFiles(spark)) { b =>
+      val c = graft.sources.ParquetMeta.blockColumn(b, "l_shipdate")
+      val unit = String.valueOf(c.getPrimitiveType.getLogicalTypeAnnotation)
+      val s = c.getStatistics
+      def toDays(v: AnyRef): Long = (v, unit) match {
+        case (i: Integer, u) if u.contains("DATE") => i.toLong // INT32 days
+        case (l: java.lang.Long, u) if u.contains("NANOS") => l / 86400000000000L
+        case (l: java.lang.Long, u) if u.contains("MICROS") => l / 86400000000L
+        case (l: java.lang.Long, u) if u.contains("MILLIS") => l / 86400000L
+        case other => throw new IllegalStateException(
+          s"w14: unexpected l_shipdate stat/type $other")
+      }
+      (toDays(s.genericGetMin.asInstanceOf[AnyRef]),
+        toDays(s.genericGetMax.asInstanceOf[AnyRef]))
     }
     val (lo, hi) = (java.time.LocalDate.parse("1995-01-01").toEpochDay,
       java.time.LocalDate.parse("1995-03-31").toEpochDay)
@@ -297,23 +288,15 @@ object OpsQueries {
     // alignment between the two dimensions is structural (same block
     // object), not a coincidence of two independent listings ordering
     // identically — and the footer IO is half of a per-column pass
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val bothRanges: Seq[((Long, Long), (Long, Long))] = ds.dataFiles(spark).flatMap { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), hconf))
-      try {
-        import scala.jdk.CollectionConverters._
-        r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          def rng(column: String): (Long, Long) = {
-            val s = b.getColumns.asScala.find(_.getPath.toDotString == column).get.getStatistics
-            (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-              s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-          }
-          (rng("l_partkey"), rng("l_suppkey"))
+    val bothRanges: Seq[((Long, Long), (Long, Long))] =
+      graft.sources.ParquetMeta.footerBlocks(spark, ds.dataFiles(spark)) { b =>
+        def rng(column: String): (Long, Long) = {
+          val s = graft.sources.ParquetMeta.blockColumn(b, column).getStatistics
+          (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
         }
-      } finally r.close()
-    }
+        (rng("l_partkey"), rng("l_suppkey"))
+      }
     val (plo, phi, slo, shi) = (100L, 300L, 5L, 15L)
     val boxHits = bothRanges.map {
       case ((pmn, pmx), (smn, smx)) =>
@@ -524,17 +507,8 @@ object OpsQueries {
     DatasetWriter(ds, WriteMode.Overwrite)
       .withRowGroupBloom("doc_key")
       .write(spark, li.repartition(1))
-    val hconf = spark.sparkContext.hadoopConfiguration
-    import scala.jdk.CollectionConverters._
-    val offsets = ds.dataFiles(spark).flatMap { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), hconf))
-      try r.getFooter.getBlocks.asScala.toSeq.flatMap(
-        _.getColumns.asScala.filter(_.getPath.toDotString == "doc_key")
-          .map(_.getBloomFilterOffset))
-      finally r.close()
-    }
+    val offsets = graft.sources.ParquetMeta.footerBlocks(spark, ds.dataFiles(spark))(
+      b => graft.sources.ParquetMeta.blockColumn(b, "doc_key").getBloomFilterOffset)
     val proven = offsets.nonEmpty && offsets.forall(_ >= 0)
     def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString

@@ -41,6 +41,34 @@ object ParquetMeta {
     }
   }
 
+  /** One footer pass over `files`: apply `f` to every row-group block's
+    * metadata (reader lifecycle owned here — the three former inline
+    * copies of this walk each had to get open/close right on their
+    * own). Driver-side by design: callers are evidence probes over a
+    * handful of files, not data-path scans. */
+  def footerBlocks[A](spark: org.apache.spark.sql.SparkSession, files: Seq[String])(
+      f: org.apache.parquet.hadoop.metadata.BlockMetaData => A): Seq[A] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.flatMap { file =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map(f)
+      } finally r.close()
+    }
+  }
+
+  /** The column-chunk metadata of `column` in a block (dotted path
+    * match), or an error naming the column — the shared lookup under
+    * every footer-stats evidence probe. */
+  def blockColumn(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      column: String): org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = {
+    import scala.jdk.CollectionConverters._
+    b.getColumns.asScala.find(_.getPath.toDotString == column).getOrElse(
+      throw new IllegalStateException(s"no column chunk '$column' in footer block"))
+  }
+
   /** Exact row count of `df` from parquet metadata alone, or None when
     * the plan can change row multiplicity (then only a real count can
     * answer). Runs zero Spark jobs below 64 files. */
