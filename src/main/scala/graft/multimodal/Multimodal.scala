@@ -303,8 +303,15 @@ object Multimodal {
   /** REAL video frame features from Motion-JPEG samples: per decoded
     * frame, (band-0 pixel mean, band-0 pixel std) — mean tracks the
     * frame's brightness, std its contrast (≈0 for the solid-gray
-    * fixtures, up to JPEG quantization). None when the mdat holds no
-    * decodable JPEG frames — the caller falls back to the stand-in. */
+    * fixtures, up to JPEG quantization). The vector holds at most
+    * `featureDim/2` (mean, std) pairs: when a track decodes MORE frames
+    * than that, frames are mean-pooled into `featureDim/2` evenly-sized
+    * temporal segments (in order), so long tracks keep whole-track
+    * signal instead of silently dropping everything after the first
+    * `featureDim/2` frames. Tracks with ≤ featureDim/2 frames (all
+    * fixtures) are unchanged: one pair per frame, zero-padded. None
+    * when the mdat holds no decodable JPEG frames — the caller falls
+    * back to the stand-in. */
   private def mjpegFeatures(bytes: Array[Byte], from: Int, until: Int,
       featureDim: Int): Option[Seq[Float]] = {
     val stats = splitJpegFrames(bytes, from, until).flatMap { case (s, e) =>
@@ -331,8 +338,23 @@ object Multimodal {
       }
     }
     if (stats.isEmpty) None
-    else Some((stats.flatMap(t => Seq(t._1, t._2)) ++
-      Seq.fill(featureDim)(0f)).take(featureDim))
+    else {
+      val slots = math.max(featureDim / 2, 1)
+      val pooled =
+        if (stats.length <= slots) stats
+        else {
+          // temporal mean-pool: segment k covers frames
+          // [k*n/slots, (k+1)*n/slots) — every frame lands in exactly
+          // one segment, order preserved
+          val n = stats.length
+          (0 until slots).map { k =>
+            val seg = stats.slice(k * n / slots, (k + 1) * n / slots)
+            (seg.map(_._1).sum / seg.length, seg.map(_._2).sum / seg.length)
+          }
+        }
+      Some((pooled.flatMap(t => Seq(t._1, t._2)) ++
+        Seq.fill(featureDim)(0f)).take(featureDim))
+    }
   }
 
   /** The stand-in for codecs the JDK cannot decode (H.264 etc.):

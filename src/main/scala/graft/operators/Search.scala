@@ -117,7 +117,14 @@ object Search {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(desc("__score"), col("term"))
-    tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+    // No broadcast hint on dfreq: the vocabulary grows with the corpus
+    // (URLs, typos, code tokens), so at web scale the df aggregate can
+    // exceed the broadcast cap / driver heap. Both sides are term-keyed,
+    // so this is one shuffle join on `term`; AQE still converts it to a
+    // broadcast join at runtime whenever the vocab is actually small.
+    // (bm25TopK is different: its df table is pre-filtered to the query
+    // terms, so broadcasting there is bounded and correct.)
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .withColumn("__score", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= perDoc)

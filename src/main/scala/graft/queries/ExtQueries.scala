@@ -122,7 +122,7 @@ object ExtQueries {
       |perdoc AS (
       |  SELECT s.doc_id,
       |    COUNT(*) AS n_spans,
-      |    COALESCE(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END), 0) AS cross_doc_spans
+      |    CAST(COALESCE(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_doc_spans
       |  FROM spans s JOIN spread d USING (span)
       |  GROUP BY s.doc_id)
       |SELECT doc_id, n_spans, cross_doc_spans,
@@ -219,7 +219,7 @@ object ExtQueries {
       |       * sqrt(list_dot_product(list_transform(p.embedding, x -> CAST(x AS DOUBLE)), list_transform(p.embedding, x -> CAST(x AS DOUBLE))))) AS sim
       |  FROM embeddings c, embeddings p
       |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id)
-      |SELECT probe_id, rank, corpus_id, round(sim, 6) AS sim_r FROM (
+      |SELECT probe_id, CAST(rank AS INT) AS rank, corpus_id, round(sim, 6) AS sim_r FROM (
       |  SELECT probe_id, corpus_id, sim,
       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rank
       |  FROM scored)
@@ -304,7 +304,7 @@ object ExtQueries {
       |  SELECT c.probe_id, c.corpus_id,
       |    list_dot_product(p.v, x.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(x.v, x.v))) AS sim
       |  FROM cand c JOIN e p ON p.vec_id = c.probe_id JOIN e x ON x.vec_id = c.corpus_id)
-      |SELECT probe_id, rank, corpus_id, round(sim, 6) AS sim_r FROM (
+      |SELECT probe_id, CAST(rank AS INT) AS rank, corpus_id, round(sim, 6) AS sim_r FROM (
       |  SELECT probe_id, corpus_id, sim,
       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rank
       |  FROM scored)
@@ -515,7 +515,7 @@ object ExtQueries {
       |       WHEN doc_id % 3 = 2 THEN CAST(24 + doc_id % 240 AS BIGINT) END AS n_samples,
       |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS INT)
       |       WHEN doc_id % 3 = 1 THEN CAST((doc_id % 200 - 100) * 163 AS INT) END AS sig_mean,
-      |  4 AS n_frames,
+      |  CAST(4 AS BIGINT) AS n_frames,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 8 END AS feat_dim
       |FROM documents ORDER BY media_id""".stripMargin
 
@@ -1466,7 +1466,11 @@ object ExtQueries {
     val nTotal = docs.agg(count(lit(1)).cast("double").as("n_docs_total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(desc("__score"), col("term"))
-    clusterTermCnt.join(broadcast(dfreq), Seq("term"))
+    // dfreq is vocabulary-sized (unbounded with corpus growth) — shuffle
+    // join on `term` instead of a broadcast hint; AQE re-plans it as a
+    // broadcast when the vocab is genuinely small. See
+    // [[graft.operators.Search.tfidfTopTerms]] for the full rationale.
+    clusterTermCnt.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nTotal))
       .withColumn("__score", col("cnt") * log(col("n_docs_total") / col("df")))
       .withColumn("rank", row_number().over(w))
@@ -1697,7 +1701,7 @@ object ExtQueries {
       |    SUM(CAST(value AS DECIMAL(18,2))) AS v
       |  FROM events GROUP BY 1)
       |SELECT day, n_events, CAST(v AS DOUBLE) AS value_sum,
-      |  SUM(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d,
+      |  CAST(SUM(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
       |  CAST(SUM(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_7d
       |FROM d ORDER BY day""".stripMargin
 

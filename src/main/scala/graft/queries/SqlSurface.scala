@@ -182,7 +182,7 @@ object SqlSurface {
   }
 
   val windowRankSql: String =
-    """SELECT c_nationkey, c_custkey, c_acctbal, rn, nation_total FROM (
+    """SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rn, nation_total FROM (
       |  SELECT c_nationkey, c_custkey, c_acctbal,
       |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
       |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_total

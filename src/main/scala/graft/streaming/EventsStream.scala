@@ -13,11 +13,20 @@ import graft.ds.{DatasetWriter, GraftDataset, WriteMode}
   */
 object EventsStream {
 
-  /** File-source stream over a directory of events parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  /** File-source stream over a directory of events parquet files.
+    *
+    * `filesPerTrigger` is the batch-size dial: 1 (the default) gives
+    * file-grained micro-batches — what the replay/idempotence and
+    * multi-batch-watermark contracts deliberately exercise — while a
+    * production ingest should set it to the real batch appetite
+    * (hundreds of files) because EVERY micro-batch pays a fixed
+    * orchestration cost (planning + one state-store checkpoint per
+    * state partition) regardless of data volume; see SCALE.md's
+    * measured per-batch overhead. */
+  def readEvents(spark: SparkSession, dir: String, filesPerTrigger: Int = 1): DataFrame =
     spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(dir)
 
   /** Watermarked tumbling-window aggregation: per (window, event_type)
@@ -130,11 +139,12 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** File-source stream over a directory of documents parquet files. */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+  /** File-source stream over a directory of documents parquet files.
+    * Same `filesPerTrigger` contract as [[readEvents]]. */
+  def readDocuments(spark: SparkSession, dir: String, filesPerTrigger: Int = 1): DataFrame =
     spark.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(dir)
 
   /** Streaming corpus ingestion: quality gate → exact content dedup —

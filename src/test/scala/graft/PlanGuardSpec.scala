@@ -139,6 +139,38 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"no pushed filters reach the scan in: ${bad.mkString(", ")}")
   }
 
+  test("full-vocabulary df tables are never hint-broadcast (tfidf / topics)") {
+    // The per-term document-frequency aggregate grows with the corpus
+    // vocabulary — unbounded at the 100 TB design point — so it must
+    // reach its join as a shuffle, not a broadcast HINT. Planning with
+    // autoBroadcastJoinThreshold=-1 disables statistics-based broadcast
+    // (which AQE legitimately applies when the vocab is small), leaving
+    // only explicit hints able to produce a broadcast: if the `term`
+    // join still shows up as SortMergeJoin here, no hint exists.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (key <- Seq("x_tfidf_terms", "x_topic_clusters")) {
+        val p = SparkEntry.queries(key)(spark, dir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+        // FormattedMode keeps join keys in per-node detail blocks
+        // ("(N) SortMergeJoin / Left keys [1]: [term#…]"), not the tree
+        val blocks = p.split("\n\\s*\n").toSeq
+        assert(!blocks.exists(b => b.contains("BroadcastHashJoin") &&
+            b.contains("keys [1]: [term#")),
+          s"$key still broadcast-hints the vocabulary df join")
+        assert(blocks.exists(b => b.contains("SortMergeJoin") &&
+            b.contains("keys [1]: [term#")),
+          s"$key: expected a shuffle (sort-merge) join on term, plan:\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+  }
+
   test("every audited plan keeps a WholeStageCodegen span") {
     // the expression surface is designed to stay inside codegen (custom
     // Expressions implement doGenCode; no UDFs anywhere): a plan with NO

@@ -49,6 +49,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkDir).count() == nStreamed)
   }
 
+  test("filesPerTrigger batches N files into one micro-batch with identical results") {
+    // the batch-size dial for production ingest: the SAME 4-file source
+    // processed file-at-a-time (4 data batches, the replay-contract
+    // shape) and all-at-once (1 data batch, the realistic-ingest shape)
+    // must agree exactly — only the per-micro-batch orchestration cost
+    // differs, which is what SCALE.md's overhead note quantifies
+    val tmp = Files.createTempDirectory("graft_stream_fpt_").toString
+    val srcDir = s"$tmp/src"
+    // 4 contiguous event-time slices with ascending mtimes (the
+    // x_stream_e2e staging contract): file-at-a-time processing then
+    // never sees cross-batch late data, so the fine/bulk comparison
+    // isolates BATCHING, not watermark drops
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .repartitionByRange(4, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .write.parquet(srcDir)
+    val parts = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 4)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      assert(f.setLastModified(1000000L * (i + 1))) }
+
+    def run(fpt: Int, tag: String): (Long, Int) = {
+      val agg = EventsStream.windowedAgg(
+        EventsStream.readEvents(spark, srcDir, filesPerTrigger = fpt),
+        window_ = "1 hour", watermark = "0 seconds")
+      val q = EventsStream.startDeltaSink(agg, s"$tmp/sink_$tag", s"$tmp/ckpt_$tag")
+      q.awaitTermination(120000)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (spark.read.parquet(s"$tmp/sink_$tag")
+        .select("window_start", "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toString).mkString("\n").hashCode.toLong, dataBatches)
+    }
+    val (hashFine, nFine) = run(1, "fine")
+    val (hashBulk, nBulk) = run(8, "bulk")
+    assert(nFine >= 4, s"expected >=4 file-grained data batches, saw $nFine")
+    assert(nBulk == 1, s"expected a single bulk data batch, saw $nBulk")
+    assert(hashFine == hashBulk, "batching granularity changed the emitted result")
+  }
+
   test("streaming sink maintains the bloom and stats sidecars across micro-batch runs") {
     import graft.ds.{BloomIndex, GraftDataset, StatsIndex}
     val tmp = Files.createTempDirectory("graft_stream_maint_").toString
