@@ -337,14 +337,20 @@ object Similarity {
     * bucketed plan.
     *
     * Shape: each vector is keyed by `tables` independent hyperplane
-    * sign buckets; one shuffle groups (table, bucket) posting lists,
-    * the single-pass compiled [[graft.plans.OrderedPairs]] expression
-    * enumerates each bucket's candidate pairs (never a joint/nested
-    * loop), a map-side-combinable distinct collapses multi-table
-    * collisions, vectors re-join by id only on the deduped pairs, and
-    * survivors feed ONE global [[graft.plans.TopKPairs]] bounded heap,
-    * so the final exchange carries ≤ n·partitions rows, not the
-    * candidate volume.
+    * sign buckets; ONE shuffle groups each (table, bucket)'s (id,
+    * vector) entries, the [[graft.plans.BucketCosineTopPairs]]
+    * expression scores every within-bucket pair in a tight primitive
+    * loop and emits only the bucket-LOCAL top-n (provably a superset
+    * of the bucket's contribution to the global top-n — see the
+    * expression's scaladoc), a tiny (pid, sim) distinct collapses
+    * multi-table collisions (identical double bits by construction),
+    * and survivors feed ONE global [[graft.plans.TopKPairs]] bounded
+    * heap. Candidate PAIRS never materialize as rows: the r8 shape
+    * (pair explode → distinct → two vector SortMergeJoins) shuffled
+    * ~tables·targetBucket/2 pair rows per vector plus the vector
+    * payload twice — measured 48× slower at a 10× corpus (scale
+    * rehearsal, SCALE_CURVE.md); this shape moves each vector through
+    * exactly one exchange per table and n rows per bucket after.
     *
     * Exactness is per-fixture, not guaranteed: a true top-N pair is
     * found iff it collides in ≥1 table (probability
@@ -440,22 +446,34 @@ object Similarity {
       val b = vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nm").as("nb"))
       scored(a.join(broadcast(b), col("id_a") < col("id_b")))
     } else {
-      val keyed = df.select(checkedId.as("id"),
+      // vectors ride the bucket exchange once per table (ids alone
+      // can't: cosine verification needs the payload, and fetching it
+      // later means joining the full corpus against the candidate
+      // volume); buckets stay ≈targetBucket by the policy, so a
+      // collected bucket row is ~targetBucket·vecBytes — KBs, not the
+      // monster rows an unbounded collect_list would risk
+      val keyed = df.select(
+        struct(checkedId.as("id"), col(vecCol).as("v")).as("e"),
         explode(array((0 until dTables).map(t =>
           struct(lit(t).as("t"), lshBucket(col(vecCol), dBits, t).as("b"))): _*)).as("key"))
 
-      val cand = keyed.groupBy(col("key"))
-        .agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(explode(graft.plans.GraftExpressions.orderedPairs(spark, col("ids"))).as("p"))
-        .select(col("p.id_a"), col("p.id_b"))
+      // bucket-local exact top-n (identical double bits for a pair
+      // wherever it collides) → multi-table dedup on (pid, sim) is
+      // ≤ buckets·n rows — linear in corpus size with a small constant
+      val localTop = keyed.groupBy(col("key"))
+        .agg(collect_list(col("e")).as("entries"))
+        .filter(size(col("entries")) >= 2)
+        .select(explode(
+          graft.plans.GraftExpressions.bucketTopPairs(spark, col("entries"), n)).as("p"))
+        .select(col("p.sim").as("sim"), col("p.id").as("pid"))
         .distinct()
 
-      val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nm"))
-      scored(cand
-        .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nm").as("na")), Seq("id_a"))
-        .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nm").as("nb")), Seq("id_b")))
+      localTop
+        .agg(graft.plans.GraftExpressions.topK(spark, col("sim"), col("pid"), n).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "p")))
+        .select(shiftright(col("p.id"), 32).as("id_a"),
+          col("p.id").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
+          col("p.sim").as("sim"))
     }
   }
 

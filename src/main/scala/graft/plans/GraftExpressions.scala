@@ -597,6 +597,140 @@ case class TopKPairs(
     copy(sim = cs(0), id = cs(1))
 }
 
+/** Bucket-local exact top-k cosine pairs for the LSH top-pairs plan:
+  * one pass over a bucket's collected (id, vector) entries computes all
+  * C(b,2) cosines in a tight primitive loop and keeps only the best `k`
+  * in a bounded heap — the bucket's contribution to the global top-k.
+  *
+  * WHY this exists: enumerating candidate PAIRS as rows (the
+  * OrderedPairs shape) is right when verification needs a shuffle-join
+  * anyway (set intersection over shingle arrays), but for cosine the
+  * verifier input is the two vectors themselves — materializing
+  * tables·n·targetBucket/2 pair rows, distinct-shuffling them, and
+  * SortMergeJoining the vector payload back in twice moves ~50×the
+  * corpus bytes through exchanges. Scoring INSIDE the bucket group
+  * moves each vector through exactly one exchange (the bucket groupBy)
+  * and ships k rows per bucket onward. Exactness is preserved: any
+  * pair in the global top-k of the candidate union is, within every
+  * bucket containing it, beaten by fewer than k pairs (those pairs
+  * would also outrank it globally), so it survives its bucket's local
+  * heap — the union of bucket top-k lists contains the global top-k.
+  *
+  * Arithmetic is byte-identical to the join formulation it replaces:
+  * dot accumulates (double)xᵢ·(double)yᵢ in index order ([[VectorDot]]'s
+  * loop), norms are sqrt(dot(v,v)), sim = dot/(na·nb) guarded to 0.0
+  * when na·nb ≤ 0 — so a pair scored here and a pair scored by the
+  * all-pairs oracle produce the same double bits, and the multi-bucket
+  * duplicate collapse downstream can dedup on (pid, sim) safely.
+  * Tie order matches [[TopKPairs]] (sim desc, packed pid asc), so
+  * local-heap → global-heap composition is a single total order.
+  *
+  * Ids must already be range-checked to [0, 2^31) by the caller (the
+  * packed pid is (min<<32)|max). Entry order is irrelevant — every
+  * unordered pair is evaluated — so the upstream collect_list needs no
+  * sort. */
+case class BucketCosineTopPairs(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k > 0, s"graft_bucket_top_pairs requires k > 0, got $k")
+
+  private def vecElem: DataType = child.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 =>
+      fs(1).dataType match {
+        case ArrayType(et, _) => et
+        case _ => NullType
+      }
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fs), _)
+        if fs.length == 2 && fs(0).dataType == LongType &&
+          (vecElem == FloatType || vecElem == DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bucket_top_pairs expects array<struct<bigint, array<float|double>>>, got $t")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bucket_top_pairs"
+
+  @transient private lazy val floatElems = vecElem == FloatType
+
+  // identical order to TopKPairs: head = worst (lowest sim, then
+  // highest packed pid), so bucket-local and global heaps agree
+  @transient private lazy val cmp = new java.util.Comparator[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val b = arr.numElements()
+    // a 65k bucket means ≥2·10⁹ pair evaluations in ONE task — a
+    // parameterization bug (nbits far too coarse for the corpus), not a
+    // workload; fail with the knob to turn rather than strangle an
+    // executor. (Bounded well below any memory concern: entries are
+    // unpacked once, never pairs.)
+    require(b <= 65536,
+      s"graft_bucket_top_pairs: bucket of $b vectors — raise nbits/tighten " +
+        "targetBucket (lshTopPairsPolicy) so buckets stay enumerable")
+    val ids = new Array[Long](b)
+    val vecs = new Array[Array[Double]](b)
+    val norms = new Array[Double](b)
+    var dim = -1
+    var i = 0
+    while (i < b) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1)
+      val n = v.numElements()
+      if (dim < 0) dim = n
+      else if (n != dim) throw new IllegalArgumentException(
+        s"graft_bucket_top_pairs: dimension mismatch ($dim vs $n) — " +
+          "mixed embedding widths in the corpus?")
+      val d = new Array[Double](n)
+      var j = 0
+      if (floatElems) while (j < n) { d(j) = v.getFloat(j).toDouble; j += 1 }
+      else while (j < n) { d(j) = v.getDouble(j); j += 1 }
+      var s = 0.0; j = 0
+      while (j < n) { s += d(j) * d(j); j += 1 }
+      vecs(i) = d; norms(i) = math.sqrt(s)
+      i += 1
+    }
+    val q = new java.util.PriorityQueue[(Double, Long)](k + 1, cmp)
+    i = 0
+    while (i < b) {
+      var j = i + 1
+      while (j < b) {
+        val x = vecs(i); val y = vecs(j)
+        var s = 0.0; var m = 0
+        while (m < dim) { s += x(m) * y(m); m += 1 }
+        val nn = norms(i) * norms(j)
+        val sim = if (nn > 0) s / nn else 0.0
+        val pid =
+          if (ids(i) < ids(j)) (ids(i) << 32) | ids(j)
+          else (ids(j) << 32) | ids(i)
+        val p = (sim, pid)
+        if (q.size < k) q.offer(p)
+        else if (cmp.compare(p, q.peek()) > 0) { q.poll(); q.offer(p) }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[(Double, Long)](q.size)
+    var w = out.length - 1
+    while (w >= 0) { out(w) = q.poll(); w -= 1 }  // drain worst-first → best-first
+    new GenericArrayData(out.map(p => InternalRow(p._2, p._1): Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): BucketCosineTopPairs =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe over a 64-bit key hash, mirroring the
   * shape of Spark's internal runtime-filter BloomFilterMightContain
   * (public pattern): the serialized filter arrives as a foldable binary
@@ -694,6 +828,11 @@ object GraftExpressions {
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       { es: Seq[Expression] => BloomMightContain(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_bucket_top_pairs",
+      { es: Seq[Expression] =>
+        val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
+        BucketCosineTopPairs(es(0), k)
+      }, "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -740,6 +879,10 @@ object GraftExpressions {
     register(spark)
     call_function("graft_bloom_contains", hash, org.apache.spark.sql.functions.lit(bloomBytes))
   }
+  def bucketTopPairs(spark: SparkSession, entries: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_bucket_top_pairs", entries, org.apache.spark.sql.functions.lit(k))
+  }
 }
 
 /** `SparkSessionExtensions` entry point:
@@ -779,6 +922,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => TopKPairs(es(0), es(1), intArg(es, 2)).toAggregateExpression())
     inject("graft_bloom_contains", classOf[BloomMightContain],
       es => BloomMightContain(es(0), es(1)))
+    inject("graft_bucket_top_pairs", classOf[BucketCosineTopPairs],
+      es => BucketCosineTopPairs(es(0), intArg(es, 1)))
     // automatic stats-index file skipping for plain reads — analyzer
     // run-once batch, one sidecar-exists probe per query; see
     // graft.ds.AutoPrune for the full design note

@@ -101,6 +101,46 @@ class ExpressionsSpec extends AnyFunSuite {
       s"expected a dimension-mismatch error, got: $e")
   }
 
+  test("BucketCosineTopPairs == declarative all-pairs cosine top-k, bit-exact") {
+    // random float vectors, several bucket sizes incl. the ≥2 floor;
+    // the expression's (dot / norms, tie on packed pid) must reproduce
+    // the declarative formulation byte-for-byte — the LSH top-pairs
+    // multi-bucket dedup relies on identical doubles across buckets
+    val rnd = new scala.util.Random(42)
+    for (b <- Seq(2, 3, 17); k <- Seq(1, 5, 40)) {
+      val vecs = (0 until b).map(i =>
+        (i.toLong + 7, Array.fill(8)(rnd.nextFloat() * 4 - 2)))
+      val df = vecs.toDF("id", "v")
+      val fast = df
+        .agg(collect_list(struct($"id", $"v")).as("entries"))
+        .select(explode(GraftExpressions.bucketTopPairs(spark, $"entries", k)).as("p"))
+        .select($"p.id", $"p.sim").as[(Long, Double)].collect().toSeq
+      val withNorm = df.select($"id", $"v",
+        sqrt(GraftExpressions.dot(spark, $"v", $"v")).as("n"))
+      val ref = withNorm.as("a").join(withNorm.as("b"), $"a.id" < $"b.id")
+        .select(
+          when($"a.n" * $"b.n" > 0,
+            GraftExpressions.dot(spark, $"a.v", $"b.v") / ($"a.n" * $"b.n"))
+            .otherwise(lit(0.0)).as("sim"),
+          shiftleft($"a.id", 32).bitwiseOR($"b.id").as("pid"))
+        .orderBy(desc("sim"), asc("pid")).limit(k)
+        .select($"pid", $"sim").as[(Long, Double)].collect().toSeq
+      assert(fast == ref, s"b=$b k=$k:\nfast=$fast\nref =$ref")
+    }
+  }
+
+  test("BucketCosineTopPairs fails loudly on mixed embedding widths") {
+    val mixed = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "v")
+    val e = intercept[Exception](
+      mixed.agg(collect_list(struct($"id", $"v")).as("entries"))
+        .select(GraftExpressions.bucketTopPairs(spark, $"entries", 5)).collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))),
+      s"expected a dimension-mismatch error, got: $e")
+  }
+
   test("MinHashSig: deterministic, length k, more-similar sets share more slots") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
