@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate string (edit-distance) join — the entity-resolution
@@ -9,47 +9,119 @@ import org.apache.spark.sql.functions._
   * The reference (pydala) has no fuzzy-match surface; this is
   * extension scope for data curation at scale.
   *
-  * Candidate generation is q-gram count filtering (Gravano et al.,
-  * VLDB'01 "Approximate String Joins in a Database (Almost) for
-  * Free"): an edit touches at most q character q-grams, so any string
-  * within distance d of probe p shares at least one of ANY d·q+1 of
-  * p's distinct q-grams. The corpus indexes ALL its q-grams (posting
-  * lists); each probe explodes only its d·q+1 globally-RAREST q-grams
-  * (df-ranked against the corpus, absent-from-corpus rarest of all) —
-  * the prefix-filtering idea from the ssjoin literature applied
-  * asymmetrically, so probe fan-out is constant and candidates
-  * concentrate on the shortest posting lists. Exact `levenshtein`
-  * verifies every candidate pair.
+  * Candidate generation routes per string LENGTH, because the two known
+  * blocking schemes fail in opposite regimes:
   *
-  * Probes with fewer than d·q+1 distinct q-grams ("degenerate":
-  * shorter than ~q·(d+1) chars or highly repetitive) could lose every
-  * gram to adversarial edits, so they bypass the q-gram filter and
-  * join the corpus on exact LENGTH keys instead — a true match lies
-  * within d length units, so each such probe probes 2d+1 length
-  * buckets. Both routes end at the same verify; the union is COMPLETE
-  * for the threshold by construction.
+  * **Deletion neighborhoods** (FastSS / SymSpell's symmetric delete,
+  * public algorithm): index every string under every variant reachable
+  * by deleting ≤ d characters. Two strings within edit distance d
+  * always share such a variant (align them by ≤ d edits; deleting the
+  * edited positions from each side reaches a common subsequence), so
+  * bucket-joining variant keys is COMPLETE, and false bucket-mates are
+  * killed by the exact verify. Crucially, bucket sizes track the TRUE
+  * near-match rate: on a near-uniform corpus (`Supplier#000000123`,
+  * serial ids, fixed-format codes) where every q-gram posting list
+  * grows linearly with the corpus — the regime where gram filtering
+  * degrades to quadratic candidates (the round-9 scale rehearsal
+  * measured exactly that: 18× wall time at a 10× corpus) — deletion
+  * buckets stay as small as the answer itself. Variants never shuffle
+  * as strings: each is folded to xxhash64 on the spot, so the exchange
+  * carries (hash, id) longs; a 64-bit collision only ADDS a candidate
+  * pair, which the verify removes. The variant count is Σ_{i≤d}
+  * C(len,i), so this route takes strings short enough to stay under
+  * `variantCap` variants (d=1: len ≤ 4095; d=2: len ≤ ~89).
   *
-  * Scale shape: gram df is a partial-combine aggregate; the candidate
-  * join carries (gram, id) postings, never string pairs; pair dedup is
-  * a combinable distinct on two longs; only deduped candidate pairs
-  * re-join their strings for the verify. The degenerate route joins on
-  * exact length keys — O(rows-per-length), no range scan.
+  * **q-gram count filtering** (Gravano et al., VLDB'01 "Approximate
+  * String Joins in a Database (Almost) for Free") for strings past the
+  * variant cap: an edit touches at most q character q-grams, so any
+  * string within distance d of probe p shares at least one of ANY
+  * d·q+1 of p's distinct q-grams. The corpus indexes its q-grams
+  * (posting lists); each probe explodes only its d·q+1 globally-RAREST
+  * q-grams (df-ranked, absent-from-corpus rarest of all) — prefix
+  * filtering applied asymmetrically, so probe fan-out is constant and
+  * candidates concentrate on the shortest posting lists. Long natural
+  * strings have heavy-tailed gram statistics, which is exactly where
+  * this filter is selective. Gram-route probes with fewer than d·q+1
+  * distinct grams (pathologically repetitive) bypass the filter and
+  * join on exact LENGTH keys instead (a true match lies within d
+  * length units — 2d+1 buckets per probe).
+  *
+  * The split is completeness-preserving because edit distance bounds
+  * length distance: a deletion-route probe (len ≤ L−d) can only match
+  * corpus strings of len ≤ L, all of which are in the deletion index;
+  * a gram-route probe (len > L−d) can only match len > L−2d, all of
+  * which are in the gram index. Probe routes partition the probe set,
+  * so the union of routes is already pair-distinct. Exact
+  * `levenshtein` verifies every candidate pair from every route.
+  *
+  * Scale shape: deletion route shuffles (hash, id) longs with
+  * answer-sized buckets; gram df is a partial-combine aggregate; gram
+  * candidates carry (gram, id) postings, never string pairs; pair
+  * dedup is a combinable distinct on two longs; only deduped candidate
+  * pairs re-join their strings for the verify.
   */
 object FuzzyJoin {
 
+  /** Largest length whose ≤`d`-deletion variant count Σ_{i≤d} C(len,i)
+    * stays within `cap` — the deletion-route admission threshold. */
+  private[operators] def deletionMaxLen(d: Int, cap: Long): Int = {
+    def variants(len: Int): Long = {
+      var sum = 1L; var term = 1L
+      for (i <- 1 to d) {
+        term = term * (len - i + 1) / i
+        sum += term
+        if (sum > cap) return Long.MaxValue
+      }
+      sum
+    }
+    if (d == 0) return Int.MaxValue / 4 // one variant (the string itself)
+    var len = d // below d chars the formula degenerates; variants tiny
+    while (len < (1 << 20) && variants(len + 1) <= cap) len += 1
+    len
+  }
+
+  /** `array<bigint>` of xxhash64 over every ≤`d`-deletion variant of
+    * `s` (the string itself included). Variants exist only transiently
+    * inside the expression — only their hashes reach the plan. */
+  private def variantHashes(s: String, d: Int): Column = {
+    val del1 = (vs: String) =>
+      s"""array_distinct(flatten(transform($vs, v ->
+         |  transform(sequence(1, greatest(length(v), 1)), i ->
+         |    concat(substring(v, 1, i - 1), substring(v, i + 1))))))""".stripMargin
+    var vs = s"array($s)"
+    for (_ <- 1 to d) vs = s"array_distinct(concat($vs, ${del1(vs)}))"
+    expr(s"transform($vs, v -> xxhash64(v))")
+  }
+
   /** All corpus rows within `maxDist` edits of each probe row.
     * Returns (probe_id, corpus_id, dist). Id columns must be numeric
-    * (they ride the shuffles); strings join back only for the verify. */
+    * (they ride the shuffles); strings join back only for the verify.
+    * `variantCap` bounds the per-string deletion-variant count; longer
+    * strings take the q-gram route automatically. */
   def editDistanceJoin(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, strCol: String,
-      maxDist: Int, q: Int = 3): DataFrame = {
+      maxDist: Int, q: Int = 3, variantCap: Long = 4096): DataFrame = {
 
-    require(maxDist >= 0 && q >= 1, "editDistanceJoin: bad knobs")
+    require(maxDist >= 0 && q >= 1 && variantCap >= 1,
+      "editDistanceJoin: bad knobs")
     val prefixLen = maxDist * q + 1
+    val delMax = deletionMaxLen(maxDist, variantCap)
 
     val c = corpus.select(col(idCol).as("corpus_id"), col(strCol).as("cs"))
     val p = probes.select(col(idCol).as("probe_id"), col(strCol).as("ps"))
+
+    // ---- deletion route: len(probe) ≤ delMax−d, len(corpus) ≤ delMax
+    val corpusDel = c.filter(length(col("cs")) <= delMax)
+      .select(col("corpus_id"), explode(variantHashes("cs", maxDist)).as("vh"))
+    val probeDel = p.filter(length(col("ps")) <= delMax - maxDist)
+      .select(col("probe_id"), explode(variantHashes("ps", maxDist)).as("vh"))
+    val delCandidates = probeDel.join(corpusDel, Seq("vh"))
+      .select("probe_id", "corpus_id").distinct()
+
+    // ---- gram route: the complement, complete for its length band
+    val cg = c.filter(length(col("cs")) > delMax - 2 * maxDist)
+    val pg = p.filter(length(col("ps")) > delMax - maxDist)
 
     // sliding character q-grams as a DISTINCT set; strings shorter
     // than q yield themselves (one gram)
@@ -60,10 +132,10 @@ object FuzzyJoin {
     // corpus explode feeds BOTH the df count and the candidate join,
     // and the probe explode feeds the ranked prefix and the degenerate
     // filter — without pinning, the dominant scan+explode runs twice
-    val corpusGrams = c.select(col("corpus_id"),
+    val corpusGrams = cg.select(col("corpus_id"),
       explode(gramsExpr("cs")).as("g"))
       .localCheckpoint(false)
-    val probeGrams = p.select(col("probe_id"),
+    val probeGrams = pg.select(col("probe_id"),
       explode(gramsExpr("ps")).as("g"),
       size(gramsExpr("ps")).as("ng"))
       .localCheckpoint(false)
@@ -87,9 +159,9 @@ object FuzzyJoin {
       .join(corpusGrams, Seq("g"))
       .select("probe_id", "corpus_id").distinct()
 
-    // degenerate probes: too few distinct grams for the count filter —
-    // probe the 2·maxDist+1 exact length keys a match could have
-    // (probe ids come off the pinned gram frame; strings re-join by id)
+    // degenerate gram-route probes: too few distinct grams for the
+    // count filter — probe the 2·maxDist+1 exact length keys a match
+    // could have (its matches also sit in the gram length band)
     val degenerate = probeGrams.filter(col("ng") < prefixLen)
       .select("probe_id").distinct()
       .join(p, Seq("probe_id"))
@@ -97,12 +169,15 @@ object FuzzyJoin {
       .select(col("probe_id"),
         explode(sequence(length(col("ps")) - maxDist,
           length(col("ps")) + maxDist)).as("len"))
-      .join(c.withColumn("len", length(col("cs"))), Seq("len"))
+      .join(cg.withColumn("len", length(col("cs"))), Seq("len"))
       .select("probe_id", "corpus_id").distinct()
 
-    // the two routes partition the probe set (ng >= prefixLen vs <),
-    // so the union is already pair-distinct — no third dedup shuffle
-    gramCandidates.unionByName(lengthCandidates)
+    // probe routes partition the probe set (deletion len band, then
+    // ng >= prefixLen vs <), so the union is already pair-distinct —
+    // no extra dedup shuffle
+    delCandidates
+      .unionByName(gramCandidates)
+      .unionByName(lengthCandidates)
       .join(p, Seq("probe_id"))
       .join(c, Seq("corpus_id"))
       .withColumn("dist", levenshtein(col("ps"), col("cs")))

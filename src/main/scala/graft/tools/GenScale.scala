@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   *  - `orders` / `customer`: keys shifted by a replica stride divisible
   *    by 3 (w6's delta split filters on `o_orderkey % 3`, which must
   *    keep its source proportions); payload columns ride unchanged.
+  *  - `events`: replicas add USERS (event_id and user_id shifted, ts
+  *    unchanged) — per-user session/funnel structure is preserved while
+  *    rows-per-day scale ×k, the way real traffic grows.
+  *  - `lineitem` / `part` / `supplier`: one consistent key stride keeps
+  *    every join intact and every per-key fan-in at its source
+  *    distribution (TPC-H itself scales part/supplier with SF).
+  *    `region`/`nation` are fixed dims at every SF — copied, not
+  *    replicated.
   *
   * Usage: runMain graft.tools.GenScale <srcSfDir> <outDir> <k>
   * (k=10 over sf0.1 ≈ sf1: 50k docs, 20k vectors, 1.5M orders.)
@@ -41,7 +49,9 @@ object GenScale {
     require(args.length == 3, "usage: GenScale <srcSfDir> <outDir> <k>")
     val Array(src, out, kStr) = args
     val k = kStr.toInt
-    require(k >= 1)
+    // <= 10: the supplier-name replica tags are repeated single digits
+    // (pairwise distance 3); an 11th replica would collide with the 1st
+    require(k >= 1 && k <= 10)
     val spark = SparkSession.builder().master(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -94,7 +104,59 @@ object GenScale {
       else c.withColumn("c_custkey", col("c_custkey") + r * stride)
     }).repartition(k * 2).write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    println(s"[genscale] wrote ${k}x replicas of documents/embeddings/orders/customer to $out")
+    // events: replica r shifts event_id AND user_id — the corpus gains
+    // USERS, not events-per-user, so session lengths, funnel conversion,
+    // and per-user feature shapes stay exactly sf0.1's while rows/day
+    // scale ×k (how real traffic grows). ts rides unchanged.
+    val events = graft.Tables.load(spark, src, "events")
+    replicas(events, { (e, r) =>
+      if (r == 0) e
+      else e.withColumn("event_id", col("event_id") + r * stride)
+        .withColumn("user_id", col("user_id") + r * stride)
+    }).repartition(k * 8).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // lineitem + part + supplier: one consistent stride on every key so
+    // all joins stay intact and per-key fan-ins (lines per order, lines
+    // per part, parts per supplier) keep their source distribution —
+    // mirroring how TPC-H itself scales part/supplier with SF.
+    val li = graft.Tables.load(spark, src, "lineitem")
+    replicas(li, { (l, r) =>
+      if (r == 0) l
+      else l.withColumn("l_orderkey", col("l_orderkey") + r * stride)
+        .withColumn("l_partkey", col("l_partkey") + r * stride)
+        .withColumn("l_suppkey", col("l_suppkey") + r * stride)
+    }).repartition(k * 8).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val part = graft.Tables.load(spark, src, "part")
+    replicas(part, { (p, r) =>
+      if (r == 0) p
+      else p.withColumn("p_partkey", col("p_partkey") + r * stride)
+    }).repartition(k).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // supplier names feed the edit-distance join (x_fuzzy_join), so the
+    // payload must be disambiguated too: 10 verbatim copies of every
+    // name would make each probe TRULY match all k replicas — the
+    // result set itself (and any correct join's cost) would grow
+    // quadratically, indicting the fixture, not the operator. A common
+    // suffix preserves within-replica pairwise edit distances exactly
+    // (levenshtein is prefix/suffix-invariant), and `~rrr` tags differ
+    // pairwise in 3 positions (4 vs the untagged r=0), so cross-replica
+    // distances exceed any small join threshold.
+    val supp = graft.Tables.load(spark, src, "supplier")
+    replicas(supp, { (s, r) =>
+      if (r == 0) s
+      else s.withColumn("s_suppkey", col("s_suppkey") + r * stride)
+        .withColumn("s_name", concat(col("s_name"), lit("~" + s"$r$r$r".takeRight(3))))
+    }).repartition(k).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    // region/nation are FIXED dimensions at every TPC-H scale factor —
+    // copied once, never replicated.
+    for (t <- Seq("region", "nation"))
+      graft.Tables.load(spark, src, t).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    println(s"[genscale] wrote ${k}x replicas of documents/embeddings/orders/" +
+      s"customer/events/lineitem/part/supplier (+fixed region/nation) to $out")
     spark.stop()
   }
 }

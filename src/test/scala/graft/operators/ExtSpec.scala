@@ -376,6 +376,11 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the bucket-scored shape has NO join anywhere: pairs are scored
+    // inside the bucket group and never rejoin the vector payload (the
+    // r8 pair-explode shape SortMergeJoined vectors back in twice and
+    // was 48x slower at a 10x corpus — SCALE_CURVE.md)
+    assert(!plan.contains("Join"), plan.take(2000))
     // at the policy FLOOR (corpus within ~4 buckets' worth) the direct
     // broadcast pair enumeration is chosen DELIBERATELY: the tables'
     // buckets would cover ~all pairs anyway, 16× redundantly, plus a

@@ -257,4 +257,39 @@ class FuzzyJoinSpec extends AnyFunSuite {
         s"divergence from naive at maxDist=$d")
     }
   }
+
+  test("property: cross-route completeness at a tiny variantCap") {
+    // variantCap=8 pushes the deletion/gram boundary into the middle of
+    // the 1..12-char length range (d=1: deletion ≤ 6 chars, gram > 6;
+    // d=2: deletion ≤ 2, gram > 2), so this exercises BOTH routes and
+    // every cross-boundary pairing — a probe on one route matching a
+    // corpus string in the band the other route must also index. The
+    // default-cap property test above, by contrast, runs entirely on
+    // the deletion route.
+    val rnd = new scala.util.Random(2026)
+    def randStr(): String = {
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val corpus = (1L to 60L).map(i => i -> randStr())
+    val probes = (100L to 140L).map(i => i -> randStr())
+    Seq(1, 2).foreach { d =>
+      val got = FuzzyJoin.editDistanceJoin(
+          corpus.toDF("id", "s"), probes.toDF("id", "s"), "id", "s", d,
+          variantCap = 8)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == naive(corpus, probes, d),
+        s"divergence from naive at maxDist=$d, variantCap=8")
+    }
+  }
+
+  test("deletionMaxLen bounds the variant count at every d") {
+    // d=1: len+1 variants; d=2: 1+len+C(len,2); the threshold is the
+    // largest len still within cap
+    assert(FuzzyJoin.deletionMaxLen(1, 4096) == 4095)
+    val l2 = FuzzyJoin.deletionMaxLen(2, 4096)
+    def v2(n: Long) = 1 + n + n * (n - 1) / 2
+    assert(v2(l2) <= 4096 && v2(l2 + 1) > 4096, s"l2=$l2")
+    assert(FuzzyJoin.deletionMaxLen(0, 1) > 1000000)
+  }
 }
