@@ -7,17 +7,22 @@ import org.apache.spark.sql.functions._
   * cycle runs before trusting a drop: per-column row/null/distinct
   * counts and min/max, computed in ONE pass over the data.
   *
-  * Shape: all per-column aggregates land in a single `agg(...)` —
-  * Catalyst plans one scan; the distinct counts rewrite into a single
-  * Expand + two-phase aggregate (one shuffle total), every other
-  * aggregate is map-side combinable alongside it. The wide 1-row
-  * result then unpivots driver-free via `stack` into one row per
-  * column. At 100 TB exact per-column distincts are the dominant cost
-  * (the Expand multiplies scan rows by the column count);
-  * `approxDistinct = true` swaps them for HyperLogLog sketches
-  * (`approx_count_distinct`, map-side combinable, no Expand) — the
-  * right default for monitoring, while the exact path stays the
-  * oracle-comparable one.
+  * Shape: the non-distinct aggregates (counts, min/max, row count)
+  * land in a single `agg(...)` — one scan, all map-side combinable.
+  * Exact distinct counts each run as their OWN single-column
+  * aggregate, cross-joined back as 1-row frames: k distinct columns
+  * in one `agg` make Catalyst plan an Expand that multiplies every
+  * scan row by k+1 before a single hash aggregate holding ALL
+  * columns' value sets at once — the round-9 scale rehearsal measured
+  * that shape spilling super-linearly at a 10× corpus, while k
+  * separate column-pruned passes shuffle only per-column partial
+  * distinct values and peak at one column's working set (columnar
+  * scans make the extra passes nearly free). The wide 1-row result
+  * then unpivots driver-free into one row per column. At 100 TB exact
+  * distincts still dominate; `approxDistinct = true` swaps them for
+  * HyperLogLog sketches (`approx_count_distinct`, map-side
+  * combinable, single pass, no extra scans) — the right default for
+  * monitoring, while the exact path stays the oracle-comparable one.
   *
   * Numeric min/max surface as DOUBLE, string min/max as STRING, each
   * null for the other family — profiles of mixed-type tables stay one
@@ -38,23 +43,31 @@ object Profiling {
     // exact-name resolution: backtick-quote (doubling inner backticks)
     // so a dot in a column name is a character, not a struct access
     def qcol(c: String) = df.col("`" + c.replace("`", "``") + "`")
-    def nd(c: String) =
-      if (approxDistinct) approx_count_distinct(qcol(c)) else count_distinct(qcol(c))
 
     // internal aliases are INDEX-based and column names appear only as
     // lit() values — a name with spaces, dots, hyphens, or quotes is
     // data here, never an identifier to re-parse
     val aggs = all.zipWithIndex.flatMap { case (c, i) =>
-      if (numericCols.contains(c))
-        Seq(count(qcol(c)).as(s"__cnt_$i"), nd(c).as(s"__nd_$i"),
-          min(qcol(c)).cast("double").as(s"__mn_$i"),
-          max(qcol(c)).cast("double").as(s"__mx_$i"))
-      else
-        Seq(count(qcol(c)).as(s"__cnt_$i"), nd(c).as(s"__nd_$i"),
-          min(qcol(c)).as(s"__smn_$i"), max(qcol(c)).as(s"__smx_$i"))
+      val base =
+        if (numericCols.contains(c))
+          Seq(count(qcol(c)).as(s"__cnt_$i"),
+            min(qcol(c)).cast("double").as(s"__mn_$i"),
+            max(qcol(c)).cast("double").as(s"__mx_$i"))
+        else
+          Seq(count(qcol(c)).as(s"__cnt_$i"),
+            min(qcol(c)).as(s"__smn_$i"), max(qcol(c)).as(s"__smx_$i"))
+      if (approxDistinct) base :+ approx_count_distinct(qcol(c)).as(s"__nd_$i")
+      else base
     } :+ count(lit(1)).as("__rows")
 
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // exact distincts: one single-column aggregate per column (each a
+    // plain two-phase partial-distinct, no Expand), cross-joined as
+    // 1-row frames — see the object scaladoc for why
+    val wide = all.zipWithIndex.foldLeft(df.agg(aggs.head, aggs.tail: _*)) {
+      case (acc, (c, i)) if !approxDistinct =>
+        acc.crossJoin(df.agg(count_distinct(qcol(c)).as(s"__nd_$i")))
+      case (acc, _) => acc
+    }
 
     // unpivot: explode an array of per-column structs — pure projection
     // over the 1-row aggregate, no driver collect, no SQL re-parsing

@@ -26,21 +26,20 @@ object Sampling {
       when(md5(col(textCol).cast("binary")) < valThreshold, "val")
         .otherwise("train"))
 
-  /** Exact per-stratum fraction sample, deterministically: rank rows
-    * inside each stratum by content hash and keep the first
-    * ⌈fraction·n⌉. One shuffle on the stratum key; the per-stratum sort
-    * is the price of exactness (the approximate alternative is
-    * [[hashSplit]] with a tuned threshold, no sort). */
+  /** Exact per-stratum fraction sample, deterministically: keep, per
+    * stratum, the first ⌈fraction·n⌉ rows in (md5(text), id) order —
+    * identical row selection to a per-stratum `row_number` window, but
+    * computed by DISTRIBUTED THRESHOLD SELECTION ([[keepRankedPrefix]])
+    * instead: a stratum is corpus-scale in real pipelines (one web
+    * source can be 90% of 100 TB), so sorting whole strata in
+    * single-reducer windows — with the row payload riding the
+    * exchange — is the shape the round-9 scale rehearsal flagged
+    * (8× wall at a 10× corpus). Here the bulk of the sample needs NO
+    * data shuffle at all. */
   def stratifiedSample(df: DataFrame, strataCol: String, textCol: String,
-      idCol: String, fraction: Double): DataFrame = {
-    val wr = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(textCol).cast("binary")), col(idCol))
-    val wn = Window.partitionBy(col(strataCol))
-    df.withColumn("__rn", row_number().over(wr))
-      .withColumn("__n", count(lit(1)).over(wn))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
-  }
+      idCol: String, fraction: Double): DataFrame =
+    keepRankedPrefix(df, strataCol, textCol, idCol,
+      (_, n) => ceil(n * fraction))
 
   /** Token-budget packing: assign each document (in deterministic
     * `orderCol` order within a stratum) to the context-window bin its
@@ -74,14 +73,82 @@ object Sampling {
     require(weights.nonEmpty && weights.valuesIterator.forall(_ >= 0)
       && weights.valuesIterator.sum > 0, "mixSources: weights must be non-negative, sum > 0")
     val sumW = weights.valuesIterator.sum
-    val wr = Window.partitionBy(col(sourceCol))
-      .orderBy(md5(col(textCol).cast("binary")), col(idCol))
-    df.withColumn("__w", element_at(typedLit(weights), col(sourceCol)))
-      .filter(col("__w").isNotNull)
-      .withColumn("__target", ceil(col("__w") / sumW * totalRows))
-      .withColumn("__rn", row_number().over(wr))
-      .filter(col("__rn") <= col("__target"))
-      .drop("__w", "__target", "__rn")
+    val weighted = df
+      .filter(element_at(typedLit(weights), col(sourceCol)).isNotNull)
+    keepRankedPrefix(weighted, sourceCol, textCol, idCol,
+      (s, _) => ceil(element_at(typedLit(weights), s) / sumW * totalRows))
+  }
+
+  /** Shared selection core of [[stratifiedSample]] and [[mixSources]]:
+    * per stratum, keep exactly the first `targetOf(n)` rows under the
+    * total order (md5(text) hex, id) — null text ranks first (hash
+    * folded to ""), ties broken by id, so (hash, id)-unique rows make
+    * the selection fully deterministic — WITHOUT per-stratum sorts or
+    * payload shuffles. Three-phase distributed threshold selection:
+    *
+    *  1. COUNT per (stratum, 4-hex-char hash-prefix bucket): one
+    *     map-combinable aggregate over a slim projection; the result is
+    *     ≤ 65536·|strata| rows however large the corpus.
+    *  2. Find each stratum's BOUNDARY bucket — the first whose
+    *     cumulative count crosses the target — with windows over that
+    *     tiny count frame; broadcast the ≤ 1-row-per-stratum decision
+    *     (cut bucket + how many of its rows still fit).
+    *  3. Rows in buckets BELOW the cut pass a pure broadcast-filter —
+    *     the bulk of the sample moves through ZERO exchanges. Only the
+    *     boundary bucket (~1/65536 of each stratum) pays a rank window
+    *     to order its few rows.
+    *
+    * The price is evaluating md5 twice per row (count pass + filter
+    * pass, both full scans); the win is that no stratum is ever
+    * sorted whole and no text payload ever rides an exchange keyed by
+    * stratum — at a 90%-one-source corpus the window formulation is a
+    * single task holding most of the lake. `targetOf` sees the
+    * stratum's row count as a Column (and may reference the stratum's
+    * own columns via the count frame's grouping key, e.g. a per-source
+    * weight lookup); it must be deterministic. */
+  private def keepRankedPrefix(df: DataFrame, strataCol: String,
+      textCol: String, idCol: String,
+      targetOf: (Column, Column) => Column): DataFrame = {
+
+    // null-safe hash: "" sorts before every hex digit, reproducing the
+    // window formulation's nulls-first ordering; the bucket is a string
+    // PREFIX of the hash, so (bucket, (hash, id)) order == (hash, id)
+    val hash = coalesce(md5(col(textCol).cast("binary")), lit(""))
+    val bucket = substring(hash, 1, 4)
+
+    val counts = df
+      .groupBy(col(strataCol).as("__gs"), bucket.as("__gb"))
+      .agg(count(lit(1)).as("__gc"))
+    val before = Window.partitionBy("__gs").orderBy("__gb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy("__gs")
+    val annotated = counts
+      .withColumn("__before", coalesce(sum(col("__gc")).over(before), lit(0L)))
+      .withColumn("__k", targetOf(col("__gs"), sum(col("__gc")).over(whole))
+        .cast("long"))
+    // first bucket the target does NOT fully cover; absent (target ≥ n)
+    // means the whole stratum is kept
+    val decision = annotated
+      .filter(col("__before") + col("__gc") > col("__k"))
+      .groupBy("__gs")
+      .agg(min_by(
+        struct(col("__gb").as("b"), (col("__k") - col("__before")).as("rem")),
+        col("__gb")).as("__d"))
+      .select(col("__gs"), col("__d.b").as("__bcut"), col("__d.rem").as("__rem"))
+
+    val joined = df.join(broadcast(decision),
+      col(strataCol) <=> col("__gs"), "left")
+    val bulk = joined
+      .filter(col("__bcut").isNull || bucket < col("__bcut"))
+      .drop("__gs", "__bcut", "__rem")
+    val boundaryRank = Window.partitionBy(col(strataCol))
+      .orderBy(hash, col(idCol))
+    val boundary = joined
+      .filter(bucket === col("__bcut") && col("__rem") > 0)
+      .withColumn("__rn", row_number().over(boundaryRank))
+      .filter(col("__rn") <= col("__rem"))
+      .drop("__gs", "__bcut", "__rem", "__rn")
+    bulk.unionByName(boundary)
   }
 
   /** Eval-set contamination: corpus documents sharing ANY word n-gram

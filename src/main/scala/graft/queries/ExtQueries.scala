@@ -434,11 +434,16 @@ object ExtQueries {
     * tolerance fails the hash compare. */
   def sketchStats(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
+    // the HLLs share one pass (map-combinable, no Expand); each exact
+    // distinct runs as its own single-column two-phase aggregate —
+    // two distinct groups in one agg would plan an Expand tripling
+    // scan rows into one combined hash aggregate (the super-linear
+    // shape the scale rehearsal flagged on x_profile)
     val row = l.agg(
-      approx_count_distinct(col("l_orderkey"), 0.05).as("hll_orders"),
-      countDistinct(col("l_orderkey")).as("exact_orders"),
-      approx_count_distinct(col("l_partkey"), 0.05).as("hll_parts"),
-      countDistinct(col("l_partkey")).as("exact_parts"))
+        approx_count_distinct(col("l_orderkey"), 0.05).as("hll_orders"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("hll_parts"))
+      .crossJoin(l.agg(countDistinct(col("l_orderkey")).as("exact_orders")))
+      .crossJoin(l.agg(countDistinct(col("l_partkey")).as("exact_parts")))
     row.select(
       col("exact_orders"), col("exact_parts"),
       (abs(col("hll_orders") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.15)

@@ -31,12 +31,16 @@ class ProfilingSpec extends AnyFunSuite {
     assert(v.getDouble(4) == -0.5 && v.getDouble(5) == 2.5)
   }
 
-  test("profile: exact path expands for multi-distinct, approx path does not") {
+  test("profile: neither path plans an Expand (exact distincts run per-column)") {
+    // the Expand shape (k distinct columns in one agg → k+1× scan rows
+    // into one combined hash aggregate) spilled super-linearly at a 10×
+    // corpus — SCALE_CURVE.md catch; exact distincts must run as
+    // separate single-column two-phase aggregates instead
     def plan(approx: Boolean) = Profiling
       .profile(df, Seq("id", "v"), Seq("s"), approxDistinct = approx)
       .queryExecution.executedPlan.toString
-    assert(plan(approx = false).contains("Expand"),
-      "exact multi-column distinct should plan an Expand")
+    assert(!plan(approx = false).contains("Expand"),
+      "exact distincts must run as per-column aggregates, never an Expand")
     assert(!plan(approx = true).contains("Expand"),
       "HLL sketches must aggregate without an Expand")
     // approx still lands in the right ballpark on this tiny input
@@ -281,6 +285,18 @@ class FuzzyJoinSpec extends AnyFunSuite {
       assert(got == naive(corpus, probes, d),
         s"divergence from naive at maxDist=$d, variantCap=8")
     }
+  }
+
+  test("unicode: deletion variants count CHARACTERS, matching levenshtein") {
+    // non-ASCII (2-byte and 3-byte UTF-8, surrogate-free) through the
+    // deletion route: substring/length/levenshtein must all agree on
+    // character (not byte) semantics or completeness breaks silently
+    val corpus = Seq(1L -> "café-crème", 2L -> "日本語テキスト", 3L -> "naïve")
+    val probes = Seq(
+      10L -> "cafe-crème",   // 1 sub (é→e)
+      11L -> "日本語テキス",   // 1 char deleted
+      12L -> "naïves")       // 1 char inserted
+    assert(run(corpus, probes, 1) == naive(corpus, probes, 1))
   }
 
   test("deletionMaxLen bounds the variant count at every d") {
