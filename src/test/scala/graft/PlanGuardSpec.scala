@@ -44,7 +44,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "x_bm25_search" -> "1-row broadcast of corpus stats (N, avgdl) crossed into the per-term postings (Search.bm25TopK)",
     "x_tfidf_terms" -> "1-row broadcast of the corpus doc count crossed into tf/df scores (Search.tfidfTopTerms)",
     "x_topic_clusters" -> "broadcast centroid argmax assignment + 1-row corpus-count broadcast (ExtQueries.topicClusters)",
-    "x_hybrid_search" -> "broadcast single-probe cosine side (Similarity.cosineTopK) + 1-row BM25 stats broadcast"
+    "x_hybrid_search" -> "broadcast single-probe cosine side (Similarity.cosineTopK) + 1-row BM25 stats broadcast",
+    "x_profile" -> ("per-column exact-distinct 1-row frames cross-joined into the wide " +
+      "aggregate row (Profiling.profile) — the no-Expand shape from SCALE_CURVE.md catch 4"),
+    "x_sketch_stats" -> "same: two 1-row exact-distinct frames crossed into the 1-row HLL frame"
   )
 
   /** Queries whose defining predicate must be PUSHED to the parquet
