@@ -46,6 +46,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("property: threshold selection == the window formulation it replaced") {
+    // keepRankedPrefix must pick EXACTLY the rows a per-stratum
+    // row_number() over (md5(text), id) would — random corpora with
+    // skewed strata, duplicate texts (hash ties broken by id), null
+    // text (ranks first), across several fractions incl. 0 and 1
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(909)
+    val rows = (1L to 400L).map { i =>
+      val src = s"s${rnd.nextInt(4)}"
+      val text = if (rnd.nextInt(40) == 0) null
+        else if (rnd.nextInt(10) == 0) "shared duplicate text"
+        else s"doc ${rnd.nextInt(200)} ${rnd.nextString(5)}"
+      (i, text, src, Option(text).map(_.length).getOrElse(0))
+    }
+    val df = rows.toDF("doc_id", "text", "source", "n_chars")
+    for (f <- Seq(0.0, 0.13, 0.5, 1.0)) {
+      val got = Sampling.stratifiedSample(df, "source", "text", "doc_id", f)
+        .select("doc_id").as[Long].collect().toSet
+      val wr = Window.partitionBy($"source")
+        .orderBy(md5($"text".cast("binary")), $"doc_id")
+      val wn = Window.partitionBy($"source")
+      val want = df.withColumn("__rn", row_number().over(wr))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .filter($"__rn" <= ceil($"__n" * f))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"fraction=$f: got ${got.size}, want ${want.size}, " +
+        s"diff ±${(got -- want).take(5)} / ${(want -- got).take(5)}")
+    }
+  }
+
   test("source mixing: proportional targets, shortfall caps, unlisted sources dropped") {
     // weights a:2 b:1 over 6 rows budget → targets ceil(2/3·6)=4 (a has
     // only 3 → cap) and ceil(1/3·6)=2; source c is unlisted → dropped
