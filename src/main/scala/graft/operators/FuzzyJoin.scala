@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * carries (hash, id) longs; a 64-bit collision only ADDS a candidate
   * pair, which the verify removes. The variant count is Σ_{i≤d}
   * C(len,i), so this route takes strings short enough to stay under
-  * `variantCap` variants (d=1: len ≤ 4095; d=2: len ≤ ~89).
+  * `variantCap` variants AND under `maxKeyLen` chars (default 64 —
+  * the entity-key regime; building the variants is O(len²) transient
+  * bytes per row, so kilobyte strings belong to the gram route).
   *
   * **q-gram count filtering** (Gravano et al., VLDB'01 "Approximate
   * String Joins in a Database (Almost) for Free") for strings past the
@@ -96,17 +98,25 @@ object FuzzyJoin {
   /** All corpus rows within `maxDist` edits of each probe row.
     * Returns (probe_id, corpus_id, dist). Id columns must be numeric
     * (they ride the shuffles); strings join back only for the verify.
-    * `variantCap` bounds the per-string deletion-variant count; longer
-    * strings take the q-gram route automatically. */
+    *
+    * The deletion route admits strings up to
+    * min(len allowed by `variantCap`, `maxKeyLen`): the cap bounds the
+    * variant COUNT (binding at d ≥ 2), while `maxKeyLen` bounds the
+    * variant BYTES — building len variants of ~len chars is O(len²)
+    * transient per row, which is the entity-key regime's rounding
+    * error at tens of chars but ~1000× the gram route's CPU on
+    * kilobyte natural-text strings, exactly where gram statistics are
+    * heavy-tailed and prefix filtering is selective anyway. */
   def editDistanceJoin(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, strCol: String,
-      maxDist: Int, q: Int = 3, variantCap: Long = 4096): DataFrame = {
+      maxDist: Int, q: Int = 3, variantCap: Long = 4096,
+      maxKeyLen: Int = 64): DataFrame = {
 
-    require(maxDist >= 0 && q >= 1 && variantCap >= 1,
+    require(maxDist >= 0 && q >= 1 && variantCap >= 1 && maxKeyLen >= 1,
       "editDistanceJoin: bad knobs")
     val prefixLen = maxDist * q + 1
-    val delMax = deletionMaxLen(maxDist, variantCap)
+    val delMax = math.min(deletionMaxLen(maxDist, variantCap), maxKeyLen)
 
     val c = corpus.select(col(idCol).as("corpus_id"), col(strCol).as("cs"))
     val p = probes.select(col(idCol).as("probe_id"), col(strCol).as("ps"))

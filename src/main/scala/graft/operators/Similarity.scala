@@ -440,22 +440,52 @@ object Similarity {
         col("p.id").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
         col("p.sim").as("sim"))
 
+    // a cosine against a missing vector is undefined — null-vector rows
+    // take part in NO pair, on either branch (the r8 join shape scored
+    // them 0.0, an arbitrary value that could surface in the top-n of a
+    // sparse corpus)
+    val present = df.filter(col(vecCol).isNotNull)
+
     if (smallAllPairs) {
-      val vecs = df.select(checkedId.as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nm"))
+      val vecs = present.select(checkedId.as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nm"))
       val a = vecs.select(col("id").as("id_a"), col("v").as("va"), col("nm").as("na"))
       val b = vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nm").as("nb"))
       scored(a.join(broadcast(b), col("id_a") < col("id_b")))
     } else {
+      // exact-duplicate collapse: identical vectors share EVERY sign
+      // bucket at any nbits — a group of m duplicate embeddings (the
+      // boilerplate-page workload this engine dedups) lands all m
+      // copies in the same bucket of every table, the one skew no
+      // selectivity knob can split. Only a group's n+1 SMALLEST ids
+      // can reach the global top-n: any pair involving a larger member
+      // is tied on sim with (and outranked on the pid-asc tie-break
+      // by) at least n pairs built from the kept members — intra-group
+      // and against any external vector alike, since kept ids are the
+      // group's smallest and the packed pid is monotone in both
+      // components. Truncating groups to n+1 members is therefore
+      // answer-preserving (spec-proven against brute force) and bounds
+      // every identical-mass bucket at (n+1)·groups-in-bucket. The
+      // groupBy keys the FULL vector (no hash — a 64-bit collision
+      // would wrongly merge distinct vectors and drop true pairs); its
+      // exchange carries each vector once ≈ 1/tables of the bucket
+      // exchange below. collect_list buffers one group's ids in
+      // memory — 8 bytes per duplicate, 8 MB for a million-fold dup.
+      val collapsed = present
+        .select(checkedId.as("id"), col(vecCol).as("v"))
+        .groupBy(col("v"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .select(explode(slice(col("ids"), 1, n + 1)).as("id"), col("v"))
+
       // vectors ride the bucket exchange once per table (ids alone
       // can't: cosine verification needs the payload, and fetching it
       // later means joining the full corpus against the candidate
       // volume); buckets stay ≈targetBucket by the policy, so a
       // collected bucket row is ~targetBucket·vecBytes — KBs, not the
       // monster rows an unbounded collect_list would risk
-      val keyed = df.select(
-        struct(checkedId.as("id"), col(vecCol).as("v")).as("e"),
+      val keyed = collapsed.select(
+        struct(col("id"), col("v")).as("e"),
         explode(array((0 until dTables).map(t =>
-          struct(lit(t).as("t"), lshBucket(col(vecCol), dBits, t).as("b"))): _*)).as("key"))
+          struct(lit(t).as("t"), lshBucket(col("v"), dBits, t).as("b"))): _*)).as("key"))
 
       // bucket-local exact top-n (identical double bits for a pair
       // wherever it collides) → multi-table dedup on (pid, sim) is

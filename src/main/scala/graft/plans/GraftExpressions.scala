@@ -669,36 +669,45 @@ case class BucketCosineTopPairs(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val b = arr.numElements()
-    // a 65k bucket means ≥2·10⁹ pair evaluations in ONE task — a
-    // parameterization bug (nbits far too coarse for the corpus), not a
-    // workload; fail with the knob to turn rather than strangle an
-    // executor. (Bounded well below any memory concern: entries are
-    // unpacked once, never pairs.)
-    require(b <= 65536,
-      s"graft_bucket_top_pairs: bucket of $b vectors — raise nbits/tighten " +
-        "targetBucket (lshTopPairsPolicy) so buckets stay enumerable")
-    val ids = new Array[Long](b)
-    val vecs = new Array[Array[Double]](b)
-    val norms = new Array[Double](b)
+    val total = arr.numElements()
+    // a 65k bucket means ≥2·10⁹ pair evaluations in ONE task — either
+    // nbits far too coarse for the corpus, or a mass of NEAR-identical
+    // (not exact-duplicate — those are collapsed upstream by
+    // lshTopPairs) vectors that share every sign bucket at any nbits.
+    // Fail with the remedies rather than strangle an executor.
+    // (Bounded well below any memory concern: entries are unpacked
+    // once, never pairs.)
+    require(total <= 65536,
+      s"graft_bucket_top_pairs: bucket of $total vectors — raise nbits/tighten " +
+        "targetBucket (lshTopPairsPolicy); if the corpus holds a mass of " +
+        "near-identical embeddings, run semantic dedup before top-pairs")
+    val ids = new Array[Long](total)
+    val vecs = new Array[Array[Double]](total)
+    val norms = new Array[Double](total)
     var dim = -1
+    var b = 0
     var i = 0
-    while (i < b) {
+    while (i < total) {
       val row = arr.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      val v = row.getArray(1)
-      val n = v.numElements()
-      if (dim < 0) dim = n
-      else if (n != dim) throw new IllegalArgumentException(
-        s"graft_bucket_top_pairs: dimension mismatch ($dim vs $n) — " +
-          "mixed embedding widths in the corpus?")
-      val d = new Array[Double](n)
-      var j = 0
-      if (floatElems) while (j < n) { d(j) = v.getFloat(j).toDouble; j += 1 }
-      else while (j < n) { d(j) = v.getDouble(j); j += 1 }
-      var s = 0.0; j = 0
-      while (j < n) { s += d(j) * d(j); j += 1 }
-      vecs(i) = d; norms(i) = math.sqrt(s)
+      val v = if (row == null) null else row.getArray(1)
+      // a null entry or null vector takes part in no pair (mirrors the
+      // lshTopPairs null filter; defends direct SQL calls)
+      if (v != null) {
+        ids(b) = row.getLong(0)
+        val n = v.numElements()
+        if (dim < 0) dim = n
+        else if (n != dim) throw new IllegalArgumentException(
+          s"graft_bucket_top_pairs: dimension mismatch ($dim vs $n) — " +
+            "mixed embedding widths in the corpus?")
+        val d = new Array[Double](n)
+        var j = 0
+        if (floatElems) while (j < n) { d(j) = v.getFloat(j).toDouble; j += 1 }
+        else while (j < n) { d(j) = v.getDouble(j); j += 1 }
+        var s = 0.0; j = 0
+        while (j < n) { s += d(j) * d(j); j += 1 }
+        vecs(b) = d; norms(b) = math.sqrt(s)
+        b += 1
+      }
       i += 1
     }
     val q = new java.util.PriorityQueue[(Double, Long)](k + 1, cmp)

@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *    mapping is a bijection, and shingle equality is invariant under
   *    it); across replicas the vocabularies are disjoint, so no new
   *    near-dup pairs appear and the dup fraction stays exactly sf0.1's.
+  *    Disjointness assumes no SOURCE token already ends in `_r<digits>`
+  *    (such a token would collide with a replica image of its stem) —
+  *    verified against sf0.1: zero matches for `_r[0-9]+$`.
   *  - `embeddings`: coordinates multiplied by a per-replica ±1 sign
   *    vector (seeded by the replica index). A sign flip is an isometry
   *    of the dot product — within-replica cosines are bit-preserved —

