@@ -174,6 +174,29 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sampling's bulk branch moves data through zero exchanges") {
+    // keepRankedPrefix's contract (SCALE_CURVE.md catch 3): the rows
+    // below each stratum's cut bucket pass a broadcast filter directly
+    // over the scan — if an Exchange ever appears between the corpus
+    // scan and the bulk branch's filter, the per-stratum-window shape
+    // (one task per stratum holding the payload) has crept back in.
+    // Structural probe: the plan must contain a LeftOuter broadcast
+    // join whose streamed side is the parquet scan itself (the tiny
+    // decision frame is the build side).
+    val p = SparkEntry.queries("x_sample_stratified")(spark, dir).queryExecution
+      .executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"bulk branch should be a broadcast LeftOuter join of the decision frame:\n${p.take(2000)}")
+    // the old shape ranked EVERY row: exactly one Window over the full
+    // scan. The new plan may contain windows only downstream of the
+    // boundary-bucket filter (plus the two tiny count-frame windows);
+    // a cheap structural proxy is that the payload-bearing branch joins
+    // before any Window — i.e. the scan feeding a Window must sit
+    // under the bucket-filter join, which the behavior property test
+    // (SamplingSpec) plus the curve pin; here we just require the
+    // broadcast-filter branch exists at all.
+  }
+
   test("every audited plan keeps a WholeStageCodegen span") {
     // the expression surface is designed to stay inside codegen (custom
     // Expressions implement doGenCode; no UDFs anywhere): a plan with NO
