@@ -45,13 +45,70 @@ object Sampling {
     * `orderCol` order within a stratum) to the context-window bin its
     * running token count starts in — the streaming-friendly
     * approximation of first-fit packing (no bin ever exceeds budget +
-    * one document). Running sum = one window per stratum, no global
-    * sort. */
+    * one document).
+    *
+    * The running sum is a TWO-PHASE distributed prefix sum, not a
+    * per-stratum window: a naked
+    * `sum over (partition by stratum order by ...)` funnels the whole
+    * stratum — payload included — through one task (the catch-3 shape
+    * from SCALE_CURVE.md; one web source can be 90% of the corpus).
+    * Instead, numeric/timestamp order keys are range-bucketed by
+    * per-stratum `percentile_approx` boundaries — bucketing needs only
+    * ORDER-CONSISTENCY (monotone in the key), not balance, so the
+    * sketch's approximation error shifts work between buckets but
+    * never changes any row's cumulative sum — the running sum runs at
+    * (strata × `buckets`) parallelism, and each bucket adds a
+    * broadcast offset (cumulative bucket totals, computed by a window
+    * over the tiny per-(stratum, bucket) aggregate). Output is
+    * identical to the window formulation (property-pinned), including
+    * nulls-first order-key handling. Non-range-partitionable order-key
+    * types (strings…) keep the window path — documented single-task-
+    * per-stratum semantics there. `orderCol` must be unique per
+    * stratum for a deterministic cum (same contract as the window). */
   def packBudget(df: DataFrame, strataCol: String, orderCol: String,
-      tokensCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      tokensCol: String, budget: Long, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rangeable = df.schema(orderCol).dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val cum: DataFrame =
+      if (!rangeable || buckets <= 1) {
+        val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      } else {
+        val qs = (1 until buckets).map(i => i.toDouble / buckets)
+        val bnd = df.groupBy(col(strataCol).as("__ps"))
+          .agg(percentile_approx(col(orderCol), typedLit(qs), lit(1000)).as("__bnds"))
+        // rb = #boundaries strictly below the key; a null key compares
+        // null > b -> null -> 0, landing in bucket 0 exactly where the
+        // window's nulls-first ordering puts it
+        val withRb = df.join(broadcast(bnd), col(strataCol) <=> col("__ps"), "left")
+          .withColumn("__rb", coalesce(
+            aggregate(col("__bnds"), lit(0),
+              (acc, b) => acc + when(col(orderCol) > b, 1).otherwise(0)),
+            lit(0)))
+        val wRun = Window.partitionBy(col(strataCol), col("__rb"))
+          .orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // per-(stratum, bucket) totals -> cumulative offsets; the frame
+        // is <= |strata|*buckets rows at ANY corpus size, so its window
+        // and the broadcast are negligible
+        val offs = withRb.groupBy(col(strataCol).as("__os"), col("__rb").as("__orb"))
+          .agg(sum(col(tokensCol)).as("__tot"))
+          .withColumn("__off", coalesce(sum(col("__tot")).over(
+            Window.partitionBy("__os").orderBy("__orb")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("__os", "__orb", "__off")
+        withRb
+          .withColumn("__run", sum(col(tokensCol)).over(wRun))
+          .join(broadcast(offs),
+            col(strataCol) <=> col("__os") && col("__rb") === col("__orb"), "left")
+          .withColumn("__cum", col("__run") + coalesce(col("__off"), lit(0L)))
+          .drop("__ps", "__bnds", "__rb", "__run", "__os", "__orb", "__off")
+      }
+    cum
       .withColumn("bin", floor((col("__cum") - col(tokensCol)) / budget))
       .drop("__cum")
   }

@@ -104,6 +104,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(b == Seq(0L, 0L, 0L), b)
   }
 
+  test("property: two-phase prefix sum == the per-stratum window formulation") {
+    // random strata and token counts; the bucket-split running sum must
+    // assign every row the exact bin the single-window formulation
+    // would, at several bucket widths (incl. buckets > rows) and with a
+    // null order key (nulls-first parity)
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(311)
+    val rows = (1L to 500L).map { i =>
+      (i, s"s${rnd.nextInt(3)}", 1 + rnd.nextInt(40))
+    }
+    val df = rows.toDF("doc_id", "source", "tok")
+      .withColumn("doc_id", when($"doc_id" === 7L, lit(null)).otherwise($"doc_id"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("__cum", sum($"tok").over(w))
+      .withColumn("bin", floor(($"__cum" - $"tok") / 100L))
+      .select($"doc_id", $"bin").as[(Option[Long], Long)].collect().toSet
+    for (b <- Seq(2, 8, 64, 1000)) {
+      val got = Sampling.packBudget(df, "source", "doc_id", "tok", 100L, buckets = b)
+        .select($"doc_id", $"bin").as[(Option[Long], Long)].collect().toSet
+      assert(got == want, s"buckets=$b")
+    }
+  }
+
   test("contamination finds exactly the corpus docs sharing an n-gram") {
     val test = docs.filter($"doc_id" === 1L)
     val corpus = docs.filter($"doc_id" =!= 1L)
