@@ -365,14 +365,18 @@ object Similarity {
     * self-tightens (n=10⁹, targetBucket=500 → nbits=21) instead of
     * melting into an n² enumeration.
     *
-    * Pair identity rides the heap as `(id_a << 32) | id_b`, so ids
-    * must fit in 31 bits (2 B rows per *partition block* of a larger
-    * corpus — shard the id space above that); the keyed stage raises
-    * on the first out-of-range id rather than corrupting pair ids. */
+    * Pair identity rides the heaps as the normalized two-long struct
+    * (min(id), max(id)) — ANY 64-bit numeric id works, including the
+    * content hashes real corpora key by (the r9 packed-long form was
+    * limited to 31-bit ids). `maxBucket` bounds the single-task pair
+    * enumeration inside one bucket (see
+    * [[graft.plans.BucketCosineTopPairs]]); raise it only for corpora
+    * with known masses of near-identical embeddings. */
   def lshTopPairs(
       df: DataFrame, idCol: String, vecCol: String,
       n: Int, nbits: Int = -1, tables: Int = -1,
-      targetBucket: Int = 500, corpusSize: Option[Long] = None): DataFrame = {
+      targetBucket: Int = 500, corpusSize: Option[Long] = None,
+      maxBucket: Int = 65536): DataFrame = {
 
     val spark = df.sparkSession
     // policy-path corpus size, resolved cheapest-first: caller-supplied
@@ -413,31 +417,18 @@ object Similarity {
     // silently in collect_list instead of failing loudly
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"lshTopPairs needs a numeric id column, got ${df.schema(idCol).dataType} for '$idCol'")
-    // candidate generation is the x_dedup_ngram shape: ONE shuffle
-    // groups (table, bucket) posting lists, the compiled OrderedPairs
-    // expression enumerates each bucket's pairs in a single pass (no
-    // self-join — a join emits the same rows through a far heavier
-    // SortMergeJoin), and a map-side-combinable distinct collapses
-    // pairs colliding in several tables. Only ids ride any of it;
-    // vectors re-join by id on the deduped pair list, the same
-    // carry-ids-not-arrays shape as the dedup verify joins.
-    // ids feed the packed (id_a << 32) | id_b pair key — an id outside
-    // [0, 2^31) would corrupt pair identity silently, so the keyed
-    // stage raises on the first offender (codegen'd per-row check, no
-    // extra pass over the data)
+    // pair identity is the two-long (id_a, id_b) struct end to end —
+    // no packing, so the full 64-bit id domain (content hashes) works
     val rawId = col(idCol).cast("long")
-    val checkedId = when(rawId < 0 || rawId >= (1L << 31),
-      raise_error(concat(lit(s"lshTopPairs: id '$idCol' outside [0, 2^31): "),
-        rawId.cast("string")))).otherwise(rawId)
 
     // shared scoring tail: (id_a, id_b, va, vb, na, nb) → global top-n
     def scored(pairs: DataFrame): DataFrame = pairs
       .select((cosOf(dot(col("va"), col("vb")), col("na"), col("nb"))).as("sim"),
-        shiftleft(col("id_a"), 32).bitwiseOR(col("id_b")).as("pid"))
-      .agg(graft.plans.GraftExpressions.topK(spark, col("sim"), col("pid"), n).as("top"))
+        col("id_a"), col("id_b"))
+      .agg(graft.plans.GraftExpressions.topPairs(
+        spark, col("sim"), col("id_a"), col("id_b"), n).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "p")))
-      .select(shiftright(col("p.id"), 32).as("id_a"),
-        col("p.id").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sim").as("sim"))
 
     // a cosine against a missing vector is undefined — null-vector rows
@@ -447,7 +438,7 @@ object Similarity {
     val present = df.filter(col(vecCol).isNotNull)
 
     if (smallAllPairs) {
-      val vecs = present.select(checkedId.as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nm"))
+      val vecs = present.select(rawId.as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nm"))
       val a = vecs.select(col("id").as("id_a"), col("v").as("va"), col("nm").as("na"))
       val b = vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nm").as("nb"))
       scored(a.join(broadcast(b), col("id_a") < col("id_b")))
@@ -461,8 +452,8 @@ object Similarity {
       // is tied on sim with (and outranked on the pid-asc tie-break
       // by) at least n pairs built from the kept members — intra-group
       // and against any external vector alike, since kept ids are the
-      // group's smallest and the packed pid is monotone in both
-      // components. Truncating groups to n+1 members is therefore
+      // group's smallest and the (id_a, id_b) lex tie-break is monotone
+      // in both components. Truncating groups to n+1 members is therefore
       // answer-preserving (spec-proven against brute force) and bounds
       // every identical-mass bucket at (n+1)·groups-in-bucket. The
       // groupBy keys the FULL vector (no hash — a 64-bit collision
@@ -471,7 +462,7 @@ object Similarity {
       // exchange below. collect_list buffers one group's ids in
       // memory — 8 bytes per duplicate, 8 MB for a million-fold dup.
       val collapsed = present
-        .select(checkedId.as("id"), col(vecCol).as("v"))
+        .select(rawId.as("id"), col(vecCol).as("v"))
         .groupBy(col("v"))
         .agg(sort_array(collect_list(col("id"))).as("ids"))
         .select(explode(slice(col("ids"), 1, n + 1)).as("id"), col("v"))
@@ -488,21 +479,22 @@ object Similarity {
           struct(lit(t).as("t"), lshBucket(col("v"), dBits, t).as("b"))): _*)).as("key"))
 
       // bucket-local exact top-n (identical double bits for a pair
-      // wherever it collides) → multi-table dedup on (pid, sim) is
-      // ≤ buckets·n rows — linear in corpus size with a small constant
+      // wherever it collides) → multi-table dedup on (sim, id_a, id_b)
+      // is ≤ buckets·n rows — linear in corpus size, small constant
       val localTop = keyed.groupBy(col("key"))
         .agg(collect_list(col("e")).as("entries"))
         .filter(size(col("entries")) >= 2)
-        .select(explode(
-          graft.plans.GraftExpressions.bucketTopPairs(spark, col("entries"), n)).as("p"))
-        .select(col("p.sim").as("sim"), col("p.id").as("pid"))
+        .select(explode(graft.plans.GraftExpressions.bucketTopPairs(
+          spark, col("entries"), n, maxBucket)).as("p"))
+        .select(col("p.sim").as("sim"), col("p.id_a").as("id_a"),
+          col("p.id_b").as("id_b"))
         .distinct()
 
       localTop
-        .agg(graft.plans.GraftExpressions.topK(spark, col("sim"), col("pid"), n).as("top"))
+        .agg(graft.plans.GraftExpressions.topPairs(
+          spark, col("sim"), col("id_a"), col("id_b"), n).as("top"))
         .select(posexplode(col("top")).as(Seq("pos", "p")))
-        .select(shiftright(col("p.id"), 32).as("id_a"),
-          col("p.id").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
           col("p.sim").as("sim"))
     }
   }

@@ -597,6 +597,102 @@ case class TopKPairs(
     copy(sim = cs(0), id = cs(1))
 }
 
+/** Exact bounded-heap top-k over PAIR keys: like [[TopKPairs]] but the
+  * identity is TWO independent 64-bit ids instead of one packed long —
+  * the aggregate behind [[graft.operators.Similarity.lshTopPairs]]'s
+  * global heap, where real corpora key by 64-bit content hashes that
+  * cannot share a single long (the packed `(a<<32)|b` form silently
+  * corrupts pair identity past 2³¹). Same plan-shape rationale as
+  * TopKPairs (map-side partial aggregation, k rows per partition reach
+  * the exchange); tie order is sim DESC, then (id_a, id_b) ASC
+  * lexicographically — identical to the packed-pid order on the 31-bit
+  * domain (the pid was monotone in both components), so results are
+  * bit-stable across the migration, and well-defined on the full
+  * 64-bit domain beyond it. */
+case class TopPairsAgg(
+    sim: Expression, idA: Expression, idB: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long, Long)]]
+  with ImplicitCastInputTypes {
+
+  require(k > 0, s"graft_top_pairs requires k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(sim, idA, idB)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_top_pairs"
+
+  // head = WORST kept pair (lowest sim, then lex-largest (id_a, id_b))
+  @transient private lazy val cmp = new java.util.Comparator[(Double, Long, Long)] {
+    override def compare(a: (Double, Long, Long), b: (Double, Long, Long)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c
+      else {
+        val c2 = java.lang.Long.compare(b._2, a._2)
+        if (c2 != 0) c2 else java.lang.Long.compare(b._3, a._3)
+      }
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long, Long)] =
+    new java.util.PriorityQueue[(Double, Long, Long)](k + 1, cmp)
+
+  private def offer(q: java.util.PriorityQueue[(Double, Long, Long)], p: (Double, Long, Long)): Unit = {
+    if (q.size < k) q.offer(p)
+    else if (cmp.compare(p, q.peek()) > 0) { q.poll(); q.offer(p) }
+  }
+
+  override def update(q: java.util.PriorityQueue[(Double, Long, Long)], row: InternalRow): java.util.PriorityQueue[(Double, Long, Long)] = {
+    val s = sim.eval(row); val a = idA.eval(row); val b = idB.eval(row)
+    if (s != null && a != null && b != null)
+      offer(q, (s.asInstanceOf[Double], a.asInstanceOf[Long], b.asInstanceOf[Long]))
+    q
+  }
+
+  override def merge(q: java.util.PriorityQueue[(Double, Long, Long)], other: java.util.PriorityQueue[(Double, Long, Long)]): java.util.PriorityQueue[(Double, Long, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) offer(q, it.next())
+    q
+  }
+
+  override def eval(q: java.util.PriorityQueue[(Double, Long, Long)]): Any = {
+    // drain a COPY — same window-aggregate safety as TopKPairs.eval
+    val c = new java.util.PriorityQueue[(Double, Long, Long)](q)
+    val arr = new Array[(Double, Long, Long)](c.size)
+    var i = arr.length - 1
+    while (i >= 0) { arr(i) = c.poll(); i -= 1 } // drain worst-first → arr best-first
+    new GenericArrayData(arr.map(p => InternalRow(p._2, p._3, p._1): Any))
+  }
+
+  override def serialize(q: java.util.PriorityQueue[(Double, Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + q.size * 24)
+    bb.putInt(q.size)
+    val it = q.iterator()
+    while (it.hasNext) {
+      val p = it.next(); bb.putDouble(p._1); bb.putLong(p._2); bb.putLong(p._3)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val q = createAggregationBuffer()
+    var i = 0
+    while (i < n) { q.offer((bb.getDouble, bb.getLong, bb.getLong)); i += 1 }
+    q
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopPairsAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopPairsAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopPairsAgg =
+    copy(sim = cs(0), idA = cs(1), idB = cs(2))
+}
+
 /** Bucket-local exact top-k cosine pairs for the LSH top-pairs plan:
   * one pass over a bucket's collected (id, vector) entries computes all
   * C(b,2) cosines in a tight primitive loop and keeps only the best `k`
@@ -621,18 +717,23 @@ case class TopKPairs(
   * loop), norms are sqrt(dot(v,v)), sim = dot/(na·nb) guarded to 0.0
   * when na·nb ≤ 0 — so a pair scored here and a pair scored by the
   * all-pairs oracle produce the same double bits, and the multi-bucket
-  * duplicate collapse downstream can dedup on (pid, sim) safely.
-  * Tie order matches [[TopKPairs]] (sim desc, packed pid asc), so
-  * local-heap → global-heap composition is a single total order.
+  * duplicate collapse downstream can dedup on (sim, id_a, id_b) safely.
+  * Tie order matches [[TopPairsAgg]] (sim desc, (id_a, id_b) lex asc),
+  * so local-heap → global-heap composition is a single total order.
+  * Pair identity is the normalized (min(id), max(id)) two-long struct —
+  * any 64-bit ids work (content hashes included); nothing is packed.
   *
-  * Ids must already be range-checked to [0, 2^31) by the caller (the
-  * packed pid is (min<<32)|max). Entry order is irrelevant — every
-  * unordered pair is evaluated — so the upstream collect_list needs no
-  * sort. */
-case class BucketCosineTopPairs(child: Expression, k: Int)
+  * `maxBucket` bounds the per-bucket pair enumeration (C(b,2) cosines
+  * run in ONE task): the default 65536 caps a task at ~2·10⁹ dot
+  * products; corpora with known masses of near-identical (uncollapsed)
+  * embeddings can raise it to trade wall time for completion. Entry
+  * order is irrelevant — every unordered pair is evaluated — so the
+  * upstream collect_list needs no sort. */
+case class BucketCosineTopPairs(child: Expression, k: Int, maxBucket: Int = 65536)
   extends UnaryExpression with CodegenFallback {
 
   require(k > 0, s"graft_bucket_top_pairs requires k > 0, got $k")
+  require(maxBucket > 1, s"graft_bucket_top_pairs requires maxBucket > 1, got $maxBucket")
 
   private def vecElem: DataType = child.dataType match {
     case ArrayType(StructType(fs), _) if fs.length == 2 =>
@@ -652,35 +753,42 @@ case class BucketCosineTopPairs(child: Expression, k: Int)
         s"graft_bucket_top_pairs expects array<struct<bigint, array<float|double>>>, got $t")
     }
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("id", LongType, nullable = false),
+    StructType(Seq(StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
       StructField("sim", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_bucket_top_pairs"
 
   @transient private lazy val floatElems = vecElem == FloatType
 
-  // identical order to TopKPairs: head = worst (lowest sim, then
-  // highest packed pid), so bucket-local and global heaps agree
-  @transient private lazy val cmp = new java.util.Comparator[(Double, Long)] {
-    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+  // identical order to TopPairsAgg: head = worst (lowest sim, then
+  // lex-largest (id_a, id_b)), so bucket-local and global heaps agree
+  @transient private lazy val cmp = new java.util.Comparator[(Double, Long, Long)] {
+    override def compare(a: (Double, Long, Long), b: (Double, Long, Long)): Int = {
       val c = java.lang.Double.compare(a._1, b._1)
-      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      if (c != 0) c
+      else {
+        val c2 = java.lang.Long.compare(b._2, a._2)
+        if (c2 != 0) c2 else java.lang.Long.compare(b._3, a._3)
+      }
     }
   }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val total = arr.numElements()
-    // a 65k bucket means ≥2·10⁹ pair evaluations in ONE task — either
-    // nbits far too coarse for the corpus, or a mass of NEAR-identical
-    // (not exact-duplicate — those are collapsed upstream by
-    // lshTopPairs) vectors that share every sign bucket at any nbits.
-    // Fail with the remedies rather than strangle an executor.
-    // (Bounded well below any memory concern: entries are unpacked
-    // once, never pairs.)
-    require(total <= 65536,
-      s"graft_bucket_top_pairs: bucket of $total vectors — raise nbits/tighten " +
-        "targetBucket (lshTopPairsPolicy); if the corpus holds a mass of " +
-        "near-identical embeddings, run semantic dedup before top-pairs")
+    // a maxBucket-sized bucket means ~maxBucket²/2 pair evaluations in
+    // ONE task — either nbits far too coarse for the corpus, or a mass
+    // of NEAR-identical (not exact-duplicate — those are collapsed
+    // upstream by lshTopPairs) vectors that share every sign bucket at
+    // any nbits. Fail with the remedies rather than strangle an
+    // executor; callers who know their corpus is skewed raise the cap
+    // deliberately (lshTopPairs(maxBucket=...)). (Memory is never the
+    // concern: entries are unpacked once, never pairs.)
+    require(total <= maxBucket,
+      s"graft_bucket_top_pairs: bucket of $total vectors exceeds maxBucket=$maxBucket — " +
+        "raise nbits/tighten targetBucket (lshTopPairsPolicy); if the corpus holds a " +
+        "mass of near-identical embeddings, run semantic dedup before top-pairs, or " +
+        "raise maxBucket to trade wall time for completion")
     val ids = new Array[Long](total)
     val vecs = new Array[Array[Double]](total)
     val norms = new Array[Double](total)
@@ -710,7 +818,7 @@ case class BucketCosineTopPairs(child: Expression, k: Int)
       }
       i += 1
     }
-    val q = new java.util.PriorityQueue[(Double, Long)](k + 1, cmp)
+    val q = new java.util.PriorityQueue[(Double, Long, Long)](k + 1, cmp)
     i = 0
     while (i < b) {
       var j = i + 1
@@ -720,20 +828,19 @@ case class BucketCosineTopPairs(child: Expression, k: Int)
         while (m < dim) { s += x(m) * y(m); m += 1 }
         val nn = norms(i) * norms(j)
         val sim = if (nn > 0) s / nn else 0.0
-        val pid =
-          if (ids(i) < ids(j)) (ids(i) << 32) | ids(j)
-          else (ids(j) << 32) | ids(i)
-        val p = (sim, pid)
+        val p =
+          if (ids(i) < ids(j)) (sim, ids(i), ids(j))
+          else (sim, ids(j), ids(i))
         if (q.size < k) q.offer(p)
         else if (cmp.compare(p, q.peek()) > 0) { q.poll(); q.offer(p) }
         j += 1
       }
       i += 1
     }
-    val out = new Array[(Double, Long)](q.size)
+    val out = new Array[(Double, Long, Long)](q.size)
     var w = out.length - 1
     while (w >= 0) { out(w) = q.poll(); w -= 1 }  // drain worst-first → best-first
-    new GenericArrayData(out.map(p => InternalRow(p._2, p._1): Any))
+    new GenericArrayData(out.map(p => InternalRow(p._2, p._3, p._1): Any))
   }
 
   override protected def withNewChildInternal(c: Expression): BucketCosineTopPairs =
@@ -840,7 +947,13 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_bucket_top_pairs",
       { es: Seq[Expression] =>
         val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
-        BucketCosineTopPairs(es(0), k)
+        val cap = if (es.length > 2) es(2).eval(InternalRow.empty).asInstanceOf[Int] else 65536
+        BucketCosineTopPairs(es(0), k, cap)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_top_pairs",
+      { es: Seq[Expression] =>
+        val k = es(3).eval(InternalRow.empty).asInstanceOf[Int]
+        TopPairsAgg(es(0), es(1), es(2), k).toAggregateExpression()
       }, "built-in")
   }
 
@@ -888,9 +1001,15 @@ object GraftExpressions {
     register(spark)
     call_function("graft_bloom_contains", hash, org.apache.spark.sql.functions.lit(bloomBytes))
   }
-  def bucketTopPairs(spark: SparkSession, entries: Column, k: Int): Column = {
+  def bucketTopPairs(spark: SparkSession, entries: Column, k: Int,
+      maxBucket: Int = 65536): Column = {
     register(spark)
-    call_function("graft_bucket_top_pairs", entries, org.apache.spark.sql.functions.lit(k))
+    call_function("graft_bucket_top_pairs", entries,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(maxBucket))
+  }
+  def topPairs(spark: SparkSession, sim: Column, idA: Column, idB: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_top_pairs", sim, idA, idB, org.apache.spark.sql.functions.lit(k))
   }
 }
 
@@ -932,7 +1051,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("graft_bloom_contains", classOf[BloomMightContain],
       es => BloomMightContain(es(0), es(1)))
     inject("graft_bucket_top_pairs", classOf[BucketCosineTopPairs],
-      es => BucketCosineTopPairs(es(0), intArg(es, 1)))
+      es => BucketCosineTopPairs(es(0), intArg(es, 1),
+        if (es.length > 2) intArg(es, 2) else 65536))
+    inject("graft_top_pairs", classOf[TopPairsAgg],
+      es => TopPairsAgg(es(0), es(1), es(2), intArg(es, 3)).toAggregateExpression())
     // automatic stats-index file skipping for plain reads — analyzer
     // run-once batch, one sidecar-exists probe per query; see
     // graft.ds.AutoPrune for the full design note

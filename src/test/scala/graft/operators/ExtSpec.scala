@@ -340,6 +340,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.forall(p => p._1 >= 1000L && p._2 <= 1020L))
   }
 
+  test("lsh top pairs is exact for ids beyond 2^31 on both branches") {
+    // real corpora key by 64-bit content hashes; the r9 packed
+    // (id_a << 32) | id_b pair key silently corrupted above 2^31 and
+    // guarded with a raise — the two-long pair identity must instead
+    // just WORK, on the floor (broadcast all-pairs) branch and the LSH
+    // bucket branch alike, including negative hash values
+    val rnd = new scala.util.Random(99)
+    val ids = Seq(5000000000L, 9223372036854775000L, -42L, 3L << 40, 7L, -5000000001L)
+    val corpus = ids.map(id => (id, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForcePairs(corpus, "vec_id", "embedding", threshold = -2.0)
+      .orderBy(desc("sim"), $"id_a", $"id_b").limit(5)
+      .select($"id_a", $"id_b", round($"sim", 9)).as[(Long, Long, Double)].collect().toSeq
+    val floor = Similarity.lshTopPairs(corpus, "vec_id", "embedding", n = 5)
+      .orderBy(desc("sim"), $"id_a", $"id_b")
+      .select($"id_a", $"id_b", round($"sim", 9)).as[(Long, Long, Double)].collect().toSeq
+    assert(floor == exact, s"floor branch:\nlsh=$floor\nexact=$exact")
+    // bucket branch (corpusSize forces it past the floor): plant
+    // DUPLICATE vectors under 64-bit ids — identical vectors share
+    // every sign bucket at any nbits, so recall is 1 by construction
+    // and the assertion tests pair IDENTITY, not LSH's probabilistic
+    // recall on unrelated low-sim pairs
+    val planted = ids.zipWithIndex.flatMap { case (id, i) =>
+      val v = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      Seq((id, v), (id + 1000000L, v))
+    }.toDF("vec_id", "embedding")
+    val plantedExact = Similarity.bruteForcePairs(planted, "vec_id", "embedding", threshold = -2.0)
+      .orderBy(desc("sim"), $"id_a", $"id_b").limit(6)
+      .select($"id_a", $"id_b", round($"sim", 9)).as[(Long, Long, Double)].collect().toSeq
+    val bucketed = Similarity.lshTopPairs(planted, "vec_id", "embedding", n = 6,
+        corpusSize = Some(1000000L))
+      .orderBy(desc("sim"), $"id_a", $"id_b")
+      .select($"id_a", $"id_b", round($"sim", 9)).as[(Long, Long, Double)].collect().toSeq
+    assert(bucketed == plantedExact, s"bucket branch:\nlsh=$bucketed\nexact=$plantedExact")
+    assert(bucketed.count(_._3 == 1.0) == 6, s"expected the 6 planted dup pairs: $bucketed")
+  }
+
   test("lsh tables sizing follows the caller's nbits, not the policy's") {
     // recall contract: (1 - p^nbits)^T <= 1e-3. Coarse buckets need few
     // tables (clamped up to 16); fine buckets need many (clamped at 64).

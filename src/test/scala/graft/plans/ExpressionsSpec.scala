@@ -103,18 +103,21 @@ class ExpressionsSpec extends AnyFunSuite {
 
   test("BucketCosineTopPairs == declarative all-pairs cosine top-k, bit-exact") {
     // random float vectors, several bucket sizes incl. the ≥2 floor;
-    // the expression's (dot / norms, tie on packed pid) must reproduce
-    // the declarative formulation byte-for-byte — the LSH top-pairs
-    // multi-bucket dedup relies on identical doubles across buckets
+    // the expression's (dot / norms, tie on (id_a, id_b) lex) must
+    // reproduce the declarative formulation byte-for-byte — the LSH
+    // top-pairs multi-bucket dedup relies on identical doubles across
+    // buckets. Ids deliberately ABOVE 2³¹: the two-long pair identity
+    // must be exact where the r9 packed-long form corrupted.
     val rnd = new scala.util.Random(42)
+    val base = 3000000000L // > 2^31
     for (b <- Seq(2, 3, 17); k <- Seq(1, 5, 40)) {
       val vecs = (0 until b).map(i =>
-        (i.toLong + 7, Array.fill(8)(rnd.nextFloat() * 4 - 2)))
+        (base + i * 7, Array.fill(8)(rnd.nextFloat() * 4 - 2)))
       val df = vecs.toDF("id", "v")
       val fast = df
         .agg(collect_list(struct($"id", $"v")).as("entries"))
         .select(explode(GraftExpressions.bucketTopPairs(spark, $"entries", k)).as("p"))
-        .select($"p.id", $"p.sim").as[(Long, Double)].collect().toSeq
+        .select($"p.id_a", $"p.id_b", $"p.sim").as[(Long, Long, Double)].collect().toSeq
       val withNorm = df.select($"id", $"v",
         sqrt(GraftExpressions.dot(spark, $"v", $"v")).as("n"))
       val ref = withNorm.as("a").join(withNorm.as("b"), $"a.id" < $"b.id")
@@ -122,11 +125,33 @@ class ExpressionsSpec extends AnyFunSuite {
           when($"a.n" * $"b.n" > 0,
             GraftExpressions.dot(spark, $"a.v", $"b.v") / ($"a.n" * $"b.n"))
             .otherwise(lit(0.0)).as("sim"),
-          shiftleft($"a.id", 32).bitwiseOR($"b.id").as("pid"))
-        .orderBy(desc("sim"), asc("pid")).limit(k)
-        .select($"pid", $"sim").as[(Long, Double)].collect().toSeq
+          $"a.id".as("id_a"), $"b.id".as("id_b"))
+        .orderBy(desc("sim"), asc("id_a"), asc("id_b")).limit(k)
+        .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect().toSeq
       assert(fast == ref, s"b=$b k=$k:\nfast=$fast\nref =$ref")
     }
+  }
+
+  test("BucketCosineTopPairs fails loudly past maxBucket, with the remedy in the message") {
+    // the error path itself is part of the contract (VERDICT r9 ask #5):
+    // a data-dependent skew must surface the knobs, not a bare require
+    val vecs = (0 until 10).map(i => (i.toLong, Array.fill(4)(i.toFloat + 1)))
+    val df = vecs.toDF("id", "v")
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    val e = intercept[Exception](
+      df.agg(collect_list(struct($"id", $"v")).as("entries"))
+        .select(GraftExpressions.bucketTopPairs(spark, $"entries", 5, maxBucket = 8))
+        .collect())
+    val msgs = chain(e).flatMap(c => Option(c.getMessage))
+    assert(msgs.exists(m => m.contains("exceeds maxBucket=8") &&
+      m.contains("raise nbits") && m.contains("semantic dedup")),
+      s"expected the capped-bucket message with remedies, got: $e")
+    // a cap at exactly the bucket size passes — the bound is inclusive
+    val ok = df.agg(collect_list(struct($"id", $"v")).as("entries"))
+      .select(explode(GraftExpressions.bucketTopPairs(spark, $"entries", 5, maxBucket = 10)))
+      .count()
+    assert(ok == 5)
   }
 
   test("BucketCosineTopPairs fails loudly on mixed embedding widths") {
