@@ -65,19 +65,29 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** Largest length whose ≤`d`-deletion variant count Σ_{i≤d} C(len,i)
-    * stays within `cap` — the deletion-route admission threshold. */
+    * stays within `cap` — the deletion-route admission threshold.
+    *
+    * The search starts at len = 0 and VALIDATES every step (r9 review
+    * fix): the old form started at len = d unchecked, so for d ≥ 13 at
+    * the default cap (where Σ_{i≤d} C(d,i) = 2^d already exceeds 4096)
+    * it admitted strings generating more variants per row than the cap
+    * promised. The running binomial is also guarded against Long
+    * overflow before each multiply — a huge caller-supplied cap must
+    * saturate, not wrap negative and admit everything. */
   private[operators] def deletionMaxLen(d: Int, cap: Long): Int = {
     def variants(len: Int): Long = {
       var sum = 1L; var term = 1L
-      for (i <- 1 to d) {
-        term = term * (len - i + 1) / i
+      for (i <- 1 to math.min(d, len)) {
+        val f = len - i + 1
+        if (term > Long.MaxValue / f) return Long.MaxValue // would wrap
+        term = term * f / i
         sum += term
         if (sum > cap) return Long.MaxValue
       }
       sum
     }
     if (d == 0) return Int.MaxValue / 4 // one variant (the string itself)
-    var len = d // below d chars the formula degenerates; variants tiny
+    var len = 0
     while (len < (1 << 20) && variants(len + 1) <= cap) len += 1
     len
   }

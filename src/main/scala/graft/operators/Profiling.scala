@@ -29,20 +29,39 @@ import org.apache.spark.sql.functions._
   * uniform schema. */
 object Profiling {
 
+  /** @param pinInput materialize the projected input once
+    *   (`localCheckpoint`) before fanning out the k per-column distinct
+    *   aggregates. The exact-distinct path re-executes the input's
+    *   lineage k+1 times — free for a columnar TABLE SCAN (each pass is
+    *   column-pruned to one column, the default assumption and why this
+    *   defaults off), but a DERIVED frame (joins/transforms upstream)
+    *   re-runs its whole pipeline per column; such callers set
+    *   `pinInput = true` and pay one materialization of exactly the
+    *   requested columns instead. Irrelevant under `approxDistinct`
+    *   (single pass). */
   def profile(
       df: DataFrame,
       numericCols: Seq[String],
       stringCols: Seq[String],
-      approxDistinct: Boolean = false): DataFrame = {
+      approxDistinct: Boolean = false,
+      pinInput: Boolean = false): DataFrame = {
 
     val all = numericCols ++ stringCols
     require(all.nonEmpty, "profile: no columns requested")
     val missing = all.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
 
+    // pin = the requested columns only (need-based, PinAuditSpec rule);
+    // every pinned column feeds an aggregate below
+    val src =
+      if (pinInput && !approxDistinct)
+        df.select(all.map(c => df.col("`" + c.replace("`", "``") + "`")): _*)
+          .localCheckpoint(false)
+      else df
+
     // exact-name resolution: backtick-quote (doubling inner backticks)
     // so a dot in a column name is a character, not a struct access
-    def qcol(c: String) = df.col("`" + c.replace("`", "``") + "`")
+    def qcol(c: String) = src.col("`" + c.replace("`", "``") + "`")
 
     // internal aliases are INDEX-based and column names appear only as
     // lit() values — a name with spaces, dots, hyphens, or quotes is
@@ -63,9 +82,9 @@ object Profiling {
     // exact distincts: one single-column aggregate per column (each a
     // plain two-phase partial-distinct, no Expand), cross-joined as
     // 1-row frames — see the object scaladoc for why
-    val wide = all.zipWithIndex.foldLeft(df.agg(aggs.head, aggs.tail: _*)) {
+    val wide = all.zipWithIndex.foldLeft(src.agg(aggs.head, aggs.tail: _*)) {
       case (acc, (c, i)) if !approxDistinct =>
-        acc.crossJoin(df.agg(count_distinct(qcol(c)).as(s"__nd_$i")))
+        acc.crossJoin(src.agg(count_distinct(qcol(c)).as(s"__nd_$i")))
       case (acc, _) => acc
     }
 

@@ -43,21 +43,29 @@ object Search {
     val terms = queryTerms.map(_.toLowerCase).distinct
     require(terms.nonEmpty, "bm25TopK: empty query")
 
-    // pinned (lazy localCheckpoint, the Dedup/FuzzyJoin pattern): the
-    // tokenized frame feeds BOTH the corpus-stats aggregate and the
-    // postings aggregate, and postings feeds both df and the scoring
-    // join — unpinned, the dominant scan+tokenize pass would run twice
-    val withLen = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.words(col(textCol)).as("__w"))
-      .withColumn("dl", size(col("__w")).cast("double"))
+    // SLIM pin (r9 review fix): only (doc_id, dl) is stored — the
+    // tokenized corpus itself must never sit on executor storage with
+    // truncated lineage (at 100 TB the token arrays ARE the corpus).
+    // The postings branch re-derives tokens from an unpinned second
+    // scan instead: same total scan count as pinning the wide frame
+    // (pin creation was a scan too), for a pin thousands of times
+    // slimmer — the keepRankedPrefix trade, see README §pinned
+    // intermediates.
+    val lens = docs.select(col(idCol).as("doc_id"),
+        size(TextFunctions.words(col(textCol))).cast("double").as("dl"))
       .localCheckpoint(false)
     // N and avgdl over ALL docs (zero-token docs included — they are
     // part of the corpus the statistics describe)
-    val stats = withLen.agg(count(lit(1)).cast("double").as("n_docs"),
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    // postings restricted to query terms before the (doc, term) shuffle
-    val postings = withLen
-      .select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
+    // postings restricted to query terms before the (doc, term)
+    // shuffle; dl is recomputed in the same pass (deterministic per
+    // row, so it cannot disagree with the pinned stats scan). This pin
+    // is query-term-sized — slim by the isInCollection filter.
+    val postings = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.words(col(textCol)).as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("double").as("dl"),
+        explode(col("__w")).as("term"))
       .filter(col("term").isInCollection(terms))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))

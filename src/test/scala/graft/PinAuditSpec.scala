@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, FuzzyJoin, Search, Similarity}
+
+/** Audit of every `localCheckpoint` pin in the operator pipelines
+  * (README §"Operator notes: pinned intermediates"): a pinned frame
+  * sits on executor storage with TRUNCATED lineage for the lifetime of
+  * the query, so it must carry only the columns its consumers need —
+  * ids, lengths, signatures, hashes; never a text / token-array /
+  * vector payload the plan could re-derive. The r9 review found
+  * `bm25TopK` pinning the full tokenized corpus (`__w` riding a pin it
+  * only needed `dl` from); this spec pins the fixed shape and fences
+  * every other operator's pin against the same regression.
+  *
+  * Mechanism: a lazy `localCheckpoint` materializes in the analyzed
+  * plan as a `LogicalRDD` leaf carrying the pinned output attributes —
+  * collecting those leaves gives the exact column set each pin stores.
+  */
+class PinAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** (name, dataType) sets of every pinned (LogicalRDD) leaf in the
+    * plan. Matched by class name: LogicalRDD is the only leaf a
+    * localCheckpoint produces, and none of these operator plans
+    * contains any other RDD-backed leaf. */
+  private def pinnedOutputs(df: DataFrame): Seq[Set[(String, DataType)]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode
+        if l.getClass.getSimpleName == "LogicalRDD" =>
+        l.output.map(a => (a.name, a.dataType)).toSet
+    }
+
+  private def isPayload(nt: (String, DataType)): Boolean = nt match {
+    // token arrays and embedding vectors are payload wherever they are
+    // re-derivable; the sites that legitimately pin them (Dedup verify
+    // sets, Similarity bucket self-joins) assert their exact need-set
+    // instead of using this blanket predicate
+    case (_, ArrayType(StringType, _)) => true
+    case (_, ArrayType(FloatType | DoubleType, _)) => true
+    case ("text", StringType) => true
+    case ("cs" | "ps", StringType) => true
+    case _ => false
+  }
+
+  val docs = Seq(
+    (1L, "spark makes distributed compute declarative and fast"),
+    (2L, "duckdb makes local analytics declarative and fast"),
+    (3L, "the quick brown fox jumps over the lazy dog"),
+    (4L, "spark and duckdb both run declarative sql queries")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK pins only (doc_id, dl) and the query-term postings — never tokens") {
+    val plan = Search.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "declarative"), k = 3)
+    val pins = pinnedOutputs(plan)
+    assert(pins.nonEmpty, "expected the corpus-stats and postings pins")
+    pins.foreach { p =>
+      assert(!p.exists(isPayload), s"payload column in a bm25 pin: $p")
+    }
+    // the stats pin is exactly the slim (doc_id, dl) projection
+    assert(pins.contains(Set("doc_id" -> LongType, "dl" -> DoubleType)),
+      s"expected the slim (doc_id, dl) stats pin, got: $pins")
+    // and the result is still the corpus' best match
+    val top = plan.collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 4L,
+      s"doc 4 matches both query terms: ${top.mkString(",")}")
+  }
+
+  test("tfidfTopTerms pins the (doc_id, term, tf) postings — never text") {
+    val plan = Search.tfidfTopTerms(docs, "doc_id", "text", perDoc = 2)
+    val pins = pinnedOutputs(plan)
+    assert(pins.nonEmpty)
+    pins.foreach(p => assert(!p.exists(isPayload), s"payload in tfidf pin: $p"))
+    assert(plan.count() > 0)
+  }
+
+  test("editDistanceJoin pins gram postings — never the joined strings") {
+    val names = Seq((1L, "acme corp"), (2L, "acme c0rp"), (3L, "zenith ltd"))
+      .toDF("id", "name")
+    val plan = FuzzyJoin.editDistanceJoin(names, names, "id", "name",
+      maxDist = 1, maxKeyLen = 4) // force the gram route
+    val pins = pinnedOutputs(plan)
+    assert(pins.nonEmpty, "gram route pins its postings")
+    pins.foreach { p =>
+      assert(!p.exists(isPayload), s"full string in a fuzzy-join pin: $p")
+    }
+  }
+
+  test("dedup pipelines never pin the raw text column") {
+    for (plan <- Seq(
+      Dedup.minhashDupPairs(docs, "doc_id", "text"),
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text"))) {
+      pinnedOutputs(plan).foreach { p =>
+        assert(!p.contains("text" -> StringType), s"raw text pinned: $p")
+      }
+    }
+  }
+
+  test("similarity pins carry exactly their documented need-sets (vectors ARE the need)") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0 until 40).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val vec = ArrayType(FloatType, containsNull = true)
+    val nd = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, corpusSize = Some(40L))
+    assert(pinnedOutputs(nd) == Seq(Set(
+      "id" -> LongType, "v" -> vec, "n" -> DoubleType, "bucket" -> LongType)),
+      s"lshNearDupPairs pin drifted: ${pinnedOutputs(nd)}")
+    val cent = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val sd = Similarity.semanticDedup(emb, "vec_id", "embedding", cent, 0.9)
+    assert(pinnedOutputs(sd) == Seq(Set(
+      "id" -> LongType, "cid" -> LongType, "xv" -> vec, "xn" -> DoubleType)),
+      s"semanticDedup pin drifted: ${pinnedOutputs(sd)}")
+  }
+}

@@ -307,5 +307,20 @@ class FuzzyJoinSpec extends AnyFunSuite {
     def v2(n: Long) = 1 + n + n * (n - 1) / 2
     assert(v2(l2) <= 4096 && v2(l2 + 1) > 4096, s"l2=$l2")
     assert(FuzzyJoin.deletionMaxLen(0, 1) > 1000000)
+    // r9 review fix: the bound must hold at EVERY returned length, not
+    // just lengths above d — at d >= 13 the old unvalidated len=d start
+    // admitted strings with 2^d > cap variants
+    def exactVariants(len: Int, d: Int): BigInt =
+      (0 to math.min(d, len)).map(i =>
+        (BigInt(len - i + 1) to BigInt(len)).product / (BigInt(1) to BigInt(i)).product).sum
+    for (d <- Seq(13, 20, 40); cap <- Seq(64L, 4096L)) {
+      val l = FuzzyJoin.deletionMaxLen(d, cap)
+      assert(exactVariants(l, d) <= cap, s"d=$d cap=$cap len=$l admits too many")
+      assert(exactVariants(l + 1, d) > cap, s"d=$d cap=$cap len=$l not maximal")
+    }
+    // a huge cap must not wrap the running binomial negative (which
+    // would admit unboundedly long keys); the answer stays sane
+    val big = FuzzyJoin.deletionMaxLen(30, Long.MaxValue / 2)
+    assert(big > 0 && exactVariants(big, 30) <= Long.MaxValue / 2)
   }
 }
