@@ -72,23 +72,31 @@ object FuzzyJoin {
     * the default cap (where Σ_{i≤d} C(d,i) = 2^d already exceeds 4096)
     * it admitted strings generating more variants per row than the cap
     * promised. The running binomial is also guarded against Long
-    * overflow before each multiply — a huge caller-supplied cap must
-    * saturate, not wrap negative and admit everything. */
+    * overflow before each multiply AND each add (a cap above
+    * Long.MaxValue/2 keeps the `sum > cap` early-exit from firing, so
+    * the accumulator itself can wrap) — a huge caller-supplied cap
+    * must saturate, not wrap negative and admit everything. */
   private[operators] def deletionMaxLen(d: Int, cap: Long): Int = {
+    // Long.MaxValue doubles as the "count overflowed / exceeded"
+    // sentinel below; a cap of exactly Long.MaxValue would let the
+    // sentinel itself pass `<= cap` and admit every length. Clamp —
+    // the practical admission contract is unchanged.
+    val c = math.min(cap, Long.MaxValue - 1)
     def variants(len: Int): Long = {
       var sum = 1L; var term = 1L
       for (i <- 1 to math.min(d, len)) {
         val f = len - i + 1
-        if (term > Long.MaxValue / f) return Long.MaxValue // would wrap
+        if (term > Long.MaxValue / f) return Long.MaxValue // multiply would wrap
         term = term * f / i
+        if (sum > Long.MaxValue - term) return Long.MaxValue // add would wrap
         sum += term
-        if (sum > cap) return Long.MaxValue
+        if (sum > c) return Long.MaxValue
       }
       sum
     }
     if (d == 0) return Int.MaxValue / 4 // one variant (the string itself)
     var len = 0
-    while (len < (1 << 20) && variants(len + 1) <= cap) len += 1
+    while (len < (1 << 20) && variants(len + 1) <= c) len += 1
     len
   }
 

@@ -52,10 +52,14 @@ object Profiling {
     require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
 
     // pin = the requested columns only (need-based, PinAuditSpec rule);
-    // every pinned column feeds an aggregate below
+    // every pinned column feeds an aggregate below. Projected DISTINCT:
+    // a column listed in both numericCols and stringCols appears twice
+    // in `all`, and a duplicate-named pin projection would turn every
+    // later `src.col(name)` into an ambiguous-reference
+    // AnalysisException that the unpinned path never raises
     val src =
       if (pinInput && !approxDistinct)
-        df.select(all.map(c => df.col("`" + c.replace("`", "``") + "`")): _*)
+        df.select(all.distinct.map(c => df.col("`" + c.replace("`", "``") + "`")): _*)
           .localCheckpoint(false)
       else df
 

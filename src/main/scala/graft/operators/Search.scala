@@ -43,33 +43,41 @@ object Search {
     val terms = queryTerms.map(_.toLowerCase).distinct
     require(terms.nonEmpty, "bm25TopK: empty query")
 
-    // SLIM pin (r9 review fix): only (doc_id, dl) is stored — the
-    // tokenized corpus itself must never sit on executor storage with
-    // truncated lineage (at 100 TB the token arrays ARE the corpus).
-    // The postings branch re-derives tokens from an unpinned second
-    // scan instead: same total scan count as pinning the wide frame
-    // (pin creation was a scan too), for a pin thousands of times
-    // slimmer — the keepRankedPrefix trade, see README §pinned
-    // intermediates.
-    val lens = docs.select(col(idCol).as("doc_id"),
-        size(TextFunctions.words(col(textCol))).cast("double").as("dl"))
+    // ONE slim pin, TWO consumers (r11 review fix — the r9 slim
+    // (doc_id, dl) stats pin had postings recomputing `dl` from an
+    // independent second scan: no reuse, and a non-deterministic input
+    // plan could make avgdl/N disagree with per-row dl). Here a single
+    // corpus scan computes per row: dl over ALL tokens, plus the
+    // per-query-term tf counts, entirely map-side (filter the token
+    // array down to query terms once, then count each term — no
+    // (doc, term) shuffle aggregate at all). The pin stores
+    // (doc_id, dl, tfs) where `tfs` is query-term-sized (never the
+    // token array: at 100 TB the token arrays ARE the corpus), and
+    // BOTH the corpus stats and the postings derive from it —
+    // single-source consistency by construction.
+    val termArr = array(terms.map(lit): _*)
+    val tfsCol = {
+      val qw = filter(TextFunctions.words(col(textCol)),
+        w => array_contains(termArr, w))
+      val counted = transform(array_distinct(qw), t =>
+        struct(t.as("term"),
+          size(filter(qw, w => w === t)).cast("double").as("tf")))
+      counted
+    }
+    val base = docs.select(col(idCol).as("doc_id"),
+        size(TextFunctions.words(col(textCol))).cast("double").as("dl"),
+        tfsCol.as("tfs"))
       .localCheckpoint(false)
     // N and avgdl over ALL docs (zero-token docs included — they are
     // part of the corpus the statistics describe)
-    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    // postings restricted to query terms before the (doc, term)
-    // shuffle; dl is recomputed in the same pass (deterministic per
-    // row, so it cannot disagree with the pinned stats scan). This pin
-    // is query-term-sized — slim by the isInCollection filter.
-    val postings = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.words(col(textCol)).as("__w"))
-      .select(col("doc_id"), size(col("__w")).cast("double").as("dl"),
-        explode(col("__w")).as("term"))
-      .filter(col("term").isInCollection(terms))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
-      .localCheckpoint(false)
+    // postings: explode the per-row tf structs — already one row per
+    // (doc, term) with tf attached, a pure projection over the pin
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("tfs")).as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
     // document frequency per query term (postings are one row per
     // (doc, term) already, so a plain count is df)
     val dfreq = postings.groupBy("term")

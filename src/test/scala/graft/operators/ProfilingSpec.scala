@@ -158,6 +158,26 @@ class ProfilingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(pw(("x", "z")) == 3L, "pairwise keeps the (x,z)-complete row listwise drops")
   }
+
+  test("profile: a column in both lanes works identically pinned and unpinned") {
+    // r11 review fix: with pinInput = true, a column listed in both
+    // numericCols and stringCols used to duplicate its name in the
+    // pinned projection → ambiguous-reference AnalysisException that
+    // the unpinned path never raised
+    def rows(pin: Boolean) =
+      Profiling.profile(df, Seq("id", "v"), Seq("id", "s"), pinInput = pin)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(pin = true) == rows(pin = false))
+  }
+
+  test("profile: pinInput = true matches the unpinned results on a derived frame") {
+    val derived = df.join(df.select(col("id").as("id2")), col("id") === col("id2"))
+      .drop("id2")
+    def rows(pin: Boolean) =
+      Profiling.profile(derived, Seq("id", "v"), Seq("s"), pinInput = pin)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(pin = true) == rows(pin = false))
+  }
 }
 
 class TopKSpec extends AnyFunSuite {
@@ -323,4 +343,25 @@ class FuzzyJoinSpec extends AnyFunSuite {
     val big = FuzzyJoin.deletionMaxLen(30, Long.MaxValue / 2)
     assert(big > 0 && exactVariants(big, 30) <= Long.MaxValue / 2)
   }
+
+  test("deletionMaxLen never wraps for ANY cap, including Long.MaxValue") {
+    // r11 review fix: caps above Long.MaxValue/2 disarm the `sum > cap`
+    // early-exit, so the accumulator needed its own add-overflow guard;
+    // and cap == Long.MaxValue collides with the overflow sentinel
+    // itself (clamped). The returned length must stay positive, finite,
+    // and within the cap at every d.
+    def exactVariants(len: Int, d: Int): BigInt =
+      (0 to math.min(d, len)).map(i =>
+        (BigInt(len - i + 1) to BigInt(len)).product / (BigInt(1) to BigInt(i)).product).sum
+    for (d <- Seq(2, 13, 30, 62, 63, 64);
+         cap <- Seq(Long.MaxValue / 2 + 1, Long.MaxValue - 1, Long.MaxValue)) {
+      val l = FuzzyJoin.deletionMaxLen(d, cap)
+      assert(l > 0 && l < (1 << 20), s"d=$d cap=$cap gave l=$l")
+      assert(exactVariants(l, d) <= BigInt(cap),
+        s"d=$d cap=$cap len=$l admits too many variants")
+      assert(exactVariants(l + 1, d) > BigInt(math.min(cap, Long.MaxValue - 1)),
+        s"d=$d cap=$cap len=$l not maximal")
+    }
+  }
+
 }
