@@ -70,15 +70,28 @@ object Profiling {
     // internal aliases are INDEX-based and column names appear only as
     // lit() values — a name with spaces, dots, hyphens, or quotes is
     // data here, never an identifier to re-parse
+    // lane = which input LIST this occurrence of `all` came from, by
+    // position (the first numericCols.length entries are the numeric
+    // occurrences) — `numericCols.contains(c)` would profile a column
+    // listed in BOTH lists as numeric twice and never as string
+    def numericLane(i: Int): Boolean = i < numericCols.length
+
     val aggs = all.zipWithIndex.flatMap { case (c, i) =>
       val base =
-        if (numericCols.contains(c))
+        if (numericLane(i))
           Seq(count(qcol(c)).as(s"__cnt_$i"),
             min(qcol(c)).cast("double").as(s"__mn_$i"),
             max(qcol(c)).cast("double").as(s"__mx_$i"))
         else
+          // cast BEFORE aggregating: the string lane profiles the
+          // column AS a string (lexicographic min/max) — required for
+          // dual-lane numeric columns, a no-op for actual strings, and
+          // it keeps the unpivot's struct-array element types aligned
+          // (ANSI coercion would otherwise cast real string minima to
+          // the numeric column's type at runtime and throw)
           Seq(count(qcol(c)).as(s"__cnt_$i"),
-            min(qcol(c)).as(s"__smn_$i"), max(qcol(c)).as(s"__smx_$i"))
+            min(qcol(c).cast("string")).as(s"__smn_$i"),
+            max(qcol(c).cast("string")).as(s"__smx_$i"))
       if (approxDistinct) base :+ approx_count_distinct(qcol(c)).as(s"__nd_$i")
       else base
     } :+ count(lit(1)).as("__rows")
@@ -97,7 +110,7 @@ object Profiling {
     val nullD = lit(null).cast("double"); val nullS = lit(null).cast("string")
     val entries = all.zipWithIndex.map { case (c, i) =>
       val (mn, mx, smn, smx) =
-        if (numericCols.contains(c))
+        if (numericLane(i))
           (col(s"__mn_$i"), col(s"__mx_$i"), nullS, nullS)
         else (nullD, nullD, col(s"__smn_$i"), col(s"__smx_$i"))
       struct(lit(c).as("column"), col(s"__cnt_$i").as("n_nonnull"),

@@ -46,28 +46,28 @@ object Search {
     // ONE slim pin, TWO consumers (r11 review fix — the r9 slim
     // (doc_id, dl) stats pin had postings recomputing `dl` from an
     // independent second scan: no reuse, and a non-deterministic input
-    // plan could make avgdl/N disagree with per-row dl). Here a single
+    // plan could make avgdl/N disagree with per-row dl). A single
     // corpus scan computes per row: dl over ALL tokens, plus the
-    // per-query-term tf counts, entirely map-side (filter the token
-    // array down to query terms once, then count each term — no
-    // (doc, term) shuffle aggregate at all). The pin stores
-    // (doc_id, dl, tfs) where `tfs` is query-term-sized (never the
-    // token array: at 100 TB the token arrays ARE the corpus), and
-    // BOTH the corpus stats and the postings derive from it —
-    // single-source consistency by construction.
-    val termArr = array(terms.map(lit): _*)
-    val tfsCol = {
-      val qw = filter(TextFunctions.words(col(textCol)),
-        w => array_contains(termArr, w))
-      val counted = transform(array_distinct(qw), t =>
-        struct(t.as("term"),
-          size(filter(qw, w => w === t)).cast("double").as("tf")))
-      counted
-    }
-    val base = docs.select(col(idCol).as("doc_id"),
-        size(TextFunctions.words(col(textCol))).cast("double").as("dl"),
-        tfsCol.as("tfs"))
-      .localCheckpoint(false)
+    // per-query-term tf counts, entirely map-side — no (doc, term)
+    // shuffle aggregate at all. The pin stores (doc_id, dl, tfs) where
+    // `tfs` is query-term-sized (never the token array: at 100 TB the
+    // token arrays ARE the corpus), and BOTH the corpus stats and the
+    // postings derive from it — single-source consistency by
+    // construction.
+    //
+    // The expensive arrays are STAGED as named columns across stacked
+    // projections (r12 review fix: a single select re-referenced
+    // words(text) under the HOF lambdas, and higher-order functions
+    // evaluate interpreted — CodegenFallback — with no subexpression
+    // elimination across lambda bodies, so the tokenizer ran
+    // ~(2 + matched terms)× per row; at corpus scale the tokenizer IS
+    // the scan cost). Catalyst's CollapseProject keeps a non-cheap
+    // producer staged when it is referenced more than once, so `__w`
+    // (all tokens → dl and the query filter) and `__qw` (query-term-
+    // sized → the tf counts) each evaluate exactly once per row;
+    // attribute re-reads are free. Both staging columns are projected
+    // away before the pin, which stays (doc_id, dl, tfs).
+    val base = bm25Base(docs, idCol, textCol, terms).localCheckpoint(false)
     // N and avgdl over ALL docs (zero-token docs included — they are
     // part of the corpus the statistics describe)
     val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -97,6 +97,30 @@ object Search {
       .limit(k)
       .select(col("doc_id"), round(col("__score"), 6).as("score_r"),
         col("n_terms_hit"))
+  }
+
+  /** The un-pinned (doc_id, dl, tfs) corpus projection [[bm25TopK]]
+    * pins — package-visible so SearchSpec can audit its OPTIMIZED plan
+    * (the lazy pin renders as an opaque LogicalRDD leaf in the final
+    * query, hiding the staging from `.explain`): the tokenizer must
+    * appear exactly once, which is what the stacked-projection staging
+    * guarantees as long as CollapseProject keeps multi-referenced
+    * non-cheap producers materialized. */
+  private[graft] def bm25Base(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.words(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("double").as("dl"),
+        filter(col("__w"), w => array_contains(termArr, w)).as("__qw"))
+      .select(col("doc_id"), col("dl"),
+        transform(array_distinct(col("__qw")), t =>
+          struct(t.as("term"),
+            size(filter(col("__qw"), w => w === t)).cast("double").as("tf")))
+          .as("tfs"))
   }
 
   /** Per-(doc, term) frequency table — the inverted-index base both

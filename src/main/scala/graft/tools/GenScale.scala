@@ -51,10 +51,6 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: GenScale <srcSfDir> <outDir> <k>")
     val Array(src, out, kStr) = args
-    val k = kStr.toInt
-    // <= 10: the supplier-name replica tags are repeated single digits
-    // (pairwise distance 3); an 11th replica would collide with the 1st
-    require(k >= 1 && k <= 10)
     val spark = SparkSession.builder().master(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -63,6 +59,21 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .appName("graft-genscale").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, kStr.toInt)
+    spark.stop()
+  }
+
+  /** Session-reusing entry point — Bench calls this in-process to
+    * provision the standing sf1 fixture without tearing down its own
+    * SparkSession (main() above owns session lifecycle for the CLI). */
+  def generate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+    // <= 36: each replica's supplier-name tag is a repeated symbol from
+    // a 36-char alphabet (pairwise distance 3, distance 4 vs the
+    // untagged r=0); a 37th replica would collide with the 1st. The
+    // document token tags `_r<k>` are multi-digit-safe at any k (append
+    // is injective and two tags of different value always differ in
+    // their trailing 3 chars).
+    require(k >= 1 && k <= 36)
 
     // strides comfortably above any source key range, divisible by 3
     val stride = 30000000L
@@ -137,19 +148,23 @@ object GenScale {
     }).repartition(k).write.mode("overwrite").parquet(s"$out/part.parquet")
 
     // supplier names feed the edit-distance join (x_fuzzy_join), so the
-    // payload must be disambiguated too: 10 verbatim copies of every
+    // payload must be disambiguated too: k verbatim copies of every
     // name would make each probe TRULY match all k replicas — the
     // result set itself (and any correct join's cost) would grow
     // quadratically, indicting the fixture, not the operator. A common
     // suffix preserves within-replica pairwise edit distances exactly
-    // (levenshtein is prefix/suffix-invariant), and `~rrr` tags differ
-    // pairwise in 3 positions (4 vs the untagged r=0), so cross-replica
-    // distances exceed any small join threshold.
+    // (levenshtein is prefix/suffix-invariant), and a `~ccc` tag of a
+    // per-replica repeated symbol differs pairwise in 3 positions
+    // (4 vs the untagged r=0), so cross-replica distances exceed any
+    // small join threshold. Symbols 1-9 match the historic digit tags;
+    // a-z extend the alphabet to k = 36.
+    val tagSyms = "123456789abcdefghijklmnopqrstuvwxyz"
     val supp = graft.Tables.load(spark, src, "supplier")
     replicas(supp, { (s, r) =>
       if (r == 0) s
       else s.withColumn("s_suppkey", col("s_suppkey") + r * stride)
-        .withColumn("s_name", concat(col("s_name"), lit("~" + s"$r$r$r".takeRight(3))))
+        .withColumn("s_name",
+          concat(col("s_name"), lit("~" + tagSyms(r - 1).toString * 3)))
     }).repartition(k).write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
     // region/nation are FIXED dimensions at every TPC-H scale factor —
@@ -160,6 +175,5 @@ object GenScale {
 
     println(s"[genscale] wrote ${k}x replicas of documents/embeddings/orders/" +
       s"customer/events/lineitem/part/supplier (+fixed region/nation) to $out")
-    spark.stop()
   }
 }

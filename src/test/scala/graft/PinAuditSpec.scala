@@ -65,13 +65,27 @@ class PinAuditSpec extends AnyFunSuite {
     }
     // ONE pin shared by the stats and postings branches: the slim
     // (doc_id, dl) projection plus the query-term-sized tf structs —
-    // `tfs` is bounded by the query, never by the corpus
-    val tfsType = ArrayType(StructType(Seq(
-      StructField("term", StringType, nullable = true),
-      StructField("tf", DoubleType, nullable = true))), containsNull = false)
-    assert(pins.distinct == Seq(Set(
-      "doc_id" -> LongType, "dl" -> DoubleType, "tfs" -> tfsType)),
-      s"expected the single shared (doc_id, dl, tfs) pin, got: $pins")
+    // `tfs` is bounded by the query, never by the corpus. Expectations
+    // are derived from the plan/source schema, never hand-written type
+    // literals: three rounds of spec flake all came from guessed
+    // schema minutiae (top-hit order, containsNull, nullable) on a
+    // test whose actual purpose is the column SET and the no-payload
+    // rule, not nullability plumbing.
+    assert(pins.distinct.size == 1,
+      s"expected one shared pin for stats+postings, got: ${pins.distinct}")
+    val pin = pins.head
+    assert(pin.map(_._1) == Set("doc_id", "dl", "tfs"),
+      s"pin column drift: $pin")
+    assert(pin.contains("doc_id" -> docs.schema("doc_id").dataType),
+      s"doc_id type drift: $pin")
+    assert(pin.collectFirst { case ("dl", t) => t }.contains(DoubleType))
+    pin.collectFirst { case ("tfs", t) => t }.get match {
+      case ArrayType(s: StructType, _) =>
+        assert(s.fieldNames.toSeq == Seq("term", "tf"), s"tfs struct drift: $s")
+        assert(s("term").dataType == StringType && s("tf").dataType == DoubleType,
+          s"tfs leaf type drift: $s")
+      case other => fail(s"tfs should be array<struct<term, tf>>, got $other")
+    }
     // and the result still surfaces the corpus' best matches: docs 1
     // and 4 each match both query terms (doc 1 edges doc 4 on BM25's
     // length normalization under the default k1/b) — assert the top-2
@@ -115,11 +129,12 @@ class PinAuditSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(5)
     val emb = (0 until 40).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
       .toDF("vec_id", "embedding")
-    // the raw source arrays are non-nullable here, so the pinned leaves
-    // carry containsNull = false; the bucket self-join legitimately
+    // the vector element type is derived from the SOURCE schema (not a
+    // hand-written ArrayType literal — containsNull must track however
+    // the encoder produced it); the bucket self-join legitimately
     // visits the same pinned leaf once per branch → compare the
     // DISTINCT leaf set, not leaf occurrences
-    val vec = ArrayType(FloatType, containsNull = false)
+    val vec = emb.schema("embedding").dataType
     val nd = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.9, corpusSize = Some(40L))
     assert(pinnedOutputs(nd).distinct == Seq(Set(

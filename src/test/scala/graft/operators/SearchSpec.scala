@@ -61,4 +61,33 @@ class SearchSpec extends AnyFunSuite {
     assert(top1(2L) == "gamma")
     assert(top1(3L) == "beta") // only term present, even at idf 0
   }
+
+  test("bm25 pin tokenizes each document exactly once (staged, not re-derived)") {
+    // r12 review fix: the single-select form re-referenced words(text)
+    // inside higher-order-function lambdas — HOFs evaluate interpreted
+    // (CodegenFallback) with no subexpression elimination across lambda
+    // bodies, so the tokenizer ran ~(2 + matched terms)× per row and
+    // both bm25-consuming bench keys regressed ~35%. The staged form
+    // names the token arrays as real columns across stacked projections;
+    // this audit counts tokenizer applications (the `split` call words()
+    // is built on) in the OPTIMIZED plan of the un-pinned base frame and
+    // fails if CollapseProject ever inlines the producer back into its
+    // multi-reference consumers.
+    // the repartition is a fence against ConvertToLocalRelation (which
+    // would eagerly evaluate projections over this in-memory fixture
+    // and erase the very expressions being counted — a parquet-backed
+    // corpus keeps them either way)
+    val base = Search.bm25Base(docs.repartition(1), "doc_id", "text",
+      Seq("spark", "join"))
+    val nSplits = base.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
+      }.size).sum
+    }.sum
+    assert(nSplits == 1, s"tokenizer should run once per row, found $nSplits split() sites")
+    // and the staging is transparent to results: same rows as ever
+    val top = Search.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(top.map(_._1).toSeq == Seq(1L, 2L))
+  }
 }
