@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Numeric min/max surface as DOUBLE, string min/max as STRING, each
   * null for the other family — profiles of mixed-type tables stay one
-  * uniform schema. */
+  * uniform schema. The lane is decided by which input LIST the
+  * occurrence came from: a column passed in both `numericCols` and
+  * `stringCols` profiles twice, once per lane (the string lane casts
+  * to string BEFORE aggregating, so its min/max are lexicographic —
+  * treat-as-string semantics). */
 object Profiling {
 
   /** @param pinInput materialize the projected input once
