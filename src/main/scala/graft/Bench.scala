@@ -158,8 +158,16 @@ object Bench {
     val sf1Results: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") Nil
       else try {
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(sf1Dir, "supplier.parquet"))) {
+        // reuse the fixture ONLY when its provenance marker says it is
+        // exactly 10x of the dir being benched — a missing marker
+        // (pre-marker vintage, interrupted generation) or a mismatched
+        // one (scaled from some other source) regenerates; stale-dir
+        // reuse would silently publish wrong numbers under "sf1"
+        val markerPath = java.nio.file.Paths.get(sf1Dir, "_genscale.json")
+        val fresh = java.nio.file.Files.exists(markerPath) &&
+          new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8") ==
+            graft.tools.GenScale.marker(sfDir, 10)
+        if (!fresh) {
           System.err.println(s"[bench] provisioning sf1 fixture: 10x $sfDir -> $sf1Dir")
           graft.tools.GenScale.generate(spark, sfDir, sf1Dir, 10)
         }

@@ -175,5 +175,16 @@ object GenScale {
 
     println(s"[genscale] wrote ${k}x replicas of documents/embeddings/orders/" +
       s"customer/events/lineitem/part/supplier (+fixed region/nation) to $out")
+    // provenance marker, written LAST (its presence implies a complete
+    // fixture): consumers that reuse a fixture across runs (Bench's
+    // standing sf1 section) must be able to tell a 10x-of-sf0.1 from a
+    // 10x-of-whatever a previous invocation happened to scale — reusing
+    // a mismatched fixture would silently publish wrong numbers under
+    // the right label
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "_genscale.json"),
+      marker(src, k).getBytes("UTF-8"))
   }
+
+  /** Canonical marker content for a fixture derived as `k`× `src`. */
+  def marker(src: String, k: Int): String = s"""{"src":"$src","k":$k}"""
 }
