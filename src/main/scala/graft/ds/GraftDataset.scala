@@ -233,45 +233,34 @@ final case class GraftDataset(
     val p = new Path(path)
     if (!f.exists(p)) Nil
     else {
-      val it = f.listFiles(p, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       val ext = "." + (if (format == "feather") "arrow" else format)
       // compressed text writes carry a codec suffix (part-*.csv.gz) —
       // strip it before the format check or existence detection fails
       // and Delta/Raise modes silently misbehave for those datasets
       val codecSuffixes = Seq(".gz", ".zst", ".snappy", ".bz2", ".deflate", ".lz4")
-      // listFiles(recursive) descends into hidden DIRECTORIES even
-      // though we filter hidden file names — a normal-named file inside
-      // a `.p=v__swap_old/` backup or `_staging/` dir must not count as
+      // Hidden-subtree rule: a normal-named file inside a
+      // `.p=v__swap_old/` backup or `_staging/` dir must not count as
       // data. Spark's exact rule (HadoopFSUtils.shouldFilterOutPathName)
       // applies per segment: dot-prefixed always hidden; underscore-
       // prefixed hidden ONLY when the name has no '=' — hive partition
       // directories of writer-generated columns (`__time_bucket=...`)
       // are data Spark reads, so this listing must count them too, or
       // delta/raise existence detection silently sees an empty dataset.
+      // FsListing prunes hidden DIRECTORIES before descending (and its
+      // listStatus walk avoids the super-linear per-file re-stat
+      // `listFiles(recursive)` pays on hierarchical filesystems — see
+      // its scaladoc for the w7 measurements).
       def hiddenName(n: String): Boolean =
         n.startsWith(".") || (n.startsWith("_") && !n.contains("="))
-      val qualifiedRoot = f.makeQualified(p)
-      def hiddenAncestor(q: Path): Boolean = {
-        var cur = q.getParent
-        while (cur != null && cur != qualifiedRoot) {
-          val n = cur.getName
-          if (hiddenName(n)) return true
-          cur = cur.getParent
-        }
-        false
-      }
-      while (it.hasNext) {
-        val s = it.next()
-        val name = s.getPath.getName
-        val base = codecSuffixes.foldLeft(name)((n, c) =>
-          if (n.endsWith(c)) n.dropRight(c.length) else n)
-        if (s.isFile && !hiddenName(name) &&
-          (base.endsWith(ext) || base.endsWith(".parquet")) &&
-          !hiddenAncestor(s.getPath))
-          buf += (s.getPath.toString -> s.getLen)
-      }
-      buf.toSeq
+      graft.core.FsListing.walkFiles(f, p, descend = n => !hiddenName(n))
+        .iterator.flatMap { s =>
+          val name = s.getPath.getName
+          val base = codecSuffixes.foldLeft(name)((n, c) =>
+            if (n.endsWith(c)) n.dropRight(c.length) else n)
+          if (!hiddenName(name) && (base.endsWith(ext) || base.endsWith(".parquet")))
+            Some(s.getPath.toString -> s.getLen)
+          else None
+        }.toSeq
     }
   }
 

@@ -84,7 +84,11 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     if (!fs.exists(rootPath)) return Nil
     val registered = scala.collection.mutable.Map.empty[String, String] ++
       datasets().map { case (n, (p, _)) => n -> p }
-    val it = fs.listFiles(rootPath, true)
+    // listStatus walk on hierarchical filesystems (flat LIST on object
+    // stores) — a lake root with thousands of data files per dataset
+    // pays super-linear per-file re-stats under listFiles(recursive)
+    // on LocalFileSystem (see graft.core.FsListing)
+    val it = graft.core.FsListing.walkFiles(fs, rootPath).iterator
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName == "_dataset.toml") {

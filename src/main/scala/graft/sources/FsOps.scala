@@ -74,14 +74,14 @@ object FsOps {
     if (st.isFile)
       return Seq(Entry(rootQ.toString, rootQ.getName, st.getLen, st.getModificationTime))
     val rootPrefix = rootQ.toString.stripSuffix("/") + "/"
-    val it = fs.listFiles(rootQ, true)
-    val out = Seq.newBuilder[Entry]
-    while (it.hasNext) {
-      val f = it.next()
+    // FsListing keeps the flat paged LIST on object stores (the s5cmd
+    // request shape) and switches to a listStatus walk on hierarchical
+    // filesystems, where listFiles(recursive)'s per-file re-stats are
+    // super-linear in directory size (see graft.core.FsListing)
+    graft.core.FsListing.walkFiles(fs, rootQ).map { f =>
       val full = f.getPath.toString
-      out += Entry(full, full.stripPrefix(rootPrefix), f.getLen, f.getModificationTime)
+      Entry(full, full.stripPrefix(rootPrefix), f.getLen, f.getModificationTime)
     }
-    out.result()
   }
 
   /** Total (object count, bytes) under a prefix — s5cmd `du`. */

@@ -31,6 +31,32 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("WARN")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // graft_q_* temp-dataset litter sweep, mirroring Bench: a full-set
+    // batch run otherwise accumulates GBs of dead write/stream output
+    // and the TAIL keys get measured against a polluted page cache —
+    // worse, the pollution grows with fixture scale, which would read
+    // as a super-linear curve on innocent keys
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def sweepTmp(): Unit =
+      try {
+        val it = java.nio.file.Files.list(tmpRoot)
+        try {
+          val iter = it.iterator()
+          while (iter.hasNext) {
+            val d = iter.next()
+            if (d.getFileName.toString.startsWith("graft_q_"))
+              try {
+                val walk = java.nio.file.Files.walk(d)
+                try {
+                  val paths = new java.util.ArrayList[java.nio.file.Path]()
+                  walk.forEach(p => { paths.add(p); () })
+                  java.util.Collections.reverse(paths)
+                  paths.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+                } finally walk.close()
+              } catch { case _: Throwable => () } // best-effort hygiene
+          }
+        } finally it.close()
+      } catch { case _: Throwable => () }
     // JVM/codegen warmup on the smallest fixture, mirroring Bench
     force(graft.SparkEntry.entry(spark))
     for (dir <- dirs; key <- keys) {
@@ -38,10 +64,12 @@ object ScaleCurve {
         val t0 = System.nanoTime()
         force(graft.SparkEntry.queries(key)(spark, dir))
         val sec = (System.nanoTime() - t0) / 1e9
-        // cache teardown between reps stays OUTSIDE the timed region —
-        // it grows with what the query cached and would add
-        // scale-correlated overhead to the curve being judged
+        // cache/litter teardown between reps stays OUTSIDE the timed
+        // region — it grows with what the query cached/wrote and would
+        // add scale-correlated overhead to the curve being judged
         spark.catalog.clearCache()
+        sweepTmp()
+        System.gc()
         sec
       }
       println(f"""{"curve":{"dir":"$dir","key":"$key","sec":${times.min}%.3f,"reps":$reps}}""")
