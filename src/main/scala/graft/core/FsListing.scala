@@ -45,32 +45,46 @@ object FsListing {
   def walkFiles(fs: FileSystem, root: Path,
       descend: String => Boolean = _ => true): Seq[FileStatus] = {
     val rootQ = fs.makeQualified(root)
-    if (isFlatNamespace(fs)) {
-      val rootPrefix = rootQ.toString.stripSuffix("/") + "/"
-      def ancestorsOk(p: Path): Boolean = {
-        val rel = p.toString.stripPrefix(rootPrefix)
-        val segs = rel.split('/')
-        segs.iterator.take(math.max(0, segs.length - 1)).forall(descend)
-      }
-      val it = fs.listFiles(rootQ, true)
-      val buf = Seq.newBuilder[FileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && ancestorsOk(st.getPath)) buf += st
-      }
-      buf.result()
-    } else {
-      val buf = Seq.newBuilder[FileStatus]
-      val stack = scala.collection.mutable.Stack[Path](rootQ)
-      while (stack.nonEmpty) {
-        val d = stack.pop()
-        for (st <- fs.listStatus(d)) {
-          if (st.isDirectory) {
-            if (descend(st.getPath.getName)) stack.push(st.getPath)
-          } else if (st.isFile) buf += st
-        }
-      }
-      buf.result()
+    if (isFlatNamespace(fs)) flatList(fs, rootQ, descend)
+    else statusWalk(fs, rootQ, descend)
+  }
+
+  /** Flat paged LIST via `listFiles(recursive)` with a post-hoc
+    * ancestor filter (no tree to prune on an object store). Correct on
+    * any filesystem — FsListingSpec runs it against [[statusWalk]] on
+    * the same local tree to pin their equivalence — but only EFFICIENT
+    * where the scheme implements it as one prefix listing. */
+  private[core] def flatList(fs: FileSystem, rootQ: Path,
+      descend: String => Boolean): Seq[FileStatus] = {
+    val rootPrefix = rootQ.toString.stripSuffix("/") + "/"
+    def ancestorsOk(p: Path): Boolean = {
+      val rel = p.toString.stripPrefix(rootPrefix)
+      val segs = rel.split('/')
+      segs.iterator.take(math.max(0, segs.length - 1)).forall(descend)
     }
+    val it = fs.listFiles(rootQ, true)
+    val buf = Seq.newBuilder[FileStatus]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && ancestorsOk(st.getPath)) buf += st
+    }
+    buf.result()
+  }
+
+  /** Explicit directory stack, one `listStatus` per directory, hidden
+    * subtrees pruned BEFORE descent. */
+  private[core] def statusWalk(fs: FileSystem, rootQ: Path,
+      descend: String => Boolean): Seq[FileStatus] = {
+    val buf = Seq.newBuilder[FileStatus]
+    val stack = scala.collection.mutable.Stack[Path](rootQ)
+    while (stack.nonEmpty) {
+      val d = stack.pop()
+      for (st <- fs.listStatus(d)) {
+        if (st.isDirectory) {
+          if (descend(st.getPath.getName)) stack.push(st.getPath)
+        } else if (st.isFile) buf += st
+      }
+    }
+    buf.result()
   }
 }
