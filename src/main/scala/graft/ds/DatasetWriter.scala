@@ -208,7 +208,7 @@ final case class DatasetWriter(
           return upsertPartitionScoped(spark, fs, targetPath, existing, pinned, keys, cond,
             sideIdx, rgbContract)
         val kept = existing.join(keys, cond, "left_anti")
-          .select(pinned.columns.map(col): _*)
+          .select(pinned.columns.toIndexedSeq.map(col): _*)
         val merged = kept.unionByName(pinned)
         // stage the merged dataset, then swap — `merged` scans the live
         // target lazily, so the target must not be touched until the
@@ -447,7 +447,7 @@ final case class DatasetWriter(
       .reduceOption(_ || _).getOrElse(lit(false))
 
     val kept = existing.filter(keptPred).join(keys, cond, "left_anti")
-      .select(pinned.columns.map(col): _*)
+      .select(pinned.columns.toIndexedSeq.map(col): _*)
     val merged = kept.unionByName(pinned)
 
     val tmp = new Path(targetPath.getParent, s".${targetPath.getName}__upsert_tmp")
@@ -588,7 +588,7 @@ final case class DatasetWriter(
     } else {
       // set EXCEPT (the reference's duckdb EXCEPT): null-safe row
       // equality, incoming duplicates collapse via the set semantics
-      inc.distinct().except(existing.select(inc.columns.map(col): _*))
+      inc.distinct().except(existing.select(inc.columns.toIndexedSeq.map(col): _*))
     }
   }
 }

@@ -416,7 +416,7 @@ final case class GraftDataset(
         unorderable.isEmpty
       if (uniform) {
         val keyCols = (if (dirs.isEmpty) Seq(df.columns.head) else dirs.map(_._1)).map(col)
-        val rowStruct = struct(df.columns.map(col): _*)
+        val rowStruct = struct(df.columns.toIndexedSeq.map(col): _*)
         val ranked = struct(struct(keyCols: _*).as("k"), rowStruct.as("r"))
         val pick = if (dirs.nonEmpty && !dirs.head._2) max(ranked) else min(ranked)
         df = df.groupBy(d.subset.map(col): _*)

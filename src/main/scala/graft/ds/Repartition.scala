@@ -251,11 +251,11 @@ object Repartition {
       val salted = keyed
         .join(broadcast(wantDf), keyCols.map(k => keyed(k) <=> wantDf(k)).reduce(_ && _))
         .withColumn("__salt",
-          pmod(xxhash64(struct(dataCols.map(col): _*)), col("__want").cast("long")))
+          pmod(xxhash64(struct(dataCols.toIndexedSeq.map(col): _*)), col("__want").cast("long")))
       val totalWant = todo.map(_._3).sum
       val arranged = salted
         .repartition(totalWant, (parts.map(col) :+ col("__salt")): _*)
-        .select(df.columns.map(col): _*)
+        .select(df.columns.toIndexedSeq.map(col): _*)
       writeStaged(clustered(arranged))
 
       todo.foreach { case (rel, _, _) =>

@@ -1,4 +1,5 @@
 package graft.ds
+import scala.language.existentials
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, SparkSession}

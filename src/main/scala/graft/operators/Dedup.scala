@@ -326,7 +326,7 @@ object Dedup {
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0)
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
       if (v == null) java.math.BigDecimal.ZERO
       else v.asInstanceOf[java.math.BigDecimal]
     }

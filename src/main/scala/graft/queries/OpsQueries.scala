@@ -1,4 +1,5 @@
 package graft.queries
+import scala.language.existentials
 
 import java.nio.file.Files
 import java.time.Instant
