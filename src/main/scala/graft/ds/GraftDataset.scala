@@ -301,9 +301,33 @@ final case class GraftDataset(
     * union by name. Equal schemas take the single-scan fast path. */
   def dfUnified(spark: SparkSession): DataFrame = {
     if (format != "parquet") return pipeline(raw(spark))
-    val files = dataFiles(spark)
-    if (files.isEmpty) return pipeline(raw(spark))
-    val bySchema: Seq[(StructType, Seq[String])] = fileSchemas(spark, files)
+    // Schema-group memoization: the footer sweep is linear and
+    // distributed, but it used to run on EVERY df() call — a query that
+    // touches the same dataset several times (write probe + read-back +
+    // file count) paid O(files) footer reads each time, and at
+    // million-file scale that is the plan-construction cost. The cache
+    // is validated by a signature over the (path, length) listing the
+    // call just materialized anyway: Spark writes always mint fresh
+    // unique file names, so any append/overwrite/compact/delete changes
+    // the file set and can never reuse a stale entry. Explicit-file
+    // (manifest snapshot) reads sign their pinned path list verbatim —
+    // no per-file stat RPCs (manifests pin immutable files by contract).
+    val (fileList, sig) =
+      if (files.nonEmpty) (files, GraftDataset.listingSignature(files.map(_ -> -1L)))
+      else {
+        val st = dataFileStatuses(spark)
+        (st.map(_._1), GraftDataset.listingSignature(st))
+      }
+    if (fileList.isEmpty) return pipeline(raw(spark))
+    val bySchema: Seq[(StructType, Seq[String])] = {
+      val hit = GraftDataset.schemaGroups.get(path)
+      if (hit != null && hit._1 == sig) hit._2
+      else {
+        val groups = fileSchemas(spark, fileList)
+        GraftDataset.schemaGroups.put(path, (sig, groups))
+        groups
+      }
+    }
     if (bySchema.size <= 1) return pipeline(raw(spark))
     val (unified, equal) = SchemaUnify.unifyAll(bySchema.map(_._1))
     if (equal) return pipeline(raw(spark))
@@ -445,5 +469,29 @@ final case class GraftDataset(
     val d = df(spark)
     d.createOrReplaceTempView(name)
     d
+  }
+}
+
+object GraftDataset {
+  /** Driver-JVM schema-group cache for [[GraftDataset.dfUnified]],
+    * keyed by dataset path and validated by [[listingSignature]] over
+    * the exact file listing — see dfUnified's comment for why reuse is
+    * safe. One entry holds the grouped file lists: O(files) strings,
+    * the same order of memory as the listing each call materializes. */
+  private[ds] val schemaGroups =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Seq[(StructType, Seq[String])])]()
+
+  /** FNV-1a over the sorted (path, length) listing. Order-insensitive
+    * by sorting first: two listings of the same file set must sign
+    * identically regardless of traversal order. */
+  private[ds] def listingSignature(statuses: Seq[(String, Long)]): Long = {
+    var h = 0xcbf29ce484222325L
+    for ((p, l) <- statuses.sortBy(_._1)) {
+      var i = 0
+      while (i < p.length) { h ^= p.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= l; h *= 0x100000001b3L
+    }
+    h
   }
 }

@@ -408,6 +408,26 @@ class DatasetSpec extends AnyFunSuite {
     assert(out.schema("a").dataType == LongType)
     assert(out.columns.toSet == Set("a", "b", "c"))
     assert(out.count() == 3)
+
+    // Schema-group memoization contract (r13): a second read of the
+    // UNCHANGED file set reuses the cached groups (same instance in the
+    // driver cache, no second footer sweep) ...
+    val cached1 = GraftDataset.schemaGroups.get(flat.toString)
+    assert(cached1 != null, "first dfUnified populates the group cache")
+    assert(ds.df(spark).count() == 3)
+    assert(GraftDataset.schemaGroups.get(flat.toString) eq cached1,
+      "unchanged listing must reuse the cached schema groups")
+    // ... while ANY change to the file set (here: a third schema lands)
+    // changes the listing signature and recomputes — the new column is
+    // visible immediately, never a stale two-schema view
+    val s3 = StructType(Seq(StructField("a", LongType), StructField("d", StringType)))
+    spark.createDataFrame(java.util.List.of(Row(99L, "z")), s3)
+      .write.mode("append").parquet(flat.toString)
+    val out2 = ds.df(spark)
+    assert(out2.columns.toSet == Set("a", "b", "c", "d"))
+    assert(out2.count() == 4)
+    assert(!(GraftDataset.schemaGroups.get(flat.toString) eq cached1),
+      "appended file must invalidate the cached groups")
   }
 
   test("schema-unify rewrite makes files physically uniform (W10)") {
