@@ -152,21 +152,35 @@ object Bench {
       "x_dedup_incremental", "x_span_dedup", "x_fuzzy_join",
       "x_sim_brute_topk", "x_embed_top_pairs", "x_sim_lsh_neardup",
       "x_bm25_search", "x_hybrid_search", "x_tfidf_terms",
-      "x_pipeline_e2e")
+      "x_pipeline_e2e",
+      // round-14: the r13 drift suspects — both data-dominated (the
+      // corr matrix scans+aggregates the full lineitem measure set; the
+      // delta write diffs against the whole target) — so the sf1 lane
+      // can adjudicate a future drift without code-diff archaeology
+      "x_corr_matrix", "w6_delta_write")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // tri-state so a round-over-round consumer can tell "opted out"
+    // from "silently lost the sf1 numbers": ok | disabled | failed
+    var sf1Status = "ok"
     val sf1Results: Seq[(String, Double)] =
-      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") Nil
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") { sf1Status = "disabled"; Nil }
       else try {
         // reuse the fixture ONLY when its provenance marker says it is
         // exactly 10x of the dir being benched — a missing marker
         // (pre-marker vintage, interrupted generation) or a mismatched
         // one (scaled from some other source) regenerates; stale-dir
-        // reuse would silently publish wrong numbers under "sf1"
-        val markerPath = java.nio.file.Paths.get(sf1Dir, "_genscale.json")
-        val fresh = java.nio.file.Files.exists(markerPath) &&
-          new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8") ==
+        // reuse would silently publish wrong numbers under "sf1".
+        // Read through Hadoop FS, the same way GenScale writes it, so a
+        // non-local sf1 dir resolves the marker next to its data.
+        val markerPath = new org.apache.hadoop.fs.Path(sf1Dir, "_genscale.json")
+        val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh = mfs.exists(markerPath) && {
+          val in = mfs.open(markerPath)
+          try new String(in.readAllBytes(), "UTF-8") ==
             graft.tools.GenScale.marker(sfDir, 10)
+          finally in.close()
+        }
         if (!fresh) {
           System.err.println(s"[bench] provisioning sf1 fixture: 10x $sfDir -> $sf1Dir")
           graft.tools.GenScale.generate(spark, sfDir, sf1Dir, 10)
@@ -175,7 +189,8 @@ object Bench {
       } catch { case e: Throwable =>
         // the sf0.1 contract numbers must publish even if the sf1
         // fixture can't be built (e.g. disk pressure)
-        System.err.println(s"[bench] sf1 section failed: $e"); Nil
+        System.err.println(s"[bench] sf1 section failed: $e")
+        sf1Status = "failed"; Nil
       }
 
     def toJsonMap(rs: Seq[(String, Double)]) =
@@ -202,7 +217,7 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES_SF1.json"),
           toJsonMap(sf1Results).getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file write failed: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size},"sf1_total":$sf1Total%.3f,"sf1_nqueries":${sf1Results.size},"sf1_nfailed":${sf1Failed.size},"sf1_dir":"$sf1Dir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size},"sf1":"$sf1Status","sf1_total":$sf1Total%.3f,"sf1_nqueries":${sf1Results.size},"sf1_nfailed":${sf1Failed.size},"sf1_dir":"$sf1Dir"}""")
     spark.stop()
   }
 }

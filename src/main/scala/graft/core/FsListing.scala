@@ -35,18 +35,40 @@ object FsListing {
   private val flatNamespaceSchemes =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos", "swift")
 
-  def isFlatNamespace(fs: FileSystem): Boolean =
-    flatNamespaceSchemes.contains(
-      Option(fs.getUri.getScheme).map(_.toLowerCase).getOrElse(""))
+  /** User-registered additions to [[flatNamespaceSchemes]] — for custom
+    * object-store connectors (a MinIO/Ceph gateway mounted under its
+    * own scheme) whose recursive listing is also one paged prefix LIST.
+    * Also how the test suite routes a local-disk scheme through the
+    * flat branch, so every dataset operation exercises the exact
+    * listing path an s3a:// deployment would take. */
+  private val extraFlatSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def registerFlatNamespaceScheme(scheme: String): Unit =
+    extraFlatSchemes.add(scheme.toLowerCase)
+
+  def isFlatNamespace(fs: FileSystem): Boolean = {
+    val s = Option(fs.getUri.getScheme).map(_.toLowerCase).getOrElse("")
+    flatNamespaceSchemes.contains(s) || extraFlatSchemes.contains(s)
+  }
 
   /** All FILE statuses under `root` (which must exist), recursively.
     * Directories whose NAME fails `descend` are excluded — subtree and
     * all. Order is unspecified. */
   def walkFiles(fs: FileSystem, root: Path,
-      descend: String => Boolean = _ => true): Seq[FileStatus] = {
+      descend: String => Boolean = _ => true): Seq[FileStatus] =
+    iterFiles(fs, root, descend).toSeq
+
+  /** Streaming variant of [[walkFiles]]: the same per-FS-kind strategy,
+    * but the statuses are produced lazily — a consumer scanning a
+    * million-file lake for a handful of marker files (Manager.discover)
+    * holds one directory's batch (hierarchical) or one LIST page (flat)
+    * in memory, never the full listing. */
+  def iterFiles(fs: FileSystem, root: Path,
+      descend: String => Boolean = _ => true): Iterator[FileStatus] = {
     val rootQ = fs.makeQualified(root)
-    if (isFlatNamespace(fs)) flatList(fs, rootQ, descend)
-    else statusWalk(fs, rootQ, descend)
+    if (isFlatNamespace(fs)) flatIter(fs, rootQ, descend)
+    else statusWalkIter(fs, rootQ, descend)
   }
 
   /** Flat paged LIST via `listFiles(recursive)` with a post-hoc
@@ -55,7 +77,11 @@ object FsListing {
     * the same local tree to pin their equivalence — but only EFFICIENT
     * where the scheme implements it as one prefix listing. */
   private[core] def flatList(fs: FileSystem, rootQ: Path,
-      descend: String => Boolean): Seq[FileStatus] = {
+      descend: String => Boolean): Seq[FileStatus] =
+    flatIter(fs, rootQ, descend).toSeq
+
+  private def flatIter(fs: FileSystem, rootQ: Path,
+      descend: String => Boolean): Iterator[FileStatus] = {
     val rootPrefix = rootQ.toString.stripSuffix("/") + "/"
     def ancestorsOk(p: Path): Boolean = {
       val rel = p.toString.stripPrefix(rootPrefix)
@@ -63,28 +89,45 @@ object FsListing {
       segs.iterator.take(math.max(0, segs.length - 1)).forall(descend)
     }
     val it = fs.listFiles(rootQ, true)
-    val buf = Seq.newBuilder[FileStatus]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && ancestorsOk(st.getPath)) buf += st
-    }
-    buf.result()
+    new Iterator[FileStatus] {
+      def hasNext: Boolean = it.hasNext
+      def next(): FileStatus = it.next()
+    }.filter(st => st.isFile && ancestorsOk(st.getPath))
   }
 
   /** Explicit directory stack, one `listStatus` per directory, hidden
     * subtrees pruned BEFORE descent. */
   private[core] def statusWalk(fs: FileSystem, rootQ: Path,
-      descend: String => Boolean): Seq[FileStatus] = {
-    val buf = Seq.newBuilder[FileStatus]
+      descend: String => Boolean): Seq[FileStatus] =
+    statusWalkIter(fs, rootQ, descend).toSeq
+
+  /** Lazy stack walk: one `listStatus` batch is buffered at a time;
+    * subdirectories queue as PATHS (cheap) until their turn. */
+  private def statusWalkIter(fs: FileSystem, rootQ: Path,
+      descend: String => Boolean): Iterator[FileStatus] = {
     val stack = scala.collection.mutable.Stack[Path](rootQ)
-    while (stack.nonEmpty) {
-      val d = stack.pop()
-      for (st <- fs.listStatus(d)) {
-        if (st.isDirectory) {
-          if (descend(st.getPath.getName)) stack.push(st.getPath)
-        } else if (st.isFile) buf += st
+    new Iterator[FileStatus] {
+      private var batch: Array[FileStatus] = Array.empty
+      private var i = 0
+      private def advance(): Unit =
+        while (i >= batch.length && stack.nonEmpty) {
+          batch = fs.listStatus(stack.pop()); i = 0
+          var j = 0
+          while (j < batch.length) {
+            val st = batch(j)
+            if (st.isDirectory && descend(st.getPath.getName)) stack.push(st.getPath)
+            j += 1
+          }
+          while (i < batch.length && !batch(i).isFile) i += 1
+        }
+      def hasNext: Boolean = { advance(); i < batch.length }
+      def next(): FileStatus = {
+        if (!hasNext) throw new NoSuchElementException
+        val st = batch(i)
+        i += 1
+        while (i < batch.length && !batch(i).isFile) i += 1
+        st
       }
     }
-    buf.result()
   }
 }

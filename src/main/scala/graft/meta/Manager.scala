@@ -87,8 +87,11 @@ final class Manager(spark: SparkSession, lakeRoot: String) {
     // listStatus walk on hierarchical filesystems (flat LIST on object
     // stores) — a lake root with thousands of data files per dataset
     // pays super-linear per-file re-stats under listFiles(recursive)
-    // on LocalFileSystem (see graft.core.FsListing)
-    val it = graft.core.FsListing.walkFiles(fs, rootPath).iterator
+    // on LocalFileSystem (see graft.core.FsListing). STREAMING variant:
+    // scanning a million-file lake for a handful of _dataset.toml
+    // markers must not materialize the full listing in driver memory —
+    // the iterator holds one directory batch / LIST page at a time.
+    val it = graft.core.FsListing.iterFiles(fs, rootPath)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName == "_dataset.toml") {

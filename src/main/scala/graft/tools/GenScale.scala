@@ -67,13 +67,13 @@ object GenScale {
     * provision the standing sf1 fixture without tearing down its own
     * SparkSession (main() above owns session lifecycle for the CLI). */
   def generate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
-    // <= 36: each replica's supplier-name tag is a repeated symbol from
-    // a 36-char alphabet (pairwise distance 3, distance 4 vs the
-    // untagged r=0); a 37th replica would collide with the 1st. The
-    // document token tags `_r<k>` are multi-digit-safe at any k (append
-    // is injective and two tags of different value always differ in
-    // their trailing 3 chars).
-    require(k >= 1 && k <= 36)
+    // Cap = 1 (untagged r=0) + 35 one-symbol supplier tags + 35*35
+    // two-symbol tags (see supplierTag below — every pair of distinct
+    // tags still differs in >= 3 positions). The document token tags
+    // `_r<k>` are multi-digit-safe at any k (append is injective and
+    // two tags of different value always differ in their trailing
+    // 3 chars).
+    require(k >= 1 && k <= 1 + 35 + 35 * 35)
 
     // strides comfortably above any source key range, divisible by 3
     val stride = 30000000L
@@ -153,18 +153,14 @@ object GenScale {
     // result set itself (and any correct join's cost) would grow
     // quadratically, indicting the fixture, not the operator. A common
     // suffix preserves within-replica pairwise edit distances exactly
-    // (levenshtein is prefix/suffix-invariant), and a `~ccc` tag of a
-    // per-replica repeated symbol differs pairwise in 3 positions
-    // (4 vs the untagged r=0), so cross-replica distances exceed any
-    // small join threshold. Symbols 1-9 match the historic digit tags;
-    // a-z extend the alphabet to k = 36.
-    val tagSyms = "123456789abcdefghijklmnopqrstuvwxyz"
+    // (levenshtein is prefix/suffix-invariant), and the per-replica tag
+    // (supplierTag) keeps every pair of DISTINCT tags >= 3 apart, so
+    // cross-replica distances exceed any small join threshold.
     val supp = graft.Tables.load(spark, src, "supplier")
     replicas(supp, { (s, r) =>
       if (r == 0) s
       else s.withColumn("s_suppkey", col("s_suppkey") + r * stride)
-        .withColumn("s_name",
-          concat(col("s_name"), lit("~" + tagSyms(r - 1).toString * 3)))
+        .withColumn("s_name", concat(col("s_name"), lit(supplierTag(r))))
     }).repartition(k).write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
     // region/nation are FIXED dimensions at every TPC-H scale factor —
@@ -180,11 +176,37 @@ object GenScale {
     // standing sf1 section) must be able to tell a 10x-of-sf0.1 from a
     // 10x-of-whatever a previous invocation happened to scale — reusing
     // a mismatched fixture would silently publish wrong numbers under
-    // the right label
-    java.nio.file.Files.write(java.nio.file.Paths.get(out, "_genscale.json"),
-      marker(src, k).getBytes("UTF-8"))
+    // the right label. Written through the SAME Hadoop FileSystem as
+    // the data — a java.nio write would land the marker on the local
+    // disk (or throw) for an hdfs://-or-s3a:// out URI, and every
+    // reuse check would then see "stale" and regenerate forever.
+    val markerPath = new org.apache.hadoop.fs.Path(out, "_genscale.json")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(markerPath, true)
+    try os.write(marker(src, k).getBytes("UTF-8")) finally os.close()
   }
 
   /** Canonical marker content for a fixture derived as `k`× `src`. */
   def marker(src: String, k: Int): String = s"""{"src":"$src","k":$k}"""
+
+  /** 35 tag symbols; replica r=0 is untagged. Symbols 1-9 match the
+    * historic digit tags; a-z extend the alphabet. */
+  private val tagSyms = "123456789abcdefghijklmnopqrstuvwxyz"
+
+  /** The supplier-name suffix for replica `r >= 1`: `~ccc` (one symbol
+    * repeated 3x) for the first 35 replicas — byte-identical to the
+    * historic tags so pre-existing fixtures stay valid — then `~cccddd`
+    * (two base-35 digits, each repeated 3x) beyond. Any two DISTINCT
+    * tags differ in >= 3 positions: same-length tags differ in at least
+    * one repeated symbol (3 substitutions), and a one- vs two-symbol
+    * tag pair differs by the 3-char length gap alone. Against the
+    * untagged r=0 the distance is the full tag length (>= 4). */
+  private[tools] def supplierTag(r: Int): String = {
+    val i = r - 1
+    if (i < 35) "~" + tagSyms(i).toString * 3
+    else {
+      val j = i - 35
+      "~" + tagSyms(j / 35).toString * 3 + tagSyms(j % 35).toString * 3
+    }
+  }
 }

@@ -55,4 +55,26 @@ class FsListingSpec extends AnyFunSuite {
       names(FsListing.flatList(fs, rootQ, _ => true)))
     fs.delete(rootQ, true)
   }
+
+  test("iterFiles streams the same set walkFiles materializes") {
+    val root = mkTree()
+    val fs = root.getFileSystem(new Configuration())
+    val rootQ = fs.makeQualified(root)
+    def names(s: Iterable[org.apache.hadoop.fs.FileStatus]): Set[String] =
+      s.map(_.getPath.toString.stripPrefix(rootQ.toString + "/")).toSet
+    // the streaming variant is the SAME per-FS-kind strategy, produced
+    // lazily — set equality with the materializing entry point, with
+    // and without the hidden-subtree filter
+    assert(names(FsListing.iterFiles(fs, rootQ, n => !hiddenName(n)).toSeq) ==
+      names(FsListing.walkFiles(fs, rootQ, n => !hiddenName(n))))
+    assert(names(FsListing.iterFiles(fs, rootQ).toSeq) ==
+      names(FsListing.walkFiles(fs, rootQ)))
+    // Iterator contract: exhausting then calling next() throws, and
+    // hasNext is idempotent (Manager's while-loop calls it repeatedly)
+    val it = FsListing.iterFiles(fs, rootQ)
+    while (it.hasNext) it.next()
+    assert(!it.hasNext && !it.hasNext)
+    intercept[NoSuchElementException](it.next())
+    fs.delete(rootQ, true)
+  }
 }

@@ -31,26 +31,55 @@ class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     clean(super.getFileStatus(f))
 }
 
+/** Same local-disk stand-in under a SECOND scheme that is registered as
+  * flat-namespace, so every listing the suite performs routes through
+  * [[graft.core.FsListing]]'s object-store branch (one recursive
+  * `listFiles` LIST with post-hoc ancestor filtering) instead of the
+  * hierarchical per-directory walk — the exact path an `s3a://`
+  * deployment takes. */
+class GraftFlatTestFs extends GraftTestFs {
+  override def getScheme: String = "graftflat"
+  override def getUri: java.net.URI = java.net.URI.create("graftflat:///")
+}
+
 /** Reference parity for the filesystem/ subsystem (`filesystem/base.py:
   * 13-188`, `fs.py:7-139`): pydala abstracts object stores behind
   * fsspec; graft abstracts them behind Hadoop FS URIs. This suite proves
   * the abstraction by running the write/snapshot/partition surfaces over
-  * two schemes — the default `file:` and the custom `graftfs:` — with
-  * identical assertions. */
+  * three schemes — the default `file:`, the custom `graftfs:`, and
+  * `graftflat:` (same stand-in, registered flat-namespace, so the whole
+  * suite additionally exercises the object-store LISTING strategy
+  * end-to-end) — with identical assertions. */
 class UriAgnosticSpec extends AnyFunSuite {
   lazy val spark = {
     val s = SparkTestSession.spark
     s.sparkContext.hadoopConfiguration.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    s.sparkContext.hadoopConfiguration.set("fs.graftflat.impl", classOf[GraftFlatTestFs].getName)
+    graft.core.FsListing.registerFlatNamespaceScheme("graftflat")
     s
   }
 
   private def tmp(): String = Files.createTempDirectory("graft_uri_").toString
 
   // "file" = plain local path (the default everywhere else);
-  // "graftfs" = same absolute path addressed through the custom scheme
+  // "graftfs" = same absolute path addressed through the custom scheme;
+  // "graftflat" = ditto, but listed via the flat object-store strategy
   private val schemes: Seq[(String, String => String)] = Seq(
     "file" -> identity[String],
-    "graftfs" -> ((p: String) => s"graftfs://$p"))
+    "graftfs" -> ((p: String) => s"graftfs://$p"),
+    "graftflat" -> ((p: String) => s"graftflat://$p"))
+
+  test("graftflat routes through the flat-namespace listing branch") {
+    spark // force registration
+    val fs = new org.apache.hadoop.fs.Path("graftflat:///x")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.core.FsListing.isFlatNamespace(fs),
+      "registered scheme must take the object-store LIST strategy")
+    val local = new org.apache.hadoop.fs.Path("/x")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!graft.core.FsListing.isFlatNamespace(local),
+      "file: must keep the hierarchical walk")
+  }
 
   for ((name, u) <- schemes) {
     import spark.implicits._

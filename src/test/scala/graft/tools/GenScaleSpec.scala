@@ -123,6 +123,37 @@ class GenScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("supplierTag: injective to the k cap, pairwise distance >= 3, historic-compatible") {
+    // the r14 cap lift (k <= 1+35+35*35, enabling the sf10/sf100
+    // fixtures) rests on supplierTag keeping every pair of DISTINCT
+    // tags >= 3 apart so no cross-replica fuzzy-join pair is ever
+    // manufactured; prove it rather than argue it
+    val cap = 1 + 35 + 35 * 35
+    val tags = (1 until cap).map(GenScale.supplierTag)
+    assert(tags.toSet.size == tags.size, "tags must be pairwise distinct")
+    // first 35 are byte-identical to the historic one-symbol tags, so
+    // fixtures generated before the cap lift stay valid
+    val syms = "123456789abcdefghijklmnopqrstuvwxyz"
+    for (r <- 1 to 35)
+      assert(GenScale.supplierTag(r) == "~" + syms(r - 1).toString * 3)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // boundary-heavy sample: one-symbol tags, the 35/36 seam where the
+    // two-symbol encoding starts, second-digit rollovers, and the cap
+    val sample = ((1 to 40) ++ Seq(69, 70, 71, 105, 106, 700, 1259, cap - 1))
+      .map(r => r -> GenScale.supplierTag(r))
+    for ((r1, t1) <- sample; (r2, t2) <- sample if r1 < r2)
+      assert(lev(t1, t2) >= 3, s"tags for replicas $r1 ($t1) and $r2 ($t2) too close")
+    // vs the untagged r=0 the distance is the whole tag length
+    assert(sample.forall(_._2.length >= 4))
+  }
+
   test("provenance marker is written and matches Bench's reuse check") {
     out // force generation
     val p = java.nio.file.Paths.get(out, "_genscale.json")
