@@ -25,16 +25,50 @@ object SkewJoin {
   /** Inner-join `big` (skewed) with `small` on `keys`, spreading every
     * big-side key over `buckets` salts. `small` is replicated
     * `buckets`× via an exploded literal range — prefer single-digit
-    * bucket counts unless the skew is extreme. */
+    * bucket counts unless the skew is extreme.
+    *
+    * Broadcast-eligibility fast path (`autoBroadcast`, on by default):
+    * when Catalyst's size estimate says `small` fits the session's
+    * `autoBroadcastJoinThreshold`, the join is emitted PLAIN — no salt,
+    * and deliberately no `broadcast()` hint. The same stats make
+    * JoinSelection pick a broadcast hash join on its own, and a
+    * broadcast join has no key-partitioned shuffle, so there is
+    * NOTHING for skew to straggle; salting there only multiplies the
+    * broadcast build `buckets`×. Round-14 measurement on the j2 shape
+    * (SCALE_CURVE.md): plain beats the salted rewrite 2.8× at sf1 and
+    * 3.5× at sf3. The hint is omitted on purpose — forcing
+    * `broadcast(small)` measured STRICTLY WORSE than letting the
+    * planner decide at every scale (a forced hint overrides AQE's
+    * runtime demotion; un-hinted, a wrong estimate is re-planned from
+    * actual sizes, which at 1000-executor scale is the difference
+    * between a re-plan and an executor OOM).
+    *
+    * Results are identical on either path; pass `autoBroadcast = false`
+    * to pin the salted rewrite (e.g. when the estimate is known-wrong
+    * and the skew is known-extreme). */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
-      keys: Seq[String], buckets: Int): DataFrame = {
+      keys: Seq[String], buckets: Int,
+      autoBroadcast: Boolean = true): DataFrame = {
 
     require(buckets > 0, "buckets must be positive")
+    if (autoBroadcast && broadcastEligible(small)) return big.join(small, keys)
     val bigSalted = big.withColumn("__salt", saltExpr(buckets))
     val smallExploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     bigSalted.join(smallExploded, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Catalyst's own broadcast-eligibility signal: the optimized plan's
+    * size estimate against the session threshold — the SAME comparison
+    * JoinSelection makes, so the fast path engages exactly when the
+    * planner will pick a broadcast join for the un-salted plan (the
+    * salt explosion would have inflated the estimate `buckets`× and
+    * forced a shuffled join instead). Threshold ≤ 0 means broadcasting
+    * is disabled → always salt. */
+  private def broadcastEligible(small: DataFrame): Boolean = {
+    val thr = small.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 && small.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
   }
 
   private def saltExpr(buckets: Int): Column =

@@ -103,6 +103,33 @@ class SkewJoinScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast fast path: a broadcast-eligible dim skips salting (r14, SCALE_CURVE j2)") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> (8L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "true") {
+      // the dim fits the threshold → no salt column anywhere in the
+      // plan, a broadcast exchange instead (no shuffle by key = no
+      // skew straggler, and no buckets-x build inflation)
+      val fast = SkewJoin.saltedJoin(big, small, Seq("k"), buckets = 4)
+      val fastPlan = fast.queryExecution.optimizedPlan.toString
+      assert(!fastPlan.contains("__salt"), s"fast path must not salt:\n${fastPlan.take(1500)}")
+      assert(fast.queryExecution.sparkPlan.toString.contains("Broadcast"),
+        "broadcast-eligible dim must plan a broadcast join")
+      // opting out pins the salted rewrite even when broadcast-eligible
+      val pinned = SkewJoin.saltedJoin(big, small, Seq("k"), buckets = 4,
+        autoBroadcast = false)
+      assert(pinned.queryExecution.optimizedPlan.toString.contains("__salt"),
+        "autoBroadcast=false must keep the salted rewrite (salt key in the join)")
+      assert(agg(fast) == agg(pinned), "both paths must agree bit-for-bit")
+      // and with broadcasting disabled the fast path never engages
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val salted = SkewJoin.saltedJoin(big, small, Seq("k"), buckets = 4)
+        assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"),
+          "threshold<=0 must take the salted rewrite")
+      }
+    }
+  }
+
   test("AQE runtime skew split engages on the unsalted join") {
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
