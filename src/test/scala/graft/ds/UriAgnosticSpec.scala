@@ -139,6 +139,42 @@ class UriAgnosticSpec extends AnyFunSuite {
     }
   }
 
+  test("[graftflat] lake catalog + maintenance run through the object-store listing path") {
+    import spark.implicits._
+    val lake = s"graftflat://${tmp()}/lake"
+    val m = new graft.meta.Manager(spark, lake)
+    m.init("flatlake")
+    // a fragmented plain dataset (4 one-row-ish files) + a TimeFly one;
+    // discover() scans the lake root for _dataset.toml markers via
+    // FsListing.iterFiles — under graftflat that is the flat recursive
+    // LIST an s3a:// lake would issue
+    DatasetWriter(GraftDataset(s"$lake/frag"), WriteMode.Overwrite, batchRows = Some(2L))
+      .write(spark, (1 to 8).map(i => (i, s"v$i")).toDF("k", "v"))
+    val tf = new graft.meta.TimeFly(spark, s"$lake/sales")
+    tf.init("sales")
+    DatasetWriter(tf.currentDataset(), WriteMode.Overwrite)
+      .write(spark, Seq((1, 10.0), (2, 20.0)).toDF("id", "amt"))
+    val discovered = m.discover()
+    assert(discovered.contains("sales"),
+      s"flat-scheme discovery missed the marked dataset: $discovered")
+    m.addDataset("frag", s"$lake/frag") // plain dirs have no toml marker
+    m.registerAll()
+    assert(spark.sql("SELECT SUM(amt) FROM sales").collect()(0).getDouble(0) == 30.0)
+    // compactAll plans from flat-LIST metadata and must preserve rows
+    m.compactAll()
+    assert(GraftDataset(s"$lake/frag").df(spark).count() == 8)
+    // s5cmd-style object ops over the flat scheme
+    val entries = graft.sources.FsOps.ls(spark, s"$lake/frag")
+    assert(entries.nonEmpty, "ls must see the compacted objects")
+    val (nObj, nBytes) = graft.sources.FsOps.du(spark, s"$lake/frag")
+    assert(nObj > 0 && nBytes > 0)
+    val copied = graft.sources.FsOps.cp(spark, s"$lake/frag", s"$lake/frag_copy")
+    assert(copied.files == nObj && copied.bytes == nBytes,
+      s"cp must move every object: $copied vs ($nObj, $nBytes)")
+    assert(spark.read.parquet(s"$lake/frag_copy").count() == 8)
+    assert(graft.sources.FsOps.rm(spark, s"$lake/frag_copy") == nObj)
+  }
+
   test("repartition routing: same relative path on DIFFERENT filesystems is a copy, not in-place") {
     spark // force init so fs.graftfs.impl is registered
     val real = tmp() + "/ds/foo"
