@@ -25,6 +25,20 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is DISK-backed: every
+    * `ImageIO.read/write(stream)` creates and deletes a temp FILE per
+    * call, even when the stream is an in-memory byte array. Per-row
+    * temp-file churn across 32 executor threads serializes on tmp-dir
+    * metadata and grows with row volume — measured as the super-linear
+    * term in x_multimodal's sf10 curve (isolated 11.7× wall for 10×
+    * data; SCALE_CURVE.md round 14). Payloads here are KB-sized, so
+    * the in-memory cache is strictly better. Called at the top of
+    * every ImageIO-touching partition closure: cheap, idempotent, and
+    * it must run in the EXECUTOR JVM — a driver-side init would not
+    * reach a real cluster's executors. */
+  private def imageIOMemCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata carried next to every payload. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("modality", StringType, nullable = false),
@@ -66,6 +80,7 @@ object Multimodal {
       StructField("meta", MetaSchema, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val rdd = df.rdd.mapPartitions { it =>
+      imageIOMemCache()
       it.map { row =>
         val id = row.get(idIdx) match {
           case l: Long => l; case i: Int => i.toLong
@@ -198,6 +213,7 @@ object Multimodal {
     val idxMime = inSchema("meta").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldIndex("mime")
     val rdd = payloads.rdd.mapPartitions { it =>
+      imageIOMemCache()
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idxPayload)
         val mime = row.getStruct(idxMeta).getString(idxMime)
@@ -405,6 +421,7 @@ object Multimodal {
     val idxMime = inSchema("meta").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldIndex("mime")
     val rdd = decoded.rdd.mapPartitions { it =>
+      imageIOMemCache()
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idxPayload)
         val mime = row.getStruct(idxMeta).getString(idxMime)

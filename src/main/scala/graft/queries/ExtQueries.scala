@@ -1317,15 +1317,30 @@ object ExtQueries {
     * drop-above-threshold) over a corpus with 50 planted exact copies:
     * every planted copy lands in its original's cluster (identical
     * vector ⇒ identical argmax) and must be dropped; originals all
-    * survive. Centroids are the deterministic id<16 seed set — the
+    * survive. Centroids are a deterministic low-id seed set — the
     * [[graft.operators.Similarity.kmeansRefine]] output drops in
     * without changing the plan (oracle replicates the approximation,
-    * pattern of `x_sim_ivf_topk`). */
+    * pattern of `x_sim_ivf_topk`).
+    *
+    * Centroid COUNT is corpus-derived (r14, Catch 6): semanticDedup's
+    * candidate volume is Σ clusterᵢ² ≈ n²/k, so a FIXED k turns the
+    * plan quadratic as the corpus grows — measured 16.4× wall time for
+    * 10× data at k=16 (SCALE_CURVE.md). SemDeDup's own knob is
+    * k ≈ n/5000 (arXiv:2303.09540 §3); with k growing linearly in n
+    * the candidate volume is ≈ 5000·n — linear. At the driver's verify
+    * scale (n ≤ 50k) the floor of 16 keeps the historic oracle rows
+    * bit-identical; the formula is replicated verbatim in the oracle
+    * SQL so the twin stays exact at EVERY scale. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val corpus = emb.unionByName(
       emb.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 10000))
-    val centroids = corpus.filter(col("vec_id") < 16)
+    // footer row count when the plan is row-preserving (zero scan
+    // jobs); the +50 planted copies are a constant both sides add
+    val n = graft.sources.ParquetMeta.metadataRowCount(emb)
+      .getOrElse(emb.count()) + 50
+    val k = math.max(16L, n / 5000L)
+    val centroids = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     Similarity.semanticDedup(corpus, "vec_id", "embedding", centroids,
         threshold = 0.95)
@@ -1337,7 +1352,8 @@ object ExtQueries {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM (
       |    SELECT vec_id, embedding FROM embeddings
       |    UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50)),
-      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      |  WHERE vec_id < (SELECT GREATEST(16, COUNT(*) // 5000) FROM e)),
       |asg AS (SELECT vec_id, cid FROM (
       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
       |    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
