@@ -157,7 +157,11 @@ object Bench {
       // corr matrix scans+aggregates the full lineitem measure set; the
       // delta write diffs against the whole target) — so the sf1 lane
       // can adjudicate a future drift without code-diff archaeology
-      "x_corr_matrix", "w6_delta_write")
+      "x_corr_matrix", "w6_delta_write",
+      // round-14 Catch 6/7 keys: both were super-linear at sf10 and
+      // fixed this round (corpus-derived semantic-dedup k; ImageIO
+      // memory-cache) — the sf1 lane now watches them round-over-round
+      "x_dedup_semantic", "x_multimodal")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // tri-state so a round-over-round consumer can tell "opted out"
