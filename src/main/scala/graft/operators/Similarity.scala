@@ -278,11 +278,17 @@ object Similarity {
     *
     * Scale shape: candidate volume is Σ clusterᵢ², never n² — the
     * centroid table is tiny and broadcast (assignment is one corpus
-    * scan with map-side argmax, no corpus-side shuffle), the within-
-    * cluster self-join shuffles on `cid`, and at write time `cid`
-    * doubles as a hive partition key so the pairwise stage reads each
-    * cluster's files co-located. Oversized clusters are a k knob
-    * problem (SemDeDup uses k ≈ n/5000); the deterministic
+    * scan with map-side argmax, no corpus-side shuffle), and the
+    * pairwise stage is ONE shuffle of each vector to its cluster's
+    * task, where [[graft.plans.ClusterDropIds]] scores every candidate
+    * pair in a tight primitive loop with per-id early exit. The r14
+    * sf30 rehearsal replaced the earlier within-cluster equi-JOIN
+    * formulation: it materialized Σ clusterᵢ² joined rows carrying two
+    * full vector payloads each — memory-bound and wall-time-unstable —
+    * where the aggregate moves each vector through the exchange once
+    * and materializes no pair at all (SCALE_CURVE.md round 14).
+    * Oversized clusters are a k knob problem (SemDeDup uses
+    * k ≈ n/5000), guarded by `maxCluster`; the deterministic
     * [[kmeansRefine]] centroids drop straight in.
     *
     * Decision rule: drop iff ∃ cluster-mate with lower id at
@@ -294,19 +300,30 @@ object Similarity {
     * Returns one row per input vector: (id, cid, keep). */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double): DataFrame = {
+      centroids: DataFrame, threshold: Double,
+      maxCluster: Int = 65536): DataFrame = {
 
+    val spark = df.sparkSession
     // pinned: the argmax assignment (a corpus × centroids scoring
-    // pass) feeds both sides of the within-cluster self-join AND the
-    // final keep projection — unpinned it would execute three times
+    // pass) feeds both the pairwise stage AND the final keep
+    // projection — unpinned it would execute twice
     val assigned = assignClusters(df, idCol, vecCol, centroids, outId = "id")
       .localCheckpoint(false)
-    val slim = assigned.select(col("id"), col("cid"), col("xv"), col("xn"))
-    val droppedIds = slim.as("a").join(slim.as("b"),
-        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
-      .filter(cosOf(dot(col("a.xv"), col("b.xv")), col("a.xn"), col("b.xn"))
-        >= threshold)
-      .select(col("b.id").as("id")).distinct()
+    // one exchange keyed by cid; each cluster's (id, vec) entries are
+    // collected once (≈ cluster·vecBytes — the k ≈ n/5000 knob keeps
+    // that in the MBs) and the drop rule runs as a primitive loop.
+    // Singleton clusters can drop nothing — filtered before the expr.
+    val droppedIds = assigned
+      .select(col("cid"), struct(col("id"), col("xv")).as("e"))
+      .groupBy(col("cid"))
+      .agg(collect_list(col("e")).as("entries"))
+      .filter(size(col("entries")) >= 2)
+      .select(explode(graft.plans.GraftExpressions.clusterDropIds(
+        spark, col("entries"), threshold, maxCluster)).as("id"))
+      // corpora with REPEATED ids (two rows, same id, different vectors
+      // can even land in different clusters) may emit an id twice; the
+      // keep left-join must see each dropped id once
+      .distinct()
     assigned.select(col("id"), col("cid"))
       .join(droppedIds.withColumn("__dropped", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cid"),

@@ -847,6 +847,125 @@ case class BucketCosineTopPairs(child: Expression, k: Int, maxBucket: Int = 6553
     copy(child = c)
 }
 
+/** Within-cluster SemDeDup drop decision in one primitive loop:
+  * `entries` = one cluster's collected array<struct<id, vec>>, output =
+  * the ids with at least one LOWER-id cluster-mate at cosine ≥
+  * `threshold` (ascending, each id once) — exactly the deterministic
+  * lowest-id-survives rule of [[graft.operators.Similarity.semanticDedup]].
+  *
+  * Exists for the same reason as [[BucketCosineTopPairs]]: the r14 sf30
+  * rehearsal showed the equi-join formulation of the within-cluster
+  * pairwise stage materializes Σ clusterᵢ² joined ROWS carrying two
+  * full vector payloads each (≈1.1 KB/pair; 1.7 TB of row traffic at
+  * sf30) just to evaluate one dot product and discard — memory-bound,
+  * GC-heavy, and wall-time-unstable across sessions. Here the cluster's
+  * vectors are unpacked ONCE into primitive arrays and each candidate
+  * pair costs one fused dot product; additionally each id early-exits
+  * at its FIRST dropping mate (ids are scanned in ascending order), so
+  * duplicate-heavy clusters do far fewer than cluster²/2 evaluations —
+  * an exit the join formulation cannot express.
+  *
+  * `maxCluster` bounds the single-task pair enumeration, mirroring
+  * BucketCosineTopPairs.maxBucket: a cluster at the cap means the
+  * centroid count k is far too small for the corpus (the SemDeDup knob
+  * is k ≈ n/5000) — fail with the remedy, don't strangle an executor. */
+case class ClusterDropIds(child: Expression, threshold: Double, maxCluster: Int = 65536)
+  extends UnaryExpression with CodegenFallback {
+
+  require(maxCluster > 1, s"graft_cluster_drop_ids requires maxCluster > 1, got $maxCluster")
+
+  private def vecElem: DataType = child.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 =>
+      fs(1).dataType match {
+        case ArrayType(et, _) => et
+        case _ => NullType
+      }
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fs), _)
+        if fs.length == 2 && fs(0).dataType == LongType &&
+          (vecElem == FloatType || vecElem == DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cluster_drop_ids expects array<struct<bigint, array<float|double>>>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cluster_drop_ids"
+
+  @transient private lazy val floatElems = vecElem == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    require(total <= maxCluster,
+      s"graft_cluster_drop_ids: cluster of $total vectors exceeds maxCluster=$maxCluster — " +
+        "the centroid count is too small for this corpus (SemDeDup's knob is k ~ n/5000); " +
+        "refine/extend the centroid set, or raise maxCluster to trade wall time for completion")
+    val ids = new Array[Long](total)
+    val vecs = new Array[Array[Double]](total)
+    val norms = new Array[Double](total)
+    var dim = -1
+    var b = 0
+    var i = 0
+    while (i < total) {
+      val row = arr.getStruct(i, 2)
+      val v = if (row == null) null else row.getArray(1)
+      // a null entry or null vector takes part in no pair — it can
+      // neither drop nor be dropped (cos vs null is null, never ≥ θ —
+      // the exact semantics of the join formulation this replaces)
+      if (v != null) {
+        ids(b) = row.getLong(0)
+        val n = v.numElements()
+        if (dim < 0) dim = n
+        else if (n != dim) throw new IllegalArgumentException(
+          s"graft_cluster_drop_ids: dimension mismatch ($dim vs $n) — " +
+            "mixed embedding widths in the corpus?")
+        val d = new Array[Double](n)
+        var j = 0
+        if (floatElems) while (j < n) { d(j) = v.getFloat(j).toDouble; j += 1 }
+        else while (j < n) { d(j) = v.getDouble(j); j += 1 }
+        var s = 0.0; j = 0
+        while (j < n) { s += d(j) * d(j); j += 1 }
+        vecs(b) = d; norms(b) = math.sqrt(s)
+        b += 1
+      }
+      i += 1
+    }
+    // ascending id order: position index IS "every earlier entry has a
+    // lower id", so the inner scan is i < j and the early exit is sound
+    val order = (0 until b).sortBy(ids(_)).toArray
+    val dropped = Array.newBuilder[Long]
+    var jj = 1
+    while (jj < b) {
+      val j = order(jj)
+      val y = vecs(j); val nj = norms(j)
+      var ii = 0
+      var hit = false
+      while (ii < jj && !hit) {
+        val i2 = order(ii)
+        // STRICTLY lower id, matching the join's a.id < b.id: two rows
+        // carrying the same id (corpus collisions) never pair
+        if (ids(i2) < ids(j)) {
+          val x = vecs(i2)
+          var s = 0.0; var m = 0
+          while (m < dim) { s += x(m) * y(m); m += 1 }
+          val nn = norms(i2) * nj
+          if (nn > 0 && s / nn >= threshold) hit = true
+        }
+        ii += 1
+      }
+      if (hit) dropped += ids(j)
+      jj += 1
+    }
+    new GenericArrayData(dropped.result())
+  }
+
+  override protected def withNewChildInternal(c: Expression): ClusterDropIds =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe over a 64-bit key hash, mirroring the
   * shape of Spark's internal runtime-filter BloomFilterMightContain
   * (public pattern): the serialized filter arrives as a foldable binary
@@ -955,6 +1074,19 @@ object GraftExpressions {
         val k = es(3).eval(InternalRow.empty).asInstanceOf[Int]
         TopPairsAgg(es(0), es(1), es(2), k).toAggregateExpression()
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_cluster_drop_ids",
+      { es: Seq[Expression] =>
+        val thr = es(1).eval(InternalRow.empty) match {
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float => f.doubleValue()
+          case x: java.math.BigDecimal => x.doubleValue()
+          case d: Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_cluster_drop_ids threshold must be numeric, got $other")
+        }
+        val cap = if (es.length > 2) es(2).eval(InternalRow.empty).asInstanceOf[Int] else 65536
+        ClusterDropIds(es(0), thr, cap)
+      }, "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -1006,6 +1138,12 @@ object GraftExpressions {
     register(spark)
     call_function("graft_bucket_top_pairs", entries,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(maxBucket))
+  }
+  def clusterDropIds(spark: SparkSession, entries: Column, threshold: Double,
+      maxCluster: Int = 65536): Column = {
+    register(spark)
+    call_function("graft_cluster_drop_ids", entries,
+      org.apache.spark.sql.functions.lit(threshold), org.apache.spark.sql.functions.lit(maxCluster))
   }
   def topPairs(spark: SparkSession, sim: Column, idA: Column, idB: Column, k: Int): Column = {
     register(spark)

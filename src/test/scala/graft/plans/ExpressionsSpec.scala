@@ -166,6 +166,50 @@ class ExpressionsSpec extends AnyFunSuite {
       s"expected a dimension-mismatch error, got: $e")
   }
 
+  test("ClusterDropIds == the join-formulated SemDeDup drop rule, exactly") {
+    // random clusters with planted near-duplicates, a repeated id, and
+    // a null vector; the expression must reproduce the reference
+    // formulation (strict a.id < b.id, cos >= θ) drop set exactly —
+    // semanticDedup's oracle correctness rests on this equivalence
+    val rnd = new scala.util.Random(7)
+    val base = 3000000000L // ids above 2^31
+    for (b <- Seq(2, 5, 23); thr <- Seq(0.5, 0.95)) {
+      val raw = (0 until b).map { i =>
+        val v = Array.fill(8)(rnd.nextFloat() * 4 - 2)
+        (base + i * 3, v)
+      }
+      // plant: a near-copy of entry 0 at a HIGHER id, a repeated id
+      // (same id, different vector), and a null vector row
+      val planted = raw ++ Seq(
+        (base + b * 3 + 1, raw.head._2.map(x => x * 1.000001f)),
+        (raw(1)._1, Array.fill(8)(rnd.nextFloat() * 4 - 2)),
+        (base + b * 3 + 2, null: Array[Float]))
+      val df = planted.toDF("id", "v")
+      val fast = df.agg(collect_list(struct($"id", $"v")).as("entries"))
+        .select(explode(GraftExpressions.clusterDropIds(spark, $"entries", thr)).as("id"))
+        .as[Long].collect().toSet
+      val withNorm = df.filter($"v".isNotNull).select($"id", $"v",
+        sqrt(GraftExpressions.dot(spark, $"v", $"v")).as("n"))
+      val ref = withNorm.as("a").join(withNorm.as("b"), $"a.id" < $"b.id")
+        .filter($"a.n" * $"b.n" > 0 &&
+          GraftExpressions.dot(spark, $"a.v", $"b.v") / ($"a.n" * $"b.n") >= thr)
+        .select($"b.id").distinct().as[Long].collect().toSet
+      assert(fast == ref, s"b=$b thr=$thr:\nfast=$fast\nref =$ref")
+      // the planted near-copy must be in the drop set at 0.95
+      if (thr == 0.95) assert(fast.contains(base + b * 3 + 1))
+    }
+    // maxCluster guard carries the k-knob remedy
+    val vecs = (0 until 10).map(i => (i.toLong, Array.fill(4)(i.toFloat + 1)))
+    val e = intercept[Exception](
+      vecs.toDF("id", "v").agg(collect_list(struct($"id", $"v")).as("entries"))
+        .select(GraftExpressions.clusterDropIds(spark, $"entries", 0.9, maxCluster = 8))
+        .collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("n/5000"))),
+      s"expected the k-knob remedy in the error, got: $e")
+  }
+
   test("MinHashSig: deterministic, length k, more-similar sets share more slots") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
