@@ -126,6 +126,47 @@ object Similarity {
       nprobe)
   }
 
+  /** Measured size of a centroid frame: row count + embedding width in
+    * ONE tiny aggregate job — the honest input to [[guardForcedBroadcast]]
+    * (Catalyst's `optimizedPlan.stats` would report the UNFILTERED scan
+    * size for the common `corpus.filter(id < k)` centroid frame, firing
+    * the guard spuriously on perfectly small frames). */
+  private case class CentStats(k: Long, dim: Int, elemBytes: Int) {
+    /** Broadcast-side estimate: vector payload + id/norm/row overhead. */
+    def estBytes: Long = k * (dim.toLong * elemBytes + 48L)
+  }
+
+  private def centStats(centroids: DataFrame, cvCol: String = "cv"): CentStats = {
+    val elemBytes = centroids.schema(cvCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => 8
+      case _ => 4
+    }
+    val r = centroids.agg(count(lit(1)), max(size(col(cvCol)))).head()
+    CentStats(r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1), elemBytes)
+  }
+
+  /** Fail-fast guard on every FORCED `broadcast(cent)` in this file: a
+    * hinted broadcast bypasses JoinSelection's size check AND AQE's
+    * runtime demotion, so a 20 GB centroid table (k ≈ 10⁶ at the
+    * SemDeDup knob k = n/5000 on a 100 TB corpus) would be built on the
+    * driver and shipped to every executor — an OOM, not a slowdown.
+    * Mirrors [[SkewJoin]]'s eligibility check but against MEASURED
+    * size (count × row width), not plan stats — see [[centStats]].
+    * Threshold ≤ 0 (broadcast disabled session-wide) skips the guard:
+    * the caller pinned that plan shape deliberately. */
+  private def guardForcedBroadcast(
+      spark: org.apache.spark.sql.SparkSession, stats: CentStats, what: String): Unit = {
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    require(thr <= 0 || stats.estBytes <= thr,
+      s"$what: centroid frame (~${stats.k} rows × dim ${stats.dim} ≈ " +
+        f"${stats.estBytes / 1048576.0}%.1f MB) exceeds " +
+        f"spark.sql.autoBroadcastJoinThreshold (${thr / 1048576.0}%.1f MB) — a forced " +
+        "broadcast this size is an executor OOM at cluster scale. Remedies: " +
+        "route large-k assignment through assignClustersHier (broadcasts only " +
+        "~sqrt(k) coarse anchors; semanticDedup does this automatically), reduce " +
+        "the centroid count, or raise the threshold deliberately for this session")
+  }
+
   /** Nearest-centroid assignment of every `df` row (highest cosine,
     * ties to the lowest centroid id): `(outId, cid, xv, xn)`. The
     * write-time entry point for IVF layouts — persist the corpus
@@ -133,16 +174,141 @@ object Similarity {
     * partition directories (IvfLayoutSpec asserts the pruning). The
     * argmax is a partial aggregate, so the ×nCentroids scoring blow-up
     * collapses map-side and only one row per vector reaches any
-    * exchange. */
+    * exchange.
+    *
+    * FLAT argmax: per-row cost is Θ(k) cosine evaluations and the
+    * centroid table is force-broadcast (guarded against the session
+    * broadcast threshold — see [[guardForcedBroadcast]]). The right
+    * shape for the caller-fixed small k of IVF search; for corpus-
+    * derived k that grows with n (SemDeDup's k ≈ n/5000), use
+    * [[assignClustersHier]], whose per-row cost is O(√k). */
   def assignClusters(
       df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, outId: String = "corpus_id"): DataFrame = {
+      centroids: DataFrame, outId: String = "corpus_id"): DataFrame =
+    assignClustersMeasured(df, idCol, vecCol, centroids, outId,
+      centStats(centroids.select(col("cid"), col("cv"))))
+
+  /** [[assignClusters]] with the centroid-frame measurement already in
+    * hand — callers that measure for routing (semanticDedup) or guard
+    * once across iterations (kmeansRefine) skip the re-measure job. */
+  private def assignClustersMeasured(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, outId: String, stats: CentStats): DataFrame = {
+    guardForcedBroadcast(df.sparkSession, stats, "assignClusters")
     val cent = centroids.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
     df.select(col(idCol).as(outId), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
       .join(broadcast(cent), lit(true))
       .withColumn("__csim", cosOf(dot(col("__v"), col("cv")), col("__n"), col("cn")))
       .groupBy(outId)
       .agg(max(struct(struct(col("__csim"), -col("cid")).as("k"),
+        struct(col("cid"), col("__v"), col("__n")).as("p"))).as("__m"))
+      .select(col(outId), col("__m.p.cid").as("cid"),
+        col("__m.p.__v").as("xv"), col("__m.p.__n").as("xn"))
+  }
+
+  /** Hierarchical (two-level, coarse→fine) nearest-centroid assignment —
+    * the scale shape for corpus-DERIVED centroid counts. Same output
+    * contract as [[assignClusters]]: `(outId, cid, xv, xn)`.
+    *
+    * Why it exists: with SemDeDup's knob k ≈ n/5000, flat argmax
+    * assignment is Θ(n·k) = Θ(n²/5000) cosine evaluations plus a Θ(k)
+    * forced broadcast — invisible while k rides its floor (k = 120 at
+    * the sf30 rehearsal) and a wall at 100 TB where k ≈ 10⁶ (a ~20 GB
+    * broadcast and 10¹⁶ dot products). Here only ~√k coarse ANCHORS are
+    * broadcast (the one forced, guarded broadcast); each row argmaxes
+    * over the anchors (O(√k) evals), then over the fine centroids of
+    * its coarse cell (expected k/√k = O(√k) evals). The fine
+    * (cell-keyed) join is deliberately NOT hinted: JoinSelection
+    * broadcasts the k-row fine table while it fits the session
+    * threshold and falls back to a shuffled hash join past it — the
+    * SkewJoin lesson (a forced hint overrides AQE's runtime demotion).
+    * Total: per-row O(√k) work, O(√k) broadcast state, and at most one
+    * corpus exchange more than flat — which semanticDedup's pairwise
+    * stage pays anyway.
+    *
+    * Semantics: an APPROXIMATION of flat argmax — a row lands on the
+    * nearest fine centroid *within its nearest anchor's cell*, which
+    * can differ from the global argmax near cell boundaries. That is
+    * the standard IVF/hierarchical-k-means trade (SemDeDup's own
+    * clustering is approximate k-means; arXiv:2303.09540 §3), and two
+    * structural guarantees hold exactly: (a) identical vectors receive
+    * identical assignments (every planted duplicate lands in its
+    * original's cluster — the invariant semantic dedup correctness
+    * rests on), and (b) with `nCoarse ≥ k` every centroid is its own
+    * anchor and the result EQUALS flat argmax, tie-breaks included
+    * (spec-pinned). Determinism: anchors are a rank-stride over cid
+    * order; every argmax breaks ties to the lowest id.
+    *
+    * The anchor pick ranks the centroid table in one task — fine up to
+    * k ~ 10⁷ centroid rows (MBs–GBs in one sort), far past the point
+    * where flat assignment died. */
+  def assignClustersHier(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, outId: String = "corpus_id",
+      nCoarse: Int = -1): DataFrame = {
+
+    val spark = df.sparkSession
+    // pinned: the fine table feeds the anchor pick, the fine→cell map,
+    // and the fine join — unpinned, the centroid-producing plan (often
+    // a corpus scan) would execute three times
+    val fine = centroids.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
+      .localCheckpoint(false)
+    val stats = centStats(fine)
+    require(stats.k > 0, "assignClustersHier needs a non-empty centroid table")
+    val c = if (nCoarse > 0) nCoarse
+      else math.max(1, math.ceil(math.sqrt(stats.k.toDouble)).toInt)
+    // the coarse table is the ONE forced broadcast — guard its measured
+    // size (c rows at the same row width)
+    guardForcedBroadcast(spark, stats.copy(k = math.min(stats.k, c.toLong)),
+      "assignClustersHier(coarse)")
+
+    // deterministic anchors: a rank-stride over cid order spreads ~c
+    // anchors across the centroid id range (single-task sort of k rows)
+    val stride = math.max(1L, (stats.k + c - 1) / c)
+    val w = Window.orderBy(col("cid"))
+    val coarse = fine.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - lit(1L)) % stride === 0)
+      .select(col("cid").as("gid"), col("cv").as("gv"), col("cn").as("gn"))
+
+    // flat-argmax helper against the broadcast anchor table: ties to
+    // the lowest gid, matching assignClusters' tie rule
+    def nearestAnchor(rows: DataFrame, keep: Seq[Column]): DataFrame = rows
+      .join(broadcast(coarse), lit(true))
+      .withColumn("__gs", cosOf(dot(col("__v"), col("gv")), col("__n"), col("gn")))
+      .groupBy(col("__key"))
+      .agg(max(struct(struct(col("__gs"), -col("gid")).as("k"),
+        struct(col("gid") +: keep: _*).as("p"))).as("__m"))
+
+    // fine→cell map: each centroid joins the candidate set of its own
+    // nearest anchor's cell. Anchors are then PINNED to their own cell
+    // (gid = cid) so every selectable cell provably contains its anchor
+    // — without the pin, a zero-norm anchor's cell could be chosen by a
+    // row yet be empty, and the inner fine join would DROP that row.
+    val fineMapRaw = nearestAnchor(
+        fine.select(col("cid").as("__key"), col("cv").as("__v"), col("cn").as("__n")),
+        keep = Nil)
+      .select(col("__m.p.gid").as("gid"), col("__key").as("cid"))
+    val anchorPin = coarse.select(col("gid").as("cid"), col("gid").as("__selfGid"))
+    val fineMap = fineMapRaw.join(anchorPin, Seq("cid"), "left")
+      .select(coalesce(col("__selfGid"), col("gid")).as("gid"), col("cid"))
+      .join(fine, Seq("cid"))
+      .select(col("gid"), col("cid"), col("cv"), col("cn"))
+
+    // corpus coarse stage: O(√k) evals per row against the broadcast
+    // anchors, collapsed map-side to one row per id
+    val coarseAssigned = nearestAnchor(
+        df.select(col(idCol).as("__key"), col(vecCol).as("__v"), norm(col(vecCol)).as("__n")),
+        keep = Seq(col("__v"), col("__n")))
+      .select(col("__key").as(outId), col("__m.p.gid").as("gid"),
+        col("__m.p.__v").as("__v"), col("__m.p.__n").as("__n"))
+
+    // fine stage: un-hinted cell-keyed join (planner broadcasts small
+    // fine tables, shuffles large ones), then the same partial-agg
+    // argmax — expected k/√k candidates per row collapse map-side
+    coarseAssigned.join(fineMap, Seq("gid"))
+      .withColumn("__cs", cosOf(dot(col("__v"), col("cv")), col("__n"), col("cn")))
+      .groupBy(col(outId))
+      .agg(max(struct(struct(col("__cs"), -col("cid")).as("k"),
         struct(col("cid"), col("__v"), col("__n")).as("p"))).as("__m"))
       .select(col(outId), col("__m.p.cid").as("cid"),
         col("__m.p.__v").as("xv"), col("__m.p.__n").as("xn"))
@@ -297,13 +463,38 @@ object Similarity {
     * both `b` and `c` of a chain a~b, b~c where SemDeDup's
     * keep-one-per-group would keep `c`. Documented, oracle-pinned.
     *
-    * Returns one row per input vector: (id, cid, keep). */
+    * Assignment routing: at or above `hierAssignFrom` centroids the
+    * argmax runs through [[assignClustersHier]] (per-row O(√k) evals,
+    * O(√k) broadcast) instead of the flat Θ(n·k) scan with its Θ(k)
+    * forced broadcast — with the corpus-derived k = n/5000 knob, flat
+    * assignment is asymptotically Θ(n²/5000) and its broadcast alone
+    * (~20 GB at k ≈ 10⁶) OOMs executors at the 100 TB design point.
+    * Below the threshold flat is both exact and cheaper (two fewer
+    * stages); the hierarchical path is the documented approximation —
+    * identical vectors still receive identical assignments, so the
+    * planted-duplicate guarantee is unconditional on either path.
+    *
+    * Returns one row per input vector: (id, cid, keep). The id column
+    * must be an integral type (byte/short/int/long — widened to long
+    * for the in-cluster scoring expression, which keys its primitive
+    * id arrays as bigint); map string/content-hash ids to a 64-bit
+    * numeric key first (e.g. `xxhash64`). */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
-      maxCluster: Int = 65536): DataFrame = {
+      maxCluster: Int = 65536, hierAssignFrom: Int = 512): DataFrame = {
 
     val spark = df.sparkSession
+    // integral only, loudly: a silent cast("long") on a string id
+    // would turn non-numeric ids into nulls that can neither drop nor
+    // be dropped — every string-id row would "survive" dedup
+    require({
+        import org.apache.spark.sql.types._
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(idCol).dataType)
+      },
+      s"semanticDedup needs an integral id column (byte/short/int/long), " +
+        s"got ${df.schema(idCol).dataType} for '$idCol' — map string/hash ids " +
+        "to a numeric key first (e.g. xxhash64(id))")
     // pinned: the argmax assignment (a corpus × centroids scoring
     // pass) feeds both the pairwise stage AND the final keep
     // projection — unpinned it would execute twice
@@ -313,8 +504,10 @@ object Similarity {
     // collected once (≈ cluster·vecBytes — the k ≈ n/5000 knob keeps
     // that in the MBs) and the drop rule runs as a primitive loop.
     // Singleton clusters can drop nothing — filtered before the expr.
+    // Sub-long integral ids widen exactly to the expression's bigint
+    // key; the drop decision is order-based and casts preserve order.
     val droppedIds = assigned
-      .select(col("cid"), struct(col("id"), col("xv")).as("e"))
+      .select(col("cid"), struct(col("id").cast("long").as("id"), col("xv")).as("e"))
       .groupBy(col("cid"))
       .agg(collect_list(col("e")).as("entries"))
       .filter(size(col("entries")) >= 2)

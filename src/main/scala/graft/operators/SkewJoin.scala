@@ -45,7 +45,18 @@ object SkewJoin {
     *
     * Results are identical on either path; pass `autoBroadcast = false`
     * to pin the salted rewrite (e.g. when the estimate is known-wrong
-    * and the skew is known-extreme). */
+    * and the skew is known-extreme).
+    *
+    * Residual risk, documented deliberately: the eligibility check
+    * reads `small`'s STANDALONE optimized-plan estimate, while
+    * JoinSelection sees the pruned/reordered plan inside the full
+    * query — if stats drift between the two (column pruning shrinks a
+    * row, join reorder changes the build side), the fast path may emit
+    * a plain join that the planner then executes as a shuffled join:
+    * un-salted AND un-broadcast, the exact straggler case saltedJoin
+    * exists to prevent. The sessions this library builds keep AQE on,
+    * whose runtime skew-split bounds that case; under AQE-off sessions
+    * with known-extreme skew, pin `autoBroadcast = false`. */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       keys: Seq[String], buckets: Int,

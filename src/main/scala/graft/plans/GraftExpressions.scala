@@ -911,10 +911,13 @@ case class ClusterDropIds(child: Expression, threshold: Double, maxCluster: Int 
     var i = 0
     while (i < total) {
       val row = arr.getStruct(i, 2)
-      val v = if (row == null) null else row.getArray(1)
-      // a null entry or null vector takes part in no pair — it can
-      // neither drop nor be dropped (cos vs null is null, never ≥ θ —
-      // the exact semantics of the join formulation this replaces)
+      val v = if (row == null || row.isNullAt(0)) null else row.getArray(1)
+      // a null entry, null ID, or null vector takes part in no pair —
+      // it can neither drop nor be dropped (a null id compares null
+      // under `a.id < b.id`, a null vector scores null, and null is
+      // never ≥ θ — the exact semantics of the join formulation this
+      // replaces; an unguarded getLong(0) would read a null id as 0 and
+      // crown the row the cluster's lowest id)
       if (v != null) {
         ids(b) = row.getLong(0)
         val n = v.numElements()

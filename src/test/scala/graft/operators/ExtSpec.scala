@@ -250,6 +250,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res(4L)._2 && res(5L)._2, "cross-cluster near-dups both survive")
   }
 
+  test("semantic dedup widens integral id types and rejects non-integral ones loudly") {
+    // int ids — the public-API shape the r14 bigint-only scoring
+    // expression regressed: must widen to long transparently and
+    // return the ORIGINAL int type on output
+    val data = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (1, Array(0.99f, 0.01f)),   // near-dup of 0
+      (7, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (7L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cv")
+    val res = Similarity.semanticDedup(data, "vec_id", "embedding", cents,
+      threshold = 0.98)
+    assert(res.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    val keep = res.select($"id", $"keep").as[(Int, Boolean)].collect().toMap
+    assert(keep == Map(0 -> true, 1 -> false, 7 -> true), keep)
+    // a string id must fail at plan-build time with the remedy, not
+    // silently null out under an implicit cast
+    val strData = Seq(("a", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.semanticDedup(strData, "vec_id", "embedding", cents, 0.9))
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
+  }
+
   test("ivf top-k equals brute force when every cluster is probed") {
     // 5 vectors, 2 centroids (vec_id < 2), nprobe = 2 probes everything
     // → IVF must reduce to exact search

@@ -184,7 +184,14 @@ class ExpressionsSpec extends AnyFunSuite {
         (base + b * 3 + 1, raw.head._2.map(x => x * 1.000001f)),
         (raw(1)._1, Array.fill(8)(rnd.nextFloat() * 4 - 2)),
         (base + b * 3 + 2, null: Array[Float]))
-      val df = planted.toDF("id", "v")
+      // ... and a NULL-ID row carrying a near-copy of entry 0's vector:
+      // under the join rule a null id pairs with nothing (null < x is
+      // null), so it can neither drop nor be dropped — an unguarded
+      // getLong(0) would read it as id 0, crown it the cluster's lowest
+      // id, and wrongly drop entry 0's whole near-dup neighborhood
+      val nullIdRow = Seq((0L, raw.head._2.map(x => x * 1.000002f)))
+        .toDF("id", "v").select(lit(null).cast("long").as("id"), $"v")
+      val df = planted.toDF("id", "v").unionByName(nullIdRow)
       val fast = df.agg(collect_list(struct($"id", $"v")).as("entries"))
         .select(explode(GraftExpressions.clusterDropIds(spark, $"entries", thr)).as("id"))
         .as[Long].collect().toSet
