@@ -161,7 +161,11 @@ object Bench {
       // round-14 Catch 6/7 keys: both were super-linear at sf10 and
       // fixed this round (corpus-derived semantic-dedup k; ImageIO
       // memory-cache) — the sf1 lane now watches them round-over-round
-      "x_dedup_semantic", "x_multimodal")
+      "x_dedup_semantic", "x_multimodal",
+      // round-15: production-shape streaming (10-file triggers) — the
+      // 1-file contract keys measure micro-batch orchestration floor at
+      // any scale; this one measures the stateful operators' DATA cost
+      "x_stream_ingest_bulk")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // tri-state so a round-over-round consumer can tell "opted out"

@@ -26,18 +26,42 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** ImageIO's default stream cache is DISK-backed: every
-    * `ImageIO.read/write(stream)` creates and deletes a temp FILE per
-    * call, even when the stream is an in-memory byte array. Per-row
+    * `ImageIO.read/write(raw stream)` creates and deletes a temp FILE
+    * per call, even when the stream is an in-memory byte array. Per-row
     * temp-file churn across 32 executor threads serializes on tmp-dir
     * metadata and grows with row volume — measured as the super-linear
     * term in x_multimodal's sf10 curve (isolated 11.7× wall for 10×
-    * data; SCALE_CURVE.md round 14). Payloads here are KB-sized, so
-    * the in-memory cache is strictly better. Called at the top of
-    * every ImageIO-touching partition closure: cheap, idempotent, and
-    * it must run in the EXECUTOR JVM — a driver-side init would not
-    * reach a real cluster's executors. */
-  private def imageIOMemCache(): Unit =
-    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+    * data; SCALE_CURVE.md round 14, certified fixed at sf30). Payloads
+    * here are KB-sized, so the in-memory cache is strictly better.
+    *
+    * SCOPED, not global (round-15 review fix): every call site hands
+    * ImageIO an explicit `MemoryCacheImageInput/OutputStream` instead
+    * of flipping the process-wide `ImageIO.setUseCache(false)` — the
+    * flag mutation leaked to every OTHER ImageIO user in the executor
+    * JVM (a user UDF decoding multi-MB images would silently lose
+    * disk-backed streaming and buffer whole images on heap). With an
+    * explicit ImageInput/OutputStream, ImageIO performs no cache
+    * wrapping at all, so these helpers are executor-local by
+    * construction — nothing to initialize per partition. */
+  private def readImage(bytes: Array[Byte], off: Int = 0, len: Int = -1): java.awt.image.BufferedImage = {
+    val n = if (len < 0) bytes.length - off else len
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes, off, n))
+    // ImageIO.read(ImageInputStream) closes the stream itself except on
+    // a null (undecodable) result — tolerate the double close
+    try javax.imageio.ImageIO.read(iis)
+    finally { try iis.close() catch { case _: java.io.IOException => () } }
+  }
+
+  /** Encode `img` as `fmt` into fresh bytes through an explicit
+    * in-memory output stream (close() flushes the cache to `bos`). */
+  private def writeImage(img: java.awt.image.RenderedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try require(javax.imageio.ImageIO.write(img, fmt, ios), s"no JDK encoder for $fmt")
+    finally ios.close()
+    bos.toByteArray
+  }
 
   /** Metadata carried next to every payload. */
   val MetaSchema: StructType = StructType(Seq(
@@ -80,7 +104,6 @@ object Multimodal {
       StructField("meta", MetaSchema, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
     val rdd = df.rdd.mapPartitions { it =>
-      imageIOMemCache()
       it.map { row =>
         val id = row.get(idIdx) match {
           case l: Long => l; case i: Int => i.toLong
@@ -124,9 +147,7 @@ object Multimodal {
       // alternate container formats so BOTH JDK image codecs are on the
       // round-trip path (both lossless — the color oracle stays exact)
       val fmt = if (fm(id, 2) == 0) "png" else "bmp"
-      val bos = new ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK encoder for $fmt")
-      (bos.toByteArray, "image", s"image/$fmt")
+      (writeImage(img, fmt), "image", s"image/$fmt")
     case 1 =>
       val (sr, n, amp) = audioParams(id)
       val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
@@ -166,7 +187,7 @@ object Multimodal {
         g2.setColor(new java.awt.Color(g, g, g))
         g2.fillRect(0, 0, img.getWidth, img.getHeight)
         g2.dispose()
-        require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JDK JPEG encoder")
+        bos.write(writeImage(img, "jpg"))
         f += 1
       }
       (Mp4.build(tsc, dur, w, h, bos.toByteArray), "video", "video/mp4")
@@ -213,7 +234,6 @@ object Multimodal {
     val idxMime = inSchema("meta").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldIndex("mime")
     val rdd = payloads.rdd.mapPartitions { it =>
-      imageIOMemCache()
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idxPayload)
         val mime = row.getStruct(idxMeta).getString(idxMime)
@@ -232,7 +252,7 @@ object Multimodal {
     * means (exact integers for solid-color lossless fixtures, which is
     * what lets a SQL oracle check real decoded pixel data). */
   private def decodeImage(bytes: Array[Byte]): Row = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    val img = readImage(bytes)
     require(img != null, "javax.imageio could not decode image payload")
     val raster = img.getRaster
     val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
@@ -331,7 +351,7 @@ object Multimodal {
   private def mjpegFeatures(bytes: Array[Byte], from: Int, until: Int,
       featureDim: Int): Option[Seq[Float]] = {
     val stats = splitJpegFrames(bytes, from, until).flatMap { case (s, e) =>
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes, s, e - s))
+      val img = readImage(bytes, s, e - s)
       if (img == null) None
       else {
         val r = img.getRaster
@@ -421,13 +441,12 @@ object Multimodal {
     val idxMime = inSchema("meta").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldIndex("mime")
     val rdd = decoded.rdd.mapPartitions { it =>
-      imageIOMemCache()
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idxPayload)
         val mime = row.getStruct(idxMeta).getString(idxMime)
         val thumb =
           if (mime.startsWith("image/")) {
-            val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+            val img = readImage(bytes)
             require(img != null, "javax.imageio could not decode image payload")
             val scaled = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -435,9 +454,7 @@ object Multimodal {
             gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             gfx.drawImage(img, 0, 0, w, h, null); gfx.dispose()
-            val bos = new ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(scaled, "png", bos)
-            bos.toByteArray
+            writeImage(scaled, "png")
           } else bytes.take(math.max(1, w * h / 64))
         Row.fromSeq(row.toSeq ++ Seq(w, h, thumb))
       }

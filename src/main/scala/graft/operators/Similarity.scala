@@ -321,6 +321,12 @@ object Similarity {
       idCol: String, vecCol: String,
       k: Int, centroids: DataFrame, nprobe: Int): DataFrame = {
 
+    // one measurement guards BOTH forced broadcasts here (probe scoring
+    // below + corpus assignment) — IVF's k is caller-fixed and small by
+    // design, so a guard trip means the caller's knob, not the corpus,
+    // is wrong
+    val stats = centStats(centroids.select(col("cid"), col("cv")))
+    guardForcedBroadcast(corpus.sparkSession, stats, "ivfTopKWith")
     val cent = centroids.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
 
     // score every vector against the broadcast centroid table
@@ -330,7 +336,8 @@ object Similarity {
         .withColumn("__csim", cosOf(dot(col("__v"), col("cv")), col("__n"), col("cn")))
 
     // corpus assignment = argmax over centroids (see assignClusters)
-    val assigned = assignClusters(corpus, idCol, vecCol, centroids)
+    val assigned = assignClustersMeasured(corpus, idCol, vecCol,
+      centroids.select(col("cid"), col("cv")), "corpus_id", stats)
 
     // probes are few — the nprobe ranking window stays on the small side
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("__csim"), col("cid"))
@@ -359,6 +366,11 @@ object Similarity {
       iters: Int = 1): DataFrame = {
 
     var cent = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cv"))
+    // guard ONCE before the loop: centroid count and width are loop
+    // invariants (means keep the input dimension; empty clusters keep
+    // their previous centroid), so one measurement covers every
+    // iteration's forced broadcast
+    guardForcedBroadcast(corpus.sparkSession, centStats(cent), "kmeansRefine")
     (1 to iters).foreach { _ =>
       val scored = corpus
         .select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
@@ -495,11 +507,19 @@ object Similarity {
       s"semanticDedup needs an integral id column (byte/short/int/long), " +
         s"got ${df.schema(idCol).dataType} for '$idCol' — map string/hash ids " +
         "to a numeric key first (e.g. xxhash64(id))")
+    // measure once (rows + dim in one tiny agg job), route on k, and
+    // hand the measurement to the flat path so it doesn't re-measure
+    val stats = centStats(centroids.select(col("cid"), col("cv")))
     // pinned: the argmax assignment (a corpus × centroids scoring
     // pass) feeds both the pairwise stage AND the final keep
     // projection — unpinned it would execute twice
-    val assigned = assignClusters(df, idCol, vecCol, centroids, outId = "id")
-      .localCheckpoint(false)
+    val assigned = (
+      if (stats.k >= hierAssignFrom)
+        assignClustersHier(df, idCol, vecCol, centroids, outId = "id")
+      else
+        assignClustersMeasured(df, idCol, vecCol,
+          centroids.select(col("cid"), col("cv")), outId = "id", stats)
+    ).localCheckpoint(false)
     // one exchange keyed by cid; each cluster's (id, vec) entries are
     // collected once (≈ cluster·vecBytes — the k ≈ n/5000 knob keeps
     // that in the MBs) and the drop rule runs as a primitive loop.

@@ -1207,6 +1207,40 @@ object ExtQueries {
        |SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
        |FROM u GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
 
+  /** Production-shape twin of [[streamIngest]]: the SAME gate + dedup
+    * pipeline over the same corpus, but staged as 20 files consumed 10
+    * per trigger — the `filesPerTrigger` regime a real ingest runs at,
+    * where per-micro-batch orchestration cost (planning + checkpoint
+    * fsyncs + state commit, measured ≈0.86 s/batch by
+    * [[graft.tools.StreamOverhead]]) amortizes over realistic batches
+    * and the bench line measures DATA cost. The 1-file-trigger contract
+    * queries stay as they are deliberately (proving watermark/replay
+    * semantics needs ≥3 data batches); this key exists so the standing
+    * sf1 lane can see a regression in the stateful operators
+    * themselves instead of re-measuring commit protocol. Results are
+    * trigger-batching-invariant (same oracle as x_stream_ingest;
+    * StreamingSpec pins the equivalence). */
+  def streamIngestBulk(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_singestb_").toString
+    val staged = base + "/src"
+    val docs = Tables.load(spark, dir, "documents")
+    stageSlices(docs, staged, 20, Seq(col("doc_id")),
+      replay = Some(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)))
+    val sink = base + "/sink"
+    // 21 staged files / 10 per trigger = 3 data batches; the replay file
+    // (mtime-last) still lands in a LATER batch than every original, so
+    // cross-batch dedup state is exercised, just not per-file
+    runAvailableNowParquet(spark,
+      graft.streaming.EventsStream.gatedDedupIngest(
+        graft.streaming.EventsStream.readDocuments(spark, staged, filesPerTrigger = 10)),
+      sink, base + "/ckpt", minDataBatches = 3, what = "x_stream_ingest_bulk")
+    spark.read.parquet(sink)
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok").cast("long")).as("n_tokens"))
+      .orderBy("lang_pred")
+  }
+
   // ---- dup-pair connected components -----------------------------------
   /** Near-dup CLUSTERING — the stage after pair generation: LSH pairs →
     * hash-min connected components ([[Dedup.clusters]]) → one dedup
@@ -1783,6 +1817,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a7_topk_group" -> (topkGroup _),
     "x_stream_ingest" -> (streamIngest _),
+    "x_stream_ingest_bulk" -> (streamIngestBulk _),
     "x_rolling_daily" -> (rollingDaily _),
     "x_corr_matrix" -> (corrMatrix _),
     "x_user_features" -> (userFeatures _),
@@ -1835,6 +1870,8 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "a7_topk_group" -> topkGroupSql,
     "x_stream_ingest" -> streamIngestSql,
+    // trigger-batching-invariant: the bulk variant computes the same set
+    "x_stream_ingest_bulk" -> streamIngestSql,
     "x_rolling_daily" -> rollingDailySql,
     "x_corr_matrix" -> corrMatrixSql,
     "x_user_features" -> userFeaturesSql,

@@ -250,6 +250,124 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res(4L)._2 && res(5L)._2, "cross-cluster near-dups both survive")
   }
 
+  test("hierarchical assignment equals flat argmax with nCoarse >= k, tie-breaks included") {
+    // real fixture embeddings, 16 centroids: with every centroid its
+    // own anchor the two paths must agree EXACTLY (same tie rule)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"corpus_id", $"cid").as[(Long, Long)].collect().toSet
+    val flat = rows(Similarity.assignClusters(emb, "vec_id", "embedding", centroids))
+    val hier = rows(Similarity.assignClustersHier(emb, "vec_id", "embedding",
+      centroids, nCoarse = 16))
+    assert(hier == flat)
+  }
+
+  /** 4 axis-direction clusters whose members wiggle only toward axis 0
+    * (axis 1 for the axis-0 cluster) — with anchors {c0, c2} (the
+    * stride-2 pick at nCoarse = 2) every member's nearest ANCHOR cell
+    * provably contains its true argmax centroid, so hier must equal
+    * flat on this fixture while still exercising a real 2-anchor
+    * hierarchy. Wiggle magnitude 0.05·(i/4) ≤ 0.45 keeps the own-axis
+    * argmax; adjacent members' cosine ≤ 0.9991 < the dedup threshold. */
+  private def separatedClusters(n: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val axis = i % 4
+      val waxis = if (axis == 0) 1 else 0
+      val w = 0.05f * (i / 4)
+      (i.toLong, Array.tabulate(4)(d =>
+        if (d == axis) 1.0f else if (d == waxis) w else 0.0f))
+    }
+
+  test("hierarchical assignment matches flat on separated clusters and preserves duplicates") {
+    val data = separatedClusters(80)
+    // planted exact duplicates of the first 8 vectors at higher ids
+    val planted = data.take(8).map { case (i, v) => (i + 1000L, v.clone()) }
+    val df = (data ++ planted).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0f)), (3L, Array(0f, 0f, 0f, 1.0f)))
+      .toDF("cid", "cv")
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select($"corpus_id", $"cid").as[(Long, Long)].collect().toMap
+    val flat = rows(Similarity.assignClusters(df, "vec_id", "embedding", cents))
+    val hier = rows(Similarity.assignClustersHier(df, "vec_id", "embedding",
+      cents, nCoarse = 2))
+    assert(hier == flat, "separated clusters: hier == flat")
+    // the unconditional invariant: identical vectors, identical cells
+    (0 until 8).foreach(i =>
+      assert(hier(i.toLong) == hier(i + 1000L), s"duplicate $i assignment"))
+  }
+
+  test("semanticDedup routes large k through hierarchical assignment, same planted result") {
+    // same separated fixture; force the hier route with a tiny
+    // threshold and check the planted copies are still dropped and the
+    // originals kept — the result the flat route produces
+    val data = separatedClusters(40)
+    val planted = data.take(8).map { case (i, v) => (i + 1000L, v.clone()) }
+    val df = (data ++ planted).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0f)), (3L, Array(0f, 0f, 0f, 1.0f)))
+      .toDF("cid", "cv")
+    def keepMap(hierFrom: Int) =
+      Similarity.semanticDedup(df, "vec_id", "embedding", cents,
+          threshold = 0.9999, hierAssignFrom = hierFrom)
+        .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    val viaHier = keepMap(1)          // k=4 >= 1 → hierarchical route
+    val viaFlat = keepMap(1000)       // k=4 <  1000 → flat route
+    assert(viaHier == viaFlat)
+    (0 until 8).foreach { i =>
+      assert(viaHier(i.toLong), s"original $i kept")
+      assert(!viaHier(i + 1000L), s"planted copy of $i dropped")
+    }
+  }
+
+  test("forced centroid broadcasts are guarded against the session threshold") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      // 64 centroids × dim 8 ≈ 64·(32+48) = 5120 B > 1 KB threshold
+      val big = (0 until 64).map(i => (i.toLong, Array.fill(8)(i.toFloat + 1)))
+        .toDF("cid", "cv")
+      val e = intercept[IllegalArgumentException](
+        Similarity.assignClusters(vecs, "vec_id", "embedding", big))
+      assert(e.getMessage.contains("assignClusters") &&
+        e.getMessage.contains("assignClustersHier"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        Similarity.kmeansRefine(vecs, "vec_id", "embedding", big, "cid", "cv"))
+      assert(e2.getMessage.contains("kmeansRefine"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException](
+        Similarity.ivfTopKWith(vecs, vecs, "vec_id", "embedding", 2, big, 1))
+      assert(e3.getMessage.contains("ivfTopKWith"), e3.getMessage)
+      // the hierarchical path broadcasts only ~sqrt(k) anchors — the
+      // same centroid table passes (8 anchors ≈ 640 B < 1 KB)
+      val dim8 = vecs.select($"vec_id",
+        org.apache.spark.sql.functions.expr(
+          "concat(embedding, cast(array(0.0, 0.0, 0.0, 0.0, 0.0) as array<float>))"
+        ).as("embedding"))
+      assert(Similarity.assignClustersHier(dim8, "vec_id", "embedding", big)
+        .count() == 5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("semanticDedup surfaces the maxCluster k-knob remedy from a real query") {
+    // one centroid → every vector lands in one cluster of 6 > cap 4;
+    // the error must carry the remedy END TO END, raised from inside
+    // the executing query, not just from the expression unit test
+    val data = (0 until 6).map(i => (i.toLong, Array(1.0f, 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("cid", "cv")
+    val e = intercept[Exception](
+      Similarity.semanticDedup(data, "vec_id", "embedding", cents,
+        threshold = 0.99, maxCluster = 4).collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("n/5000"))),
+      s"expected the k-knob remedy end-to-end, got: $e")
+  }
+
   test("semantic dedup widens integral id types and rejects non-integral ones loudly") {
     // int ids — the public-API shape the r14 bigint-only scoring
     // expression regressed: must widen to long transparently and

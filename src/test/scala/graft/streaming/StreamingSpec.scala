@@ -90,6 +90,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(hashFine == hashBulk, "batching granularity changed the emitted result")
   }
 
+  test("x_stream_ingest_bulk (10-file triggers) emits exactly x_stream_ingest's result") {
+    // the production-shape bench twin must be trigger-batching-invariant:
+    // same corpus, same gate+dedup state machine, 20 files consumed 10
+    // per trigger vs 3 files one at a time — identical aggregate out
+    def rows(key: String) = graft.SparkEntry.queries(key)(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq.sorted
+    assert(rows("x_stream_ingest_bulk") == rows("x_stream_ingest"))
+  }
+
   test("streaming sink maintains the bloom and stats sidecars across micro-batch runs") {
     import graft.ds.{BloomIndex, GraftDataset, StatsIndex}
     val tmp = Files.createTempDirectory("graft_stream_maint_").toString
