@@ -140,21 +140,60 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
 
     // hashed shingle space: every downstream exchange (df count, prefix
-    // window, candidate join, verify) moves 8-byte longs, not shingle
+    // agg, candidate join, verify) moves 8-byte longs, not shingle
     // text; prefix-filter completeness only needs SOME global total
     // order on the shingle space, so ordering by (df, hash) instead of
     // (df, text) is equally exact (collision bound in
     // WordShingleHashes' scaladoc)
     val docs = pin(df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh")))
     val posting = docs.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-    val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
 
-    // global rarity order; prefix length = sz − ceil(t·sz) + 1
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
-    val prefix = posting.join(dfreq, Seq("s"))
-      .withColumn("__pos", row_number().over(w))
-      .filter(col("__pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("s"), col("id"))
+    // df annotation WITHOUT a posting-wide shuffle join (round-15 Catch
+    // 9): the original posting⋈dfreq SortMergeJoin sorted the full
+    // posting volume twice and dominated the operator's wall (probe:
+    // 51 s of 89 at sf30; the inverted-index agg shape below does the
+    // same annotation in 19-24 s). Buckets carry their own df and their
+    // (id, sz) entries through ONE map-combinable aggregation — but an
+    // unbounded collect_list is a fat-row hazard on stopword shingles
+    // (df ~ corpus size ⇒ GB-sized rows at 100 TB), so buckets are
+    // split by df against `hotDf`: the hot shingles are provably few
+    // (≤ |posting| / hotDf — counting argument), ship as a BROADCAST,
+    // and annotate their posting rows with a hash join that shuffles
+    // nothing; only the cold (bounded ≤ hotDf·16 B) buckets collect.
+    val hotDf = 1L << 20
+    val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    val hot = pin(dfreq.filter(col("df") > hotDf))
+    val cold = posting.join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), collect_list(struct(col("id"), col("sz"))).as("es"))
+      .select(col("df"), col("s"), explode(col("es")).as("e"))
+      .select(col("e.id").as("id"), col("e.sz").as("sz"), col("df"), col("s"))
+    val hotAnnot = posting.join(broadcast(hot), Seq("s"))
+      .select(col("id"), col("sz"), col("df"), col("s"))
+
+    // global rarity order; prefix length = sz − ceil(t·sz) + 1. The
+    // per-doc ranking is an in-group array_sort over the doc's own
+    // (df, s) list — docs are hundreds of shingles, so the sort is
+    // bytes, not an exchange (chunk pathological multi-MB docs upstream
+    // with textChunks). Singleton shingles (df = 1) are SELECTED into
+    // prefixes — their rarity is what pushes common shingles out — but
+    // a prefix-filter WITNESS is shared by both docs of a pair and so
+    // has df ≥ 2 by definition; dropping df = 1 entries from the
+    // self-join INPUT is answer-preserving (DedupPropertySpec pins it
+    // on random corpora) and shrinks the joined posting an order of
+    // magnitude on near-unique-vocabulary corpora.
+    // PINNED: the prefix subplan feeds BOTH sides of the candidate
+    // self-join; exchange reuse usually deduplicates identical
+    // subplans, but under AQE that is a runtime optimization, not a
+    // contract — a pin makes single execution structural.
+    val prefix = pin(cold.unionByName(hotAnnot)
+      .groupBy(col("id"))
+      .agg(first(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .select(col("id"), explode(slice(col("ord"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("e"))
+      .filter(col("e.df") >= 2)
+      .select(col("e.s").as("s"), col("id")))
 
     val cands = prefix.as("a").join(prefix.as("b"), Seq("s"))
       .filter(col("a.id") < col("b.id"))

@@ -214,17 +214,21 @@ object Similarity {
     * assignment is Θ(n·k) = Θ(n²/5000) cosine evaluations plus a Θ(k)
     * forced broadcast — invisible while k rides its floor (k = 120 at
     * the sf30 rehearsal) and a wall at 100 TB where k ≈ 10⁶ (a ~20 GB
-    * broadcast and 10¹⁶ dot products). Here only ~√k coarse ANCHORS are
-    * broadcast (the one forced, guarded broadcast); each row argmaxes
-    * over the anchors (O(√k) evals), then over the fine centroids of
-    * its coarse cell (expected k/√k = O(√k) evals). The fine
-    * (cell-keyed) join is deliberately NOT hinted: JoinSelection
+    * broadcast and 10¹⁶ dot products; at this round's assignment curve
+    * the flat path CRASHED outright — SPILL_OUT_OF_MEMORY at 24 GB — at
+    * n = 5M, k = 1000). Here only ~√k coarse ANCHORS ship to executors,
+    * as the foldable centroid literal of the
+    * [[graft.plans.NearestCentroid]] kernel: the corpus coarse stage is
+    * a pure PROJECTION (per-row fused argmax over the anchors — O(√k)
+    * evals, no join, no exchange), and the fine stage argmaxes over the
+    * row's coarse cell (expected k/√k = O(√k) evals) through a
+    * cell-keyed join that is deliberately NOT hinted: JoinSelection
     * broadcasts the k-row fine table while it fits the session
     * threshold and falls back to a shuffled hash join past it — the
     * SkewJoin lesson (a forced hint overrides AQE's runtime demotion).
-    * Total: per-row O(√k) work, O(√k) broadcast state, and at most one
-    * corpus exchange more than flat — which semanticDedup's pairwise
-    * stage pays anyway.
+    * Total: per-row O(√k) work, O(√k) per-executor state, and at most
+    * one corpus exchange more than flat — which semanticDedup's
+    * pairwise stage pays anyway.
     *
     * Semantics: an APPROXIMATION of flat argmax — a row lands on the
     * nearest fine centroid *within its nearest anchor's cell*, which
@@ -257,50 +261,53 @@ object Similarity {
     require(stats.k > 0, "assignClustersHier needs a non-empty centroid table")
     val c = if (nCoarse > 0) nCoarse
       else math.max(1, math.ceil(math.sqrt(stats.k.toDouble)).toInt)
-    // the coarse table is the ONE forced broadcast — guard its measured
-    // size (c rows at the same row width)
+    // the anchors ship to executors inside the plan (a foldable literal
+    // for [[graft.plans.NearestCentroid]]) — the same per-executor
+    // state a forced broadcast would pin, so the same guard applies
     guardForcedBroadcast(spark, stats.copy(k = math.min(stats.k, c.toLong)),
       "assignClustersHier(coarse)")
 
     // deterministic anchors: a rank-stride over cid order spreads ~c
-    // anchors across the centroid id range (single-task sort of k rows)
+    // anchors across the centroid id range (single-task sort of k rows,
+    // fine to k ~ 10⁷), collected to the driver (≤ guard-bounded bytes)
+    // and embedded as the expression's centroid literal. Null-vector
+    // centroids are kept in the FINE table but never become anchors
+    // (the kernel excludes them; a zero-sim anchor can't be argmax'd
+    // except on all-zero ties, where the lowest real anchor wins).
     val stride = math.max(1L, (stats.k + c - 1) / c)
     val w = Window.orderBy(col("cid"))
-    val coarse = fine.withColumn("__rn", row_number().over(w))
+    val anchorRows = fine.filter(col("cv").isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .filter((col("__rn") - lit(1L)) % stride === 0)
-      .select(col("cid").as("gid"), col("cv").as("gv"), col("cn").as("gn"))
+      .select(col("cid").cast("long"), col("cv")).collect()
+    val elemFloat = fine.schema("cv").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
+    val anchorsLit =
+      if (elemFloat) typedlit(anchorRows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+      else typedlit(anchorRows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    val anchorIds = anchorRows.map(_.getLong(0)).toSeq
 
-    // flat-argmax helper against the broadcast anchor table: ties to
-    // the lowest gid, matching assignClusters' tie rule
-    def nearestAnchor(rows: DataFrame, keep: Seq[Column]): DataFrame = rows
-      .join(broadcast(coarse), lit(true))
-      .withColumn("__gs", cosOf(dot(col("__v"), col("gv")), col("__n"), col("gn")))
-      .groupBy(col("__key"))
-      .agg(max(struct(struct(col("__gs"), -col("gid")).as("k"),
-        struct(col("gid") +: keep: _*).as("p"))).as("__m"))
+    def nearest(vecC: Column): Column =
+      graft.plans.GraftExpressions.nearestCentroid(spark, vecC, anchorsLit)
 
-    // fine→cell map: each centroid joins the candidate set of its own
-    // nearest anchor's cell. Anchors are then PINNED to their own cell
-    // (gid = cid) so every selectable cell provably contains its anchor
-    // — without the pin, a zero-norm anchor's cell could be chosen by a
-    // row yet be empty, and the inner fine join would DROP that row.
-    val fineMapRaw = nearestAnchor(
-        fine.select(col("cid").as("__key"), col("cv").as("__v"), col("cn").as("__n")),
-        keep = Nil)
-      .select(col("__m.p.gid").as("gid"), col("__key").as("cid"))
-    val anchorPin = coarse.select(col("gid").as("cid"), col("gid").as("__selfGid"))
-    val fineMap = fineMapRaw.join(anchorPin, Seq("cid"), "left")
-      .select(coalesce(col("__selfGid"), col("gid")).as("gid"), col("cid"))
-      .join(fine, Seq("cid"))
-      .select(col("gid"), col("cid"), col("cv"), col("cn"))
+    // fine→cell map: each centroid belongs to its own nearest anchor's
+    // cell — a pure projection (the argmax kernel runs per row; no join,
+    // no exchange). Anchors are PINNED to their own cell (gid = cid) so
+    // every selectable cell provably contains its anchor — without the
+    // pin, a zero-norm anchor's cell could be chosen by a row yet be
+    // empty, and the inner fine join would DROP that row.
+    val fineMap = fine.select(
+      when(col("cid").cast("long").isInCollection(anchorIds), col("cid").cast("long"))
+        .otherwise(nearest(col("cv"))).as("gid"),
+      col("cid"), col("cv"), col("cn"))
 
-    // corpus coarse stage: O(√k) evals per row against the broadcast
-    // anchors, collapsed map-side to one row per id
-    val coarseAssigned = nearestAnchor(
-        df.select(col(idCol).as("__key"), col(vecCol).as("__v"), norm(col(vecCol)).as("__n")),
-        keep = Seq(col("__v"), col("__n")))
-      .select(col("__key").as(outId), col("__m.p.gid").as("gid"),
-        col("__m.p.__v").as("__v"), col("__m.p.__n").as("__n"))
+    // corpus coarse stage: O(√k) fused evals per row inside a plain
+    // projection — zero joins, zero exchanges (the r15 assignment curve
+    // measured the join+partial-agg formulation of this stage at ~10×
+    // the cost: n·√k joined rows of row machinery to do the same math)
+    val coarseAssigned = df.select(col(idCol).as(outId), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"), nearest(col(vecCol)).as("gid"))
 
     // fine stage: un-hinted cell-keyed join (planner broadcasts small
     // fine tables, shuffles large ones), then the same partial-agg

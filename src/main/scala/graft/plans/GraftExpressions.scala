@@ -969,6 +969,130 @@ case class ClusterDropIds(child: Expression, threshold: Double, maxCluster: Int 
     copy(child = c)
 }
 
+/** Argmax-cosine nearest centroid over a FOLDABLE centroid literal —
+  * the zero-shuffle assignment kernel behind
+  * [[graft.operators.Similarity.assignClustersHier]]'s coarse stage.
+  *
+  * The join-formulated argmax (`join(broadcast(cent), lit(true))` +
+  * partial-agg max) is semantically identical but streams n·k joined
+  * ROWS through the aggregate operator — row machinery per candidate,
+  * measured ~10× the cost of the fused loop at the round-15 assignment
+  * curve. Here the centroid table ships as a literal in the plan
+  * (bounded by the same guard as the forced broadcasts it replaces),
+  * is unpacked ONCE per executor into primitive arrays, and each row
+  * pays one tight argmax loop inside a plain projection — no join, no
+  * exchange, nothing for the scheduler to do.
+  *
+  * Semantics mirror the join argmax EXACTLY (spec-pinned): highest
+  * guarded cosine (zero-norm pairs score 0, never null), ties to the
+  * LOWEST cid; a null input vector scores 0 everywhere and lands on
+  * the lowest cid, exactly as the join's null-propagating cosine does
+  * under `when(na*nb > 0, ...).otherwise(0)`. Dot products accumulate
+  * in index order with per-element double widening — bit-identical to
+  * [[VectorDot]]. */
+case class NearestCentroid(vec: Expression, cents: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+  override def prettyName: String = "graft_nearest_centroid"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  private def vecElemOf(t: DataType): Option[DataType] = t match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+  private def centElem: Option[DataType] = cents.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 && fs(0).dataType == LongType =>
+      vecElemOf(fs(1).dataType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!cents.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_nearest_centroid expects a FOLDABLE centroid array (a literal)")
+    else (vecElemOf(vec.dataType), centElem) match {
+      case (Some(_), Some(_)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroid expects (array<float|double>, " +
+          s"array<struct<bigint, array<float|double>>>), got " +
+          s"(${vec.dataType}, ${cents.dataType})")
+    }
+
+  @transient private lazy val vecFloat =
+    vecElemOf(vec.dataType).contains(FloatType)
+
+  // centroids unpacked once per executor: ids ascending (ties in sim
+  // resolve to the FIRST hit = lowest cid), vectors as primitive
+  // double rows, norms precomputed with VectorDot's accumulation order
+  @transient private lazy val (ids, mat, norms, dim): (Array[Long], Array[Array[Double]], Array[Double], Int) = {
+    val arr = cents.eval(null).asInstanceOf[ArrayData]
+    val centFloat = centElem.contains(FloatType)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    var i = 0
+    while (i < arr.numElements()) {
+      val row = arr.getStruct(i, 2)
+      if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+        val v = row.getArray(1)
+        val d = new Array[Double](v.numElements())
+        var j = 0
+        if (centFloat) while (j < d.length) { d(j) = v.getFloat(j).toDouble; j += 1 }
+        else while (j < d.length) { d(j) = v.getDouble(j); j += 1 }
+        buf += ((row.getLong(0), d))
+      }
+      i += 1
+    }
+    require(buf.nonEmpty, "graft_nearest_centroid: empty centroid literal")
+    val sorted = buf.sortBy(_._1).toArray
+    val d0 = sorted.head._2.length
+    sorted.foreach { case (cid, v) => require(v.length == d0,
+      s"graft_nearest_centroid: centroid dimension mismatch ($d0 vs ${v.length} at cid=$cid)") }
+    val ns = sorted.map { case (_, v) =>
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j) * v(j); j += 1 }
+      math.sqrt(s)
+    }
+    (sorted.map(_._1), sorted.map(_._2), ns, d0)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val raw = vec.eval(input)
+    // a null vector scores 0 against every centroid (guarded cosine) —
+    // argmax ties resolve to the lowest cid, like the join formulation
+    if (raw == null) return ids(0)
+    val x = raw.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"graft_nearest_centroid: dimension mismatch ($dim vs $n) — " +
+        "mixed embedding widths in the corpus?")
+    val v = new Array[Double](n)
+    var j = 0
+    if (vecFloat) while (j < n) { v(j) = x.getFloat(j).toDouble; j += 1 }
+    else while (j < n) { v(j) = x.getDouble(j); j += 1 }
+    var sv = 0.0; j = 0
+    while (j < n) { sv += v(j) * v(j); j += 1 }
+    val nv = math.sqrt(sv)
+    var best = Double.NegativeInfinity
+    var bestId = ids(0)
+    var i = 0
+    while (i < ids.length) {
+      val c = mat(i)
+      var s = 0.0; var m = 0
+      while (m < dim) { s += v(m) * c(m); m += 1 }
+      val nn = nv * norms(i)
+      val sim = if (nn > 0) s / nn else 0.0
+      if (sim > best) { best = sim; bestId = ids(i) }
+      i += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(vec = l, cents = r)
+}
+
 /** Bloom-filter membership probe over a 64-bit key hash, mirroring the
   * shape of Spark's internal runtime-filter BloomFilterMightContain
   * (public pattern): the serialized filter arrives as a foldable binary
@@ -1066,6 +1190,8 @@ object GraftExpressions {
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       { es: Seq[Expression] => BloomMightContain(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_centroid",
+      { es: Seq[Expression] => NearestCentroid(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_bucket_top_pairs",
       { es: Seq[Expression] =>
         val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
@@ -1151,6 +1277,9 @@ object GraftExpressions {
   def topPairs(spark: SparkSession, sim: Column, idA: Column, idB: Column, k: Int): Column = {
     register(spark)
     call_function("graft_top_pairs", sim, idA, idB, org.apache.spark.sql.functions.lit(k))
+  }
+  def nearestCentroid(spark: SparkSession, vec: Column, cents: Column): Column = {
+    register(spark); call_function("graft_nearest_centroid", vec, cents)
   }
 }
 

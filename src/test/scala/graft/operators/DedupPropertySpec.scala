@@ -87,4 +87,43 @@ class DedupPropertySpec extends AnyFunSuite {
         assert(got(id) == exp, s"trial=$trial n=$n doc=$id got=${got(id)} expected=$exp")
     }
   }
+
+  test("prefix ssjoin == full enumeration on random corpora (singleton-prefix drop is witness-safe)") {
+    // Validates the round-15 optimization: df=1 prefix entries are
+    // dropped from the candidate self-join, on the argument that a
+    // prefix-filter WITNESS shingle is shared by both docs and so has
+    // df >= 2 by definition. Random corpora with planted near-dups and
+    // masses of unique vocabulary (so most prefix entries ARE
+    // singletons — the worst case for the drop) must still produce
+    // exactly the full-enumeration pair set, at two thresholds.
+    val rnd = new scala.util.Random(777)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 3; threshold <- Seq(0.5, 0.8)) {
+      val docs: Seq[(Long, String)] = (1 to 40).flatMap { i =>
+        // each doc: a run of pool words plus a UNIQUE id-salted tail so
+        // singleton shingles dominate every prefix
+        val base = (0 until (8 + rnd.nextInt(10)))
+          .map(_ => pool(rnd.nextInt(pool.length)))
+        val uniq = (0 until 6).map(j => s"u${trial}_${i}_$j")
+        val text = (base ++ uniq).mkString(" ")
+        val id = trial * 1000L + i
+        // plant a near-dup for ~1 in 4 docs: same text, one word changed
+        if (rnd.nextInt(4) == 0) {
+          val words = (base ++ uniq).toArray
+          words(rnd.nextInt(words.length)) = "mutated"
+          Seq((id, text), (id + 500L, words.mkString(" ")))
+        } else Seq((id, text))
+      }
+      val df = docs.toDF("doc_id", "text")
+      def pairs(r: org.apache.spark.sql.DataFrame) =
+        r.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val full = pairs(Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+        threshold = threshold))
+      val pref = pairs(Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", n = 3,
+        threshold = threshold))
+      assert(pref == full, s"trial=$trial t=$threshold:\n pref=$pref\n full=$full")
+      if (threshold == 0.5) assert(full.nonEmpty, s"trial=$trial planted dups missing")
+    }
+  }
 }
