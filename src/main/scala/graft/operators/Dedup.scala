@@ -190,13 +190,35 @@ object Dedup {
       .groupBy(col("id"))
       .agg(first(col("sz")).as("sz"),
         array_sort(collect_list(struct(col("df"), col("s")))).as("ord"))
-      .select(col("id"), explode(slice(col("ord"), lit(1),
-        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("e"))
+      .select(col("id"), col("sz"), posexplode(slice(col("ord"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as(Seq("pos", "e")))
       .filter(col("e.df") >= 2)
-      .select(col("e.s").as("s"), col("id")))
+      .select(col("e.s").as("s"), col("id"), col("sz"), col("pos")))
 
+    // Exact pre-verify filters from the ssjoin literature — both prune
+    // candidates BEFORE the pair-payload verify join, which is the
+    // operator's widest exchange (round-15 sf60 probe: candidate pairs
+    // carrying a shingle array dominate the shuffle volume):
+    //  - LENGTH (AllPairs): J ≥ t forces t·|B| ≤ |A| for |A| ≤ |B| —
+    //    size-mismatched collisions can never verify.
+    //  - POSITIONAL (PPJoin): for the EARLIEST shared prefix token of a
+    //    true pair, every other common token sits strictly later in
+    //    BOTH ordered sets (an earlier common token would itself be a
+    //    shared prefix token), so the true overlap is bounded by
+    //    min(|A|−posA, |B|−posB); pairs are kept if ANY occurrence
+    //    passes, so the earliest occurrence of a qualifying pair always
+    //    survives — exact. `pos` indexes the doc's full (df, s) order
+    //    (the prefix IS its first entries, positions assigned before
+    //    the df ≥ 2 drop).
+    // Float slack (−1e-9) errs toward keeping: over-inclusion costs a
+    // verify evaluation, over-exclusion would be a wrong answer.
+    val minOverlap =
+      ceil((col("a.sz") + col("b.sz")) * (threshold / (1.0 + threshold)) - 1e-9)
     val cands = prefix.as("a").join(prefix.as("b"), Seq("s"))
       .filter(col("a.id") < col("b.id"))
+      .filter(col("a.sz") >= col("b.sz") * threshold - 1e-9 &&
+        col("b.sz") >= col("a.sz") * threshold - 1e-9)
+      .filter(least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     jaccardVerify(cands, docs, threshold)

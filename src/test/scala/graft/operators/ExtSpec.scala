@@ -141,6 +141,20 @@ class DedupSpec extends AnyFunSuite {
     assert(prefix.nonEmpty)
   }
 
+  test("prefix ssjoin keeps boundary pairs at exactly J = t (length/positional filter slack)") {
+    // A's 8 shingles are a strict subset of B's 10 → J = 8/10 = 0.8,
+    // sitting EXACTLY on the threshold and exactly on the length
+    // filter's t·|B| ≤ |A| boundary — a float-rounding over-prune here
+    // would silently drop a qualifying pair
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val b = a + " w11 w12"
+    val df2 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairsPrefix(df2, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 2L, pairs.toSeq)
+    assert(math.abs(pairs.head._3 - 0.8) < 1e-12)
+  }
+
   test("ngram jaccard df-pruning keeps true pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
       maxShingleDf = Some(4)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
