@@ -1400,6 +1400,71 @@ object ExtQueries {
       |SELECT asg.vec_id, asg.cid, asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
       |FROM asg ORDER BY asg.vec_id""".stripMargin
 
+  /** [[dedupSemantic]]'s corpus and knobs, FORCED through the
+    * hierarchical two-level assignment (`hierAssignFrom = 1`) so the
+    * scale path — rank-stride coarse anchors, [[graft.plans
+    * .NearestCentroid]] kernel argmax, anchor-pinned fine cells —
+    * carries its own driver-verified oracle instead of resting on
+    * ScalaTest alone. The oracle SQL replicates the two-level rule
+    * step by step (anchor pick by ceil-division rank stride over cid
+    * order, coarse argmax with lowest-gid ties, fine argmax within the
+    * anchor-pinned cell with lowest-cid ties) in DuckDB; the cosine
+    * formula strings are the flat oracle's, so double-precision
+    * results stay bit-identical between engines. In production this
+    * routing engages automatically at k ≥ 512 where the flat argmax's
+    * Θ(n·k) evals and Θ(k) forced broadcast hit their wall
+    * (SCALE_CURVE.md Catch 8). */
+  def dedupSemanticHier(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 10000))
+    val n = graft.sources.ParquetMeta.metadataRowCount(emb)
+      .getOrElse(emb.count()) + 50
+    val k = math.max(16L, n / 5000L)
+    val centroids = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    Similarity.semanticDedup(corpus, "vec_id", "embedding", centroids,
+        threshold = 0.95, hierAssignFrom = 1)
+      .select(col("id").as("vec_id"), col("cid"), col("keep"))
+      .orderBy("vec_id")
+  }
+  val dedupSemanticHierSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM (
+      |    SELECT vec_id, embedding FROM embeddings
+      |    UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50)),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      |  WHERE vec_id < (SELECT GREATEST(16, COUNT(*) // 5000) FROM e)),
+      |kc AS (SELECT COUNT(*) AS k, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS c FROM cent),
+      |ranked AS (SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY cid) AS rn FROM cent),
+      |anchors AS (
+      |  SELECT cid AS gid, cv AS gv FROM ranked, kc
+      |  WHERE (rn - 1) % CAST(CEIL(CAST(k AS DOUBLE) / c) AS BIGINT) = 0),
+      |fmraw AS (SELECT cid, gid FROM (
+      |  SELECT r.cid, a.gid, ROW_NUMBER() OVER (PARTITION BY r.cid ORDER BY
+      |    list_dot_product(r.cv, a.gv) / (sqrt(list_dot_product(r.cv, r.cv)) * sqrt(list_dot_product(a.gv, a.gv))) DESC, a.gid) AS rn
+      |  FROM ranked r CROSS JOIN anchors a) WHERE rn = 1),
+      |finemap AS (
+      |  SELECT f.cid,
+      |    CASE WHEN f.cid IN (SELECT gid FROM anchors) THEN f.cid ELSE f.gid END AS gid,
+      |    r.cv
+      |  FROM fmraw f JOIN ranked r ON r.cid = f.cid),
+      |coarse AS (SELECT vec_id, gid FROM (
+      |  SELECT e.vec_id, a.gid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_dot_product(e.v, a.gv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.gv, a.gv))) DESC, a.gid) AS rn
+      |  FROM e CROSS JOIN anchors a) WHERE rn = 1),
+      |asg AS (SELECT vec_id, cid FROM (
+      |  SELECT co.vec_id, f.cid, ROW_NUMBER() OVER (PARTITION BY co.vec_id ORDER BY
+      |    list_dot_product(e.v, f.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.cv, f.cv))) DESC, f.cid) AS rn
+      |  FROM coarse co JOIN e ON e.vec_id = co.vec_id JOIN finemap f ON f.gid = co.gid) WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+      |  WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95)
+      |SELECT asg.vec_id, asg.cid, asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+      |FROM asg ORDER BY asg.vec_id""".stripMargin
+
   // ---- BM25 keyword search ---------------------------------------------
   /** Okapi BM25 top-10 for a fixed term query — the lexical retrieval
     * twin of the ANN queries (inverted-index shuffle shape: postings
@@ -1826,6 +1891,7 @@ object ExtQueries {
     "x_hybrid_search" -> (hybridSearch _),
     "x_overlap_frac" -> (overlapFrac _),
     "x_dedup_semantic" -> (dedupSemantic _),
+    "x_dedup_semantic_hier" -> (dedupSemanticHier _),
     "x_bm25_search" -> (bm25Search _),
     "x_tfidf_terms" -> (tfidfTerms _),
     "x_dup_keep_best" -> (dupKeepBest _),
@@ -1880,6 +1946,7 @@ object ExtQueries {
     "x_hybrid_search" -> hybridSearchSql,
     "x_overlap_frac" -> overlapFracSql,
     "x_dedup_semantic" -> dedupSemanticSql,
+    "x_dedup_semantic_hier" -> dedupSemanticHierSql,
     "x_bm25_search" -> bm25SearchSql,
     "x_tfidf_terms" -> tfidfTermsSql,
     "x_dup_keep_best" -> dupKeepBestSql,
