@@ -147,4 +147,20 @@ class SkewJoinScaleSpec extends AnyFunSuite {
         s"AQE skew split did not engage:\n${plan.take(2000)}")
     }
   }
+
+  test("j2 bench shape EXECUTES as a broadcast hash join (fast path end-to-end)") {
+    // The broadcast-eligibility fast path reads small's STANDALONE plan
+    // stats, while JoinSelection sees the pruned plan inside the full
+    // query — if the two drifted, the join would run un-salted AND
+    // un-broadcast (the documented residual risk). This pins the
+    // EXECUTED plan of the actual contract query: the planner must pick
+    // a broadcast hash join, and no salt column may appear anywhere.
+    val df = graft.SparkEntry.queries("j2_skew_join")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"j2 did not execute as a broadcast join:\n${plan.take(2500)}")
+    assert(!plan.contains("__salt"),
+      "fast path must emit the UN-salted join when the dim is broadcast-eligible")
+  }
 }
