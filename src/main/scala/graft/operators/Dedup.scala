@@ -437,15 +437,23 @@ object Dedup {
       explode(graft.plans.GraftExpressions.shingles(
         spark, col(textCol), n, distinct = false)).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("fp"))
-    // (fp, doc) occurrence counts; then the fp's document spread
-    val perDocFp = pin(spans.groupBy("fp", "doc_id").agg(count(lit(1)).as("cnt")))
-    val spread = perDocFp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
-    val totals = perDocFp.groupBy("doc_id").agg(sum(col("cnt")).as("n_spans"))
-    val dups = perDocFp.join(spread.filter(col("ndocs") > 1), Seq("fp"))
-      .groupBy("doc_id").agg(sum(col("cnt")).as("dup"))
-    totals.join(dups, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("dup"), lit(0L)).as("cross_doc_spans"),
-        (coalesce(col("dup"), lit(0L)).cast("double") / col("n_spans")).as("dup_frac"))
+    // Single linear pipeline, NO pinned intermediate (round-15 sf60
+    // catch): the previous shape pinned the (fp, doc) count table —
+    // ~one row per distinct corpus window — to feed three consumers
+    // (spread, totals, dups) plus two joins; at 6M docs the
+    // localCheckpoint blocks alone exhausted the 24 GB heap. Here the
+    // fp's document spread is a COUNT WINDOW over the fp partition of
+    // the same rows (per-fp groups are at most ndocs entries, so the
+    // window sort is tiny), and the per-doc rollup is one map-
+    // combinable aggregate — three exchanges of compact long rows,
+    // nothing materialized, nothing traversed twice.
+    val w = Window.partitionBy(col("fp"))
+    spans.groupBy("fp", "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("ndocs", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("ndocs") > 1, col("cnt")).otherwise(lit(0L))).as("cross_doc_spans"))
+      .select(col("doc_id"), col("n_spans"), col("cross_doc_spans"),
+        (col("cross_doc_spans").cast("double") / col("n_spans")).as("dup_frac"))
   }
 }
