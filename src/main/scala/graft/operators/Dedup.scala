@@ -134,10 +134,14 @@ object Dedup {
     * explode; stages are (1) df count — map-combinable agg, (2) per-doc
     * prefix — window over doc-sized groups, (3) candidate pairs inside
     * prefix buckets, (4) exact verify on sorted sets via the merge-pass
-    * intersect. No tuning knob changes the answer, only the speed. */
+    * intersect. No tuning knob changes the answer, only the speed
+    * (`hotDf` is the df split point between broadcast-annotated hot
+    * shingles and collect-aggregated cold buckets — exposed so a spec
+    * can drive both the hot path and its measured-size fallback). */
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      hotDf: Long = 1L << 20): DataFrame = {
 
     // hashed shingle space: every downstream exchange (df count, prefix
     // agg, candidate join, verify) moves 8-byte longs, not shingle
@@ -160,15 +164,30 @@ object Dedup {
     // (≤ |posting| / hotDf — counting argument), ship as a BROADCAST,
     // and annotate their posting rows with a hash join that shuffles
     // nothing; only the cold (bounded ≤ hotDf·16 B) buckets collect.
-    val hotDf = 1L << 20
     val dfreq = posting.groupBy("s").agg(count(lit(1)).as("df"))
     val hot = pin(dfreq.filter(col("df") > hotDf))
-    val cold = posting.join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
+    // measured-size check on the forced hot broadcast (round-16 advice):
+    // the counting-argument bound (≤ |posting|/hotDf rows) grows
+    // LINEARLY with corpus scale (~10⁷ rows ≈ 320 MB at a 10¹³-row
+    // posting), and a forced hint bypasses both JoinSelection's size
+    // check and AQE's runtime demotion — the risk class the Similarity
+    // centroid guard closes. The pin above makes the count a block
+    // materialization every downstream join reuses, not an extra pass;
+    // ~32 B/row covers two longs plus unsafe-row overhead. An oversized
+    // hot set drops the HINTS only: the planner still auto-broadcasts a
+    // small table, and a genuinely huge one degrades to a shuffled join
+    // — slower (one posting-wide exchange), never an executor OOM.
+    val hotBytes = hot.count() * 32L
+    val sessThr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val hotHint: DataFrame => DataFrame =
+      if (hotBytes <= (if (sessThr > 0) sessThr else 8L << 30)) b => broadcast(b)
+      else identity
+    val cold = posting.join(hotHint(hot.select(col("s"))), Seq("s"), "left_anti")
       .groupBy(col("s"))
       .agg(count(lit(1)).as("df"), collect_list(struct(col("id"), col("sz"))).as("es"))
       .select(col("df"), col("s"), explode(col("es")).as("e"))
       .select(col("e.id").as("id"), col("e.sz").as("sz"), col("df"), col("s"))
-    val hotAnnot = posting.join(broadcast(hot), Seq("s"))
+    val hotAnnot = posting.join(hotHint(hot), Seq("s"))
       .select(col("id"), col("sz"), col("df"), col("s"))
 
     // global rarity order; prefix length = sz − ceil(t·sz) + 1. The
@@ -437,19 +456,22 @@ object Dedup {
       explode(graft.plans.GraftExpressions.shingles(
         spark, col(textCol), n, distinct = false)).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("fp"))
-    // Single linear pipeline, NO pinned intermediate (round-15 sf60
-    // catch): the previous shape pinned the (fp, doc) count table —
-    // ~one row per distinct corpus window — to feed three consumers
-    // (spread, totals, dups) plus two joins; at 6M docs the
-    // localCheckpoint blocks alone exhausted the 24 GB heap. Here the
-    // fp's document spread is a COUNT WINDOW over the fp partition of
-    // the same rows (per-fp groups are at most ndocs entries, so the
-    // window sort is tiny), and the per-doc rollup is one map-
-    // combinable aggregate — three exchanges of compact long rows,
-    // nothing materialized, nothing traversed twice.
-    val w = Window.partitionBy(col("fp"))
-    spans.groupBy("fp", "doc_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("ndocs", count(lit(1)).over(w))
+    // NO pinned intermediate (round-15 sf60 catch: the pinned (fp, doc)
+    // count table — ~one row per distinct corpus window — exhausted the
+    // 24 GB heap at 6M docs) and NO fp-partitioned window (round-16
+    // advice: a boilerplate fingerprint present in most docs puts ~ndocs
+    // rows into ONE window partition/task — the single-hot-key straggler
+    // this file fixes elsewhere). The fp's document spread is a second
+    // MAP-COMBINABLE groupBy(fp) joined back: both aggregates hang off
+    // the identical (fp, doc_id) sub-plan (exchange reuse collapses the
+    // duplicate scan when it fires; recomputing one explode+hash pass is
+    // the documented worst case — cheaper than a pin that OOMs or a
+    // window that straggles), every exchange carries compact long rows,
+    // and a hot fp in the fp-keyed join is ordinary join skew, which AQE
+    // skew handling splits — a window partition cannot be split.
+    val perDocFp = spans.groupBy("fp", "doc_id").agg(count(lit(1)).as("cnt"))
+    val spread = perDocFp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    perDocFp.join(spread, Seq("fp"))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_spans"),
         sum(when(col("ndocs") > 1, col("cnt")).otherwise(lit(0L))).as("cross_doc_spans"))

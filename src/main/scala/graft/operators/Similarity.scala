@@ -152,15 +152,30 @@ object Similarity {
     * driver and shipped to every executor — an OOM, not a slowdown.
     * Mirrors [[SkewJoin]]'s eligibility check but against MEASURED
     * size (count × row width), not plan stats — see [[centStats]].
-    * Threshold ≤ 0 (broadcast disabled session-wide) skips the guard:
-    * the caller pinned that plan shape deliberately. */
+    * Threshold ≤ 0 does NOT skip the guard (round-16 advice): −1 is the
+    * standard production setting to PREVENT broadcast OOMs from bad
+    * stats — exactly the sessions these forced hints endanger most, so
+    * inferring "the caller wants unguarded broadcasts" from a disabled
+    * auto-broadcast would drop protection where it matters. Disabled
+    * sessions fall back to an 8 GiB sanity cap (well past any sane
+    * per-executor build side; a frame past it is an OOM on any realistic
+    * executor), overridable via `spark.graft.forcedBroadcastCap` (bytes)
+    * — the explicit opt-out for sessions that truly want a bigger
+    * forced build side with auto-broadcast off. */
+  private[operators] def disabledThresholdCap(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.forcedBroadcastCap")
+      .map(_.toLong).getOrElse(8L << 30)
   private def guardForcedBroadcast(
       spark: org.apache.spark.sql.SparkSession, stats: CentStats, what: String): Unit = {
-    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
-    require(thr <= 0 || stats.estBytes <= thr,
+    val sessThr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val thr = if (sessThr > 0) sessThr else disabledThresholdCap(spark)
+    require(stats.estBytes <= thr,
       s"$what: centroid frame (~${stats.k} rows × dim ${stats.dim} ≈ " +
         f"${stats.estBytes / 1048576.0}%.1f MB) exceeds " +
-        f"spark.sql.autoBroadcastJoinThreshold (${thr / 1048576.0}%.1f MB) — a forced " +
+        (if (sessThr > 0) f"spark.sql.autoBroadcastJoinThreshold (${thr / 1048576.0}%.1f MB)"
+         else f"the ${thr / 1073741824.0}%.0f GiB sanity cap (auto-broadcast disabled)") +
+        " — a forced " +
         "broadcast this size is an executor OOM at cluster scale. Remedies: " +
         "route large-k assignment through assignClustersHier (broadcasts only " +
         "~sqrt(k) coarse anchors; semanticDedup does this automatically), reduce " +

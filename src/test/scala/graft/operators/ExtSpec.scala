@@ -160,6 +160,31 @@ class DedupSpec extends AnyFunSuite {
       maxShingleDf = Some(4)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
+
+  test("prefix ssjoin hot/cold split is answer-invariant, incl. the un-hinted fallback") {
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5))
+    // hotDf = 0 routes EVERY shingle through the hot (broadcast-
+    // annotated) branch — must not change the answer
+    val allHot = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, hotDf = 0)
+    assert(pairs(allHot) == expected)
+    // a 1-byte broadcast threshold makes the measured-size check drop
+    // the hints (round-16 advice): the degraded shuffled-join plan must
+    // produce the identical answer, and the plan must actually contain
+    // no broadcast anywhere
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val unhinted = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, hotDf = 0)
+      assert(pairs(unhinted) == expected)
+      assert(!unhinted.queryExecution.executedPlan.toString.contains("Broadcast"),
+        "the forced hot-table hints must be dropped past the measured size cap")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -364,6 +389,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(Similarity.assignClustersHier(dim8, "vec_id", "embedding", big)
         .count() == 5)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("guard still protects sessions that DISABLE auto-broadcast (thr <= 0)") {
+    // -1 is the standard production setting to PREVENT broadcast OOMs
+    // from bad stats — precisely those sessions must keep the guard on
+    // the forced hints (round-16 advice). Disabled threshold falls back
+    // to the 8 GiB sanity cap, overridable via
+    // spark.graft.forcedBroadcastCap.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = (0 until 64).map(i => (i.toLong, Array.fill(3)(i.toFloat + 1)))
+        .toDF("cid", "cv")
+      // a small frame passes under the default cap — no spurious trip
+      assert(Similarity.assignClusters(vecs, "vec_id", "embedding", big)
+        .count() == 5)
+      // the explicit cap knob trips the guard even with thr = -1
+      spark.conf.set("spark.graft.forcedBroadcastCap", "1024")
+      val e = intercept[IllegalArgumentException](
+        Similarity.assignClusters(vecs, "vec_id", "embedding", big))
+      assert(e.getMessage.contains("sanity cap"), e.getMessage)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.graft.forcedBroadcastCap")
+    }
   }
 
   test("semanticDedup surfaces the maxCluster k-knob remedy from a real query") {
