@@ -991,7 +991,7 @@ case class ClusterDropIds(child: Expression, threshold: Double, maxCluster: Int 
   * in index order with per-element double widening — bit-identical to
   * [[VectorDot]]. */
 case class NearestCentroid(vec: Expression, cents: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def left: Expression = vec
   override def right: Expression = cents
@@ -1024,10 +1024,13 @@ case class NearestCentroid(vec: Expression, cents: Expression)
   @transient private lazy val vecFloat =
     vecElemOf(vec.dataType).contains(FloatType)
 
-  // centroids unpacked once per executor: ids ascending (ties in sim
-  // resolve to the FIRST hit = lowest cid), vectors as primitive
-  // double rows, norms precomputed with VectorDot's accumulation order
-  @transient private lazy val (ids, mat, norms, dim): (Array[Long], Array[Array[Double]], Array[Double], Int) = {
+  // centroids unpacked once per executor into the argmax kernel: ids
+  // ascending (ties in sim resolve to the FIRST hit = lowest cid),
+  // vectors as primitive double rows, norms precomputed with
+  // VectorDot's accumulation order. One kernel object serves BOTH
+  // execution paths — interpreted eval and generated code — so the
+  // semantics cannot fork between them.
+  @transient private lazy val kernel: NearestCentroidKernel = {
     val arr = cents.eval(null).asInstanceOf[ArrayData]
     val centFloat = centElem.contains(FloatType)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
@@ -1054,15 +1057,57 @@ case class NearestCentroid(vec: Expression, cents: Expression)
       while (j < v.length) { s += v(j) * v(j); j += 1 }
       math.sqrt(s)
     }
-    (sorted.map(_._1), sorted.map(_._2), ns, d0)
+    new NearestCentroidKernel(sorted.map(_._1), sorted.map(_._2), ns, d0, vecFloat)
   }
 
   override def eval(input: InternalRow): Any = {
     val raw = vec.eval(input)
     // a null vector scores 0 against every centroid (guarded cosine) —
     // argmax ties resolve to the lowest cid, like the join formulation
-    if (raw == null) return ids(0)
-    val x = raw.asInstanceOf[ArrayData]
+    if (raw == null) kernel.firstId
+    else kernel.nearest(raw.asInstanceOf[ArrayData])
+  }
+
+  /** Generated code follows [[BloomMightContain]]'s pattern, not
+    * `CodegenFallback`: only the VECTOR child generates code; the
+    * unpacked kernel rides the codegen reference array (a k×dim
+    * centroid table embedded as source would blow janino's 64 KB
+    * method limit). Per row the generated code is one branch and one
+    * call into the kernel's primitive argmax loop — no boxed
+    * `InternalRow` round-trip, no interpreted re-walk of the child
+    * subtree, and the projection stays inside whole-stage codegen
+    * (the round-15 CodegenFallback made the coarse stage the hottest
+    * interpreted loop of the dedup family). */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftNearestKernel", kernel,
+      classOf[NearestCentroidKernel].getName)
+    val v = vec.genCode(ctx)
+    ev.copy(code = code"""
+      ${v.code}
+      long ${ev.value} = ${v.isNull} ? $kRef.firstId() : $kRef.nearest(${v.value});
+      """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(vec = l, cents = r)
+}
+
+/** Executor-side state of [[NearestCentroid]], unpacked once from the
+  * foldable centroid literal. Public top-level class only because
+  * whole-stage-generated code must reference it by name through the
+  * codegen reference array; not user API. */
+final class NearestCentroidKernel(
+    ids: Array[Long], mat: Array[Array[Double]],
+    norms: Array[Double], dim: Int, vecFloat: Boolean) extends Serializable {
+
+  /** The lowest centroid id — the argmax of an all-zero score row
+    * (null input vectors score 0 everywhere under the guarded cosine). */
+  def firstId: Long = ids(0)
+
+  /** Highest guarded cosine, ties to the lowest cid — bit-identical to
+    * the join-formulated argmax (dot products accumulate in index
+    * order with per-element double widening, [[VectorDot]]'s rule). */
+  def nearest(x: ArrayData): Long = {
     val n = x.numElements()
     if (n != dim) throw new IllegalArgumentException(
       s"graft_nearest_centroid: dimension mismatch ($dim vs $n) — " +
@@ -1088,9 +1133,6 @@ case class NearestCentroid(vec: Expression, cents: Expression)
     }
     bestId
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
-    copy(vec = l, cents = r)
 }
 
 /** Bloom-filter membership probe over a 64-bit key hash, mirroring the

@@ -101,6 +101,46 @@ class ExpressionsSpec extends AnyFunSuite {
       s"expected a dimension-mismatch error, got: $e")
   }
 
+  test("NearestCentroid generated code == interpreted eval, edge cases included") {
+    // the coarse-assignment kernel now generates code (round-16: the
+    // CodegenFallback path made it the hottest interpreted loop of the
+    // dedup family); both execution paths share one kernel object, and
+    // this pins them output-identical on every edge the contract names:
+    // negative-sim rows, zero-norm rows/centroids, exact ties, nulls
+    val cents = typedlit(Seq(
+      (3L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (7L, Seq(0.0f, 0.0f)),                       // zero-norm centroid: sim 0 vs everything
+      (5L, Seq(-1.0f, 0.0f))))
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),                     // → 3
+      (2L, Array(0.0f, 2.0f)),                     // → 1
+      (3L, Array(-1.0f, -0.0f)),                   // all others negative → 5
+      (4L, Array(0.0f, 0.0f)),                     // zero-norm row: all sims 0 → lowest cid
+      (5L, null.asInstanceOf[Array[Float]]),       // null row → lowest cid
+      (6L, Array(0.7071f, 0.7071f))                // exact tie 3 vs 1 → lowest cid
+    ).toDF("id", "v")
+    def run(codegen: Boolean): Map[Long, Long] = {
+      val prevW = spark.conf.get("spark.sql.codegen.wholeStage")
+      val prevF = spark.conf.get("spark.sql.codegen.factoryMode")
+      try {
+        // CODEGEN_ONLY makes a codegen failure a test failure instead
+        // of a silent interpreted fallback; NO_CODEGEN forces eval
+        spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+        spark.conf.set("spark.sql.codegen.factoryMode",
+          if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+        vecs.select($"id",
+            GraftExpressions.nearestCentroid(spark, $"v", cents).as("cid"))
+          .as[(Long, Long)].collect().toMap
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", prevW)
+        spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+      }
+    }
+    val gen = run(true); val interp = run(false)
+    assert(gen == interp, s"codegen $gen != interpreted $interp")
+    assert(gen == Map(1L -> 3L, 2L -> 1L, 3L -> 5L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
   test("BucketCosineTopPairs == declarative all-pairs cosine top-k, bit-exact") {
     // random float vectors, several bucket sizes incl. the ≥2 floor;
     // the expression's (dot / norms, tie on (id_a, id_b) lex) must
