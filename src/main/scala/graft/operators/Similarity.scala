@@ -255,8 +255,28 @@ object Similarity {
     * original's cluster — the invariant semantic dedup correctness
     * rests on), and (b) with `nCoarse ≥ k` every centroid is its own
     * anchor and the result EQUALS flat argmax, tie-breaks included
-    * (spec-pinned). Determinism: anchors are a rank-stride over cid
-    * order; every argmax breaks ties to the lowest id.
+    * (spec-pinned) — scoped to centroid tables WITHOUT null vectors:
+    * this path drops null-vector centroids entirely (round-16 contract
+    * — they carry no geometry and can win a flat argmax only when
+    * every real cosine is negative, by scoring 0), where flat keeps
+    * them as zero-sim candidates. Determinism: anchors are a
+    * rank-stride over cid order; every argmax breaks ties to the
+    * lowest id.
+    *
+    * DEPTH: when the anchor count itself exceeds `maxAnchors`, the
+    * coarse stage recurses — anchors-of-anchors — instead of growing
+    * the plan literal without bound: each extra level picks ~√(anchor
+    * count) super-anchors by the same rank-stride rule, assigns the
+    * anchors below it with the same kernel + cell-join machinery, and
+    * costs the corpus one more O(√anchors)-eval projection plus one
+    * more cell-keyed join. Two levels carry k to ~maxAnchors² fine
+    * centroids (≈ 4M at the default); each further level squares that.
+    * A recursion step that cannot shrink (`nSuper ≥ anchors`, only
+    * possible at tiny counts) collapses to the literal stage outright.
+    * Exactness one level down mirrors (b): rows whose vectors EQUAL a
+    * centroid land on that centroid at every depth — both sides of
+    * every level run the same deterministic argmax on the same anchor
+    * sets (spec-pinned at a forced three-level depth).
     *
     * The anchor pick ranks the centroid table in one task — fine up to
     * k ~ 10⁷ centroid rows (MBs–GBs in one sort), far past the point
@@ -264,65 +284,98 @@ object Similarity {
   def assignClustersHier(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, outId: String = "corpus_id",
-      nCoarse: Int = -1): DataFrame = {
+      nCoarse: Int = -1, maxAnchors: Int = 2048): DataFrame = {
 
     val spark = df.sparkSession
+    require(maxAnchors > 0, s"assignClustersHier: maxAnchors must be positive, got $maxAnchors")
     // pinned: the fine table feeds the anchor pick, the fine→cell map,
     // and the fine join — unpinned, the centroid-producing plan (often
-    // a corpus scan) would execute three times
-    val fine = centroids.select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
+    // a corpus scan) would execute three times. Null-vector centroids
+    // are dropped HERE (see the contract note above), so every row of
+    // `fine` is anchor-eligible and every cell argmax scores geometry.
+    val fine = centroids.filter(col("cv").isNotNull)
+      .select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
       .localCheckpoint(false)
     val stats = centStats(fine)
-    require(stats.k > 0, "assignClustersHier needs a non-empty centroid table")
+    require(stats.k > 0,
+      "assignClustersHier needs at least one centroid with a non-null vector")
     val c = if (nCoarse > 0) nCoarse
       else math.max(1, math.ceil(math.sqrt(stats.k.toDouble)).toInt)
-    // the anchors ship to executors inside the plan (a foldable literal
-    // for [[graft.plans.NearestCentroid]]) — the same per-executor
-    // state a forced broadcast would pin, so the same guard applies
-    guardForcedBroadcast(spark, stats.copy(k = math.min(stats.k, c.toLong)),
-      "assignClustersHier(coarse)")
-
-    // deterministic anchors: a rank-stride over cid order spreads ~c
-    // anchors across the centroid id range (single-task sort of k rows,
-    // fine to k ~ 10⁷), collected to the driver (≤ guard-bounded bytes)
-    // and embedded as the expression's centroid literal. Null-vector
-    // centroids are kept in the FINE table but never become anchors
-    // (the kernel excludes them; a zero-sim anchor can't be argmax'd
-    // except on all-zero ties, where the lowest real anchor wins).
     val stride = math.max(1L, (stats.k + c - 1) / c)
-    val w = Window.orderBy(col("cid"))
-    val anchorRows = fine.filter(col("cv").isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - lit(1L)) % stride === 0)
-      .select(col("cid").cast("long"), col("cv")).collect()
-    val elemFloat = fine.schema("cv").dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
-      .elementType == org.apache.spark.sql.types.FloatType
-    val anchorsLit =
-      if (elemFloat) typedlit(anchorRows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
-      else typedlit(anchorRows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
-    val anchorIds = anchorRows.map(_.getLong(0)).toSeq
+    val nPicked = (stats.k - 1) / stride + 1
 
-    def nearest(vecC: Column): Column =
-      graft.plans.GraftExpressions.nearestCentroid(spark, vecC, anchorsLit)
+    val (coarseAssigned, fineMap) =
+      if (nPicked <= maxAnchors) {
+        // single-literal coarse level — the common case (√k ≤ maxAnchors
+        // carries k to ~4M at the default). The anchors ship to
+        // executors inside the plan (a foldable literal for
+        // [[graft.plans.NearestCentroid]]) — the same per-executor state
+        // a forced broadcast would pin, so the same guard applies.
+        guardForcedBroadcast(spark, stats.copy(k = nPicked),
+          "assignClustersHier(coarse)")
+        // deterministic anchors: a rank-stride over cid order spreads
+        // ~c anchors across the centroid id range (single-task sort of
+        // k rows), collected to the driver (≤ guard-bounded bytes) and
+        // embedded as the expression's centroid literal
+        val w = Window.orderBy(col("cid"))
+        val anchorRows = fine
+          .withColumn("__rn", row_number().over(w))
+          .filter((col("__rn") - lit(1L)) % stride === 0)
+          .select(col("cid").cast("long"), col("cv")).collect()
+        val anchorsLit = anchorLiteral(fine, anchorRows)
+        val anchorIds = anchorRows.map(_.getLong(0)).toSeq
+        def nearest(vecC: Column): Column =
+          graft.plans.GraftExpressions.nearestCentroid(spark, vecC, anchorsLit)
 
-    // fine→cell map: each centroid belongs to its own nearest anchor's
-    // cell — a pure projection (the argmax kernel runs per row; no join,
-    // no exchange). Anchors are PINNED to their own cell (gid = cid) so
-    // every selectable cell provably contains its anchor — without the
-    // pin, a zero-norm anchor's cell could be chosen by a row yet be
-    // empty, and the inner fine join would DROP that row.
-    val fineMap = fine.select(
-      when(col("cid").cast("long").isInCollection(anchorIds), col("cid").cast("long"))
-        .otherwise(nearest(col("cv"))).as("gid"),
-      col("cid"), col("cv"), col("cn"))
+        // fine→cell map: each centroid belongs to its own nearest
+        // anchor's cell — a pure projection (the argmax kernel runs per
+        // row; no join, no exchange). Anchors are PINNED to their own
+        // cell (gid = cid) so every selectable cell provably contains
+        // its anchor — without the pin, an anchor's cell could be
+        // chosen by a row yet be empty, and the inner fine join would
+        // DROP that row.
+        val fm = fine.select(
+          when(col("cid").cast("long").isInCollection(anchorIds), col("cid").cast("long"))
+            .otherwise(nearest(col("cv"))).as("gid"),
+          col("cid"), col("cv"), col("cn"))
 
-    // corpus coarse stage: O(√k) fused evals per row inside a plain
-    // projection — zero joins, zero exchanges (the r15 assignment curve
-    // measured the join+partial-agg formulation of this stage at ~10×
-    // the cost: n·√k joined rows of row machinery to do the same math)
-    val coarseAssigned = df.select(col(idCol).as(outId), col(vecCol).as("__v"),
-      norm(col(vecCol)).as("__n"), nearest(col(vecCol)).as("gid"))
+        // corpus coarse stage: O(√k) fused evals per row inside a plain
+        // projection — zero joins, zero exchanges (the r15 assignment
+        // curve measured the join+partial-agg formulation of this stage
+        // at ~10× the cost: n·√k joined rows of row machinery to do the
+        // same math)
+        val ca = df.select(col(idCol).as(outId), col(vecCol).as("__v"),
+          norm(col(vecCol)).as("__n"), nearest(col(vecCol)).as("gid"))
+        (ca, fm)
+      } else {
+        // anchors-of-anchors: too many anchors for one plan literal —
+        // mark them by the same rank-stride, then assign BOTH the
+        // corpus rows and the non-anchor centroids to anchors through
+        // the recursive coarse machinery. The marked frame feeds three
+        // consumers — pinned.
+        val w = Window.orderBy(col("cid"))
+        val marked = fine
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__isAnchor", (col("__rn") - lit(1L)) % stride === 0)
+          .drop("__rn")
+          .localCheckpoint(false)
+        val anchors = marked.filter(col("__isAnchor"))
+          .select(col("cid"), col("cv"), col("cn"))
+        // anchors pin to their own cell (same reachability argument as
+        // the literal branch); the rest argmax over the anchor set
+        val fmSelf = marked.filter(col("__isAnchor"))
+          .select(col("cid").cast("long").as("gid"), col("cid"), col("cv"), col("cn"))
+        val fmRest = nearestAnchorIn(
+            marked.filter(!col("__isAnchor")).select(col("cid"), col("cv"), col("cn")),
+            "cid", "cv", "cn", anchors, nPicked, stats, maxAnchors)
+          .select(col("gid"), col("cid"), col("cv"), col("cn"))
+        val fm = fmSelf.unionByName(fmRest)
+        val ca = nearestAnchorIn(
+          df.select(col(idCol).as(outId), col(vecCol).as("__v"),
+            norm(col(vecCol)).as("__n")),
+          outId, "__v", "__n", anchors, nPicked, stats, maxAnchors)
+        (ca, fm)
+      }
 
     // fine stage: un-hinted cell-keyed join (planner broadcasts small
     // fine tables, shuffles large ones), then the same partial-agg
@@ -334,6 +387,78 @@ object Similarity {
         struct(col("cid"), col("__v"), col("__n")).as("p"))).as("__m"))
       .select(col(outId), col("__m.p.cid").as("cid"),
         col("__m.p.__v").as("xv"), col("__m.p.__n").as("xn"))
+  }
+
+  /** Collected (cid, cv) rows → the foldable centroid literal for
+    * [[graft.plans.NearestCentroid]], element type taken from the
+    * source frame's `cv` column. */
+  private def anchorLiteral(
+      source: DataFrame, rows: Array[org.apache.spark.sql.Row]): Column = {
+    val elemFloat = source.schema("cv").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
+    if (elemFloat) typedlit(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    else typedlit(rows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+  }
+
+  /** Recursive coarse assignment: adds `gid` — the argmax-cosine anchor
+    * id over `anchors` (ties to the lowest cid) — to a frame of exactly
+    * (`idC`, `vC`, `nC`). When the anchor set fits one plan literal the
+    * per-row argmax is a pure [[graft.plans.NearestCentroid]]
+    * projection; past `maxAnchors` it recurses — ~√(anchorCount)
+    * super-anchors by the same rank-stride over cid order, anchors
+    * below assigned to super-cells (supers pinned to their own cell, so
+    * every selectable cell is non-empty), then the un-hinted cell join
+    * + partial-agg argmax. Rows with duplicate `idC` collapse to one
+    * output row on the recursive path (the argmax groups by id) — the
+    * same rule as the flat path's groupBy. */
+  private def nearestAnchorIn(
+      frame: DataFrame, idC: String, vC: String, nC: String,
+      anchors: DataFrame, anchorCount: Long, stats: CentStats,
+      maxAnchors: Int): DataFrame = {
+    val spark = frame.sparkSession
+    val c2 = math.max(1, math.ceil(math.sqrt(anchorCount.toDouble)).toInt)
+    val stride2 = math.max(1L, (anchorCount + c2 - 1) / c2)
+    val nSuper = (anchorCount - 1) / stride2 + 1
+    // a step that cannot SHRINK (√2 rounds back up to 2 super-anchors
+    // for 2 anchors) must not recurse — the literal stage is trivially
+    // correct there and the guard still bounds it
+    if (anchorCount <= maxAnchors || nSuper >= anchorCount) {
+      guardForcedBroadcast(spark, stats.copy(k = anchorCount),
+        "assignClustersHier(coarse literal)")
+      val rows = anchors.select(col("cid").cast("long"), col("cv")).collect()
+      val anchorsLit = anchorLiteral(anchors, rows)
+      frame.withColumn("gid",
+        graft.plans.GraftExpressions.nearestCentroid(spark, col(vC), anchorsLit))
+    } else {
+      val w = Window.orderBy(col("cid"))
+      val marked = anchors
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__isSuper", (col("__rn") - lit(1L)) % stride2 === 0)
+        .drop("__rn")
+        .localCheckpoint(false)
+      val supers = marked.filter(col("__isSuper"))
+        .select(col("cid"), col("cv"), col("cn"))
+      val mapSelf = marked.filter(col("__isSuper"))
+        .select(col("cid").cast("long").as("sgid"),
+          col("cid").as("__acid"), col("cv").as("__acv"), col("cn").as("__acn"))
+      val mapRest = nearestAnchorIn(
+          marked.filter(!col("__isSuper")).select(col("cid"), col("cv"), col("cn")),
+          "cid", "cv", "cn", supers, nSuper, stats, maxAnchors)
+        .select(col("gid").as("sgid"),
+          col("cid").as("__acid"), col("cv").as("__acv"), col("cn").as("__acn"))
+      val anchorMap = mapSelf.unionByName(mapRest)
+      val frameCoarse = nearestAnchorIn(frame, idC, vC, nC,
+          supers, nSuper, stats, maxAnchors)
+        .withColumnRenamed("gid", "sgid")
+      frameCoarse.join(anchorMap, Seq("sgid"))
+        .withColumn("__as", cosOf(dot(col(vC), col("__acv")), col(nC), col("__acn")))
+        .groupBy(col(idC))
+        .agg(max(struct(struct(col("__as"), -col("__acid")).as("k"),
+          struct(col("__acid").cast("long").as("gid"), col(vC), col(nC)).as("p"))).as("__m"))
+        .select(col(idC), col(s"__m.p.$vC").as(vC), col(s"__m.p.$nC").as(nC),
+          col("__m.p.gid").as("gid"))
+    }
   }
 
   /** IVF search against an explicit centroid table (`cid`, `cv`) — the
@@ -375,41 +500,82 @@ object Similarity {
   }
 
   /** Deterministic Lloyd (k-means) refinement for IVF centroids: each
-    * iteration assigns every vector to its nearest centroid (same
-    * partial-agg argmax as ivfTopK — no corpus-replicating shuffle) and
+    * iteration assigns every vector to its nearest centroid and
     * recomputes centroids as element-wise means. Per-dimension means
     * come from a posexplode → map-combinable avg (64× row blow-up
     * collapses map-side); empty clusters keep their previous centroid.
     * Output schema matches the `centroids` input, so the refined table
-    * drops straight into [[ivfTopK]]'s search plan. */
+    * drops straight into [[ivfTopK]]'s search plan.
+    *
+    * Assignment routing (round 16): the old per-iteration
+    * `join(broadcast(cent), lit(true))` + argmax was the exact flat
+    * shape the round-15 assignment curve measured to a SPILL_OOM wall —
+    * and its guard made corpus-derived-k refinement (SemDeDup's
+    * k ≈ n/5000) impossible rather than possible. Now:
+    *
+    *  - centroid tables within the session broadcast threshold run the
+    *    [[graft.plans.NearestCentroid]] kernel — the per-row argmax is
+    *    a pure codegen'd PROJECTION (no join, no per-id exchange;
+    *    bit-identical to the join argmax, ties to the lowest cid), and
+    *    each iteration's centroids are rebuilt as a LOCAL frame from
+    *    the rows the literal collects anyway, so lineage stays flat
+    *    across iterations;
+    *  - larger tables route through [[assignClustersHier]] (per-row
+    *    O(√k) evals, O(√k) plan literal) — approximate near cell
+    *    boundaries, the documented hierarchical-k-means trade, instead
+    *    of the old fail-fast error.
+    *
+    * Null-vector centroids never win an assignment (the kernel drops
+    * them; they keep themselves through the empty-cluster rule), and a
+    * corpus row with a DUPLICATE id now contributes once per row to
+    * the means (the old argmax collapsed duplicate ids to their
+    * best-sim row first — an artifact of the join formulation). */
   def kmeansRefine(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       iters: Int = 1): DataFrame = {
 
+    val spark = corpus.sparkSession
     var cent = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cv"))
-    // guard ONCE before the loop: centroid count and width are loop
+    // measure ONCE before the loop: centroid count and width are loop
     // invariants (means keep the input dimension; empty clusters keep
-    // their previous centroid), so one measurement covers every
-    // iteration's forced broadcast
-    guardForcedBroadcast(corpus.sparkSession, centStats(cent), "kmeansRefine")
+    // their previous centroid), so one measurement routes every
+    // iteration
+    val stats = centStats(cent)
+    val sessThr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val viaKernel =
+      stats.estBytes <= (if (sessThr > 0) sessThr else disabledThresholdCap(spark))
     (1 to iters).foreach { _ =>
-      val scored = corpus
-        .select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
-        .join(broadcast(cent.withColumn("cn", norm(col("cv")))), lit(true))
-        .withColumn("__csim", cosOf(dot(col("v"), col("cv")), col("vn"), col("cn")))
-      val assigned = scored.groupBy("vid")
-        .agg(max(struct(struct(col("__csim"), -col("cid")).as("k"),
-          struct(col("cid"), col("v")).as("p"))).as("__m"))
-        .select(col("__m.p.cid").as("cid"), col("__m.p.v").as("v"))
+      val assigned =
+        if (viaKernel) {
+          // ONE collect materializes this iteration's centroids; the
+          // local rebuild keeps the means join below hanging off k
+          // in-memory rows instead of the previous iterations' join
+          // chain, and the literal rows project off the local frame
+          // for free
+          cent = spark.createDataFrame(
+            java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+          val rows = cent.filter(col("cv").isNotNull)
+            .select(col("cid").cast("long"), col("cv")).collect()
+          require(rows.nonEmpty,
+            "kmeansRefine needs at least one centroid with a non-null vector")
+          val centLit = anchorLiteral(cent, rows)
+          corpus.select(
+            graft.plans.GraftExpressions.nearestCentroid(
+              spark, col(vecCol), centLit).as("__gcid"),
+            col(vecCol).as("v"))
+        } else {
+          assignClustersHier(corpus, idCol, vecCol, cent, outId = "__vid")
+            .select(col("cid").cast("long").as("__gcid"), col("xv").as("v"))
+        }
       val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
+        .select(col("__gcid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("__gcid", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("__gcid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"),
+        .select(col("__gcid"),
           transform(col("dm"), e => e.getField("m").cast("float")).as("newCv"))
-      cent = cent.join(means, Seq("cid"), "left")
+      cent = cent.join(means, cent("cid").cast("long") === means("__gcid"), "left")
         .select(col("cid"), coalesce(col("newCv"), col("cv")).as("cv"))
     }
     cent.select(col("cid").as(cidCol), col("cv").as(cvecCol))

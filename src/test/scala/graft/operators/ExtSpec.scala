@@ -374,9 +374,6 @@ class SimilaritySpec extends AnyFunSuite {
         Similarity.assignClusters(vecs, "vec_id", "embedding", big))
       assert(e.getMessage.contains("assignClusters") &&
         e.getMessage.contains("assignClustersHier"), e.getMessage)
-      val e2 = intercept[IllegalArgumentException](
-        Similarity.kmeansRefine(vecs, "vec_id", "embedding", big, "cid", "cv"))
-      assert(e2.getMessage.contains("kmeansRefine"), e2.getMessage)
       val e3 = intercept[IllegalArgumentException](
         Similarity.ivfTopKWith(vecs, vecs, "vec_id", "embedding", 2, big, 1))
       assert(e3.getMessage.contains("ivfTopKWith"), e3.getMessage)
@@ -388,6 +385,11 @@ class SimilaritySpec extends AnyFunSuite {
         ).as("embedding"))
       assert(Similarity.assignClustersHier(dim8, "vec_id", "embedding", big)
         .count() == 5)
+      // kmeansRefine no longer fail-fasts past the threshold (round-16):
+      // it routes its assignment through the hierarchical path and must
+      // SUCCEED on the same over-threshold table the old guard rejected
+      assert(Similarity.kmeansRefine(dim8, "vec_id", "embedding", big,
+        "cid", "cv").count() == 64)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -414,6 +416,76 @@ class SimilaritySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.unset("spark.graft.forcedBroadcastCap")
     }
+  }
+
+  /** 16 pairwise non-parallel directions: rows whose vectors EQUAL a
+    * centroid must land on that centroid at EVERY recursion depth —
+    * both sides of every coarse level run the same deterministic argmax
+    * over the same anchor sets (see assignClustersHier's scaladoc). */
+  private def distinctDirections(n: Int): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val t = 1.0f + i * 0.37f
+      (i.toLong, Array(1.0f, t, t * t / 10f, t * t * t / 100f))
+    }
+
+  test("anchors-of-anchors: forced multi-level == two-level == flat on exact copies") {
+    val cents = distinctDirections(16).toDF("cid", "cv")
+    // corpus = scaled copies of every centroid (cosine is scale-free)
+    val corpus = distinctDirections(16)
+      .map { case (i, v) => (i + 100L, v.map(_ * 2.5f)) }
+      .toDF("vec_id", "embedding")
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select($"corpus_id", $"cid").as[(Long, Long)].collect().toMap
+    // maxAnchors = 3 < 4 = ceil(sqrt(16)) anchors → one recursion level
+    // (4 anchors → 2 super-anchors → literal): a real three-level tree
+    val multi = rows(Similarity.assignClustersHier(corpus, "vec_id", "embedding",
+      cents, maxAnchors = 3))
+    val twoLevel = rows(Similarity.assignClustersHier(corpus, "vec_id", "embedding",
+      cents))
+    val flat = rows(Similarity.assignClusters(corpus, "vec_id", "embedding", cents))
+    assert(multi == flat, "multi-level must place every exact copy on its centroid")
+    assert(twoLevel == flat)
+    (0 until 16).foreach(i => assert(multi(i + 100L) == i.toLong, s"copy of $i"))
+  }
+
+  test("hier drops null-vector centroids; flat keeps them as zero-sim candidates") {
+    // the round-16 contract: a null cv carries no geometry — the hier
+    // path ignores it entirely, where flat can assign to it when every
+    // real cosine is negative (it scores 0). Pin BOTH behaviors.
+    val cents = Seq(
+      (0L, null.asInstanceOf[Array[Float]]),
+      (5L, Array(1.0f, 0.0f, 0.0f))).toDF("cid", "cv")
+    val negRow = Seq((1L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val flatCid = Similarity.assignClusters(negRow, "vec_id", "embedding", cents)
+      .select($"cid").as[Long].head()
+    val hierCid = Similarity.assignClustersHier(negRow, "vec_id", "embedding", cents,
+        nCoarse = 2)
+      .select($"cid").as[Long].head()
+    assert(flatCid == 0L, "flat: the zero-scoring null centroid wins over cos=-1")
+    assert(hierCid == 5L, "hier: null centroids are dropped from the fine table")
+  }
+
+  test("kmeansRefine at corpus-derived k succeeds via the hier route (old guard errored)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // 512 × dim-4 centroids ≈ 512·(16+48) = 32 KB > the 8 KB session
+      // threshold — exactly the configuration the r15 guard fail-fasted
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      val cents = distinctDirections(512).toDF("cid", "cv")
+      // corpus: one exact copy of each of the first 8 centroids → those
+      // clusters' means are their own centroid; the 504 empty clusters
+      // keep their previous centroid — the refined table must equal the
+      // input bit for bit
+      val corpus = distinctDirections(8)
+        .map { case (i, v) => (i + 100L, v.clone()) }.toDF("vec_id", "embedding")
+      val refined = Similarity.kmeansRefine(corpus, "vec_id", "embedding",
+          cents, "cid", "cv", iters = 2)
+        .as[(Long, Seq[Float])].collect().toMap
+      val original = distinctDirections(512).map { case (i, v) => i -> v.toSeq }.toMap
+      assert(refined.size == 512)
+      assert(refined == original,
+        "exact-copy members and empty clusters must leave every centroid unchanged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("semanticDedup surfaces the maxCluster k-knob remedy from a real query") {
