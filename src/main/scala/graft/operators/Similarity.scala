@@ -236,14 +236,17 @@ object Similarity {
     * [[graft.plans.NearestCentroid]] kernel: the corpus coarse stage is
     * a pure PROJECTION (per-row fused argmax over the anchors — O(√k)
     * evals, no join, no exchange), and the fine stage argmaxes over the
-    * row's coarse cell (expected k/√k = O(√k) evals) through a
-    * cell-keyed join that is deliberately NOT hinted: JoinSelection
-    * broadcasts the k-row fine table while it fits the session
-    * threshold and falls back to a shuffled hash join past it — the
-    * SkewJoin lesson (a forced hint overrides AQE's runtime demotion).
-    * Total: per-row O(√k) work, O(√k) per-executor state, and at most
-    * one corpus exchange more than flat — which semanticDedup's
-    * pairwise stage pays anyway.
+    * row's coarse cell (expected k/√k = O(√k) evals) as the
+    * [[graft.plans.NearestInCell]] in-cell loop: each cell's centroids
+    * ride ONE array column attached through a cell-keyed join that is
+    * deliberately NOT hinted — JoinSelection broadcasts the ~√k-row
+    * cells table while it fits the session threshold and falls back to
+    * a shuffled join past it (the SkewJoin lesson: a forced hint
+    * overrides AQE's runtime demotion). Candidate rows never
+    * materialize (round-16 Catch 10: the join+partial-agg fine stage
+    * was Θ(n^1.5) rows at k = n/5000 and spilled super-linearly).
+    * Total: per-row O(√k) work, O(√k) per-executor state, and ZERO
+    * corpus-side exchanges while the cells table broadcasts.
     *
     * Semantics: an APPROXIMATION of flat argmax — a row lands on the
     * nearest fine centroid *within its nearest anchor's cell*, which
@@ -285,6 +288,43 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, outId: String = "corpus_id",
       nCoarse: Int = -1, maxAnchors: Int = 2048): DataFrame = {
+
+    val (coarseAssigned, fineMap) =
+      hierStages(df, idCol, vecCol, centroids, outId, nCoarse, maxAnchors)
+
+    // fine stage (round-16 Catch 10): the cell's centroids arrive as
+    // ONE array column — a k-row groupBy builds ~√k cell rows, the
+    // un-hinted cell join attaches them (broadcast while the cells
+    // table fits the threshold, shuffled past it), and
+    // [[graft.plans.NearestInCell]] runs the argmax as a fused per-row
+    // loop. The previous join+partial-agg formulation materialized
+    // n·√k candidate ROWS (Θ(n^1.5) at k = n/5000) and carried the
+    // vector payload in every buffer of an n-key hash aggregate —
+    // measured super-linear (38 → 239 s for 10M → 20M) from spill, not
+    // FLOPs. Here nothing wider than the corpus row itself flows, and
+    // with a broadcast cell join the whole assignment runs in ZERO
+    // corpus-side exchanges. One row out per input row (duplicate ids
+    // are the caller's business — flat equality claims assume unique
+    // ids).
+    val cidType = fineMap.schema("cid").dataType
+    val cells = fineMap.groupBy(col("gid"))
+      .agg(collect_list(struct(col("cid").cast("long").as("cid"),
+        col("cv"), col("cn"))).as("__cell"))
+    coarseAssigned.join(cells, Seq("gid"))
+      .select(col(outId),
+        graft.plans.GraftExpressions.nearestInCell(df.sparkSession,
+          col("__v"), col("__n"), col("__cell")).cast(cidType).as("cid"),
+        col("__v").as("xv"), col("__n").as("xn"))
+  }
+
+  /** [[assignClustersHier]]'s coarse machinery: (corpus rows + `gid`,
+    * fine→cell map). Package-visible so the AssignCurve measurement
+    * tool can time the coarse stage apart from the fine join — the
+    * round-16 ask: per-stage attribution of the assignment curve. */
+  private[graft] def hierStages(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, outId: String,
+      nCoarse: Int, maxAnchors: Int): (DataFrame, DataFrame) = {
 
     val spark = df.sparkSession
     require(maxAnchors > 0, s"assignClustersHier: maxAnchors must be positive, got $maxAnchors")
@@ -376,17 +416,7 @@ object Similarity {
           outId, "__v", "__n", anchors, nPicked, stats, maxAnchors)
         (ca, fm)
       }
-
-    // fine stage: un-hinted cell-keyed join (planner broadcasts small
-    // fine tables, shuffles large ones), then the same partial-agg
-    // argmax — expected k/√k candidates per row collapse map-side
-    coarseAssigned.join(fineMap, Seq("gid"))
-      .withColumn("__cs", cosOf(dot(col("__v"), col("cv")), col("__n"), col("cn")))
-      .groupBy(col(outId))
-      .agg(max(struct(struct(col("__cs"), -col("cid")).as("k"),
-        struct(col("cid"), col("__v"), col("__n")).as("p"))).as("__m"))
-      .select(col(outId), col("__m.p.cid").as("cid"),
-        col("__m.p.__v").as("xv"), col("__m.p.__n").as("xn"))
+    (coarseAssigned, fineMap)
   }
 
   /** Collected (cid, cv) rows → the foldable centroid literal for
@@ -409,9 +439,8 @@ object Similarity {
     * super-anchors by the same rank-stride over cid order, anchors
     * below assigned to super-cells (supers pinned to their own cell, so
     * every selectable cell is non-empty), then the un-hinted cell join
-    * + partial-agg argmax. Rows with duplicate `idC` collapse to one
-    * output row on the recursive path (the argmax groups by id) — the
-    * same rule as the flat path's groupBy. */
+    * with the in-cell argmax expression — one output row per input row
+    * at every depth. */
   private def nearestAnchorIn(
       frame: DataFrame, idC: String, vC: String, nC: String,
       anchors: DataFrame, anchorCount: Long, stats: CentStats,
@@ -451,13 +480,16 @@ object Similarity {
       val frameCoarse = nearestAnchorIn(frame, idC, vC, nC,
           supers, nSuper, stats, maxAnchors)
         .withColumnRenamed("gid", "sgid")
-      frameCoarse.join(anchorMap, Seq("sgid"))
-        .withColumn("__as", cosOf(dot(col(vC), col("__acv")), col(nC), col("__acn")))
-        .groupBy(col(idC))
-        .agg(max(struct(struct(col("__as"), -col("__acid")).as("k"),
-          struct(col("__acid").cast("long").as("gid"), col(vC), col(nC)).as("p"))).as("__m"))
-        .select(col(idC), col(s"__m.p.$vC").as(vC), col(s"__m.p.$nC").as(nC),
-          col("__m.p.gid").as("gid"))
+      // same in-cell scoring shape as the top-level fine stage (Catch
+      // 10): the super-cell's anchors ride ONE array column, never
+      // per-candidate rows through an id-keyed aggregate
+      val cells = anchorMap.groupBy(col("sgid"))
+        .agg(collect_list(struct(col("__acid").cast("long").as("cid"),
+          col("__acv"), col("__acn"))).as("__cell"))
+      frameCoarse.join(cells, Seq("sgid"))
+        .select(col(idC), col(vC), col(nC),
+          graft.plans.GraftExpressions.nearestInCell(spark,
+            col(vC), col(nC), col("__cell")).as("gid"))
     }
   }
 

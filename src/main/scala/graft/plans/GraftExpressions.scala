@@ -1135,6 +1135,150 @@ final class NearestCentroidKernel(
   }
 }
 
+/** Argmax-cosine centroid id over a PER-ROW cell array — the FINE
+  * stage of [[graft.operators.Similarity.assignClustersHier]] as an
+  * in-group scoring expression instead of a join + aggregate.
+  *
+  * The round-16 assignment curve caught the join-formulated fine
+  * stage super-linear: joining each corpus row to the ~√k centroids
+  * of its cell materializes n·√k rows — Θ(n^1.5) at the SemDeDup knob
+  * k = n/5000 — and the partial-agg argmax then carries the full
+  * vector payload in every aggregation buffer of an n-key hash
+  * aggregate (measured 38 → 239 s for 10M → 20M rows: spill, not
+  * FLOPs). Here the cell's centroid list arrives as ONE array column
+  * (built by a k-row groupBy, joined in — broadcast while it fits,
+  * shuffled past that) and the argmax is a single fused loop per
+  * corpus row: no candidate rows, no n-key aggregate, nothing wider
+  * than the row itself. The same in-group-scoring pattern as
+  * [[BucketCosineTopPairs]] and [[ClusterDropIds]] (SCALE_CURVE.md
+  * catches 3/6/10).
+  *
+  * Semantics mirror the join+argmax formulation exactly: highest
+  * guarded cosine (zero-norm pairs score 0), ties to the LOWEST cid;
+  * a null/zero-norm input vector scores 0 everywhere and lands on the
+  * lowest cid in the cell. The row's norm arrives precomputed (`vn`)
+  * so the doubles match the aggregate formulation bit for bit. */
+case class NearestInCell(vec: Expression, vn: Expression, cells: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = vn
+  override def third: Expression = cells
+  override def prettyName: String = "graft_nearest_in_cell"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  private def vecElemOf(t: DataType): Option[DataType] = t match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+  private def cellElem: Option[DataType] = cells.dataType match {
+    case ArrayType(StructType(fs), _) if fs.length == 3 &&
+        fs(0).dataType == LongType && fs(2).dataType == DoubleType =>
+      vecElemOf(fs(1).dataType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vecElemOf(vec.dataType), vn.dataType, cellElem) match {
+      case (Some(_), DoubleType, Some(_)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_in_cell expects (array<float|double>, double, " +
+          s"array<struct<bigint, array<float|double>, double>>), got " +
+          s"(${vec.dataType}, ${vn.dataType}, ${cells.dataType})")
+    }
+
+  @transient private lazy val kernel = new NearestInCellKernel(
+    vecElemOf(vec.dataType).contains(FloatType),
+    cellElem.contains(FloatType))
+
+  override def eval(input: InternalRow): Any = {
+    val c = cells.eval(input)
+    val v = vec.eval(input)
+    val n = vn.eval(input)
+    kernel.nearest(
+      if (v == null) null else v.asInstanceOf[ArrayData],
+      if (n == null) 0.0 else n.asInstanceOf[Double],
+      if (c == null) null else c.asInstanceOf[ArrayData])
+  }
+
+  /** Same reference-object pattern as [[NearestCentroid]]: the typed
+    * kernel rides the codegen reference array and the per-row code is
+    * one call into its primitive loop, fused into whole-stage codegen. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftCellKernel", kernel,
+      classOf[NearestInCellKernel].getName)
+    val v = vec.genCode(ctx); val n = vn.genCode(ctx); val c = cells.genCode(ctx)
+    ev.copy(code = code"""
+      ${v.code}
+      ${n.code}
+      ${c.code}
+      long ${ev.value} = $kRef.nearest(
+        ${v.isNull} ? null : ${v.value},
+        ${n.isNull} ? 0.0 : ${n.value},
+        ${c.isNull} ? null : ${c.value});
+      """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NearestInCell =
+    copy(vec = f, vn = s, cells = t)
+}
+
+/** Executor-side loop of [[NearestInCell]]. Public top-level class only
+  * because whole-stage-generated code must reference it by name through
+  * the codegen reference array; not user API. */
+final class NearestInCellKernel(vecFloat: Boolean, cellFloat: Boolean)
+    extends Serializable {
+
+  /** Argmax guarded cosine over the cell entries (cid, cv, cn); ties
+    * and the null/zero-norm-vector cases resolve to the LOWEST cid —
+    * [[NearestInCell]]'s scaladoc has the contract. Robust to any
+    * entry order (collect_list order is nondeterministic). */
+  def nearest(x: ArrayData, vn: Double, cells: ArrayData): Long = {
+    require(cells != null && cells.numElements() > 0,
+      "graft_nearest_in_cell: null/empty cell — the cell join must " +
+        "provide at least one centroid per selectable cell")
+    val m = cells.numElements()
+    var best = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    if (x == null) {
+      // all sims 0 → lowest cid
+      var i = 0
+      while (i < m) {
+        val row = cells.getStruct(i, 3)
+        val cid = row.getLong(0)
+        if (cid < bestId) bestId = cid
+        i += 1
+      }
+      return bestId
+    }
+    val dim = x.numElements()
+    val v = new Array[Double](dim)
+    var j = 0
+    if (vecFloat) while (j < dim) { v(j) = x.getFloat(j).toDouble; j += 1 }
+    else while (j < dim) { v(j) = x.getDouble(j); j += 1 }
+    var i = 0
+    while (i < m) {
+      val row = cells.getStruct(i, 3)
+      val cid = row.getLong(0)
+      val cv = row.getArray(1)
+      val cn = row.getDouble(2)
+      if (cv.numElements() != dim) throw new IllegalArgumentException(
+        s"graft_nearest_in_cell: dimension mismatch ($dim vs ${cv.numElements()}) — " +
+          "mixed embedding widths in the corpus?")
+      var s = 0.0; var d = 0
+      if (cellFloat) while (d < dim) { s += v(d) * cv.getFloat(d); d += 1 }
+      else while (d < dim) { s += v(d) * cv.getDouble(d); d += 1 }
+      val nn = vn * cn
+      val sim = if (nn > 0) s / nn else 0.0
+      if (sim > best || (sim == best && cid < bestId)) { best = sim; bestId = cid }
+      i += 1
+    }
+    bestId
+  }
+}
+
 /** Bloom-filter membership probe over a 64-bit key hash, mirroring the
   * shape of Spark's internal runtime-filter BloomFilterMightContain
   * (public pattern): the serialized filter arrives as a foldable binary
@@ -1234,6 +1378,8 @@ object GraftExpressions {
       { es: Seq[Expression] => BloomMightContain(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroid",
       { es: Seq[Expression] => NearestCentroid(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_in_cell",
+      { es: Seq[Expression] => NearestInCell(es(0), es(1), es(2)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_bucket_top_pairs",
       { es: Seq[Expression] =>
         val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
@@ -1322,6 +1468,9 @@ object GraftExpressions {
   }
   def nearestCentroid(spark: SparkSession, vec: Column, cents: Column): Column = {
     register(spark); call_function("graft_nearest_centroid", vec, cents)
+  }
+  def nearestInCell(spark: SparkSession, vec: Column, vn: Column, cells: Column): Column = {
+    register(spark); call_function("graft_nearest_in_cell", vec, vn, cells)
   }
 }
 

@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   * k lowest ids, exactly the shape `ExtQueries.dedupSemantic` uses.
   *
   * Usage: runMain graft.tools.AssignCurve <outRoot> <n1> <n2> ...
-  *          [-- flat|hier|both]
+  *          [-- flat|hier|coarse|both|all]
   * Env: SPARK_GRAFT_REPS (default 2), SPARK_GRAFT_CPUS (default 32).
   * Prints one JSON line per (n, path) with the min wall seconds.
-  */
+  *
+  * `coarse` times the hier path's COARSE stage alone (the
+  * NearestCentroid projection + its anchor pick) so growth attributes
+  * to the right stage — the round-16 ask: the fine stage still moves
+  * n·(k/√k) joined rows through the partial-agg argmax, and a curve
+  * that only times the whole operator cannot say which term bends.
+  * fine ≈ hier − coarse at the same point. `both` = flat+hier
+  * (round-15 compatibility); `all` adds coarse. */
 object AssignCurve {
   def main(args: Array[String]): Unit = {
     val sep = args.indexOf("--")
@@ -79,8 +86,17 @@ object AssignCurve {
         "flat" -> (() => graft.operators.Similarity
           .assignClusters(corpus, "vec_id", "embedding", cent)),
         "hier" -> (() => graft.operators.Similarity
-          .assignClustersHier(corpus, "vec_id", "embedding", cent))
-      ).filter { case (p, _) => mode == "both" || mode == p }
+          .assignClustersHier(corpus, "vec_id", "embedding", cent)),
+        "coarse" -> (() => graft.operators.Similarity
+          .hierStages(corpus, "vec_id", "embedding", cent,
+            "corpus_id", -1, 2048)._1)
+      ).filter { case (p, _) =>
+        mode match {
+          case "all" => true
+          case "both" => p == "flat" || p == "hier"
+          case m => m == p
+        }
+      }
       for ((pname, build) <- paths) {
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
