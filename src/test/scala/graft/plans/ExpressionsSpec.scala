@@ -141,6 +141,88 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(gen == Map(1L -> 3L, 2L -> 1L, 3L -> 5L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
   }
 
+  test("NearestInCell generated code == interpreted eval, edge cases included") {
+    // the hier FINE-stage kernel (round-16 Catch 10): per-row argmax
+    // over the row's cell array. Same contract surface as
+    // NearestCentroid — negative sims, zero-norm rows/centroids, exact
+    // ties, null rows — pinned identical between both execution paths.
+    val cell = typedlit(Seq(
+      (3L, Seq(1.0f, 0.0f), 1.0),
+      (1L, Seq(0.0f, 1.0f), 1.0),
+      (7L, Seq(0.0f, 0.0f), 0.0),                  // zero-norm centroid: sim 0 vs everything
+      (5L, Seq(-1.0f, 0.0f), 1.0)))
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),                     // → 3
+      (2L, Array(0.0f, 2.0f)),                     // → 1
+      (3L, Array(-1.0f, -0.0f)),                   // all others negative → 5
+      (4L, Array(0.0f, 0.0f)),                     // zero-norm row: all sims 0 → lowest cid
+      (5L, null.asInstanceOf[Array[Float]]),       // null row → lowest cid
+      (6L, Array(0.7071f, 0.7071f))                // exact tie 3 vs 1 → lowest cid
+    ).toDF("id", "v")
+    def run(codegen: Boolean): Map[Long, Long] = {
+      val prevW = spark.conf.get("spark.sql.codegen.wholeStage")
+      val prevF = spark.conf.get("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+        spark.conf.set("spark.sql.codegen.factoryMode",
+          if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+        vecs.select($"id",
+            GraftExpressions.nearestInCell(spark, $"v",
+              sqrt(coalesce(GraftExpressions.dot(spark, $"v", $"v"), lit(0.0))),
+              cell).as("cid"))
+          .as[(Long, Long)].collect().toMap
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", prevW)
+        spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+      }
+    }
+    val gen = run(true); val interp = run(false)
+    assert(gen == interp, s"codegen $gen != interpreted $interp")
+    assert(gen == Map(1L -> 3L, 2L -> 1L, 3L -> 5L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("NearestInCell == join+partial-agg argmax, bit-exact on random cells") {
+    // the formulation Catch 10 replaced, reproduced declaratively: the
+    // expression must pick the same cid with the same doubles on random
+    // float vectors across cell sizes (incl. the 1-centroid floor)
+    val rnd = new scala.util.Random(7)
+    for (m <- Seq(1, 2, 9, 33)) {
+      val cents = (0 until m).map(i => (i * 3L + 1, Array.fill(8)(rnd.nextFloat() * 4 - 2)))
+      val rows = (0 until 50).map(i => (100L + i, Array.fill(8)(rnd.nextFloat() * 4 - 2)))
+      val centDf = cents.toDF("cid", "cv")
+        .select($"cid", $"cv", sqrt(GraftExpressions.dot(spark, $"cv", $"cv")).as("cn"))
+      val rowDf = rows.toDF("id", "v")
+        .select($"id", $"v", sqrt(GraftExpressions.dot(spark, $"v", $"v")).as("vn"))
+      val cellDf = centDf.agg(collect_list(struct($"cid", $"cv", $"cn")).as("cell"))
+      val fast = rowDf.crossJoin(cellDf)
+        .select($"id", GraftExpressions.nearestInCell(spark, $"v", $"vn", $"cell").as("cid"))
+        .as[(Long, Long)].collect().toMap
+      val ref = rowDf.crossJoin(centDf)
+        .withColumn("sim", when($"vn" * $"cn" > 0,
+          GraftExpressions.dot(spark, $"v", $"cv") / ($"vn" * $"cn")).otherwise(lit(0.0)))
+        .groupBy($"id")
+        .agg(max(struct(struct($"sim", -$"cid").as("k"), $"cid".as("p"))).as("m"))
+        .select($"id", $"m.p".as("cid")).as[(Long, Long)].collect().toMap
+      assert(fast == ref, s"cell size $m: expression disagrees with join+argmax")
+    }
+  }
+
+  test("NearestInCell fails loudly on dimension mismatch and empty cells") {
+    val cell = typedlit(Seq((1L, Seq(1.0f, 0.0f, 0.0f), 1.0)))
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    val e1 = intercept[Exception](
+      bad.select(GraftExpressions.nearestInCell(spark, $"v", lit(1.0), cell)).collect())
+    assert(chain(e1).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))),
+      s"expected a dimension-mismatch error, got: $e1")
+    val empty = typedlit(Seq.empty[(Long, Seq[Float], Double)])
+    val e2 = intercept[Exception](
+      bad.select(GraftExpressions.nearestInCell(spark, $"v", lit(1.0), empty)).collect())
+    assert(chain(e2).exists(c => Option(c.getMessage).exists(_.contains("empty cell"))),
+      s"expected an empty-cell error, got: $e2")
+  }
+
   test("BucketCosineTopPairs == declarative all-pairs cosine top-k, bit-exact") {
     // random float vectors, several bucket sizes incl. the ≥2 floor;
     // the expression's (dot / norms, tie on (id_a, id_b) lex) must
