@@ -222,4 +222,53 @@ object Sampling {
       .drop("__s")
       .dropDuplicates(idCol)
   }
+
+  /** Deterministic training-shard layout — the EXPORT step of a
+    * curated corpus: every row gets a `shard` (the first `nibbles` hex
+    * chars of md5(text) → 16^nibbles shards) and a 1-based `pos`
+    * within its shard under (md5(text), id) order. Together they are a
+    * reproducible pseudo-random global permutation: shard membership
+    * and order are pure functions of the content (no RNG state, no
+    * partition-count dependence), so a training run can slice
+    * `(shard, pos)` ranges identically on any cluster — and a re-export
+    * after upstream dedup moves only the rows that changed. Feed the
+    * result to `DatasetWriter` hive-partitioned on `shard` for the
+    * on-disk layout.
+    *
+    * Scale shape: the obvious per-shard `row_number` window holds an
+    * entire shard — corpus/16^nibbles rows — in ONE task, the
+    * single-hot-key straggler this file bans elsewhere. Instead `pos`
+    * is assigned with the same bucketed-offset machinery as
+    * [[packBudget]]: rows range-bucket by the next 4 hash chars
+    * (65536 buckets per shard), a tiny per-(shard, bucket) count frame
+    * turns into broadcast offsets, and the rank window runs per
+    * (shard, bucket) — partitions of corpus/(16^nibbles · 65536) rows,
+    * bounded at any corpus size. Because the bucket is a string PREFIX
+    * of the ordering key, bucket-major order equals global
+    * (hash, id) order within the shard, so offset + in-bucket rank is
+    * exactly the shard-wide rank. Null text hashes to "" (its own
+    * shard, sorting first) rather than vanishing. */
+  def shardLayout(df: DataFrame, textCol: String, idCol: String,
+      nibbles: Int = 1): DataFrame = {
+    require(nibbles >= 1 && nibbles <= 8,
+      s"shardLayout: nibbles must be in [1, 8], got $nibbles")
+    val hash = coalesce(md5(col(textCol).cast("binary")), lit(""))
+    val shard = substring(hash, 1, nibbles)
+    val bucket = substring(hash, nibbles + 1, 4)
+    val counts = df
+      .groupBy(shard.as("__s"), bucket.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val before = Window.partitionBy("__s").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .select("__s", "__b", "__off")
+    val rankW = Window.partitionBy(col("__s"), col("__b"))
+      .orderBy(hash, col(idCol))
+    df.withColumn("__s", shard).withColumn("__b", bucket)
+      .join(broadcast(offs), Seq("__s", "__b"))
+      .withColumn("pos", col("__off") + row_number().over(rankW))
+      .withColumnRenamed("__s", "shard")
+      .drop("__b", "__off")
+  }
 }

@@ -710,6 +710,38 @@ object ExtQueries {
       |  FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic shard layout for training export
+    * ([[graft.operators.Sampling.shardLayout]]): 16 content-hash shards
+    * with a reproducible within-shard order. Output certifies both the
+    * BALANCE (per-shard doc/char totals) and the ORDER (the first three
+    * doc_ids of each shard under the (md5, id) permutation) — the two
+    * properties a training run relies on when it slices (shard, pos)
+    * ranges. The oracle recomputes positions with a plain per-shard
+    * window; the Spark side assigns them through bucketed offsets (no
+    * whole-shard window task), so agreement also certifies the
+    * offset+in-bucket-rank decomposition. */
+  def shardLayoutQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardLayout(
+        Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        max(when(col("pos") === 1, col("doc_id"))).as("head1"),
+        max(when(col("pos") === 2, col("doc_id"))).as("head2"),
+        max(when(col("pos") === 3, col("doc_id"))).as("head3"))
+      .orderBy("shard")
+  val shardLayoutSql: String =
+    """WITH r AS (
+      |  SELECT substr(md5(text), 1, 1) AS shard, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY substr(md5(text), 1, 1)
+      |      ORDER BY md5(text), doc_id) AS pos
+      |  FROM documents)
+      |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS head1,
+      |  MAX(CASE WHEN pos = 2 THEN doc_id END) AS head2,
+      |  MAX(CASE WHEN pos = 3 THEN doc_id END) AS head3
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Eval-set contamination scan: corpus docs sharing any word 3-gram
     * with the held-out set (doc_id ≡ 0 mod 23 plays the eval set).
     * The join carries exploded shingles, never document pairs. */
@@ -1909,6 +1941,7 @@ object ExtQueries {
     "x_sample_stratified" -> (sampleStratified _),
     "x_mix_sources" -> (mixSources _),
     "x_pack_budget" -> (packBudget _),
+    "x_shard_layout" -> (shardLayoutQ _),
     "x_contamination" -> (contamination _),
     "x_stream_e2e" -> (streamE2E _),
     "x_dedup_exact" -> (dedupExact _),
@@ -1964,6 +1997,7 @@ object ExtQueries {
     "x_sample_stratified" -> sampleStratifiedSql,
     "x_mix_sources" -> mixSourcesSql,
     "x_pack_budget" -> packBudgetSql,
+    "x_shard_layout" -> shardLayoutSql,
     "x_contamination" -> contaminationSql,
     "x_stream_e2e" -> streamE2ESql,
     "x_dedup_exact" -> dedupExactSql,

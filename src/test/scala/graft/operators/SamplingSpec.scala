@@ -135,4 +135,48 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(cont == Set(6L), cont) // only doc 6 shares "alpha beta gamma"
   }
+
+  test("property: shard layout's bucketed positions == the per-shard window formulation") {
+    // random corpus large enough that shards span multiple hash buckets
+    // in aggregate; the bucketed offset+rank decomposition must equal a
+    // plain per-shard row_number over (md5, id) exactly, and (shard,
+    // pos) must be a permutation: every shard covers 1..n_shard densely
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 400).map { i =>
+      // duplicate texts on purpose: hash ties must break by id
+      val t = if (i % 17 == 0) "shared duplicate text" else s"doc ${rnd.nextInt(100000)} body $i"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val fast = Sampling.shardLayout(corpus, "text", "doc_id")
+      .select($"doc_id", $"shard", $"pos").as[(Long, String, Long)]
+      .collect().toSet
+    val h = coalesce(md5($"text".cast("binary")), lit(""))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(h, 1, 1)).orderBy(h, $"doc_id")
+    val ref = corpus.select($"doc_id", substring(h, 1, 1).as("shard"),
+        row_number().over(w).cast("long").as("pos"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(fast == ref, "bucketed shard positions differ from the window formulation")
+    // permutation: per shard, positions are exactly 1..n
+    fast.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size).toSet, s"shard $s positions not dense")
+    }
+    // determinism across runs
+    val again = Sampling.shardLayout(corpus, "text", "doc_id")
+      .select($"doc_id", $"shard", $"pos").as[(Long, String, Long)].collect().toSet
+    assert(again == fast)
+  }
+
+  test("shard layout: null text lands in its own first-sorting shard, wider nibbles honored") {
+    val withNull = docs.unionByName(
+      Seq((99L, null.asInstanceOf[String], "a", 0)).toDF("doc_id", "text", "source", "n_chars"))
+    val out = Sampling.shardLayout(withNull, "text", "doc_id")
+      .select($"doc_id", $"shard", $"pos").as[(Long, String, Long)].collect()
+    val nullRow = out.find(_._1 == 99L).get
+    assert(nullRow._2 == "" && nullRow._3 == 1L)
+    val two = Sampling.shardLayout(docs, "text", "doc_id", nibbles = 2)
+      .select($"shard").as[String].collect()
+    assert(two.forall(_.length == 2))
+    intercept[IllegalArgumentException](Sampling.shardLayout(docs, "text", "doc_id", 0))
+  }
 }
