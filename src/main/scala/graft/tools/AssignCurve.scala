@@ -37,6 +37,10 @@ object AssignCurve {
     val outRoot = positional.head
     val sizes = positional.tail.map(_.toLong)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // SPARK_GRAFT_MAX_ANCHORS < sqrt(k) forces the anchors-of-anchors
+    // recursion on corpora whose k would otherwise fit one literal —
+    // the round-16 knob for measuring the multi-level path's cost
+    val maxAnchors = sys.env.getOrElse("SPARK_GRAFT_MAX_ANCHORS", "2048").toInt
     val dim = 64
 
     val spark = SparkSession.builder()
@@ -86,10 +90,11 @@ object AssignCurve {
         "flat" -> (() => graft.operators.Similarity
           .assignClusters(corpus, "vec_id", "embedding", cent)),
         "hier" -> (() => graft.operators.Similarity
-          .assignClustersHier(corpus, "vec_id", "embedding", cent)),
+          .assignClustersHier(corpus, "vec_id", "embedding", cent,
+            maxAnchors = maxAnchors)),
         "coarse" -> (() => graft.operators.Similarity
           .hierStages(corpus, "vec_id", "embedding", cent,
-            "corpus_id", -1, 2048)._1)
+            "corpus_id", -1, maxAnchors)._1)
       ).filter { case (p, _) =>
         mode match {
           case "all" => true
