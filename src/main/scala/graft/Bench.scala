@@ -165,7 +165,11 @@ object Bench {
       // round-15: production-shape streaming (10-file triggers) — the
       // 1-file contract keys measure micro-batch orchestration floor at
       // any scale; this one measures the stateful operators' DATA cost
-      "x_stream_ingest_bulk")
+      "x_stream_ingest_bulk",
+      // round-16: the new export-permutation operator — data-dominated
+      // (two full scans + the bucketed rank), certified 0.41/1.09/2.05 s
+      // at sf0.1/1/10 on arrival; the lane watches it from here
+      "x_shard_layout")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // tri-state so a round-over-round consumer can tell "opted out"

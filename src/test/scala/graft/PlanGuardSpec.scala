@@ -197,6 +197,24 @@ class PlanGuardSpec extends AnyFunSuite {
     // broadcast-filter branch exists at all.
   }
 
+  test("shard layout ranks within (shard, bucket), never a whole shard") {
+    // shardLayout's contract (SCALE.md §5a): within-shard positions come
+    // from broadcast offsets + a rank window scoped to (shard, bucket) —
+    // a row_number partitioned by the shard alone would hold
+    // corpus/16^nibbles rows in ONE task. Structural pins: the offsets
+    // frame joins back as a broadcast build side, and every row_number
+    // window in the plan carries the bucket column in its partition spec.
+    val p = SparkEntry.queries("x_shard_layout")(spark, dir).queryExecution
+      .executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets frame should broadcast-join back:\n${p.take(2000)}")
+    val rankWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toSeq
+    assert(rankWindows.nonEmpty, "expected a row_number window")
+    assert(rankWindows.forall(_.contains("__b")),
+      s"a row_number window lost its bucket scope:\n${rankWindows.mkString("\n")}")
+  }
+
   test("every audited plan keeps a WholeStageCodegen span") {
     // the expression surface is designed to stay inside codegen (custom
     // Expressions implement doGenCode; no UDFs anywhere): a plan with NO
