@@ -81,8 +81,13 @@ object AssignCurve {
       force(graft.operators.Similarity.assignClusters(c, "vec_id", "embedding", cent))
     }
 
+    // SPARK_GRAFT_K_DIV scales the K DIMENSION at fixed n (default 5000
+    // = the SemDeDup knob): the 100 TB design point is k ~ 10⁶ at
+    // n ~ 10⁹, unreachable locally in n — but k/n = 1/100 on a 20M
+    // corpus probes the same per-row √k growth the big-k regime pays
+    val kDiv = sys.env.getOrElse("SPARK_GRAFT_K_DIV", "5000").toLong
     for (n <- sizes) {
-      val k = math.max(16L, n / 5000L)
+      val k = math.max(16L, n / kDiv)
       val corpus = spark.read.parquet(corpusPath(n))
       val cent = corpus.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
