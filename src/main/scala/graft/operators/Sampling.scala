@@ -263,10 +263,16 @@ object Sampling {
     val offs = counts
       .withColumn("__off", coalesce(sum(col("__c")).over(before), lit(0L)))
       .select("__s", "__b", "__off")
+    // deliberately NOT broadcast-hinted (the SkewJoin lesson): offs is
+    // ≤ 16^nibbles·65536 rows — tiny at the default but not PROVABLY
+    // tiny at wider nibbles — and the rank window forces a corpus
+    // exchange on (shard, bucket) regardless, so a forced broadcast
+    // saves nothing and could OOM; JoinSelection broadcasts the small
+    // aggregate on its own and AQE demotes it past the threshold
     val rankW = Window.partitionBy(col("__s"), col("__b"))
       .orderBy(hash, col(idCol))
     df.withColumn("__s", shard).withColumn("__b", bucket)
-      .join(broadcast(offs), Seq("__s", "__b"))
+      .join(offs, Seq("__s", "__b"))
       .withColumn("pos", col("__off") + row_number().over(rankW))
       .withColumnRenamed("__s", "shard")
       .drop("__b", "__off")

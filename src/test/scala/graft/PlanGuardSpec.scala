@@ -206,8 +206,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // window in the plan carries the bucket column in its partition spec.
     val p = SparkEntry.queries("x_shard_layout")(spark, dir).queryExecution
       .executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"offsets frame should broadcast-join back:\n${p.take(2000)}")
+    // the offsets join is deliberately UN-hinted (JoinSelection
+    // broadcasts the small aggregate; the corpus pays its one
+    // (shard, bucket) exchange for the rank window either way) — pin
+    // only that a join brings the offsets back, not its strategy
+    assert(Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        .exists(p.contains),
+      s"offsets frame should join back:\n${p.take(2000)}")
     val rankWindows = p.linesIterator.filter(l =>
       l.contains("Window") && l.contains("row_number")).toSeq
     assert(rankWindows.nonEmpty, "expected a row_number window")
