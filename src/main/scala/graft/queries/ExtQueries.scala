@@ -1627,7 +1627,10 @@ object ExtQueries {
       .withColumn("__score", col("cnt") * log(col("n_docs_total") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .join(broadcast(sizes), Seq("cid"))
+      // sizes is k rows (one per cluster) — k is corpus-derived, so no
+      // forced hint: both sides of this join are k-scale and the
+      // planner broadcasts whichever is genuinely small
+      .join(sizes, Seq("cid"))
       .select(col("cid"), col("n_docs"), col("rank").cast("int").as("rank"),
         col("term"), round(col("__score"), 6).as("score_r"))
       .orderBy("cid", "rank")

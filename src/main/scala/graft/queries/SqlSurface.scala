@@ -68,7 +68,7 @@ object SqlSurface {
     val l = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
       .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
@@ -97,8 +97,8 @@ object SqlSurface {
     val o = Tables.load(spark, dir, "orders")
     val l = Tables.load(spark, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(c),
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(c,
         o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -395,7 +395,7 @@ object SqlSurface {
     val c = Tables.load(spark, dir, "customer")
     val n = Tables.load(spark, dir, "nation")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -420,7 +420,7 @@ object SqlSurface {
     val l = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-06-01") && col("l_shipdate") < lit("1996-07-01"))
     val p = Tables.load(spark, dir, "part")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .agg((lit(100.0) *
         dsum6(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))) /
         dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_revenue"))
@@ -442,7 +442,7 @@ object SqlSurface {
     val clause = (p("p_brand") === "Brand#12" && p("p_size").between(1, 15) && l("l_quantity") <= 20) ||
       (p("p_brand") === "Brand#23" && p("p_size").between(1, 25) && l("l_quantity").between(10, 30)) ||
       (p("p_brand") === "Brand#15" && p("p_size").between(1, 40) && l("l_quantity") >= 25)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && clause)
+    l.join(p, l("l_partkey") === p("p_partkey") && clause)
       .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
   }
@@ -468,8 +468,8 @@ object SqlSurface {
     val n2 = Tables.load(spark, dir, "nation").select(
       col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n1), c("c_nationkey") === n1("c_nk"))
       .join(broadcast(n2), s("s_nationkey") === n2("s_nk"))
       .filter(col("cust_nation") =!= col("supp_nation"))
@@ -508,8 +508,8 @@ object SqlSurface {
     val r = Tables.load(spark, dir, "region").filter(col("r_name") === "EUROPE")
     val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n1), c("c_nationkey") === n1("c_nk"))
       .join(broadcast(r), n1("c_rk") === r("r_regionkey"))
       .join(broadcast(n2), s("s_nationkey") === n2("s_nk"))
@@ -542,7 +542,7 @@ object SqlSurface {
       .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
     val top = rev.agg(max(col("total_revenue")).as("mx"))
     rev.join(broadcast(top), rev("total_revenue") === top("mx"))
-      .join(broadcast(s), rev("l_suppkey") === s("s_suppkey"))
+      .join(s, rev("l_suppkey") === s("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -570,7 +570,7 @@ object SqlSurface {
       .agg(dsum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 120)
     o.join(big, o("o_orderkey") === big("big_okey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"), col("total_qty"))
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -736,8 +736,8 @@ object SqlSurface {
       .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
       .select(col("p_partkey"), col("p_type"))
     val w = Window.partitionBy(col("p_partkey"))
-    cost.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    cost.join(eu, col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .withColumn("mc", min(col("unit_cost")).over(w))
       .filter(col("unit_cost") === col("mc"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -770,9 +770,9 @@ object SqlSurface {
     val n = Tables.load(spark, dir, "nation")
     val p = Tables.load(spark, dir, "part").filter(col("p_name").contains("red"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         - lit(0.5) * col("p_retailprice") * col("l_quantity")).as("profit"))
@@ -799,7 +799,7 @@ object SqlSurface {
       .filter(col("r_name") === "ASIA")
       .select(col("s_suppkey"))
     val de = Tables.load(spark, dir, "lineitem")
-      .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+      .join(asia, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(22,6)")).as("val"))
@@ -886,8 +886,8 @@ object SqlSurface {
     val excl = Tables.load(spark, dir, "supplier")
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     Tables.load(spark, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
@@ -911,13 +911,13 @@ object SqlSurface {
     val shippers = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
       .filter(col("qty") > 50)
       .select(col("l_suppkey")).distinct()
     Tables.load(spark, dir, "supplier")
-      .join(broadcast(shippers), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .join(broadcast(Tables.load(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_name"), col("n_name"))
       .orderBy("s_name")
@@ -951,7 +951,7 @@ object SqlSurface {
     ls.filter(col("late") === 1)
       .join(per, Seq("l_orderkey"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
-      .join(broadcast(Tables.load(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), col("s_name"))

@@ -54,7 +54,11 @@ object EventsStream {
       window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .join(broadcast(dim), Seq("user_id"))
+      // un-hinted stream-static join: the batch planner broadcasts the
+      // dim while it fits the session threshold; a user-scale dimension
+      // (unbounded growth) degrades to a shuffled join instead of
+      // forcing an executor-OOM broadcast every micro-batch
+      .join(dim, Seq("user_id"))
       .groupBy(window(col("ts"), window_).as("w"), col("segment"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
