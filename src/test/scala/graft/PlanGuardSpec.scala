@@ -220,6 +220,34 @@ class PlanGuardSpec extends AnyFunSuite {
       s"a row_number window lost its bucket scope:\n${rankWindows.mkString("\n")}")
   }
 
+  test("un-hinted dim joins degrade to shuffled joins when broadcast is disabled, same results") {
+    // the round-16 contract behind removing every forced hint on a
+    // scale-growing side: with autoBroadcastJoinThreshold=-1 (the
+    // standard prod OOM-protection setting) the same queries must still
+    // EXECUTE — as shuffled joins — with identical results. A forced
+    // hint would override the setting and keep the OOM exposure.
+    val key = "q5_local_supplier" // 5 formerly-hinted dims in one query
+    val before = SparkEntry.queries(key)(spark, dir).collect().toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries(key)(spark, dir)
+      val after = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      // nation/region KEEP their hints by design (25/5 rows at every
+      // SF) — only the growing sides must have degraded: any surviving
+      // broadcast join may touch nothing but the nation/region keys
+      val badBroadcasts = plan.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") &&
+          !(l.contains("n_nationkey") || l.contains("r_regionkey"))).toSeq
+      assert(badBroadcasts.isEmpty,
+        s"a growing side still broadcast with the threshold disabled — a forced hint survives:\n${badBroadcasts.mkString("\n")}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled joins on the growing dims:\n${plan.take(2000)}")
+      assert(after == before, "results changed across join strategies")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("every audited plan keeps a WholeStageCodegen span") {
     // the expression surface is designed to stay inside codegen (custom
     // Expressions implement doGenCode; no UDFs anywhere): a plan with NO
