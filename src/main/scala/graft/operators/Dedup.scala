@@ -47,13 +47,20 @@ object Dedup {
   private def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
   /** Exact dedup on a canonical fingerprint: keep the lowest-id doc per
-    * fingerprint group. Single shuffle on the (small) hash key. */
+    * fingerprint group. Single shuffle on the hash key, MAP-SIDE
+    * combinable: the winning row per fingerprint is `min_by(row, id)`,
+    * so each map task ships one candidate per fingerprint — a HOT
+    * fingerprint (an empty/boilerplate text duplicated across a large
+    * slice of the corpus) costs one row per upstream partition, where
+    * the row_number window it replaces (round 16) sorted the whole
+    * group in ONE task. Same rule as `GraftDataset.withDedup`'s
+    * uniform-order path. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val rowStruct = struct(df.columns.toIndexedSeq.map(col): _*)
     df.withColumn("__fp", fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__fp")
+      .groupBy(col("__fp"))
+      .agg(min_by(rowStruct, col(idCol)).as("__m"))
+      .select(col("__m.*"))
   }
 
   /** Exact word-n-gram Jaccard near-dup pairs via shingle inverted

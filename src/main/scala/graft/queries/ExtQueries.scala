@@ -1286,12 +1286,21 @@ object ExtQueries {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, k = 32, bands = 8, threshold = 0.8)
     val comp = Dedup.clusters(pairs)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    docs.select(col("doc_id"))
+    // cluster sizes via a map-combinable groupBy joined back, NOT a
+    // count window over cluster_id (round 16): a boilerplate mega-
+    // cluster would put all its members in ONE window task, while a
+    // hot cluster_id in the join is ordinary AQE-splittable skew. The
+    // assignment sub-plan feeds both sides — exchange reuse collapses
+    // the duplicate when it fires; recomputing the cheap id join is
+    // the worst case (same trade as Dedup.dupFraction).
+    val assigned = docs.select(col("doc_id"))
       .join(comp, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy("doc_id")
   }
   /** Transitive closure via recursive CTE (tractable at oracle scale;
@@ -1558,12 +1567,17 @@ object ExtQueries {
       .join(comp, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"),
         col("q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id")).orderBy(desc("q"), col("doc_id"))
-    labeled
-      .withColumn("keep", row_number().over(w) === 1)
+    // per-cluster winner via a map-combinable argmax joined back, NOT a
+    // row_number window over cluster_id (round 16, same hazard as
+    // dupClusters): highest quality, ties to the LOWEST doc_id —
+    // max_by over (q, -doc_id) reproduces the window's
+    // (desc q, asc doc_id) order exactly, and doc_id uniqueness makes
+    // the argmax deterministic
+    val best = labeled.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("__best"))
+    labeled.join(best, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), round(col("q"), 6).as("q_r"),
-        col("keep"))
+        (col("doc_id") === col("__best")).as("keep"))
       .orderBy("doc_id")
   }
   val dupKeepBestSql: String =
