@@ -57,9 +57,16 @@ object Dedup {
     * uniform-order path. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rowStruct = struct(df.columns.toIndexedSeq.map(col): _*)
+    // ordering key wraps the id in (isNull, id) — min_by SKIPS rows
+    // whose ordering value is null, which would silently flip the
+    // winner away from the window formulation's nulls-FIRST order (and
+    // emit an all-NULL row for an all-null-id group); the struct is
+    // never null, and its comparison decides on the flag before ever
+    // touching a null id (review catch, round 16)
+    val ord = struct(when(col(idCol).isNull, 0).otherwise(1).as("n"), col(idCol).as("k"))
     df.withColumn("__fp", fingerprint(col(textCol)))
       .groupBy(col("__fp"))
-      .agg(min_by(rowStruct, col(idCol)).as("__m"))
+      .agg(min_by(rowStruct, ord).as("__m"))
       .select(col("__m.*"))
   }
 

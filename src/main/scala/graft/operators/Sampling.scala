@@ -225,15 +225,22 @@ object Sampling {
 
   /** Deterministic training-shard layout — the EXPORT step of a
     * curated corpus: every row gets a `shard` (the first `nibbles` hex
-    * chars of md5(text) → 16^nibbles shards) and a 1-based `pos`
-    * within its shard under (md5(text), id) order. Together they are a
-    * reproducible pseudo-random global permutation: shard membership
-    * and order are pure functions of the content (no RNG state, no
-    * partition-count dependence), so a training run can slice
-    * `(shard, pos)` ranges identically on any cluster — and a re-export
-    * after upstream dedup moves only the rows that changed. Feed the
-    * result to `DatasetWriter` hive-partitioned on `shard` for the
-    * on-disk layout.
+    * chars of its permutation hash → 16^nibbles shards) and a 1-based
+    * `pos` within its shard under (hash, id) order. The hash covers
+    * `text || ' ' || id` — a ROW-unique key (numeric ids contain no
+    * spaces, so the concatenation is unambiguous), so the permutation
+    * is a pure
+    * deterministic function of the row (no RNG state, no
+    * partition-count dependence): a training run slices `(shard, pos)`
+    * ranges identically on any cluster, and a re-export after upstream
+    * dedup keeps every unchanged row's shard. Feed the result to
+    * `DatasetWriter` hive-partitioned on `shard` for the on-disk
+    * layout. The id rides the hash deliberately (round-16 review
+    * catch): hashing the text alone sends EVERY duplicate of a
+    * boilerplate document to one (shard, bucket) — the hot-fingerprint
+    * skew this file de-skews elsewhere — and unbalances the shards
+    * themselves; with the row-unique key, duplicates scatter uniformly
+    * (which is also what a training permutation wants).
     *
     * Scale shape: the obvious per-shard `row_number` window holds an
     * entire shard — corpus/16^nibbles rows — in ONE task, the
@@ -243,16 +250,18 @@ object Sampling {
     * (65536 buckets per shard), a tiny per-(shard, bucket) count frame
     * turns into broadcast offsets, and the rank window runs per
     * (shard, bucket) — partitions of corpus/(16^nibbles · 65536) rows,
-    * bounded at any corpus size. Because the bucket is a string PREFIX
-    * of the ordering key, bucket-major order equals global
-    * (hash, id) order within the shard, so offset + in-bucket rank is
-    * exactly the shard-wide rank. Null text hashes to "" (its own
-    * shard, sorting first) rather than vanishing. */
+    * bounded at any corpus size by the uniformity of a hash over
+    * row-unique inputs. Because the bucket is a string PREFIX of the
+    * ordering key, bucket-major order equals global (hash, id) order
+    * within the shard, so offset + in-bucket rank is exactly the
+    * shard-wide rank. Null text participates as "" (its rows still
+    * hash row-uniquely through the id). */
   def shardLayout(df: DataFrame, textCol: String, idCol: String,
       nibbles: Int = 1): DataFrame = {
     require(nibbles >= 1 && nibbles <= 8,
       s"shardLayout: nibbles must be in [1, 8], got $nibbles")
-    val hash = coalesce(md5(col(textCol).cast("binary")), lit(""))
+    val hash = md5(concat(coalesce(col(textCol), lit("")), lit(" "),
+      col(idCol).cast("string")).cast("binary"))
     val shard = substring(hash, 1, nibbles)
     val bucket = substring(hash, nibbles + 1, 4)
     val counts = df

@@ -182,6 +182,40 @@ object Similarity {
         "the centroid count, or raise the threshold deliberately for this session")
   }
 
+  /** Fail-fast guard on the hier fine stage's per-cell centroid arrays
+    * (round-16 review catch): anchors are a rank-stride with no size
+    * balancing, so clustered geometry can hand one anchor a large
+    * fraction of the k fine centroids — collect_list then builds that
+    * cell as ONE array value (a multi-GB aggregation buffer, re-attached
+    * to every corpus row of the hot gid). Measured on the ≤ k-row cells
+    * frame (one tiny agg job, the same price as [[centStats]]); cap
+    * 256 MB per cell array, overridable via `spark.graft.maxCellBytes`.
+    * The remedy raises nCoarse (more anchors → smaller cells) or fixes
+    * the centroid table. */
+  private def guardCellSize(cells: DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val st = cells.schema("__cell").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val vField = st.fields(1)
+    val elemBytes = vField.dataType match {
+      case ArrayType(DoubleType, _) => 8
+      case _ => 4
+    }
+    val row = cells.agg(max(size(col("__cell"))),
+      max(size(element_at(col("__cell"), 1).getField(vField.name)))).head()
+    val maxEntries = if (row.isNullAt(0)) 0 else row.getInt(0)
+    val dim = if (row.isNullAt(1)) 0 else row.getInt(1)
+    val bytes = maxEntries.toLong * (16L + dim.toLong * elemBytes)
+    val cap = cells.sparkSession.conf.getOption("spark.graft.maxCellBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    require(bytes <= cap,
+      f"$what: the largest anchor cell holds $maxEntries centroids " +
+        f"(~${bytes / 1048576.0}%.1f MB as one array value, cap ${cap / 1048576.0}%.0f MB) " +
+        "— skewed centroid geometry concentrated on one anchor. Remedies: raise " +
+        "nCoarse (more anchors, smaller cells), dedup/re-derive the centroid " +
+        "table, or raise spark.graft.maxCellBytes deliberately")
+  }
+
   /** Nearest-centroid assignment of every `df` row (highest cosine,
     * ties to the lowest centroid id): `(outId, cid, xv, xn)`. The
     * write-time entry point for IVF layouts — persist the corpus
@@ -310,6 +344,7 @@ object Similarity {
     val cells = fineMap.groupBy(col("gid"))
       .agg(collect_list(struct(col("cid").cast("long").as("cid"),
         col("cv"), col("cn"))).as("__cell"))
+    guardCellSize(cells, "assignClustersHier(fine)")
     coarseAssigned.join(cells, Seq("gid"))
       .select(col(outId),
         graft.plans.GraftExpressions.nearestInCell(df.sparkSession,
@@ -486,6 +521,7 @@ object Similarity {
       val cells = anchorMap.groupBy(col("sgid"))
         .agg(collect_list(struct(col("__acid").cast("long").as("cid"),
           col("__acv"), col("__acn"))).as("__cell"))
+      guardCellSize(cells, "assignClustersHier(anchors-of-anchors)")
       frameCoarse.join(cells, Seq("sgid"))
         .select(col(idC), col(vC), col(nC),
           graft.plans.GraftExpressions.nearestInCell(spark,

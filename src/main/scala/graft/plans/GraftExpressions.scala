@@ -1275,6 +1275,19 @@ final class NearestInCellKernel(vecFloat: Boolean, cellFloat: Boolean)
       if (sim > best || (sim == best && cid < bestId)) { best = sim; bestId = cid }
       i += 1
     }
+    if (bestId == Long.MaxValue) {
+      // every sim was NaN (an Inf/NaN component upstream makes s/nn
+      // NaN, which never beats -Inf): fall back to the lowest cid —
+      // the same rule as the null/zero-norm cases — instead of
+      // returning a nonexistent id that the recursive cell join would
+      // silently DROP the row on (review catch, round 16)
+      var i2 = 0
+      while (i2 < m) {
+        val cid = cells.getStruct(i2, 3).getLong(0)
+        if (cid < bestId) bestId = cid
+        i2 += 1
+      }
+    }
     bestId
   }
 }

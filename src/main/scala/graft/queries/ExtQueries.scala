@@ -714,7 +714,7 @@ object ExtQueries {
     * ([[graft.operators.Sampling.shardLayout]]): 16 content-hash shards
     * with a reproducible within-shard order. Output certifies both the
     * BALANCE (per-shard doc/char totals) and the ORDER (the first three
-    * doc_ids of each shard under the (md5, id) permutation) — the two
+    * doc_ids of each shard under the row-unique-hash permutation) — the two
     * properties a training run relies on when it slices (shard, pos)
     * ranges. The oracle recomputes positions with a plain per-shard
     * window; the Spark side assigns them through bucketed offsets (no
@@ -731,11 +731,15 @@ object ExtQueries {
         max(when(col("pos") === 3, col("doc_id"))).as("head3"))
       .orderBy("shard")
   val shardLayoutSql: String =
-    """WITH r AS (
-      |  SELECT substr(md5(text), 1, 1) AS shard, doc_id, n_chars,
-      |    ROW_NUMBER() OVER (PARTITION BY substr(md5(text), 1, 1)
-      |      ORDER BY md5(text), doc_id) AS pos
-      |  FROM documents)
+    """WITH h AS (
+      |  SELECT md5(coalesce(text, '') || ' ' || CAST(doc_id AS VARCHAR)) AS hh,
+      |    doc_id, n_chars
+      |  FROM documents),
+      |r AS (
+      |  SELECT substr(hh, 1, 1) AS shard, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY substr(hh, 1, 1)
+      |      ORDER BY hh, doc_id) AS pos
+      |  FROM h)
       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
       |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS head1,
       |  MAX(CASE WHEN pos = 2 THEN doc_id END) AS head2,

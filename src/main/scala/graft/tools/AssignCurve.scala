@@ -33,7 +33,8 @@ object AssignCurve {
     val sep = args.indexOf("--")
     val positional = if (sep < 0) args else args.take(sep)
     val mode = if (sep < 0) "both" else args(sep + 1)
-    require(positional.length >= 2, "usage: AssignCurve <outRoot> <n...> [-- flat|hier|both]")
+    require(positional.length >= 2,
+      "usage: AssignCurve <outRoot> <n...> [-- flat|hier|coarse|both|all]")
     val outRoot = positional.head
     val sizes = positional.tail.map(_.toLong)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt

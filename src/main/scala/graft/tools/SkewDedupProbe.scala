@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * identical kept set (asserted per run); only the execution shape
   * differs.
   *
-  * Usage: runMain graft.tools.SkewDedupProbe <n> <hotShare> [window|agg|both]
+  * Usage: runMain graft.tools.SkewDedupProbe <n> <hotShare>
+  *          [window|agg|cnt|both]  — `cnt` runs the count-window vs
+  *          groupBy-join pair (the dupClusters shapes); `both` runs
+  *          all four
   * Env: SPARK_GRAFT_REPS (default 2), SPARK_GRAFT_CPUS (default 32).
   */
 object SkewDedupProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SkewDedupProbe <n> <hotShare> [window|agg|both]")
+    require(args.length >= 2, "usage: SkewDedupProbe <n> <hotShare> [window|agg|cnt|both]")
     val n = args(0).toLong
     val hotShare = args(1).toDouble
     val mode = if (args.length > 2) args(2) else "both"
@@ -37,7 +40,11 @@ object SkewDedupProbe {
     // boilerplate text (one fingerprint, ~n·hotShare duplicates); the
     // rest are unique. Parquet-materialized so generation stays outside
     // the timed region.
-    val path = s"target/scale/skewdedup_n${n}_h${(hotShare * 100).toInt}"
+    // per-mille in the path: whole-percent truncation collided sub-1%
+    // shares onto one cached corpus (review catch, round 16)
+    require(hotShare >= 0.001 && hotShare <= 1.0,
+      s"hotShare must be in [0.001, 1] (pmod(id, 1000) grid), got $hotShare")
+    val path = s"target/scale/skewdedup_n${n}_h${(hotShare * 1000).round}"
     val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {

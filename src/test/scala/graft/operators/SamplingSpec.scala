@@ -143,14 +143,15 @@ class SamplingSpec extends AnyFunSuite {
     // pos) must be a permutation: every shard covers 1..n_shard densely
     val rnd = new scala.util.Random(11)
     val corpus = (0 until 400).map { i =>
-      // duplicate texts on purpose: hash ties must break by id
+      // duplicate texts on purpose: the row-unique hash must scatter them
       val t = if (i % 17 == 0) "shared duplicate text" else s"doc ${rnd.nextInt(100000)} body $i"
       (i.toLong, t)
     }.toDF("doc_id", "text")
     val fast = Sampling.shardLayout(corpus, "text", "doc_id")
       .select($"doc_id", $"shard", $"pos").as[(Long, String, Long)]
       .collect().toSet
-    val h = coalesce(md5($"text".cast("binary")), lit(""))
+    val h = md5(concat(coalesce($"text", lit("")), lit(" "),
+      $"doc_id".cast("string")).cast("binary"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(substring(h, 1, 1)).orderBy(h, $"doc_id")
     val ref = corpus.select($"doc_id", substring(h, 1, 1).as("shard"),
@@ -167,13 +168,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == fast)
   }
 
-  test("shard layout: null text lands in its own first-sorting shard, wider nibbles honored") {
+  test("shard layout: null text still row-unique via id, duplicates scatter, wider nibbles honored") {
     val withNull = docs.unionByName(
       Seq((99L, null.asInstanceOf[String], "a", 0)).toDF("doc_id", "text", "source", "n_chars"))
     val out = Sampling.shardLayout(withNull, "text", "doc_id")
       .select($"doc_id", $"shard", $"pos").as[(Long, String, Long)].collect()
-    val nullRow = out.find(_._1 == 99L).get
-    assert(nullRow._2 == "" && nullRow._3 == 1L)
+    // the null-text row participates (hash over '' + id), no row lost
+    assert(out.map(_._1).toSet == withNull.select($"doc_id").as[Long].collect().toSet)
+    // the hash is ROW-unique: many copies of one text must NOT collapse
+    // into one (shard, bucket) — the hot-boilerplate shape (review
+    // catch). With 64 copies and 16 shards, P(all in one shard) ≈ 16^-63.
+    val dups = (0 until 64).map(i => (1000L + i, "the same boilerplate text"))
+      .toDF("doc_id", "text")
+    val shards = Sampling.shardLayout(dups, "text", "doc_id")
+      .select($"shard").as[String].collect().toSet
+    assert(shards.size > 1, s"duplicate texts collapsed into shard(s) $shards")
     val two = Sampling.shardLayout(docs, "text", "doc_id", nibbles = 2)
       .select($"shard").as[String].collect()
     assert(two.forall(_.length == 2))
