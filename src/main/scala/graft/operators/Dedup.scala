@@ -349,6 +349,19 @@ object Dedup {
   private def jaccardVerify(cands: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
     jaccardVerify(cands, docs, docs, "id_a", "id_b", threshold)
 
+  /** Exact-Jaccard verification of an EXTERNAL candidate pair set
+    * `(id_a, id_b)` against the corpus — the batch decision stage for
+    * candidate generators that run elsewhere (the streaming LSH bucket
+    * memory, a precomputed index). Same verify join as the in-process
+    * pipelines: shingle sets re-join by id, the sorted-merge intersect
+    * never ships per-pair hash sets. */
+  def verifyPairs(cands: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val docs = pin(df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0))
+    jaccardVerify(cands, docs, threshold)
+  }
+
   /** SimHash near-dup pairs within a Hamming radius. Banded on 4×16-bit
     * chunks of the 64-bit signature (exact for radius ≤ 3; candidates
     * beyond that are still verified, just possibly incomplete). */

@@ -1277,6 +1277,35 @@ object ExtQueries {
       .orderBy("lang_pred")
   }
 
+  /** Streaming near-dup over the document stream
+    * ([[graft.streaming.EventsStream.lshPairStream]]): arriving docs
+    * probe a per-LSH-bucket memory of everything seen so far —
+    * candidate pairs accumulate in the sink across micro-batches — and
+    * the batch read-back applies the exact-Jaccard verdict
+    * ([[graft.operators.Dedup.verifyPairs]]). The cumulative verified
+    * pair set equals the batch self-join pipeline's
+    * (StreamingSpec pins streaming == batch bit-exact and
+    * trigger-invariance), so the oracle is x_dedup_minhash's: the
+    * full-pairwise exact answer, with the same recall ≈ 1 argument.
+    * Slices interleave doc_id ranges (mod-7 first) so near-dup pairs
+    * genuinely span micro-batches — the cross-batch state is load-
+    * bearing, not incidental. */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q_sneardup_").toString
+    val staged = base + "/src"
+    val docs = Tables.load(spark, dir, "documents")
+    stageSlices(docs, staged, 4, Seq(pmod(col("doc_id"), lit(7)), col("doc_id")))
+    val sink = base + "/sink"
+    runAvailableNowParquet(spark,
+      graft.streaming.EventsStream.lshPairStream(
+        graft.streaming.EventsStream.readDocuments(spark, staged)),
+      sink, base + "/ckpt", minDataBatches = 3, what = "x_stream_neardup")
+    graft.operators.Dedup.verifyPairs(
+        spark.read.parquet(sink).distinct(), docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- dup-pair connected components -----------------------------------
   /** Near-dup CLUSTERING — the stage after pair generation: LSH pairs →
     * hash-min connected components ([[Dedup.clusters]]) → one dedup
@@ -1968,6 +1997,7 @@ object ExtQueries {
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_ngram" -> (dedupNgram _),
     "x_dedup_minhash" -> (dedupMinhash _),
+    "x_stream_neardup" -> (streamNearDup _),
     "x_dedup_simhash" -> (dedupSimhash _),
     "x_text_stats" -> (textStats _),
     "x_sim_brute_topk" -> (simBruteTopK _),
@@ -2024,6 +2054,7 @@ object ExtQueries {
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_ngram" -> dedupNgramSql,
     "x_dedup_minhash" -> dedupNgramSql, // LSH recall ≈ 1 → same answer
+    "x_stream_neardup" -> dedupNgramSql, // streaming LSH == batch LSH (spec-pinned) == exact
     "x_dedup_simhash" -> dedupSimhashSql,
     "x_text_stats" -> textStatsSql,
     "x_sim_brute_topk" -> simBruteTopKSql,

@@ -176,6 +176,71 @@ object EventsStream {
       .dropDuplicates("fp")
   }
 
+  /** Streaming MinHash-LSH near-dup candidate generation — the
+    * live-arrival twin of [[graft.operators.Dedup.minhashLshPairs]]'s
+    * candidate stage: each arriving document's band keys probe a
+    * per-bucket memory of every id seen in that bucket so far, emitting
+    * `(id_a, id_b)` (id_a < id_b) for every bucket cohabitation —
+    * across micro-batches and within them. The cumulative pair set
+    * equals the batch self-join's candidates regardless of arrival
+    * order or trigger batching (spec-pinned), so the exact-Jaccard
+    * verdict downstream is stream-order-invariant.
+    *
+    * State contract: one posting list per non-empty LSH bucket — ids
+    * only, never signatures or text, so a bucket costs 8 bytes per
+    * member and the total state is exactly the LSH index a batch run
+    * would build (O(n·bands) longs). `maxBucket` bounds the one shape
+    * that grows without limit — a mega-cluster of near-identical docs
+    * collapsing into one bucket: past the cap, new arrivals still pair
+    * against the capped members (every member keeps its earliest
+    * `maxBucket` partners — in particular the cluster's canonical
+    * lowest ids) but stop extending the list. At the fixture the cap
+    * never fires, so the batch-equality spec is exact; at corpus scale
+    * it is the same boilerplate-bucket treatment as `maxShingleDf`.
+    * Candidate pairs can repeat across buckets/batches (same as the
+    * batch pipeline pre-`distinct`) — the batch read-back dedups. */
+  def lshPairStream(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = 1024): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"lshPairStream: bands ($bands) must divide k ($k) — see minhashLshPairs")
+    require(maxBucket >= 2, s"lshPairStream: maxBucket must be >= 2, got $maxBucket")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    // same empty-doc rule as the batch pipeline: a zero-shingle doc
+    // minhashes to the all-MaxValue signature and would collide with
+    // every other empty doc in every band
+    val buckets = docs
+      .select(col("doc_id"), TextFunctions.shingleSet(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode(
+        TextFunctions.bandKeys(TextFunctions.minhashSignature(col("sh"), k), bands, r))
+        .as(Seq("band", "key")))
+      .select(col("band").cast("int"), col("key").cast("int"), col("doc_id"))
+      .as[(Int, Int, Long)]
+    buckets.groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Array.empty[Long])
+          // id order within the batch: emitted pairs are then a pure
+          // function of the cumulative member SET, not arrival order
+          val incoming = rows.map(_._3).toArray.sorted.distinct
+          val out = Seq.newBuilder[(Long, Long)]
+          incoming.foreach { id =>
+            seen.foreach { s =>
+              if (s != id) out += ((math.min(s, id), math.max(s, id)))
+            }
+            if (seen.length < maxBucket && !seen.contains(id)) seen = seen :+ id
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** Custom-state example that the declarative operators cannot
     * express: emit one alert the first time a user's *cumulative*
     * event value crosses `limit` (and never again for that user).

@@ -342,6 +342,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq(1L, 3L), s"got $out")
   }
 
+  test("streaming LSH pairs == batch minhashLshPairs, trigger-invariant") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(files: Int, fpt: Int, tag: String): Set[(Long, Long, Double)] = {
+      val tmp = Files.createTempDirectory(s"graft_slsh_$tag").toString
+      // interleave id ranges across slices so near-dup pairs span
+      // micro-batches — the bucket state must carry across triggers
+      docs.repartitionByRange(files, pmod(col("doc_id"), lit(7)), col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.parquet(s"$tmp/src")
+      val q = EventsStream.lshPairStream(
+          EventsStream.readDocuments(spark, s"$tmp/src", filesPerTrigger = fpt))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$tmp/out").start()
+      q.awaitTermination(180000)
+      graft.operators.Dedup.verifyPairs(
+          spark.read.parquet(s"$tmp/out").distinct(), docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val batch = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val multi = run(4, 1, "multi")  // 4 micro-batches
+    assert(multi == batch, s"streaming != batch: only-stream=${(multi -- batch).take(3)} " +
+      s"only-batch=${(batch -- multi).take(3)}")
+    val single = run(4, 9, "single") // all files in one trigger
+    assert(single == multi, "trigger batching changed the verified pair set")
+  }
+
+  test("lshPairStream: maxBucket caps state, capped members still pair") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_slshcap_").toString
+    // 4 near-identical docs (one LSH bucket) split across two batches;
+    // maxBucket=2 freezes the posting list at {1, 2}: later arrivals
+    // pair against the capped set but never against each other
+    // identical text → identical signature → guaranteed cohabitation;
+    // explicit file names + mtimes pin the batch order ({1,2} first)
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    new java.io.File(s"$tmp/src").mkdirs()
+    Seq(Seq((1L, t), (2L, t)), Seq((3L, t), (4L, t))).zipWithIndex.foreach {
+      case (batch, i) =>
+        val stage = s"$tmp/b$i"
+        batch.toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$tmp/src", f"part-$i%04d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1000000L * (i + 1)))
+    }
+    val q = EventsStream.lshPairStream(
+        EventsStream.readDocuments(spark, s"$tmp/src"), maxBucket = 2)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$tmp/out").start()
+    q.awaitTermination(120000)
+    val pairs = spark.read.parquet(s"$tmp/out")
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs((1L, 2L)) && pairs((1L, 3L)) && pairs((2L, 3L)) &&
+      pairs((1L, 4L)) && pairs((2L, 4L)), s"missing capped-set pairs: $pairs")
+    assert(!pairs((3L, 4L)), s"pair beyond the cap emitted: $pairs")
+  }
+
   test("session windows: gap-based sessions per user") {
     val tmp = Files.createTempDirectory("graft_sess_").toString
     Tables.load(spark, "/root/testdata/sf0.001", "events")
