@@ -169,7 +169,10 @@ object Bench {
       // round-16: the new export-permutation operator — data-dominated
       // (two full scans + the bucketed rank), certified 0.41/1.09/2.05 s
       // at sf0.1/1/10 on arrival; the lane watches it from here
-      "x_shard_layout")
+      "x_shard_layout",
+      // round-16: streaming LSH near-dup — fixed 4-batch floor plus a
+      // linear data term (certified 5.1/10.0/61.5 s at sf0.1/1/10)
+      "x_stream_neardup")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // tri-state so a round-over-round consumer can tell "opted out"
