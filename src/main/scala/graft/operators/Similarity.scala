@@ -255,6 +255,33 @@ object Similarity {
         col("__m.p.__v").as("xv"), col("__m.p.__n").as("xn"))
   }
 
+  /** Semantic eval-set decontamination: corpus rows whose embedding
+    * lands within `threshold` cosine of ANY eval-set vector — the
+    * embedding-level complement of the n-gram contamination scan (a
+    * paraphrased benchmark question shares no 3-grams but sits next to
+    * the original in embedding space). Returns
+    * `(idCol, eval_id, sim)` — the NEAREST eval vector (ties to the
+    * lowest eval id) for every corpus row at or above the threshold.
+    *
+    * Scale shape: the eval set is bounded by construction (a benchmark
+    * suite — thousands of rows, never corpus-scale), so the corpus
+    * makes ONE pass through the guarded flat argmax
+    * ([[assignClusters]]: Θ(|eval|) fused evals per row, fail-fast if
+    * an "eval set" is actually corpus-sized) and the winner re-scores
+    * through a stats-broadcast join with the eval frame — no corpus
+    * exchange beyond the argmax's own partial aggregate. */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val cents = evalSet.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val ev = evalSet.select(col(idCol).as("cid"), col(vecCol).as("__ev"),
+      norm(col(vecCol)).as("__en"))
+    assignClusters(corpus, idCol, vecCol, cents)
+      .join(ev, Seq("cid"))
+      .withColumn("sim", cosOf(dot(col("xv"), col("__ev")), col("xn"), col("__en")))
+      .filter(col("sim") >= threshold)
+      .select(col("corpus_id").as(idCol), col("cid").as("eval_id"), col("sim"))
+  }
+
   /** Hierarchical (two-level, coarse→fine) nearest-centroid assignment —
     * the scale shape for corpus-DERIVED centroid counts. Same output
     * contract as [[assignClusters]]: `(outId, cid, xv, xn)`.

@@ -710,6 +710,42 @@ object ExtQueries {
       |  FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Embedding-level eval-set decontamination
+    * ([[graft.operators.Similarity.semanticContamination]]): corpus
+    * vectors within cosine 0.35 of any eval vector (vec_id ≡ 0 mod 19
+    * plays the eval suite). The threshold is a fixture diagnostic — the
+    * synthetic embeddings carry no planted cross-split near-dups, so a
+    * production-grade 0.9+ cut would return empty and certify nothing;
+    * 0.35 exercises argmax, tie-break, and filter on ~30 rows. The
+    * oracle recomputes the full corpus × eval similarity matrix and
+    * takes rn = 1 per corpus row — identical doubles (both engines
+    * accumulate the dot product in index order). */
+  def contaminationSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.operators.Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 19 =!= 0), emb.filter(col("vec_id") % 19 === 0),
+        "vec_id", "embedding", threshold = 0.35)
+      .select(col("vec_id"), col("eval_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("vec_id")
+  }
+  val contaminationSemanticSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ev AS (SELECT * FROM e WHERE vec_id % 19 = 0),
+      |c AS (SELECT * FROM e WHERE vec_id % 19 <> 0),
+      |s AS (
+      |  SELECT c.vec_id, ev.vec_id AS eval_id,
+      |    list_dot_product(c.v, ev.v) /
+      |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.v, ev.v))) AS sim
+      |  FROM c, ev),
+      |m AS (
+      |  SELECT vec_id, eval_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+      |  FROM s)
+      |SELECT vec_id, eval_id, round(sim, 6) AS sim_r FROM m
+      |WHERE rn = 1 AND sim >= 0.35 ORDER BY vec_id""".stripMargin
+
   /** Deterministic shard layout for training export
     * ([[graft.operators.Sampling.shardLayout]]): 16 content-hash shards
     * with a reproducible within-shard order. Output certifies both the
@@ -1993,6 +2029,7 @@ object ExtQueries {
     "x_pack_budget" -> (packBudget _),
     "x_shard_layout" -> (shardLayoutQ _),
     "x_contamination" -> (contamination _),
+    "x_contamination_semantic" -> (contaminationSemantic _),
     "x_stream_e2e" -> (streamE2E _),
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_ngram" -> (dedupNgram _),
@@ -2050,6 +2087,7 @@ object ExtQueries {
     "x_pack_budget" -> packBudgetSql,
     "x_shard_layout" -> shardLayoutSql,
     "x_contamination" -> contaminationSql,
+    "x_contamination_semantic" -> contaminationSemanticSql,
     "x_stream_e2e" -> streamE2ESql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_ngram" -> dedupNgramSql,

@@ -210,6 +210,24 @@ class SimilaritySpec extends AnyFunSuite {
       "a zero corpus vector never outranks a real neighbor")
   }
 
+  test("semantic contamination: nearest eval vector, tie to lowest id, threshold filters") {
+    // eval = {0 → x-axis, 2 → y-axis}; corpus 1 is near 0 (cos ≈ .994),
+    // corpus 3 is near 2 (cos ≈ .999), corpus 4 is anti-parallel to 0
+    // (cos −1 vs 0, 0 vs 2 → below any positive threshold)
+    val eval = vecs.filter($"vec_id".isin(0L, 2L))
+    val corpus = vecs.filter(!$"vec_id".isin(0L, 2L))
+    val out = Similarity.semanticContamination(
+        corpus, eval, "vec_id", "embedding", threshold = 0.9)
+      .select($"vec_id", $"eval_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 3L -> 2L), s"got $out")
+    // exact tie between the two eval vectors → lowest eval id wins
+    val tied = Seq((7L, Array(0.7071f, 0.7071f, 0.0f))).toDF("vec_id", "embedding")
+    val t = Similarity.semanticContamination(
+        tied, eval, "vec_id", "embedding", threshold = 0.5)
+      .select($"eval_id").as[Long].collect().toSeq
+    assert(t == Seq(0L), s"tie must resolve to eval 0, got $t")
+  }
+
   test("brute-force cosine top-1 finds the geometric neighbor") {
     val top1 = Similarity.cosineTopK(vecs, vecs, "vec_id", "embedding", k = 1)
       .select("probe_id", "corpus_id").as[(Long, Long)].collect().toMap
