@@ -30,6 +30,7 @@ class PlanGuardSpec extends AnyFunSuite {
     * plan there (small side is O(centroids) or O(1) rows). */
   val bnljIntended: Map[String, String] = Map(
     "x_sim_ivf_topk" -> "broadcast centroid table joined lit(true) for argmin assignment (Similarity.scala assignClusters)",
+    "x_contamination_semantic" -> "bounded eval set joined lit(true) through the same guarded assignClusters argmax",
     "x_sim_brute_topk" -> "broadcast probe set vs corpus — the documented brute-force baseline",
     "q11_important_parts" -> "1-row broadcast of the group-share threshold (SqlSurface.scala:793)",
     "q22_no_orders" -> "1-row broadcast of the avg-balance cutoff",
