@@ -268,15 +268,27 @@ object Similarity {
     * makes ONE pass through the guarded flat argmax
     * ([[assignClusters]]: Θ(|eval|) fused evals per row, fail-fast if
     * an "eval set" is actually corpus-sized) and the winner re-scores
-    * through a stats-broadcast join with the eval frame — no corpus
-    * exchange beyond the argmax's own partial aggregate. */
+    * through a broadcast join with the eval frame, forced under the
+    * SAME measured guard (so the no-corpus-exchange property survives
+    * thr ≤ 0 sessions) — no corpus exchange beyond the argmax's own
+    * partial aggregate. */
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val cents = evalSet.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val ev = evalSet.select(col(idCol).as("cid"), col(vecCol).as("__ev"),
-      norm(col(vecCol)).as("__en"))
-    assignClusters(corpus, idCol, vecCol, cents)
-      .join(ev, Seq("cid"))
+    // pinned: the eval plan (often a filter over a corpus scan) feeds
+    // the measurement agg, the argmax build, and the re-score join —
+    // unpinned it would execute three times (same rule as hierStages)
+    val eval = evalSet.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .localCheckpoint(false)
+    val stats = centStats(eval)
+    guardForcedBroadcast(corpus.sparkSession, stats, "semanticContamination")
+    val ev = eval.select(col("cid"), col("cv").as("__ev"), norm(col("cv")).as("__en"))
+    // the re-score join is FORCED broadcast under the same measured
+    // guard as the argmax build: un-hinted, a thr<=0 session would
+    // shuffle the whole corpus-sized argmax output by a handful of
+    // eval ids (skewed corpus exchange) to re-attach a frame the guard
+    // just proved executor-tiny
+    assignClustersMeasured(corpus, idCol, vecCol, eval, "corpus_id", stats)
+      .join(broadcast(ev), Seq("cid"))
       .withColumn("sim", cosOf(dot(col("xv"), col("__ev")), col("xn"), col("__en")))
       .filter(col("sim") >= threshold)
       .select(col("corpus_id").as(idCol), col("cid").as("eval_id"), col("sim"))

@@ -1343,9 +1343,12 @@ object ExtQueries {
       graft.streaming.EventsStream.lshPairStream(
         graft.streaming.EventsStream.readDocuments(spark, staged)),
       sink, base + "/ckpt", minDataBatches = 3, what = "x_stream_neardup")
+    // explicit schema: a corpus with NO bucket cohabitations leaves the
+    // sink empty (only _spark_metadata) and schema inference would turn
+    // a legitimate empty answer into an AnalysisException (review catch)
     graft.operators.Dedup.verifyPairs(
-        spark.read.parquet(sink).distinct(), docs, "doc_id", "text",
-        n = 3, threshold = 0.8)
+        spark.read.schema("id_a LONG, id_b LONG").parquet(sink).distinct(),
+        docs, "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
   }
 

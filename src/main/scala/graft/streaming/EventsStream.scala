@@ -194,9 +194,14 @@ object EventsStream {
     * collapsing into one bucket: past the cap, new arrivals still pair
     * against the capped members (every member keeps its earliest
     * `maxBucket` partners — in particular the cluster's canonical
-    * lowest ids) but stop extending the list. At the fixture the cap
-    * never fires, so the batch-equality spec is exact; at corpus scale
-    * it is the same boilerplate-bucket treatment as `maxShingleDf`.
+    * lowest ids) but stop extending the list, and past-cap arrivals
+    * never pair with EACH OTHER — so the batch-equality claim is
+    * scoped to runs where no bucket hits the cap. That condition is
+    * observable, not assumed (the no-silent-caps rule): the
+    * `graft.lshPairStream.cappedBuckets` accumulator counts frozen
+    * buckets — 0 at every fixture, where the equality spec is exact.
+    * At corpus scale a capped bucket is the same boilerplate-bucket
+    * treatment as `maxShingleDf`.
     * Candidate pairs can repeat across buckets/batches (same as the
     * batch pipeline pre-`distinct`) — the batch read-back dedups. */
   def lshPairStream(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
@@ -220,22 +225,32 @@ object EventsStream {
         .as(Seq("band", "key")))
       .select(col("band").cast("int"), col("key").cast("int"), col("doc_id"))
       .as[(Int, Int, Long)]
+    // no-silent-caps rule: buckets frozen by maxBucket are COUNTED —
+    // the batch-equality claim holds exactly while this accumulator
+    // stays 0 (visible in the UI/progress and readable by callers)
+    val capped = spark.sparkContext.longAccumulator("graft.lshPairStream.cappedBuckets")
     buckets.groupByKey(t => (t._1, t._2))
       .flatMapGroupsWithState[Array[Long], (Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Array.empty[Long])
+          val seen0 = state.getOption.getOrElse(Array.empty[Long])
+          val wasBelow = seen0.length < maxBucket
           // id order within the batch: emitted pairs are then a pure
           // function of the cumulative member SET, not arrival order
           val incoming = rows.map(_._3).toArray.sorted.distinct
+          val members = new java.util.HashSet[java.lang.Long](seen0.length * 2 + 8)
+          seen0.foreach(members.add(_))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          buf ++= seen0
           val out = Seq.newBuilder[(Long, Long)]
           incoming.foreach { id =>
-            seen.foreach { s =>
+            buf.foreach { s =>
               if (s != id) out += ((math.min(s, id), math.max(s, id)))
             }
-            if (seen.length < maxBucket && !seen.contains(id)) seen = seen :+ id
+            if (buf.length < maxBucket && members.add(id)) buf += id
           }
-          state.update(seen)
+          if (wasBelow && buf.length >= maxBucket) capped.add(1)
+          state.update(buf.toArray)
           out.result().iterator
       }
       .toDF("id_a", "id_b")

@@ -345,13 +345,25 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming LSH pairs == batch minhashLshPairs, trigger-invariant") {
     import spark.implicits._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // sliceOf is filled by the first run: doc_id → staged slice index
+    val sliceOf = scala.collection.mutable.Map.empty[Long, Int]
     def run(files: Int, fpt: Int, tag: String): Set[(Long, Long, Double)] = {
       val tmp = Files.createTempDirectory(s"graft_slsh_$tag").toString
       // interleave id ranges across slices so near-dup pairs span
-      // micro-batches — the bucket state must carry across triggers
+      // micro-batches — the bucket state must carry across triggers —
+      // and pin mtimes so trigger ORDER is the slice order, not
+      // filesystem luck (same rule as ExtQueries.stageSlices)
       docs.repartitionByRange(files, pmod(col("doc_id"), lit(7)), col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
         .write.parquet(s"$tmp/src")
+      val parts = new java.io.File(s"$tmp/src").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        assert(f.setLastModified(1000000L * (i + 1)))
+        if (sliceOf.isEmpty || tag == "multi")
+          spark.read.parquet(f.getAbsolutePath).select("doc_id")
+            .as[Long].collect().foreach(id => sliceOf(id) = i)
+      }
       val q = EventsStream.lshPairStream(
           EventsStream.readDocuments(spark, s"$tmp/src", filesPerTrigger = fpt))
         .writeStream.outputMode("append")
@@ -368,6 +380,13 @@ class StreamingSpec extends AnyFunSuite {
     val multi = run(4, 1, "multi")  // 4 micro-batches
     assert(multi == batch, s"streaming != batch: only-stream=${(multi -- batch).take(3)} " +
       s"only-batch=${(batch -- multi).take(3)}")
+    // cross-batch provenance: the state must have carried — at least
+    // one verified pair's members arrived in DIFFERENT micro-batches
+    // (with 1-file triggers, slice == batch); a within-batch-only
+    // regression would still pass set equality without this
+    assert(multi.exists { case (a, b, _) => sliceOf(a) != sliceOf(b) },
+      s"no verified pair spans micro-batches — cross-batch state untested " +
+        s"(slices: ${multi.map { case (a, b, _) => (sliceOf(a), sliceOf(b)) }})")
     val single = run(4, 9, "single") // all files in one trigger
     assert(single == multi, "trigger batching changed the verified pair set")
   }
