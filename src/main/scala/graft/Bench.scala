@@ -172,7 +172,11 @@ object Bench {
       "x_shard_layout",
       // round-16: streaming LSH near-dup — fixed 4-batch floor plus a
       // linear data term (certified 5.1/10.0/61.5 s at sf0.1/1/10)
-      "x_stream_neardup")
+      "x_stream_neardup",
+      // round-16: PQ-ADC ANN — the encode + codes-only scoring scan is
+      // the data term (certified 1.23/1.26/2.57 s at sf0.1/1/10); the
+      // lane watches the kernel path from here
+      "x_embed_pq_topk")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // tri-state so a round-over-round consumer can tell "opted out"

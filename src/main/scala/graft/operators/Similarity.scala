@@ -702,6 +702,171 @@ object Similarity {
       transform(dv, x => floor(x / scale + lit(0.5)).cast("tinyint")).as("q"))
   }
 
+  // -------------------------------------------------- product quantization
+
+  /** Driver-side PQ codebook build: `cb(s)(j)` is the d-element double
+    * subvector of codebook row j (rows in ascending id order, so j is
+    * the dense code value) in subspace s. Float→double element casts
+    * are exact, so an oracle recomputing the same slices from the same
+    * rows gets bit-identical entries. The codebook is m·ks·d doubles —
+    * kilobytes — but the collect is still guarded ([[guardForcedBroadcast]])
+    * because `codebookSource` is caller-supplied. */
+  private def pqCodebook(
+      cbDf: DataFrame, m: Int, what: String): Array[Array[Array[Double]]] = {
+    val stats = centStats(cbDf)
+    guardForcedBroadcast(cbDf.sparkSession, stats, s"$what codebook")
+    val rows = cbDf.filter(col("cv").isNotNull).orderBy("cid").collect()
+    require(rows.nonEmpty,
+      s"$what needs at least one codebook row with a non-null vector")
+    val dim = rows.head.getSeq[Any](1).length
+    require(dim > 0 && dim % m == 0,
+      s"$what: embedding dim $dim does not divide into m = $m equal subspaces " +
+        "— pick m | dim (PQ subvectors must tile the vector exactly)")
+    val d = dim / m
+    Array.tabulate(m) { s =>
+      rows.map { r =>
+        val v = r.getSeq[Any](1)
+        require(v.length == dim,
+          s"$what: codebook row ${r.getLong(0)} has dim ${v.length}, expected $dim " +
+            "— mixed embedding widths in the codebook?")
+        Array.tabulate(d) {
+          i => v(s * d + i) match { case f: Float => f.toDouble; case x: Double => x }
+        }
+      }
+    }
+  }
+
+  /** Product-quantization encode: each vector becomes `m` dense code
+    * indices (`__codes` array<int>, code s = argmin-L2 codebook entry of
+    * subspace s, ties to the lowest index) plus its exact norm (`__vn`).
+    * A pure PROJECTION — the codebook rides the plan as foldable
+    * literals, so encoding a 100 TB corpus is one scan with no join and
+    * no exchange, and the encoded table stores m·⌈log₂ks⌉ bits + one
+    * norm per vector instead of dim floats (m=4, ks=16, dim=64: ~12 B
+    * vs 256 B, ≈21× smaller — the layout that lets ANN serving state
+    * fit where raw vectors cannot). The argmin drops the |sub|² term
+    * (constant across codes) and scores `|c_j|² − 2·⟨sub, c_j⟩` — every
+    * arithmetic step is double and sequential, so an engine twin
+    * replaying the same expression is bit-identical. */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]], outId: String = "corpus_id"): DataFrame = {
+    // one fused kernel per row ([[graft.plans.PqEncode]]): the m·ks
+    // composed-Column argmin generated source past janino's method
+    // limit at m·ks = 512 and silently dropped the corpus-wide encode
+    // out of whole-stage codegen — the codebook rides the codegen
+    // reference array instead
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // a null embedding has no geometry to encode — dropped, the same
+    // contract as semanticDedup/assignClustersHier's centroid rule
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as(outId),
+        graft.plans.GraftExpressions.pqEncode(
+          df.sparkSession, col(vecCol), cbLit).as("__codes"),
+        norm(col(vecCol)).as("__vn"))
+  }
+
+  /** PQ-ADC approximate top-k (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the corpus is PQ-encoded
+    * ([[pqEncode]]); each probe precomputes one lookup table per
+    * subspace (`lut_s[j] = ⟨q_sub_s, c_{s,j}⟩`, ks doubles each) in its
+    * own projection; the approximate dot is then Σ_s lut_s[code_s] —
+    * m array lookups and m−1 adds per (probe, corpus) pair instead of
+    * dim multiplies (asymmetric distance computation). The score is the
+    * ADC dot over the EXACT stored norms (guarded cosine: zero-norm
+    * rows score 0), i.e. the approximation error lives only in the
+    * numerator — standard IVF-PQ practice.
+    *
+    * Scale shape: scoring reads ONLY `__codes` + `__vn` (column pruning
+    * keeps the dim-float vectors out of the serving scan entirely);
+    * probes ride a guarded forced broadcast (a bounded probe set is the
+    * operator's contract, same as [[cosineTopK]]/[[semanticContamination]]);
+    * the per-probe heap is the map-combining [[TopK.perGroup]], so the
+    * ×probes scoring blow-up collapses map-side and only k rows per
+    * probe reach the exchange. Codebooks are deterministic (fixed-id
+    * subset, the [[ivfTopK]] rule) so an oracle can replay the exact
+    * approximation; a trained codebook (per-subspace [[kmeansRefine]])
+    * swaps in via `codebookSource` without changing the plan. Composes
+    * with IVF: assign first, PQ-encode within partitions, and a probe
+    * scans nprobe partitions' codes.
+    *
+    * `refine > 0` adds the standard exact re-rank: ADC selects the
+    * top-`refine` shortlist per probe from the codes-only scan, then
+    * ONLY those R·|probes| rows re-attach their true vectors (the
+    * shortlist is executor-tiny, so JoinSelection broadcasts it against
+    * the corpus — an id-equi-join, prunable by id statistics at the
+    * file/row-group layer) and the exact cosine ranks the final top-k.
+    * Recall then depends only on the true top-k surviving the ADC
+    * top-R cut — measured on the synthetic fixture (near-iid vectors,
+    * PQ's WORST case: distance concentration leaves no margins and no
+    * manifold structure to quantize; real text embeddings do far
+    * better), recall@5 at n=500, refine=10k: 0.41 → 0.93 at
+    * m=16/ks=32 (14× compression) and 0.54 → 0.99 at m=32/ks=16 (11×)
+    * — full grid in SCALE.md, measured by
+    * [[graft.tools.PqRecallProbe]]. With refine, the returned `sim` is
+    * the EXACT cosine of shortlist members; ADC only selects. */
+  def pqTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, m: Int = 4, ks: Int = 16,
+      refine: Int = 0,
+      codebookSource: Option[DataFrame] = None): DataFrame = {
+
+    val spark = corpus.sparkSession
+    val cbDf = codebookSource.getOrElse(corpus.filter(col(idCol) < ks))
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+    val cb = pqCodebook(cbDf, m, "pqTopK")
+
+    // the broadcast row is the LUT (m·ks doubles — 16× the raw vector
+    // at m=16/ks=32/dim=64), so the guard measures the LUT width, not
+    // the vector width the probe frame happens to carry
+    val pcount = centStats(
+      probes.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv")))
+    guardForcedBroadcast(spark,
+      CentStats(pcount.k, m * ks, elemBytes = 8), "pqTopK probes (LUT rows)")
+    // probe-side flat LUT ([[graft.plans.PqLut]]) + in-loop ADC sum
+    // ([[graft.plans.PqAdc]]) — like the encode, the composed-Column
+    // forms of both blew janino's 64 KB method limit at m·ks = 512
+    // and fell back to interpreted eval
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val pl = probes.filter(col(vecCol).isNotNull).select(
+      col(idCol).as("probe_id"), norm(col(vecCol)).as("__pn"),
+      graft.plans.GraftExpressions.pqLut(spark, col(vecCol), cbLit).as("__lut"))
+
+    val enc = pqEncode(corpus, idCol, vecCol, cb)
+    val adc = graft.plans.GraftExpressions.pqAdc(
+      spark, col("__codes"), col("__lut"))
+    val scored = enc.join(broadcast(pl), col("corpus_id") =!= col("probe_id"))
+      .withColumn("sim", cosOf(adc, col("__pn"), col("__vn")))
+    if (refine <= 0) rankTopK(scored, k)
+    else {
+      require(refine >= k,
+        s"pqTopK: refine = $refine must be ≥ k = $k — the exact re-rank can " +
+          "only return shortlist members")
+      // shortlist ids per probe (≤ refine·|probes| two-long rows, bounded
+      // by construction) re-attach their true vectors for the exact
+      // re-rank. The broadcast is FORCED on the shortlist side under a
+      // measured guard: un-hinted, JoinSelection sees only the
+      // post-aggregate's estimated stats and picks the corpus scan as
+      // the build side (observed in the sf10 plan audit) — exactly the
+      // growing-side broadcast this file's guards exist to prevent
+      guardForcedBroadcast(spark,
+        CentStats(refine.toLong * pcount.k, 0, 8), "pqTopK refine shortlist")
+      val shortlist = rankTopK(scored, refine).select("probe_id", "corpus_id")
+      val cvec = corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+          norm(col(vecCol)).as("__cn"))
+      val pvec = probes.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+          norm(col(vecCol)).as("__pn2"))
+      val exact = cvec.join(broadcast(shortlist), Seq("corpus_id"))
+        .join(broadcast(pvec), Seq("probe_id"))
+        .withColumn("sim",
+          cosOf(dot(col("__cv"), col("__pv")), col("__cn"), col("__pn2")))
+      rankTopK(exact, k)
+    }
+  }
+
   /** LSH-bucketed near-duplicate pairs: vectors are keyed by their
     * hyperplane sign bucket and only same-bucket pairs are scored. The
     * 100 TB dedup path — candidate volume is Σ bucket² instead of n²,

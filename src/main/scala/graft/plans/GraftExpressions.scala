@@ -1343,6 +1343,291 @@ case class BloomMightContain(valueExpr: Expression, bloomExpr: Expression)
     copy(valueExpr = l, bloomExpr = r)
 }
 
+/** Product-quantization encode: one fused per-row kernel that maps a
+  * vector to its `m` dense code indices (argmin-L2 codebook entry per
+  * subspace, ties to the lowest index — matching a
+  * `ROW_NUMBER() OVER (ORDER BY d2, j)` oracle exactly, since d2 is
+  * computed as `|c|² − 2·⟨sub, c⟩` with VectorDot's accumulation
+  * order). The codebook arrives as a FOLDABLE
+  * `array<array<array<double>>>` literal (m × ks × d), is unpacked
+  * once per executor into a flat primitive table, and rides the
+  * codegen reference array — the m·ks composed-`Column` formulation
+  * this replaces generated a source method past janino's limit at
+  * m·ks = 512 and silently fell back to interpreted eval on the
+  * corpus-wide encode projection (the PQ hot loop). */
+case class PqEncode(vec: Expression, codebook: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def prettyName: String = "graft_pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def vecElemOf(t: DataType): Option[DataType] = t match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+  private def cbOk: Boolean = codebook.dataType match {
+    case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!codebook.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode expects a FOLDABLE codebook (a literal)")
+    else if (vecElemOf(vec.dataType).isEmpty || !cbOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode expects (array<float|double>, foldable " +
+          s"array<array<array<double>>>), got (${vec.dataType}, ${codebook.dataType})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val kernel: PqEncodeKernel =
+    PqEncodeKernel.fromLiteral(codebook, "graft_pq_encode",
+      vecElemOf(vec.dataType).contains(FloatType))
+
+  override def nullSafeEval(v: Any, cbIgnored: Any): Any =
+    kernel.encode(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // only the VECTOR child generates code; the codebook rides the
+    // reference array as the unpacked kernel (same pattern as
+    // NearestCentroid/BloomMightContain)
+    val kRef = ctx.addReferenceObj("graftPqKernel", kernel,
+      classOf[PqEncodeKernel].getName)
+    val v = vec.genCode(ctx)
+    ev.copy(code = code"""
+      ${v.code}
+      boolean ${ev.isNull} = ${v.isNull};
+      ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $kRef.encode(${v.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(vec = l, codebook = r)
+}
+
+/** Probe-side PQ lookup table: `lut[s·ks + j] = ⟨sub_s(vec), c_{s,j}⟩`
+  * as ONE flat array<double> per row — the composed m·ks-`Column`
+  * formulation generated > 64 KB of source at m·ks = 512 (janino
+  * limit) and dropped the projection out of codegen. Same foldable-
+  * codebook contract and kernel as [[PqEncode]]. */
+case class PqLut(vec: Expression, codebook: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def prettyName: String = "graft_pq_lut"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def vecElemOf(t: DataType): Option[DataType] = t match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+  private def cbOk: Boolean = codebook.dataType match {
+    case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!codebook.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_pq_lut expects a FOLDABLE codebook (a literal)")
+    else if (vecElemOf(vec.dataType).isEmpty || !cbOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_lut expects (array<float|double>, foldable " +
+          s"array<array<array<double>>>), got (${vec.dataType}, ${codebook.dataType})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val kernel: PqEncodeKernel =
+    PqEncodeKernel.fromLiteral(codebook, "graft_pq_lut",
+      vecElemOf(vec.dataType).contains(FloatType))
+
+  override def nullSafeEval(v: Any, cbIgnored: Any): Any =
+    kernel.lut(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftPqLutKernel", kernel,
+      classOf[PqEncodeKernel].getName)
+    val v = vec.genCode(ctx)
+    ev.copy(code = code"""
+      ${v.code}
+      boolean ${ev.isNull} = ${v.isNull};
+      ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $kRef.lut(${v.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLut =
+    copy(vec = l, codebook = r)
+}
+
+/** Asymmetric-distance sum: `Σ_s lut[s·ks + codes[s]]` — the PQ scoring
+  * inner loop as one tiny generated loop per (probe, corpus) pair
+  * (ks is derived per row from the array widths, so the expression
+  * carries no codebook state at all). Accumulation is s-ascending —
+  * the same left-associated order as an oracle's explicit
+  * `t0 + t1 + … + t_{m−1}` pivot. */
+case class PqAdc(codes: Expression, lut: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def prettyName: String = "graft_pq_adc"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (codes.dataType, lut.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc expects (array<int>, array<double>), got ($a, $b)")
+    }
+
+  override def nullSafeEval(c: Any, l: Any): Any =
+    PqAdc.sum(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val cls = PqAdc.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.sum($c, $l);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(codes = l, lut = r)
+}
+
+object PqAdc {
+  def sum(c: ArrayData, l: ArrayData): Double = {
+    val m = c.numElements()
+    if (m == 0 || l.numElements() % m != 0) throw new IllegalArgumentException(
+      s"graft_pq_adc: lut width ${l.numElements()} is not a multiple of " +
+        s"code count $m — codes and lut built from different codebooks?")
+    val ks = l.numElements() / m
+    var t = 0.0
+    var s = 0
+    while (s < m) {
+      val j = c.getInt(s)
+      if (j < 0 || j >= ks) throw new IllegalArgumentException(
+        s"graft_pq_adc: code $j out of range [0, $ks) at subspace $s")
+      t += l.getDouble(s * ks + j)
+      s += 1
+    }
+    t
+  }
+}
+
+object PqEncodeKernel {
+  /** Unpack a foldable `array<array<array<double>>>` codebook literal
+    * (m × ks × d, rectangular) into the flat primitive kernel —
+    * shared by [[PqEncode]] and [[PqLut]] so the two stages cannot
+    * disagree on layout. */
+  def fromLiteral(codebook: Expression, what: String,
+      vecFloat: Boolean): PqEncodeKernel = {
+    val m0 = codebook.eval(null).asInstanceOf[ArrayData]
+    val m = m0.numElements()
+    require(m > 0, s"$what: empty codebook literal")
+    val sub0 = m0.getArray(0)
+    val ks = sub0.numElements()
+    require(ks > 0, s"$what: empty subspace codebook")
+    val d = sub0.getArray(0).numElements()
+    require(d > 0, s"$what: zero-width codebook entries")
+    val flat = new Array[Double](m * ks * d)
+    var s = 0
+    while (s < m) {
+      val subCb = m0.getArray(s)
+      require(subCb.numElements() == ks,
+        s"$what: ragged codebook (subspace $s has ${subCb.numElements()} entries, expected $ks)")
+      var j = 0
+      while (j < ks) {
+        val cv = subCb.getArray(j)
+        require(cv.numElements() == d,
+          s"$what: ragged codebook entry (s=$s, j=$j has dim ${cv.numElements()}, expected $d)")
+        var i = 0
+        while (i < d) { flat((s * ks + j) * d + i) = cv.getDouble(i); i += 1 }
+        j += 1
+      }
+      s += 1
+    }
+    new PqEncodeKernel(flat, m, ks, d, vecFloat)
+  }
+}
+
+/** Executor-side loop of [[PqEncode]]/[[PqLut]]. Public top-level class
+  * only because whole-stage-generated code must reference it by name
+  * through the codegen reference array; not user API. */
+final class PqEncodeKernel(
+    flat: Array[Double], m: Int, ks: Int, d: Int, vecFloat: Boolean)
+  extends Serializable {
+
+  // |c_{s,j}|² precomputed with the same ascending-index accumulation
+  // order as any oracle's list_dot_product(cv, cv)
+  private val cn2: Array[Double] = {
+    val a = new Array[Double](m * ks)
+    var sj = 0
+    while (sj < m * ks) {
+      var t = 0.0; var i = 0
+      while (i < d) { val x = flat(sj * d + i); t += x * x; i += 1 }
+      a(sj) = t; sj += 1
+    }
+    a
+  }
+
+  def encode(raw: Any): ArrayData = {
+    val v = raw.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != m * d) throw new IllegalArgumentException(
+      s"graft_pq_encode: vector dim $n != m·d = ${m * d} — mixed embedding " +
+        "widths in the corpus?")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD2 = Double.PositiveInfinity
+      var j = 0
+      while (j < ks) {
+        val base = (s * ks + j) * d
+        var dot = 0.0; var i = 0
+        if (vecFloat) while (i < d) { dot += v.getFloat(s * d + i).toDouble * flat(base + i); i += 1 }
+        else while (i < d) { dot += v.getDouble(s * d + i) * flat(base + i); i += 1 }
+        val d2 = cn2(s * ks + j) - 2.0 * dot
+        // strict < keeps the FIRST (lowest-j) minimum — the oracle's
+        // ORDER BY d2, j tie-break; an all-NaN row falls back to j = 0
+        if (d2 < bestD2) { bestD2 = d2; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Flat lookup table `lut[s·ks + j] = ⟨sub_s(v), c_{s,j}⟩` for ADC
+    * scoring — i-ascending accumulation, the [[VectorDot]] order. */
+  def lut(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    if (n != m * d) throw new IllegalArgumentException(
+      s"graft_pq_lut: vector dim $n != m·d = ${m * d} — mixed embedding " +
+        "widths in the corpus?")
+    val out = new Array[Double](m * ks)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ks) {
+        val base = (s * ks + j) * d
+        var dot = 0.0; var i = 0
+        if (vecFloat) while (i < d) { dot += v.getFloat(s * d + i).toDouble * flat(base + i); i += 1 }
+        else while (i < d) { dot += v.getDouble(s * d + i) * flat(base + i); i += 1 }
+        out(s * ks + j) = dot
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object GraftExpressions {
   /** Idempotent session-level registration (also see [[GraftExtensions]]
     * for the spark.sql.extensions path). */
@@ -1393,6 +1678,12 @@ object GraftExpressions {
       { es: Seq[Expression] => NearestCentroid(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_in_cell",
       { es: Seq[Expression] => NearestInCell(es(0), es(1), es(2)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      { es: Seq[Expression] => PqEncode(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_lut",
+      { es: Seq[Expression] => PqLut(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      { es: Seq[Expression] => PqAdc(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_bucket_top_pairs",
       { es: Seq[Expression] =>
         val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
@@ -1484,6 +1775,18 @@ object GraftExpressions {
   }
   def nearestInCell(spark: SparkSession, vec: Column, vn: Column, cells: Column): Column = {
     register(spark); call_function("graft_nearest_in_cell", vec, vn, cells)
+  }
+
+  def pqEncode(spark: SparkSession, vec: Column, codebook: Column): Column = {
+    register(spark); call_function("graft_pq_encode", vec, codebook)
+  }
+
+  def pqLut(spark: SparkSession, vec: Column, codebook: Column): Column = {
+    register(spark); call_function("graft_pq_lut", vec, codebook)
+  }
+
+  def pqAdc(spark: SparkSession, codes: Column, lut: Column): Column = {
+    register(spark); call_function("graft_pq_adc", codes, lut)
   }
 }
 

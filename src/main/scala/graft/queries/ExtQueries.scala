@@ -890,6 +890,87 @@ object ExtQueries {
       |  round(MIN(cos), 6) AS min_cos_r
       |FROM c GROUP BY label ORDER BY label""".stripMargin
 
+  /** PQ-ADC approximate top-k with exact refine ([[Similarity.pqTopK]]):
+    * the corpus is product-quantized to 16 code indices + one exact
+    * norm per vector (~14× smaller than the raw floats — the serving
+    * layout); each probe ranks ALL candidates through per-subspace
+    * lookup-table dots over the codes-only scan, and only the top-50
+    * shortlist re-attaches true vectors for the exact re-rank
+    * (measured recall@5 = 0.93 on this worst-case iid fixture — grid
+    * in SCALE.md). Deterministic end to end — codebook is a fixed id
+    * subset, every argmin/argmax ties to the lowest index — so the
+    * DuckDB twin replays the exact encode → LUT → ADC → shortlist →
+    * re-rank pipeline: the oracle checks the approximation itself,
+    * not just a happy path. */
+  def embedPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = pqM, ks = pqKs, refine = pqRefine)
+      .select(col("probe_id"), col("rank"), col("corpus_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .orderBy("probe_id", "rank")
+  }
+  // PQ query constants, shared verbatim by the Spark call and the twin
+  private val pqM = 16      // subspaces (dim 64 → d = 4)
+  private val pqKs = 32     // codes per subspace (codebook = vec_id < 32)
+  private val pqD = 4
+  private val pqRefine = 50
+  val embedPqTopKSql: String = {
+    val adcPivot = (0 until pqM)
+      .map(s => s"MAX(CASE WHEN s = $s THEN t END)")
+      .mkString("\n      |      + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |ss AS (SELECT unnest(range($pqM)) AS s),
+      |cb AS (
+      |  SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS j,
+      |         list_slice(v, s*$pqD + 1, s*$pqD + $pqD) AS cv
+      |  FROM e CROSS JOIN ss WHERE vec_id < $pqKs),
+      |sub AS (SELECT vec_id, s, list_slice(v, s*$pqD + 1, s*$pqD + $pqD) AS sv FROM e CROSS JOIN ss),
+      |enc AS (
+      |  SELECT vec_id, s, j FROM (
+      |    SELECT sub.vec_id, sub.s, cb.j,
+      |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+      |        list_dot_product(cb.cv, cb.cv) - 2*list_dot_product(sub.sv, cb.cv), cb.j) AS rn
+      |    FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+      |norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |term AS (
+      |  SELECT p.vec_id AS probe_id, enc.vec_id AS corpus_id, enc.s,
+      |    list_dot_product(p.sv, cb.cv) AS t
+      |  FROM sub p
+      |  JOIN enc ON enc.s = p.s AND enc.vec_id <> p.vec_id
+      |  JOIN cb ON cb.s = enc.s AND cb.j = enc.j
+      |  WHERE p.vec_id < 10),
+      |adc AS (
+      |  SELECT probe_id, corpus_id,
+      |    $adcPivot AS adot
+      |  FROM term GROUP BY probe_id, corpus_id),
+      |scored AS (
+      |  SELECT a.probe_id, a.corpus_id,
+      |    CASE WHEN pn.nrm * cn.nrm > 0 THEN a.adot / (pn.nrm * cn.nrm) ELSE 0.0 END AS sim
+      |  FROM adc a
+      |  JOIN norms pn ON pn.vec_id = a.probe_id
+      |  JOIN norms cn ON cn.vec_id = a.corpus_id),
+      |short AS (
+      |  SELECT probe_id, corpus_id FROM (
+      |    SELECT probe_id, corpus_id,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rn
+      |    FROM scored) WHERE rn <= $pqRefine),
+      |exact AS (
+      |  SELECT sh.probe_id, sh.corpus_id,
+      |    CASE WHEN pn.nrm * cn.nrm > 0
+      |      THEN list_dot_product(pv.v, cv.v) / (pn.nrm * cn.nrm) ELSE 0.0 END AS sim
+      |  FROM short sh
+      |  JOIN e pv ON pv.vec_id = sh.probe_id
+      |  JOIN e cv ON cv.vec_id = sh.corpus_id
+      |  JOIN norms pn ON pn.vec_id = sh.probe_id
+      |  JOIN norms cn ON cn.vec_id = sh.corpus_id)
+      |SELECT probe_id, CAST(rank AS INT) AS rank, corpus_id, round(sim, 6) AS sim_r FROM (
+      |  SELECT probe_id, corpus_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rank
+      |  FROM exact)
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** The whole curation pipeline in one declarative plan — quality/
     * language gate → exact dedup (keep-lowest-id) → content-hash split
     * → token-budget packing of the train split — reported per source.
@@ -2032,6 +2113,7 @@ object ExtQueries {
     "x_dedup_incremental" -> (dedupIncremental _),
     "x_redact_pii" -> (redactPii _),
     "x_embed_quantize" -> (embedQuantize _),
+    "x_embed_pq_topk" -> (embedPqTopK _),
     "x_pipeline_e2e" -> (pipelineE2E _),
     "x_split_hash" -> (splitHash _),
     "x_sample_stratified" -> (sampleStratified _),
@@ -2090,6 +2172,7 @@ object ExtQueries {
     "x_dedup_incremental" -> dedupIncrementalSql,
     "x_redact_pii" -> redactPiiSql,
     "x_embed_quantize" -> embedQuantizeSql,
+    "x_embed_pq_topk" -> embedPqTopKSql,
     "x_pipeline_e2e" -> pipelineE2ESql,
     "x_split_hash" -> splitHashSql,
     "x_sample_stratified" -> sampleStratifiedSql,

@@ -32,6 +32,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "x_sim_ivf_topk" -> "broadcast centroid table joined lit(true) for argmin assignment (Similarity.scala assignClusters)",
     "x_contamination_semantic" -> "bounded eval set joined lit(true) through the same guarded assignClusters argmax",
     "x_sim_brute_topk" -> "broadcast probe set vs corpus — the documented brute-force baseline",
+    "x_embed_pq_topk" -> "bounded probe set (guarded broadcast) scored against PQ codes by per-row table lookups",
     "q11_important_parts" -> "1-row broadcast of the group-share threshold (SqlSurface.scala:793)",
     "q22_no_orders" -> "1-row broadcast of the avg-balance cutoff",
     "x_embed_top_pairs" -> ("below the LSH policy floor the corpus fits ~4 buckets, so the " +

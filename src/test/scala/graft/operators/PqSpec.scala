@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Product-quantization ANN ([[Similarity.pqTopK]]). The load-bearing
+  * claims: (1) vectors that coincide with codebook rows reconstruct
+  * EXACTLY (adc == exact dot, so sim == exact cosine — the structural
+  * identity the approximation is anchored to); (2) measured recall
+  * against the brute-force baseline on the real fixture stays above a
+  * pinned floor; (3) degenerate inputs (zero-norm, null, indivisible
+  * dim) follow the same contracts as the rest of the embedding family. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // dim 8, m = 4 subspaces of d = 2; ids 0..3 are the codebook (ks = 4)
+  private def f(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+  lazy val base = Seq(
+    (0L, f(1, 0, 0, 1, 1, 1, 0, 0)),
+    (1L, f(0, 1, 1, 0, 0, 0, 1, 1)),
+    (2L, f(1, 1, 0, 0, 1, 0, 0, 1)),
+    (3L, f(0, 0, 1, 1, 0, 1, 1, 0))).toDF("vec_id", "embedding")
+
+  test("codebook rows reconstruct exactly: PQ sim == exact cosine") {
+    // corpus = the codebook rows themselves (+ copies at higher ids):
+    // every subvector is its own argmin (d2_j − d2_self = |c_j − sub|²
+    // ≥ 0), so adc is the exact dot and sim the exact cosine
+    val copies = base.withColumn("vec_id", col("vec_id") + 100)
+    val corpus = base.union(copies)
+    val pq = Similarity.pqTopK(corpus, base, "vec_id", "embedding",
+        k = 7, m = 4, ks = 4)
+      .select($"probe_id", $"corpus_id", $"sim").as[(Long, Long, Double)]
+      .collect().map { case (p, c, s) => (p, c) -> s }.toMap
+    val exact = corpus.as("a").join(base.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"b.vec_id", $"a.vec_id",
+        Similarity.cosine($"b.embedding", $"a.embedding").as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, c, s) => (p, c) -> s }.toMap
+    assert(pq.nonEmpty && pq.keySet == exact.keySet)
+    pq.foreach { case (k, s) =>
+      assert(math.abs(s - exact(k)) < 1e-12, s"pair $k: pq $s vs exact ${exact(k)}")
+    }
+  }
+
+  test("recall@5 vs brute force on the real fixture stays above the floor") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id", $"corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    // the x_embed_pq_topk serving config: 16 codes + exact top-50 refine
+    val pq = tops(Similarity.pqTopK(emb, probes, "vec_id", "embedding",
+      k = 5, m = 16, ks = 32, refine = 50))
+    val bf = tops(Similarity.cosineTopK(emb, probes, "vec_id", "embedding", k = 5))
+    val recall = bf.map { case (p, truth) =>
+      (pq.getOrElse(p, Set.empty) & truth).size.toDouble / truth.size
+    }.sum / bf.size
+    // iid synthetic embeddings are PQ's worst case (no manifold to
+    // quantize, concentrated distances) — measured 1.00 on this exact
+    // fixture/config when pinned, 0.93 over 50 probes at sf0.01 (full
+    // grid in SCALE.md); floor leaves drift headroom
+    assert(recall >= 0.8, f"recall@5 $recall%.2f fell below the 0.80 floor")
+  }
+
+  test("zero-norm corpus rows score 0; null-vector rows are dropped; no crash") {
+    val corpus = base
+      .union(Seq((50L, f(0, 0, 0, 0, 0, 0, 0, 0))).toDF("vec_id", "embedding"))
+      .union(Seq((51L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val out = Similarity.pqTopK(corpus, base.filter($"vec_id" === 0), "vec_id",
+        "embedding", k = 10, m = 4, ks = 4)
+      .select($"corpus_id", $"sim").as[(Long, Double)].collect().toMap
+    assert(out(50L) == 0.0, "zero-norm row must score 0 (guarded cosine)")
+    assert(!out.contains(51L), "null-vector row must be dropped, not scored")
+  }
+
+  test("indivisible dim fails loudly with the m | dim remedy") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(base, base, "vec_id", "embedding", k = 1, m = 3, ks = 4)
+    }
+    assert(e.getMessage.contains("does not divide"))
+  }
+
+  test("oracle-shape determinism: two runs are identical, ranks dense per probe") {
+    def run() = Similarity.pqTopK(base, base, "vec_id", "embedding",
+        k = 3, m = 4, ks = 4)
+      .select($"probe_id", $"rank", $"corpus_id", round($"sim", 6))
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val a = run(); val b = run()
+    assert(a == b)
+    a.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted == (1 to rs.size), "ranks must be dense from 1")
+    }
+  }
+}

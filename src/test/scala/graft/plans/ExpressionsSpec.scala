@@ -384,4 +384,69 @@ class ExpressionsSpec extends AnyFunSuite {
       Literal.create(Array(3.0, 4.0), ArrayType(DoubleType))))
     assert(dot.eval(null) == 11.0)
   }
+
+  test("PqEncode/PqLut/PqAdc generated code == interpreted eval, hand-checked") {
+    // the PQ stages are kernels for the same reason NearestCentroid is:
+    // the composed-Column formulation generated > 64 KB of source at
+    // m·ks = 512 and silently fell back to interpreted eval on the
+    // corpus-wide encode — both execution paths share one kernel and
+    // this pins them output-identical, against hand-computed codes
+    // m = 2 subspaces (d = 2), ks = 2 codes each
+    val cbook = typedlit(Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),   // s0: c0, c1
+      Seq(Seq(0.0, 1.0), Seq(1.0, 1.0))))  // s1: c0, c1
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // s0→c0, s1→c0
+      (2L, Array(0.0f, 1.0f, 1.0f, 1.0f)), // s0→c1, s1→c1
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f)), // s0: exact tie → lowest j=0; s1→c0
+      (4L, null.asInstanceOf[Array[Float]]) // null row → null codes/lut
+    ).toDF("id", "v")
+    def run(codegen: Boolean): Map[Long, (Option[Seq[Int]], Option[Double])] = {
+      val prevW = spark.conf.get("spark.sql.codegen.wholeStage")
+      val prevF = spark.conf.get("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+        spark.conf.set("spark.sql.codegen.factoryMode",
+          if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+        vecs.select($"id",
+            GraftExpressions.pqEncode(spark, $"v", cbook).as("codes"),
+            GraftExpressions.pqAdc(spark,
+              GraftExpressions.pqEncode(spark, $"v", cbook),
+              GraftExpressions.pqLut(spark, $"v", cbook)).as("adc"))
+          .as[(Long, Option[Seq[Int]], Option[Double])].collect()
+          .map { case (id, c, a) => id -> (c, a) }.toMap
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", prevW)
+        spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+      }
+    }
+    val gen = run(true); val interp = run(false)
+    assert(gen == interp, s"codegen $gen != interpreted $interp")
+    // adc = self-reconstruction dot: row 1 → lut[c0]+lut[c0] = 1+1 = 2;
+    // row 2 → ⟨(0,1),(0,1)⟩ + ⟨(1,1),(1,1)⟩ = 1+2 = 3;
+    // row 3 → ⟨(1,1),(1,0)⟩ + ⟨(0,0),(0,1)⟩ = 1+0 = 1
+    assert(gen == Map(
+      1L -> (Some(Seq(0, 0)), Some(2.0)),
+      2L -> (Some(Seq(1, 1)), Some(3.0)),
+      3L -> (Some(Seq(0, 0)), Some(1.0)),
+      4L -> (None, None)))
+  }
+
+  test("PQ kernels fail loudly on dimension/code mismatches") {
+    val cbook = typedlit(Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq(Seq(0.0, 1.0), Seq(1.0, 1.0))))
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    val bad = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("id", "v") // dim 3 != 4
+    val e1 = intercept[Exception] {
+      bad.select(GraftExpressions.pqEncode(spark, $"v", cbook)).collect()
+    }
+    assert(chain(e1).exists(c => Option(c.getMessage).exists(_.contains("vector dim"))))
+    val e2 = intercept[Exception] {
+      Seq((Seq(5, 0), Seq(1.0, 2.0, 3.0, 4.0))).toDF("c", "l")
+        .select(GraftExpressions.pqAdc(spark, $"c", $"l")).collect()
+    }
+    assert(chain(e2).exists(c => Option(c.getMessage).exists(_.contains("out of range"))))
+  }
 }
