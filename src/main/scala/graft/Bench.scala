@@ -176,7 +176,11 @@ object Bench {
       // round-16: PQ-ADC ANN — the encode + codes-only scoring scan is
       // the data term (certified 1.23/1.26/2.57 s at sf0.1/1/10); the
       // lane watches the kernel path from here
-      "x_embed_pq_topk")
+      "x_embed_pq_topk",
+      // round-16: corpus-trained bigram LM score — model counts + two
+      // dictionary joins are all data terms (certified 1.15/1.54/9.95 s
+      // at sf0.1/1/10, linear on the top decade)
+      "x_lm_score")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // tri-state so a round-over-round consumer can tell "opted out"

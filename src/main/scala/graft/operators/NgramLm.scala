@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-trained n-gram language-model fluency scoring — the
+  * model-based rung of the quality-filter family (CCNet, arXiv:1911.00359,
+  * filters pretraining corpora by LM score; the heuristic rungs are
+  * `TextFunctions.qualityScore`/`x_rep_signals`). The reference (pydala)
+  * has no text-quality surface; this extends the extension family.
+  *
+  * Model = add-k-smoothed bigram probabilities estimated from the SAME
+  * corpus being scored (self-scoring finds the corpus's own disfluent
+  * outliers — boilerplate, mojibake, token soup):
+  * `p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`.
+  * The score is the per-document MEAN smoothed probability, not mean
+  * log-prob: engines disagree on `ln` in the last ulp (libm's log is
+  * not required to be correctly rounded, unlike sqrt), and the mean
+  * probability is an equally monotone junk-vs-fluent signal for
+  * filtering while staying bit-identical across engines — the property
+  * every oracle twin in this repo is built on.
+  *
+  * Scale shape (100 TB): the model is two map-combinable instance
+  * counts (bigram, unigram) — partial aggregation collapses the
+  * per-token explosion map-side. Scoring joins each bigram INSTANCE to
+  * the two count dictionaries by token key: dictionary sides carry one
+  * row per key, so a hot key ("the …") is ordinary probe-side skew that
+  * AQE's skew-join splitting handles — never a windowed single-task
+  * corpus key (the Catch-3 class). The tokenization runs once per
+  * branch (3 corpus scans total) rather than pinning corpus-sized token
+  * arrays with a checkpoint — re-scanning is linear and spill-free
+  * where a 100 TB materialized pin is neither. Vocabulary size V is one
+  * scalar count job (driver seam, same class as the footer counts). */
+object NgramLm {
+
+  /** Per-document `(idCol, n_bigrams, lm_score)` — mean add-k bigram
+    * probability over the document's bigram instances. Documents with
+    * fewer than two tokens have no bigrams and are absent from the
+    * result (they carry no fluency evidence either way). The mean runs
+    * through a DECIMAL(20,14) sum so any engine replaying it is
+    * bit-identical (the repo-wide aggregate-doubles rule). */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+      addK: Double = 1.0): DataFrame = {
+    require(addK > 0, s"bigramScore: addK = $addK must be > 0 — unsmoothed " +
+      "counts divide by zero on unseen histories")
+    def toks = docs.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    def pairs = toks.filter(size(col("__t")) >= 2)
+      .select(col("__id"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val uni = toks.select(explode(col("__t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+    // vocabulary size: one scalar job over the (already tiny relative
+    // to the corpus) unigram dictionary
+    val v = uni.count()
+
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("__p",
+        (col("__c12") + lit(addK)) / (col("__c1") + lit(addK * v)))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__p").cast("decimal(20,14)")).cast("double") /
+          count(lit(1))).as("lm_score"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("lm_score"))
+  }
+}

@@ -331,6 +331,43 @@ object ExtQueries {
        |WHERE q >= 0.6 AND lang_pred = 'en'
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Corpus-trained bigram LM fluency score ([[NgramLm.bigramScore]]):
+    * the model-based quality rung (CCNet shape) next to the heuristic
+    * gate above — add-1-smoothed bigram probabilities estimated from
+    * the full corpus, every document scored by its mean instance
+    * probability. The DuckDB twin retrains the same model from the
+    * same corpus, so the hash checks the COUNTS, the smoothing and the
+    * mean — not just a happy path. Output capped to a fixed id range;
+    * the model always sees the whole corpus. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.operators.NgramLm.bigramScore(docs, "doc_id", "text")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lm_score"), 6).as("lm_score_r"))
+      .orderBy("doc_id")
+  }
+  val lmScoreSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> len(t) > 0) AS t
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> struct_pack(w1 := t[CAST(i AS INT)], w2 := t[CAST(i AS INT) + 1]))) AS p
+      |  FROM w),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+      |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+      |uni AS (SELECT w1, COUNT(*) AS c1 FROM (SELECT unnest(t) AS w1 FROM w) GROUP BY w1),
+      |v AS (SELECT COUNT(*) AS v FROM uni),
+      |sc AS (
+      |  SELECT bg.doc_id, (big.c12 + 1.0) / (uni.c1 + 1.0 * v.v) AS p
+      |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round(CAST(SUM(CAST(p AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*), 6) AS lm_score_r
+      |FROM sc WHERE doc_id < 200
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Top-20 most-similar embedding pairs (near-dup surface over a corpus
     * with no planted dups → top-N instead of threshold). Runs the
     * LSH-bucketed plan — candidates come from multi-table hyperplane
@@ -2114,6 +2151,7 @@ object ExtQueries {
     "x_redact_pii" -> (redactPii _),
     "x_embed_quantize" -> (embedQuantize _),
     "x_embed_pq_topk" -> (embedPqTopK _),
+    "x_lm_score" -> (lmScore _),
     "x_pipeline_e2e" -> (pipelineE2E _),
     "x_split_hash" -> (splitHash _),
     "x_sample_stratified" -> (sampleStratified _),
@@ -2173,6 +2211,7 @@ object ExtQueries {
     "x_redact_pii" -> redactPiiSql,
     "x_embed_quantize" -> embedQuantizeSql,
     "x_embed_pq_topk" -> embedPqTopKSql,
+    "x_lm_score" -> lmScoreSql,
     "x_pipeline_e2e" -> pipelineE2ESql,
     "x_split_hash" -> splitHashSql,
     "x_sample_stratified" -> sampleStratifiedSql,
