@@ -766,6 +766,50 @@ object Similarity {
         norm(col(vecCol)).as("__vn"))
   }
 
+  /** Lloyd-refined PQ codebooks: `iters` k-means steps run on ALL m
+    * subspaces at once — each iteration is ONE corpus pass (the
+    * [[graft.plans.PqEncode]] kernel assigns every subspace's code in a
+    * single projection) plus ONE map-combinable mean aggregate over
+    * (subspace, code, coordinate) cells, never an m-loop of per-subspace
+    * jobs. Initialization is the same fixed-id subset [[pqTopK]]
+    * defaults to, so training is a strict drop-in upgrade via
+    * `codebookSource = None` → `pqTrain(...)`; empty cells keep their
+    * previous entry (the [[kmeansRefine]] rule). Returns the m × ks × d
+    * codebook ready for [[pqEncode]]/[[pqTopK]]. Measured on the iid
+    * worst-case fixture the refinement buys most where the codes carry
+    * the ranking alone (refine = 0) — grid in SCALE.md. */
+  def pqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ks: Int = 16, iters: Int = 3): Array[Array[Array[Double]]] = {
+
+    val spark = corpus.sparkSession
+    var cb = pqCodebook(
+      corpus.filter(col(idCol) < ks)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv")),
+      m, "pqTrain")
+    val d = cb(0)(0).length
+    val vecs = corpus.filter(col(vecCol).isNotNull).select(col(vecCol).as("__v"))
+    (1 to iters).foreach { _ =>
+      val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+      val means = vecs
+        .select(col("__v"),
+          graft.plans.GraftExpressions.pqEncode(spark, col("__v"), cbLit).as("__c"))
+        .select(posexplode(col("__v")).as(Seq("__di", "__x")), col("__c"))
+        .select((col("__di") / d).cast("int").as("__s"),
+          pmod(col("__di"), lit(d)).cast("int").as("__i"),
+          col("__x").cast("double").as("__x"), col("__c"))
+        .withColumn("__j", element_at(col("__c"), col("__s") + 1))
+        .groupBy("__s", "__j", "__i").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = next
+    }
+    cb
+  }
+
   /** PQ-ADC approximate top-k (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011): the corpus is PQ-encoded
     * ([[pqEncode]]); each probe precomputes one lookup table per
@@ -813,8 +857,12 @@ object Similarity {
       codebookSource: Option[DataFrame] = None): DataFrame = {
 
     val spark = corpus.sparkSession
-    val cbDf = codebookSource.getOrElse(corpus.filter(col(idCol) < ks))
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+    // codebookSource contract: a (cid, cv) frame of ks codebook rows —
+    // e.g. PqRecallProbe.pqCodebookFrame over a pqTrain result
+    val cbDf = codebookSource
+      .map(_.select(col("cid").cast("long").as("cid"), col("cv").as("cv")))
+      .getOrElse(corpus.filter(col(idCol) < ks)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv")))
     val cb = pqCodebook(cbDf, m, "pqTopK")
 
     // the broadcast row is the LUT (m·ks doubles — 16× the raw vector

@@ -38,6 +38,30 @@ object PqRecallProbe {
       val bytes = m * (math.log(ks) / math.log(2)) / 8.0
       println(f"m=$m%2d ks=$ks%3d refine=$r%3d  codeBytes=$bytes%5.1f  compression=${256.0 / (bytes + 8)}%5.1fx  recall@$k=$recall%.3f")
     }
+    // trained-codebook uplift (3 Lloyd iterations), refine = 0 — where
+    // the codes carry the ranking alone
+    for (m <- Seq(8, 16); ks <- Seq(16, 32)) {
+      val trained = Similarity.pqTrain(emb, "vec_id", "embedding", m, ks, iters = 3)
+      val tTrained = tops(Similarity.pqTopK(emb, probes, "vec_id", "embedding",
+        k = k, m = m, ks = ks, refine = 0,
+        codebookSource = Some(pqCodebookFrame(spark, trained))))
+      val rT = bf.map { case (p, truth) =>
+        (tTrained.getOrElse(p, Set.empty) & truth).size.toDouble / truth.size
+      }.sum / bf.size
+      println(f"TRAINED m=$m%2d ks=$ks%3d refine=0  recall@$k=$rT%.3f")
+    }
     spark.stop()
+  }
+
+  /** Rebuild a (cid, cv) frame from a trained m × ks × d codebook so it
+    * can feed pqTopK's codebookSource: row j's vector is the
+    * concatenation of subspace entries (the layout pqCodebook slices). */
+  def pqCodebookFrame(spark: SparkSession,
+      cb: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ks = cb(0).length
+    (0 until ks).map { j =>
+      (j.toLong, cb.flatMap(sub => sub(j)).toSeq)
+    }.toDF("cid", "cv")
   }
 }

@@ -82,6 +82,28 @@ class PqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not divide"))
   }
 
+  test("pqTrain: one Lloyd step lands every codebook entry on its cell mean") {
+    // dim 4, m = 2 (d = 2), ks = 2; ids 0/1 seed the codebook off-center,
+    // the cluster geometry is exact: s0 cells {(9,0),(11,0)} / {(0,9),(0,11)},
+    // s1 mirrored — the trained entries must be the exact means
+    val corpus = Seq(
+      (0L, f(9, 0, 0, 9)),
+      (1L, f(0, 9, 9, 0)),
+      (2L, f(11, 0, 0, 11)),
+      (3L, f(0, 11, 11, 0))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 2, ks = 2, iters = 2)
+    assert(cb(0)(0).toSeq == Seq(10.0, 0.0) && cb(0)(1).toSeq == Seq(0.0, 10.0))
+    assert(cb(1)(0).toSeq == Seq(0.0, 10.0) && cb(1)(1).toSeq == Seq(10.0, 0.0))
+    // and the trained codebook is a drop-in via codebookSource
+    import spark.implicits._
+    val cbFrame = graft.tools.PqRecallProbe.pqCodebookFrame(spark, cb)
+    val top1 = Similarity.pqTopK(corpus, corpus.filter($"vec_id" === 0), "vec_id",
+        "embedding", k = 1, m = 2, codebookSource = Some(cbFrame))
+      .select($"corpus_id").as[Long].collect()
+    assert(top1.length == 1 && top1.head == 2L,
+      "nearest to (9,0,0,9) must be its cluster-mate (11,0,0,11)")
+  }
+
   test("oracle-shape determinism: two runs are identical, ranks dense per probe") {
     def run() = Similarity.pqTopK(base, base, "vec_id", "embedding",
         k = 3, m = 4, ks = 4)
