@@ -27,11 +27,12 @@ import graft.functions.TextFunctions
   * the two count dictionaries by token key: dictionary sides carry one
   * row per key, so a hot key ("the …") is ordinary probe-side skew that
   * AQE's skew-join splitting handles — never a windowed single-task
-  * corpus key (the Catch-3 class). The tokenization runs once per
-  * branch (3 corpus scans total) rather than pinning corpus-sized token
-  * arrays with a checkpoint — re-scanning is linear and spill-free
-  * where a 100 TB materialized pin is neither. Vocabulary size V is one
-  * scalar count job (driver seam, same class as the footer counts). */
+  * corpus key (the Catch-3 class). The CORPUS-sized token arrays are
+  * never pinned (re-scanning is linear and spill-free where a 100 TB
+  * checkpoint is neither — 3 corpus scans total: bigram counts, unigram
+  * counts, scoring instances); the VOCABULARY-sized unigram dictionary
+  * IS pinned, so the V count and the scoring join share one
+  * materialization instead of re-running the unigram pass twice. */
 object NgramLm {
 
   /** Per-document `(idCol, n_bigrams, lm_score)` — mean add-k bigram
@@ -54,10 +55,14 @@ object NgramLm {
       .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
 
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    // the unigram DICTIONARY (one row per distinct token — vocabulary-
+    // sized, not corpus-sized) is pinned: un-pinned, the V count below
+    // and the scoring join would each re-run the full tokenize→explode→
+    // aggregate corpus pass (review catch — 4 corpus scans, not 3)
     val uni = toks.select(explode(col("__t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("__c1"))
-    // vocabulary size: one scalar job over the (already tiny relative
-    // to the corpus) unigram dictionary
+      .localCheckpoint(false)
+    // vocabulary size: a count over the pinned dictionary — free
     val v = uni.count()
 
     pairs

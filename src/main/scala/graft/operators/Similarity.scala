@@ -882,8 +882,10 @@ object Similarity {
       graft.plans.GraftExpressions.pqLut(spark, col(vecCol), cbLit).as("__lut"))
 
     val enc = pqEncode(corpus, idCol, vecCol, cb)
+    // ksExpected pins the lut/codes shape agreement (silent-garbage
+    // guard when widths happen to divide)
     val adc = graft.plans.GraftExpressions.pqAdc(
-      spark, col("__codes"), col("__lut"))
+      spark, col("__codes"), col("__lut"), cb(0).length)
     val scored = enc.join(broadcast(pl), col("corpus_id") =!= col("probe_id"))
       .withColumn("sim", cosOf(adc, col("__pn"), col("__vn")))
     if (refine <= 0) rankTopK(scored, k)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -1355,13 +1355,22 @@ case class BloomMightContain(valueExpr: Expression, bloomExpr: Expression)
   * this replaces generated a source method past janino's limit at
   * m·ks = 512 and silently fell back to interpreted eval on the
   * corpus-wide encode projection (the PQ hot loop). */
-case class PqEncode(vec: Expression, codebook: Expression)
-  extends BinaryExpression {
+/** Shared scaffolding of the two per-row PQ codebook expressions
+  * ([[PqEncode]], [[PqLut]]): one foldable-codebook contract, one type
+  * check, one kernel unpack, one codegen shape — so the encode and LUT
+  * stages cannot drift apart on input validation (review catch: the
+  * copy-pasted pair was the 3rd and 4th copy of this block). Only the
+  * VECTOR child generates code; the codebook rides the reference array
+  * as the unpacked kernel (the NearestCentroid/BloomMightContain
+  * pattern — an embedded m·ks·d literal would blow janino's limit). */
+trait PqCodebookExpression extends BinaryExpression {
+  def vec: Expression
+  def codebook: Expression
+  /** Kernel method the per-row call dispatches to ("encode" | "lut"). */
+  protected def kernelMethod: String
 
   override def left: Expression = vec
   override def right: Expression = codebook
-  override def prettyName: String = "graft_pq_encode"
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   private def vecElemOf(t: DataType): Option[DataType] = t match {
     case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
@@ -1374,24 +1383,18 @@ case class PqEncode(vec: Expression, codebook: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (!codebook.foldable)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "graft_pq_encode expects a FOLDABLE codebook (a literal)")
+        s"$prettyName expects a FOLDABLE codebook (a literal)")
     else if (vecElemOf(vec.dataType).isEmpty || !cbOk)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_pq_encode expects (array<float|double>, foldable " +
+        s"$prettyName expects (array<float|double>, foldable " +
           s"array<array<array<double>>>), got (${vec.dataType}, ${codebook.dataType})")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
-  @transient private lazy val kernel: PqEncodeKernel =
-    PqEncodeKernel.fromLiteral(codebook, "graft_pq_encode",
+  @transient protected lazy val kernel: PqEncodeKernel =
+    PqEncodeKernel.fromLiteral(codebook, prettyName,
       vecElemOf(vec.dataType).contains(FloatType))
 
-  override def nullSafeEval(v: Any, cbIgnored: Any): Any =
-    kernel.encode(v.asInstanceOf[ArrayData])
-
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // only the VECTOR child generates code; the codebook rides the
-    // reference array as the unpacked kernel (same pattern as
-    // NearestCentroid/BloomMightContain)
     val kRef = ctx.addReferenceObj("graftPqKernel", kernel,
       classOf[PqEncodeKernel].getName)
     val v = vec.genCode(ctx)
@@ -1400,10 +1403,18 @@ case class PqEncode(vec: Expression, codebook: Expression)
       boolean ${ev.isNull} = ${v.isNull};
       ArrayData ${ev.value} = null;
       if (!${ev.isNull}) {
-        ${ev.value} = $kRef.encode(${v.value});
+        ${ev.value} = $kRef.$kernelMethod(${v.value});
       }""")
   }
+}
 
+case class PqEncode(vec: Expression, codebook: Expression)
+  extends PqCodebookExpression {
+  override def prettyName: String = "graft_pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def kernelMethod: String = "encode"
+  override def nullSafeEval(v: Any, cbIgnored: Any): Any =
+    kernel.encode(v.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
     copy(vec = l, codebook = r)
 }
@@ -1411,65 +1422,30 @@ case class PqEncode(vec: Expression, codebook: Expression)
 /** Probe-side PQ lookup table: `lut[s·ks + j] = ⟨sub_s(vec), c_{s,j}⟩`
   * as ONE flat array<double> per row — the composed m·ks-`Column`
   * formulation generated > 64 KB of source at m·ks = 512 (janino
-  * limit) and dropped the projection out of codegen. Same foldable-
-  * codebook contract and kernel as [[PqEncode]]. */
+  * limit) and dropped the projection out of codegen. */
 case class PqLut(vec: Expression, codebook: Expression)
-  extends BinaryExpression {
-
-  override def left: Expression = vec
-  override def right: Expression = codebook
+  extends PqCodebookExpression {
   override def prettyName: String = "graft_pq_lut"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-
-  private def vecElemOf(t: DataType): Option[DataType] = t match {
-    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
-    case _ => None
-  }
-  private def cbOk: Boolean = codebook.dataType match {
-    case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
-    case _ => false
-  }
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (!codebook.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "graft_pq_lut expects a FOLDABLE codebook (a literal)")
-    else if (vecElemOf(vec.dataType).isEmpty || !cbOk)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_pq_lut expects (array<float|double>, foldable " +
-          s"array<array<array<double>>>), got (${vec.dataType}, ${codebook.dataType})")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-
-  @transient private lazy val kernel: PqEncodeKernel =
-    PqEncodeKernel.fromLiteral(codebook, "graft_pq_lut",
-      vecElemOf(vec.dataType).contains(FloatType))
-
+  override protected def kernelMethod: String = "lut"
   override def nullSafeEval(v: Any, cbIgnored: Any): Any =
     kernel.lut(v.asInstanceOf[ArrayData])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val kRef = ctx.addReferenceObj("graftPqLutKernel", kernel,
-      classOf[PqEncodeKernel].getName)
-    val v = vec.genCode(ctx)
-    ev.copy(code = code"""
-      ${v.code}
-      boolean ${ev.isNull} = ${v.isNull};
-      ArrayData ${ev.value} = null;
-      if (!${ev.isNull}) {
-        ${ev.value} = $kRef.lut(${v.value});
-      }""")
-  }
-
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLut =
     copy(vec = l, codebook = r)
 }
 
 /** Asymmetric-distance sum: `Σ_s lut[s·ks + codes[s]]` — the PQ scoring
-  * inner loop as one tiny generated loop per (probe, corpus) pair
-  * (ks is derived per row from the array widths, so the expression
-  * carries no codebook state at all). Accumulation is s-ascending —
-  * the same left-associated order as an oracle's explicit
-  * `t0 + t1 + … + t_{m−1}` pivot. */
-case class PqAdc(codes: Expression, lut: Expression)
+  * inner loop as one tiny generated loop per (probe, corpus) pair.
+  * `ksExpected > 0` (what every operator call-site passes) pins the
+  * per-subspace code count so codes and a LUT built with DIFFERENT
+  * codebook shapes fail loudly even when the widths happen to divide
+  * (review catch: m=4 codes against an m=16/ks=32 LUT divides cleanly
+  * at ks=128 and would have returned a silent garbage score);
+  * `ksExpected ≤ 0` (bare SQL use) falls back to deriving ks from the
+  * widths with only the divisibility check. Accumulation is
+  * s-ascending — the same left-associated order as an oracle's
+  * explicit `t0 + t1 + … + t_{m−1}` pivot. */
+case class PqAdc(codes: Expression, lut: Expression, ksExpected: Int)
   extends BinaryExpression {
 
   override def left: Expression = codes
@@ -1486,12 +1462,12 @@ case class PqAdc(codes: Expression, lut: Expression)
     }
 
   override def nullSafeEval(c: Any, l: Any): Any =
-    PqAdc.sum(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+    PqAdc.sum(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData], ksExpected)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, l) => {
       val cls = PqAdc.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"${ev.value} = $cls.sum($c, $l);"
+      s"${ev.value} = $cls.sum($c, $l, $ksExpected);"
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
@@ -1499,12 +1475,15 @@ case class PqAdc(codes: Expression, lut: Expression)
 }
 
 object PqAdc {
-  def sum(c: ArrayData, l: ArrayData): Double = {
+  def sum(c: ArrayData, l: ArrayData, ksExpected: Int): Double = {
     val m = c.numElements()
     if (m == 0 || l.numElements() % m != 0) throw new IllegalArgumentException(
       s"graft_pq_adc: lut width ${l.numElements()} is not a multiple of " +
         s"code count $m — codes and lut built from different codebooks?")
     val ks = l.numElements() / m
+    if (ksExpected > 0 && ks != ksExpected) throw new IllegalArgumentException(
+      s"graft_pq_adc: lut width ${l.numElements()} / $m codes gives ks = $ks, " +
+        s"expected $ksExpected — codes and lut built from different codebooks?")
     var t = 0.0
     var s = 0
     while (s < m) {
@@ -1683,7 +1662,10 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_pq_lut",
       { es: Seq[Expression] => PqLut(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",
-      { es: Seq[Expression] => PqAdc(es(0), es(1)) }, "built-in")
+      { es: Seq[Expression] =>
+        val ks = if (es.length > 2) es(2).eval(InternalRow.empty).asInstanceOf[Int] else -1
+        PqAdc(es(0), es(1), ks)
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_bucket_top_pairs",
       { es: Seq[Expression] =>
         val k = es(1).eval(InternalRow.empty).asInstanceOf[Int]
@@ -1785,8 +1767,8 @@ object GraftExpressions {
     register(spark); call_function("graft_pq_lut", vec, codebook)
   }
 
-  def pqAdc(spark: SparkSession, codes: Column, lut: Column): Column = {
-    register(spark); call_function("graft_pq_adc", codes, lut)
+  def pqAdc(spark: SparkSession, codes: Column, lut: Column, ks: Int = -1): Column = {
+    register(spark); call_function("graft_pq_adc", codes, lut, lit(ks))
   }
 }
 

@@ -948,9 +948,12 @@ object ExtQueries {
       .orderBy("probe_id", "rank")
   }
   // PQ query constants, shared verbatim by the Spark call and the twin
-  private val pqM = 16      // subspaces (dim 64 → d = 4)
-  private val pqKs = 32     // codes per subspace (codebook = vec_id < 32)
-  private val pqD = 4
+  private val pqM = 16      // subspaces (codebook = vec_id < pqKs)
+  private val pqKs = 32     // codes per subspace
+  // the embeddings fixture is dim 64 everywhere; deriving d keeps the
+  // twin's slice width in lockstep with pqM (review catch: a pqM retune
+  // with a stale hard-coded pqD would hash-mismatch confusingly)
+  private val pqD = 64 / pqM
   private val pqRefine = 50
   val embedPqTopKSql: String = {
     val adcPivot = (0 until pqM)

@@ -95,6 +95,19 @@ class PinAuditSpec extends AnyFunSuite {
       s"docs 1 and 4 match both query terms: ${top.mkString(",")}")
   }
 
+  test("bigramScore pins only the unigram dictionary — never token arrays") {
+    val plan = graft.operators.NgramLm.bigramScore(docs, "doc_id", "text")
+    val pins = pinnedOutputs(plan)
+    assert(pins.nonEmpty, "expected the unigram-dictionary pin")
+    pins.foreach { p =>
+      assert(!p.exists(isPayload), s"payload column in a bigramScore pin: $p")
+    }
+    assert(pins.distinct.size == 1,
+      s"expected one shared unigram-dictionary pin, got: ${pins.distinct}")
+    assert(pins.head.map(_._1) == Set("w1", "__c1"),
+      s"pin column drift: ${pins.head}")
+  }
+
   test("tfidfTopTerms pins the (doc_id, term, tf) postings — never text") {
     val plan = Search.tfidfTopTerms(docs, "doc_id", "text", perDoc = 2)
     val pins = pinnedOutputs(plan)

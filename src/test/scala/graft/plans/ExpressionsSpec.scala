@@ -448,5 +448,12 @@ class ExpressionsSpec extends AnyFunSuite {
         .select(GraftExpressions.pqAdc(spark, $"c", $"l")).collect()
     }
     assert(chain(e2).exists(c => Option(c.getMessage).exists(_.contains("out of range"))))
+    // the silent-garbage case: widths divide (4 / 2 = 2) but the caller
+    // declared the lut was built at ks = 7 — must fail, not mis-score
+    val e3 = intercept[Exception] {
+      Seq((Seq(1, 0), Seq(1.0, 2.0, 3.0, 4.0))).toDF("c", "l")
+        .select(GraftExpressions.pqAdc(spark, $"c", $"l", ks = 7)).collect()
+    }
+    assert(chain(e3).exists(c => Option(c.getMessage).exists(_.contains("expected 7"))))
   }
 }
