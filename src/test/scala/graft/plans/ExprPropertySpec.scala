@@ -120,4 +120,50 @@ class ExprPropertySpec extends AnyFunSuite {
       assert(out.toSeq == out2.toSeq)
     }
   }
+
+  test("PQ kernels == reference Scala math on random vectors and codebooks") {
+    // the three-stage PQ contract on randomized inputs: encode is the
+    // exact per-subspace argmin-L2 (ties to lowest j), the LUT carries
+    // the exact subvector dots, and ADC(codes, lut) == the dot of the
+    // query against the row's RECONSTRUCTION (selected codebook entries
+    // concatenated) computed per-subspace — the identity the whole
+    // approximation rests on
+    val m = 4; val ks = 8; val d = 4; val dim = m * d
+    val cb: Array[Array[Array[Double]]] = Array.fill(m, ks, d)(
+      math.rint(rnd.nextDouble() * 8) / 4.0) // coarse grid → real ties occur
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val vecs = (1 to 200).map { i =>
+      (i.toLong, Array.fill(dim)((math.rint(rnd.nextDouble() * 8) / 4.0).toFloat))
+    }
+    val out = vecs.toDF("id", "v").select(
+        $"id",
+        GraftExpressions.pqEncode(spark, $"v", cbLit).as("codes"),
+        GraftExpressions.pqLut(spark, $"v", cbLit).as("lut"),
+        GraftExpressions.pqAdc(spark,
+          GraftExpressions.pqEncode(spark, $"v", cbLit),
+          GraftExpressions.pqLut(spark, $"v", cbLit), ks).as("adc"))
+      .as[(Long, Seq[Int], Seq[Double], Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    vecs.foreach { case (id, v) =>
+      val (codes, lut, adc) = out(id)
+      (0 until m).foreach { s =>
+        // reference argmin with lowest-j ties, in double
+        val scored = (0 until ks).map { j =>
+          val c = cb(s)(j)
+          val dist = (0 until d).map(i => (v(s * d + i).toDouble - c(i)) * (v(s * d + i).toDouble - c(i))).sum
+          (dist, j)
+        }
+        val best = scored.minBy { case (dist, j) => (dist, j) }._2
+        assert(codes(s) == best, s"id=$id s=$s: kernel ${codes(s)} vs reference $best")
+        (0 until ks).foreach { j =>
+          val dot = (0 until d).map(i => v(s * d + i).toDouble * cb(s)(j)(i)).sum
+          assert(math.abs(lut(s * ks + j) - dot) < 1e-12)
+        }
+      }
+      val recon = (0 until m).map { s =>
+        (0 until d).map(i => v(s * d + i).toDouble * cb(s)(codes(s))(i)).sum
+      }.sum
+      assert(math.abs(adc - recon) < 1e-12, s"id=$id: adc $adc vs reconstruction dot $recon")
+    }
+  }
 }
