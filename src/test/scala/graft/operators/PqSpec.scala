@@ -75,6 +75,28 @@ class PqSpec extends AnyFunSuite {
     assert(!out.contains(51L), "null-vector row must be dropped, not scored")
   }
 
+  test("probe and shortlist forced broadcasts are guarded against the session threshold") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024") // 1 KB
+      // 120 probes × (m·ks doubles + overhead) ≈ 21 KB of LUT rows > 1 KB
+      val manyProbes = (0 until 30).map(i =>
+        base.withColumn("vec_id", col("vec_id") + lit(i * 10))).reduce(_ union _)
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.pqTopK(base, manyProbes, "vec_id", "embedding", k = 1, m = 4, ks = 4)
+      }
+      assert(e1.getMessage.contains("pqTopK probes"), e1.getMessage)
+      // small probes pass, but a huge refine makes the shortlist frame
+      // exceed the threshold — the guard the sf10 plan audit motivated
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.pqTopK(base, base, "vec_id", "embedding", k = 1, m = 4, ks = 4,
+          refine = 100000)
+      }
+      assert(e2.getMessage.contains("refine shortlist"), e2.getMessage)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("indivisible dim fails loudly with the m | dim remedy") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(base, base, "vec_id", "embedding", k = 1, m = 3, ks = 4)
