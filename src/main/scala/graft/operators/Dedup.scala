@@ -193,8 +193,12 @@ object Dedup {
     // — slower (one posting-wide exchange), never an executor OOM.
     val hotBytes = hot.count() * 32L
     val sessThr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // thr ≤ 0 sessions use the SAME overridable sanity cap as every
+    // Similarity guard (review catch: a hard-coded 8 GiB here silently
+    // ignored spark.graft.forcedBroadcastCap on this one path)
     val hotHint: DataFrame => DataFrame =
-      if (hotBytes <= (if (sessThr > 0) sessThr else 8L << 30)) b => broadcast(b)
+      if (hotBytes <= (if (sessThr > 0) sessThr
+        else Similarity.disabledThresholdCap(df.sparkSession))) b => broadcast(b)
       else identity
     val cold = posting.join(hotHint(hot.select(col("s"))), Seq("s"), "left_anti")
       .groupBy(col("s"))

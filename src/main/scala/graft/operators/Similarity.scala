@@ -331,7 +331,12 @@ object Similarity {
     * original's cluster — the invariant semantic dedup correctness
     * rests on), and (b) with `nCoarse ≥ k` every centroid is its own
     * anchor and the result EQUALS flat argmax, tie-breaks included
-    * (spec-pinned) — scoped to centroid tables WITHOUT null vectors:
+    * (spec-pinned) — at ANY k: the exact regime always takes the
+    * literal coarse branch, whose guard either admits the k-entry
+    * literal or fails loudly with the remedy; it never silently
+    * reroutes through the approximate anchors-of-anchors recursion
+    * (round-16 review catch) — and scoped to centroid tables WITHOUT
+    * null vectors:
     * this path drops null-vector centroids entirely (round-16 contract
     * — they carry no geometry and can win a flat argmax only when
     * every real cosine is negative, by scoring 0), where flat keeps
@@ -380,9 +385,15 @@ object Similarity {
     // are the caller's business — flat equality claims assume unique
     // ids).
     val cidType = fineMap.schema("cid").dataType
+    // pinned: the cells table (≤ k centroid entries grouped into ~√k
+    // rows — dictionary-scale, never corpus-scale) feeds BOTH the size
+    // guard's aggregate and the fine join; unpinned, the k×O(√k)
+    // fineMap argmax beneath it executed twice per call — once for the
+    // guard's .head() action, again for the join (review catch)
     val cells = fineMap.groupBy(col("gid"))
       .agg(collect_list(struct(col("cid").cast("long").as("cid"),
         col("cv"), col("cn"))).as("__cell"))
+      .localCheckpoint(false)
     guardCellSize(cells, "assignClustersHier(fine)")
     coarseAssigned.join(cells, Seq("gid"))
       .select(col(outId),
@@ -418,8 +429,16 @@ object Similarity {
     val stride = math.max(1L, (stats.k + c - 1) / c)
     val nPicked = (stats.k - 1) / stride + 1
 
+    // the caller's nCoarse ≥ k invokes the documented EXACT-equality
+    // regime (every centroid its own anchor ⇒ coarse stage == flat
+    // argmax); recursing there would silently approximate what the
+    // caller explicitly requested exact (review catch), so the exact
+    // regime always takes the literal branch — its guard either admits
+    // the k-entry literal or fails loudly with the flat/knob remedy,
+    // never a quiet contract break
+    val exactRegime = nCoarse > 0 && nCoarse >= stats.k
     val (coarseAssigned, fineMap) =
-      if (nPicked <= maxAnchors) {
+      if (nPicked <= maxAnchors || exactRegime) {
         // single-literal coarse level — the common case (√k ≤ maxAnchors
         // carries k to ~4M at the default). The anchors ship to
         // executors inside the plan (a foldable literal for
@@ -557,9 +576,12 @@ object Similarity {
       // same in-cell scoring shape as the top-level fine stage (Catch
       // 10): the super-cell's anchors ride ONE array column, never
       // per-candidate rows through an id-keyed aggregate
+      // pinned for the same reason as the top-level cells table: the
+      // guard's aggregate and the cell join share one materialization
       val cells = anchorMap.groupBy(col("sgid"))
         .agg(collect_list(struct(col("__acid").cast("long").as("cid"),
           col("__acv"), col("__acn"))).as("__cell"))
+        .localCheckpoint(false)
       guardCellSize(cells, "assignClustersHier(anchors-of-anchors)")
       frameCoarse.join(cells, Seq("sgid"))
         .select(col(idC), col(vC), col(nC),
@@ -865,11 +887,15 @@ object Similarity {
         .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv")))
     val cb = pqCodebook(cbDf, m, "pqTopK")
 
-    // the broadcast row is the LUT (m·ks doubles — 16× the raw vector
-    // at m=16/ks=32/dim=64), so the guard measures the LUT width, not
-    // the vector width the probe frame happens to carry
+    // TWO forced probe-frame broadcasts ride this path — the LUT rows
+    // (m·ks doubles) in the ADC join and, with refine, the raw vector
+    // rows in the re-rank join. Either can dominate depending on
+    // m·ks vs dim (review catch: at m=4/ks=16 against dim-1024
+    // embeddings the vector rows are ~7× the LUT rows), so BOTH widths
+    // are guarded against the measured probe count
     val pcount = centStats(
       probes.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv")))
+    guardForcedBroadcast(spark, pcount, "pqTopK probes (vector rows)")
     guardForcedBroadcast(spark,
       CentStats(pcount.k, m * ks, elemBytes = 8), "pqTopK probes (LUT rows)")
     // probe-side flat LUT ([[graft.plans.PqLut]]) + in-loop ADC sum

@@ -52,7 +52,10 @@ object SkewDedupProbe {
       val boiler = ("lorem ipsum dolor sit amet " * 8).trim
       spark.range(0, n, 1, 32)
         .select(col("id").as("doc_id"),
-          when(pmod(col("id"), lit(1000)) < lit((hotShare * 1000).toLong), lit(boiler))
+          // .round like the cache key above — .toLong truncates
+          // (0.3*1000 = 299.999… → 299‰) and desynchronizes the data
+          // from the label/cache key by one per-mille bucket
+          when(pmod(col("id"), lit(1000)) < lit((hotShare * 1000).round), lit(boiler))
             .otherwise(concat(lit("doc body "), col("id").cast("string"),
               lit(" payload "), md5(col("id").cast("string")))).as("text"))
         .write.mode("overwrite").parquet(path)

@@ -319,6 +319,14 @@ class SimilaritySpec extends AnyFunSuite {
     val hier = rows(Similarity.assignClustersHier(emb, "vec_id", "embedding",
       centroids, nCoarse = 16))
     assert(hier == flat)
+    // the equality must survive k > maxAnchors: the exact regime takes
+    // the literal branch instead of silently rerouting through the
+    // approximate anchors-of-anchors recursion (round-16 review catch —
+    // with maxAnchors = 4 < k = 16 the old code recursed and could
+    // land boundary rows on a non-nearest centroid)
+    val hierPastBound = rows(Similarity.assignClustersHier(emb, "vec_id",
+      "embedding", centroids, nCoarse = 16, maxAnchors = 4))
+    assert(hierPastBound == flat)
   }
 
   /** 4 axis-direction clusters whose members wiggle only toward axis 0
