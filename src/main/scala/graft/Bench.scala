@@ -180,7 +180,10 @@ object Bench {
       // round-16: corpus-trained bigram LM score — model counts + two
       // dictionary joins are all data terms (certified 1.15/1.54/9.95 s
       // at sf0.1/1/10, linear on the top decade)
-      "x_lm_score")
+      "x_lm_score",
+      // round-16: DSIR importance weights — the LM shape plus a second
+      // filtered model pass (certified 1.20/2.20/10.84 s at sf0.1/1/10)
+      "x_domain_weights")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // tri-state so a round-over-round consumer can tell "opted out"

@@ -76,4 +76,65 @@ object NgramLm {
           count(lit(1))).as("lm_score"))
       .select(col("__id").as(idCol), col("n_bigrams"), col("lm_score"))
   }
+
+  /** DSIR-shape importance weights (Xie et al., arXiv:2302.03169 —
+    * data selection by importance resampling): every document is
+    * weighted by how TARGET-domain-like its n-grams are, as the mean
+    * per-bigram-instance ratio `p_target(w1,w2) / p_corpus(w1,w2)`
+    * between two add-k bigram models — one trained on the documents
+    * matching `targetPredicate`, one on the whole corpus. Sampling
+    * proportionally to the weight then shifts a raw crawl toward the
+    * target distribution ([[Sampling]] has the samplers). Mean RATIO,
+    * not sum of log-ratios, for the same engine-portability reason as
+    * [[bigramScore]] (libm `ln` breaks bit-identical twins); both are
+    * monotone "more target-like → bigger" signals. Both models smooth
+    * against the CORPUS vocabulary (the target vocab is a subset, and
+    * a shared V keeps unseen-bigram mass comparable across the two).
+    *
+    * Scale shape: identical to [[bigramScore]] with one extra
+    * (filtered) model pass — target counts left-join the scoring
+    * instances (a bigram unseen in the target coalesces to count 0 and
+    * gets pure smoothing mass); the ratio sum runs through
+    * DECIMAL(27,12) (ratios can reach ~corpus_tokens/V at the 100 TB
+    * point, past DECIMAL(20,14)'s 6 integer digits). Documents with no
+    * bigrams are absent, as in [[bigramScore]]. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPredicate: String, addK: Double = 1.0): DataFrame = {
+    require(addK > 0, s"importanceWeights: addK = $addK must be > 0")
+    def toks(df: DataFrame) = df.select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    def pairs(df: DataFrame) = toks(df).filter(size(col("__t")) >= 2)
+      .select(col("__id"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+    val target = docs.filter(expr(targetPredicate))
+    val big = pairs(docs).groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val bigT = pairs(target).groupBy("w1", "w2").agg(count(lit(1)).as("__c12t"))
+    val uniT = toks(target).select(explode(col("__t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1t"))
+    // corpus unigram dictionary pinned for the same two consumers as
+    // in bigramScore (V + the scoring join)
+    val uni = toks(docs).select(explode(col("__t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+      .localCheckpoint(false)
+    val v = uni.count()
+
+    val pT = (coalesce(col("__c12t"), lit(0L)) + lit(addK)) /
+      (coalesce(col("__c1t"), lit(0L)) + lit(addK * v))
+    val pC = (col("__c12") + lit(addK)) / (col("__c1") + lit(addK * v))
+    pairs(docs)
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .join(bigT, Seq("w1", "w2"), "left")
+      .join(uniT, Seq("w1"), "left")
+      .withColumn("__r", pT / pC)
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__r").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("weight"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("weight"))
+  }
 }

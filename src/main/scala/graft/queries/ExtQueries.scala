@@ -368,6 +368,54 @@ object ExtQueries {
       |FROM sc WHERE doc_id < 200
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DSIR-shape domain importance weights
+    * ([[graft.operators.NgramLm.importanceWeights]]): every document
+    * weighted by the mean ratio of target-model to corpus-model bigram
+    * probability — the data-selection signal importance resampling
+    * feeds a sampler. Target = the English documents (the fixture's
+    * `lang` label), so content that bigram-matches English text
+    * upweights regardless of its own label. The DuckDB twin retrains
+    * BOTH models from the same corpus — counts, smoothing, left-join
+    * unseen mass and the ratio mean are all hash-checked. */
+  def domainWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.operators.NgramLm.importanceWeights(docs, "doc_id", "text", "lang = 'en'")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("weight"), 6).as("weight_r"))
+      .orderBy("doc_id")
+  }
+  val domainWeightsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> len(t) > 0) AS t
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+      |    i -> struct_pack(w1 := t[CAST(i AS INT)], w2 := t[CAST(i AS INT) + 1]))) AS p
+      |  FROM w),
+      |bg AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+      |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+      |uni AS (SELECT w1, COUNT(*) AS c1 FROM (SELECT unnest(t) AS w1 FROM w) GROUP BY w1),
+      |bigt AS (SELECT w1, w2, COUNT(*) AS c12t FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+      |unit AS (SELECT w1, COUNT(*) AS c1t FROM (
+      |  SELECT unnest(t) AS w1 FROM w WHERE lang = 'en') GROUP BY w1),
+      |v AS (SELECT COUNT(*) AS v FROM uni),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |    ((COALESCE(bigt.c12t, 0) + 1.0) / (COALESCE(unit.c1t, 0) + 1.0 * v.v))
+      |      / ((big.c12 + 1.0) / (uni.c1 + 1.0 * v.v)) AS r
+      |  FROM bg
+      |  JOIN big USING (w1, w2)
+      |  JOIN uni USING (w1)
+      |  LEFT JOIN bigt USING (w1, w2)
+      |  LEFT JOIN unit USING (w1)
+      |  CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round(CAST(SUM(CAST(r AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS weight_r
+      |FROM sc WHERE doc_id < 200
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Top-20 most-similar embedding pairs (near-dup surface over a corpus
     * with no planted dups → top-N instead of threshold). Runs the
     * LSH-bucketed plan — candidates come from multi-table hyperplane
@@ -2155,6 +2203,7 @@ object ExtQueries {
     "x_embed_quantize" -> (embedQuantize _),
     "x_embed_pq_topk" -> (embedPqTopK _),
     "x_lm_score" -> (lmScore _),
+    "x_domain_weights" -> (domainWeights _),
     "x_pipeline_e2e" -> (pipelineE2E _),
     "x_split_hash" -> (splitHash _),
     "x_sample_stratified" -> (sampleStratified _),
@@ -2215,6 +2264,7 @@ object ExtQueries {
     "x_embed_quantize" -> embedQuantizeSql,
     "x_embed_pq_topk" -> embedPqTopKSql,
     "x_lm_score" -> lmScoreSql,
+    "x_domain_weights" -> domainWeightsSql,
     "x_pipeline_e2e" -> pipelineE2ESql,
     "x_split_hash" -> splitHashSql,
     "x_sample_stratified" -> sampleStratifiedSql,
