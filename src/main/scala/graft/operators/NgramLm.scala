@@ -41,18 +41,31 @@ object NgramLm {
     * result (they carry no fluency evidence either way). The mean runs
     * through a DECIMAL(20,14) sum so any engine replaying it is
     * bit-identical (the repo-wide aggregate-doubles rule). */
+  /** `(__id, [carry...], __t)` token frame — ONE definition of the
+    * tokenization both scorers (and their DuckDB twins) depend on. */
+  private def toksOf(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol).as("__id") +: carry.map(col) :+
+      TextFunctions.tokens(col(textCol)).as("__t"): _*)
+
+  /** Bigram instances `(__id, [carry...], w1, w2)` of a token frame —
+    * ONE definition of the instance construction (zip of the token
+    * array against its own 1-shift; docs under two tokens vanish). */
+  private def pairsOf(t: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    t.filter(size(col("__t")) >= 2)
+      .select(col("__id") +: carry.map(col) :+ explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+      .select(col("__id") +: carry.map(col) :+
+        col("__bg.w1").as("w1") :+ col("__bg.w2").as("w2"): _*)
+
   def bigramScore(docs: DataFrame, idCol: String, textCol: String,
       addK: Double = 1.0): DataFrame = {
     require(addK > 0, s"bigramScore: addK = $addK must be > 0 — unsmoothed " +
       "counts divide by zero on unseen histories")
-    def toks = docs.select(col(idCol).as("__id"),
-      TextFunctions.tokens(col(textCol)).as("__t"))
-    def pairs = toks.filter(size(col("__t")) >= 2)
-      .select(col("__id"), explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
-      .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    def toks = toksOf(docs, idCol, textCol)
+    def pairs = pairsOf(toks)
 
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
     // the unigram DICTIONARY (one row per distinct token — vocabulary-
@@ -91,45 +104,42 @@ object NgramLm {
     * against the CORPUS vocabulary (the target vocab is a subset, and
     * a shared V keeps unseen-bigram mass comparable across the two).
     *
-    * Scale shape: identical to [[bigramScore]] with one extra
-    * (filtered) model pass — target counts left-join the scoring
-    * instances (a bigram unseen in the target coalesces to count 0 and
-    * gets pure smoothing mass); the ratio sum runs through
-    * DECIMAL(27,12) (ratios can reach ~corpus_tokens/V at the 100 TB
-    * point, past DECIMAL(20,14)'s 6 integer digits). Documents with no
-    * bigrams are absent, as in [[bigramScore]]. */
+    * Scale shape: the SAME three corpus passes as [[bigramScore]] —
+    * both models ride the same two aggregations as conditional counts
+    * (`count(*)` for the corpus, `sum(when(target, 1))` for the target
+    * slice, both map-combinable), so the target model costs no extra
+    * scan and the scoring join touches two dictionaries, not four
+    * (review catch: the first formulation tokenized the target slice
+    * twice more and left-joined two extra count tables). A bigram or
+    * token unseen in the target carries count 0 — pure smoothing mass.
+    * The ratio sum runs through DECIMAL(27,12) (ratios can reach
+    * ~corpus_tokens/V at the 100 TB point, past DECIMAL(20,14)'s 6
+    * integer digits). Documents with no bigrams are absent, as in
+    * [[bigramScore]]. */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPredicate: String, addK: Double = 1.0): DataFrame = {
     require(addK > 0, s"importanceWeights: addK = $addK must be > 0")
-    def toks(df: DataFrame) = df.select(col(idCol).as("__id"),
-      TextFunctions.tokens(col(textCol)).as("__t"))
-    def pairs(df: DataFrame) = toks(df).filter(size(col("__t")) >= 2)
-      .select(col("__id"), explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
-      .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    // a null predicate result (e.g. null lang) counts as non-target
+    val tagged = docs.withColumn("__tgt",
+      coalesce(expr(targetPredicate).cast("boolean"), lit(false)))
+    def toks = toksOf(tagged, idCol, textCol, Seq("__tgt"))
+    def pairs = pairsOf(toks, Seq("__tgt"))
+    def tgtCount = sum(when(col("__tgt"), 1L).otherwise(0L))
 
-    val target = docs.filter(expr(targetPredicate))
-    val big = pairs(docs).groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
-    val bigT = pairs(target).groupBy("w1", "w2").agg(count(lit(1)).as("__c12t"))
-    val uniT = toks(target).select(explode(col("__t")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("__c1t"))
+    val big = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("__c12"), tgtCount.as("__c12t"))
     // corpus unigram dictionary pinned for the same two consumers as
     // in bigramScore (V + the scoring join)
-    val uni = toks(docs).select(explode(col("__t")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val uni = toks.select(explode(col("__t")).as("w1"), col("__tgt"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1"), tgtCount.as("__c1t"))
       .localCheckpoint(false)
     val v = uni.count()
 
-    val pT = (coalesce(col("__c12t"), lit(0L)) + lit(addK)) /
-      (coalesce(col("__c1t"), lit(0L)) + lit(addK * v))
+    val pT = (col("__c12t") + lit(addK)) / (col("__c1t") + lit(addK * v))
     val pC = (col("__c12") + lit(addK)) / (col("__c1") + lit(addK * v))
-    pairs(docs)
+    pairs
       .join(big, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
-      .join(bigT, Seq("w1", "w2"), "left")
-      .join(uniT, Seq("w1"), "left")
       .withColumn("__r", pT / pC)
       .groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"),

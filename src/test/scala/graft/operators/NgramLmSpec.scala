@@ -37,21 +37,22 @@ class NgramLmSpec extends AnyFunSuite {
   }
 
   test("importance weights: hand-computed two-model ratios, unseen target mass") {
-    // corpus: d1 "a b" en, d2 "a b" xx, d3 "a c" en, d4 "b b" xx
-    // corpus: uni a=3 b=4 c=1 (V=3); big (a,b)=2 (a,c)=1 (b,b)=1
-    // target(en): uniT a=2 b=1 c=1; bigT (a,b)=1 (a,c)=1
-    // r(a,b) = (2/5) / (3/6)   = 0.8
-    // r(a,c) = (2/5) / (2/6)   = 1.2    (target-favored bigram upweights)
-    // r(b,b) = (1/4) / (2/7)   = 0.875  (target-UNSEEN bigram: pure smoothing mass)
+    // corpus: d1 "a b" en, d2 "a b" xx, d3 "a c" en, d4 "b b" xx, d5 "d d" xx
+    // corpus: uni a=3 b=4 c=1 d=2 (V=4); big (a,b)=2 (a,c)=1 (b,b)=1 (d,d)=1
+    // target(en): uniT a=2 b=1 c=1 d=0; bigT (a,b)=1 (a,c)=1
+    // r(a,b) = (2/6) / (3/7) = 7/9    r(a,c) = (2/6) / (2/7) = 7/6
+    // r(b,b) = (1/5) / (2/8) = 0.8    (target-unseen BIGRAM, seen token)
+    // r(d,d) = (1/4) / (2/6) = 0.75   (target-unseen TOKEN: c1t = 0 path)
     val corpus = Seq(
-      (1L, "a b", "en"), (2L, "a b", "xx"),
-      (3L, "a c", "en"), (4L, "b b", "xx")).toDF("doc_id", "text", "lang")
+      (1L, "a b", "en"), (2L, "a b", "xx"), (3L, "a c", "en"),
+      (4L, "b b", "xx"), (5L, "d d", "xx")).toDF("doc_id", "text", "lang")
     val w = NgramLm.importanceWeights(corpus, "doc_id", "text", "lang = 'en'")
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
-    assert(math.abs(w(1L) - 0.8) < 1e-9)
-    assert(math.abs(w(2L) - 0.8) < 1e-9, "weights are content-based, not label-based")
-    assert(math.abs(w(3L) - 1.2) < 1e-9)
-    assert(math.abs(w(4L) - 0.875) < 1e-9)
+    assert(math.abs(w(1L) - 7.0 / 9) < 1e-9)
+    assert(math.abs(w(2L) - 7.0 / 9) < 1e-9, "weights are content-based, not label-based")
+    assert(math.abs(w(3L) - 7.0 / 6) < 1e-9)
+    assert(math.abs(w(4L) - 0.8) < 1e-9)
+    assert(math.abs(w(5L) - 0.75) < 1e-9)
   }
 
   test("addK must be positive") {
