@@ -53,20 +53,7 @@ object Bench {
     // page cache and tmpfs full of dead data. Sweep them after every
     // rep; each invocation creates fresh dirs, so nothing live is ever
     // deleted. (Only this JVM's naming pattern is touched.)
-    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    def sweepTmp(): Unit =
-      try {
-        val it = java.nio.file.Files.list(tmpRoot)
-        try it.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("graft_q_"))
-          .foreach { d =>
-            try {
-              java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverseIterator
-                .foreach(p => java.nio.file.Files.deleteIfExists(p))
-            } catch { case _: Throwable => () } // best-effort hygiene
-          }
-        finally it.close()
-      } catch { case _: Throwable => () }
+    def sweepTmp(): Unit = graft.tools.Hygiene.sweepTmp()
 
     // warmup: JVM, codegen, parquet reader paths
     force(SparkEntry.entry(spark))
@@ -177,6 +164,10 @@ object Bench {
       // the data term (certified 1.23/1.26/2.57 s at sf0.1/1/10); the
       // lane watches the kernel path from here
       "x_embed_pq_topk",
+      // round-17: the IVF×PQ composed serving query — one corpus
+      // projection (assign + encode) plus the nprobe-pruned ADC join is
+      // the data term
+      "x_ivf_pq_topk",
       // round-16: corpus-trained bigram LM score — model counts + two
       // dictionary joins are all data terms (certified 1.15/1.54/9.95 s
       // at sf0.1/1/10, linear on the top decade)
@@ -219,6 +210,88 @@ object Bench {
         sf1Status = "failed"; Nil
       }
 
+    // ---- isolated per-key lane (round-16 judge ask #1): the shared-JVM
+    // batch totals above smear ~1.3x host noise over 130 keys, and three
+    // rounds of verdicts have had to re-litigate drift from them. The
+    // adjudication protocol that has settled every such question —
+    // TimeOne, fresh JVM per key, min of n reps — becomes the artifact
+    // of record here: one forked child JVM per sf1-lane key, each
+    // emitting a machine-readable min that lands in BENCH_ISOLATED.json.
+    // The batch lanes stay for contract continuity; the isolated lane is
+    // what a round-over-round per-key diff should read.
+    val isoReps = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REPS", "3").toInt.max(1)
+    val isoFailed = scala.collection.mutable.LinkedHashSet.empty[String]
+    var isoStatus = "ok"
+    val isoResults: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "1") == "0") { isoStatus = "disabled"; Nil }
+      else if (sf1Status != "ok") { isoStatus = "skipped_no_sf1"; Nil }
+      else try {
+        // child classpath: neither java.class.path (under `sbt runMain`
+        // it names only the sbt launcher) nor protection-domain code
+        // sources (sbt bg-jobs copies each jar into its OWN hash dir, so
+        // a code-source parent + "/*" sees one jar and loses
+        // scala-library) survive every launcher — prefer the on-disk
+        // layout the build contract fixes (compiled classes dir next to
+        // user.dir, spark + scala jars in /opt/spark/jars) and fall back
+        // to code sources for exotic launchers
+        def src(c: Class[_]): Option[java.io.File] =
+          Option(c.getProtectionDomain.getCodeSource)
+            .map(s => new java.io.File(s.getLocation.toURI))
+        val cp = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_CP", {
+          val classesDir = new java.io.File(
+            System.getProperty("user.dir"), "target/scala-2.13/classes")
+          val graftCp =
+            if (classesDir.isDirectory) Some(classesDir.getPath)
+            else src(SparkEntry.getClass).map(_.getPath)
+          val sparkJars = new java.io.File("/opt/spark/jars")
+          val sparkDir =
+            if (sparkJars.isDirectory) Some(sparkJars.getPath + java.io.File.separator + "*")
+            else src(classOf[org.apache.spark.SparkContext])
+              .map(_.getParent + java.io.File.separator + "*")
+          (graftCp.toSeq ++ sparkDir.toSeq).mkString(java.io.File.pathSeparator)
+        })
+        require(cp.nonEmpty, "could not derive a child classpath")
+        val javaBin = System.getProperty("java.home") +
+          java.io.File.separator + "bin" + java.io.File.separator + "java"
+        // the Spark-on-JDK17 module opens (JavaModuleOptions.
+        // defaultModuleOptions) — spark-submit injects these, a bare
+        // child JVM does not, and Arrow/Feather keys hard-fail without
+        // java.base/java.nio (caught by the round-17 smoke)
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar"
+        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        val minRe = """"min":([0-9.]+)""".r
+        sf1Keys.flatMap { key =>
+          val pb = new ProcessBuilder(
+            (Seq(javaBin, "-Xmx16g") ++ addOpens ++
+              Seq("-cp", cp, "graft.tools.TimeOne", key)): _*)
+          pb.environment().put("SPARK_GRAFT_SF_DIR", sf1Dir)
+          pb.environment().put("SPARK_GRAFT_REPS", isoReps.toString)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+          // a hung key must not hang the whole artifact: the stream read
+          // above returns on child exit; belt-and-braces bound the wait
+          val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+          if (!done) proc.destroyForcibly()
+          val min = out.linesIterator
+            .find(l => l.contains("\"metric\":\"timeone\"") && l.contains(s""""key":"$key""""))
+            .flatMap(l => minRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+          if (done && proc.exitValue() == 0 && min.isDefined) Some(key -> min.get)
+          else { isoFailed += key; System.err.println(s"[bench] isolated $key failed " +
+            s"(done=$done exit=${if (done) proc.exitValue() else -1})"); None }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated lane failed: $e")
+        isoStatus = "failed"; Nil
+      }
+
     def toJsonMap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -258,8 +331,17 @@ object Bench {
           s""""queries":$qs,"failed":$failedJson,"sf1":$sf1Json}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes("UTF-8"))
+      // the isolated lane's own artifact — per-key fresh-JVM min-of-n,
+      // the number a round-over-round diff should read
+      val iso =
+        s"""{"status":"$isoStatus","dir":"$sf1Dir","reps":$isoReps,""" +
+          s""""protocol":"fresh JVM per key via graft.tools.TimeOne (local[8]), min of $isoReps reps",""" +
+          s""""queries":${toJsonMap(isoResults)},""" +
+          s""""failed":${isoFailed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ISOLATED.json"),
+        iso.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file write failed: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size},"sf1":"$sf1Status","sf1_total":$sf1Total%.3f,"sf1_nqueries":${sf1Results.size},"sf1_nfailed":${sf1Failed.size},"sf1_dir":"$sf1Dir","per_query_file":"BENCH_FULL.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size},"sf1":"$sf1Status","sf1_total":$sf1Total%.3f,"sf1_nqueries":${sf1Results.size},"sf1_nfailed":${sf1Failed.size},"sf1_dir":"$sf1Dir","isolated":"$isoStatus","isolated_nqueries":${isoResults.size},"isolated_nfailed":${isoFailed.size},"per_query_file":"BENCH_FULL.json","isolated_file":"BENCH_ISOLATED.json"}""")
     spark.stop()
   }
 }

@@ -288,6 +288,98 @@ case class RollingHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
 }
 
+/** Trained-BPE token count over a token array: Σ per-word subword
+  * counts under a FOLDABLE merge table (array<struct<a,b>> literal —
+  * normally [[graft.functions.Bpe.pinnedMerges]]). Encoding applies
+  * merges in learned order, one left-to-right non-overlapping pass
+  * each ([[graft.functions.Bpe.tokenCount]]) — exactly the `replace()`
+  * pass the DuckDB oracle replays, so counts are engine-identical.
+  * Word → count is memoized per executor (Zipf vocab: the memo turns
+  * 64 merge passes per word into one hash probe for every repeat),
+  * bounded and cleared at 2^17 entries. Generated code follows the
+  * [[NearestCentroid]] reference-object pattern: one call into the
+  * kernel per row, no interpreted re-walk, stays in whole-stage
+  * codegen. */
+case class BpeTokenCount(tokens: Expression, mergesExpr: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = mergesExpr
+  override def prettyName: String = "graft_bpe_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!mergesExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_count expects a FOLDABLE merge table (a literal)")
+    else (tokens.dataType, mergesExpr.dataType) match {
+      case (ArrayType(StringType, _),
+            ArrayType(StructType(Array(a, b)), _))
+          if a.dataType == StringType && b.dataType == StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (t, m) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_count expects (array<string>, array<struct<string,string>>), got ($t, $m)")
+    }
+
+  @transient private lazy val kernel: BpeCountKernel = {
+    val arr = mergesExpr.eval(null).asInstanceOf[ArrayData]
+    val ms = new Array[(String, String)](arr.numElements())
+    var i = 0
+    while (i < ms.length) {
+      val row = arr.getStruct(i, 2)
+      ms(i) = (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+      i += 1
+    }
+    new BpeCountKernel(ms)
+  }
+
+  override def nullSafeEval(toks: Any, m: Any): Any =
+    kernel.count(toks.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftBpeKernel", kernel,
+      classOf[BpeCountKernel].getName)
+    val t = tokens.genCode(ctx)
+    ev.copy(code = code"""
+      ${t.code}
+      boolean ${ev.isNull} = ${t.isNull};
+      int ${ev.value} = ${ev.isNull} ? -1 : $kRef.count(${t.value});
+      """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeTokenCount =
+    copy(tokens = l, mergesExpr = r)
+}
+
+/** Executor-side state of [[BpeTokenCount]]: the merge table plus a
+  * bounded word→count memo. Public top-level class only because
+  * generated code references it by name; not user API. */
+final class BpeCountKernel(merges: Array[(String, String)]) extends Serializable {
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def countWord(w: String): Int = {
+    val hit = memo.get(w)
+    if (hit != null) hit.intValue()
+    else {
+      val n = graft.functions.Bpe.tokenCount(w, merges)
+      if (memo.size() > (1 << 17)) memo.clear() // bounded; pure fn, safe to drop
+      memo.put(w, Integer.valueOf(n))
+      n
+    }
+  }
+
+  def count(arr: ArrayData): Int = {
+    var total = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) total += countWord(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    total
+  }
+}
+
 /** One-pass word-n-gram shingler: lowercase, split on `\s+`, join each
   * sliding window of `n` words with single spaces; documents shorter
   * than `n` words yield one whole-document shingle; `distinct` keeps
@@ -1646,6 +1738,8 @@ object GraftExpressions {
       { es: Seq[Expression] => OrderedPairs(es(0)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       { es: Seq[Expression] => RollingHash64(es(0)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_count",
+      { es: Seq[Expression] => BpeTokenCount(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       { es: Seq[Expression] =>
         val k = es(2).eval(InternalRow.empty).asInstanceOf[Int]
@@ -1728,6 +1822,9 @@ object GraftExpressions {
   def rollingHash(spark: SparkSession, tokens: Column): Column = {
     register(spark); call_function("graft_rolling_hash", tokens)
   }
+  def bpeCount(spark: SparkSession, tokens: Column, merges: Column): Column = {
+    register(spark); call_function("graft_bpe_count", tokens, merges)
+  }
   def topK(spark: SparkSession, sim: Column, id: Column, k: Int): Column = {
     register(spark)
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
@@ -1803,6 +1900,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => OrderedPairs(es(0)))
     inject("graft_rolling_hash", classOf[RollingHash64],
       es => RollingHash64(es(0)))
+    inject("graft_bpe_count", classOf[BpeTokenCount],
+      es => BpeTokenCount(es(0), es(1)))
     inject("graft_lsh_bits", classOf[LshSignBits],
       es => LshSignBits(es(0), intArg(es, 1), if (es.length > 2) intArg(es, 2) else 0))
     inject("graft_topk", classOf[TopKPairs],

