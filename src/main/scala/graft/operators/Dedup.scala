@@ -487,26 +487,47 @@ object Dedup {
       explode(graft.plans.GraftExpressions.shingles(
         spark, col(textCol), n, distinct = false)).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("fp"))
-    // NO pinned intermediate (round-15 sf60 catch: the pinned (fp, doc)
-    // count table — ~one row per distinct corpus window — exhausted the
-    // 24 GB heap at 6M docs) and NO fp-partitioned window (round-16
-    // advice: a boilerplate fingerprint present in most docs puts ~ndocs
-    // rows into ONE window partition/task — the single-hot-key straggler
-    // this file fixes elsewhere). The fp's document spread is a second
-    // MAP-COMBINABLE groupBy(fp) joined back: both aggregates hang off
-    // the identical (fp, doc_id) sub-plan (exchange reuse collapses the
-    // duplicate scan when it fires; recomputing one explode+hash pass is
-    // the documented worst case — cheaper than a pin that OOMs or a
-    // window that straggles), every exchange carries compact long rows,
-    // and a hot fp in the fp-keyed join is ordinary join skew, which AQE
-    // skew handling splits — a window partition cannot be split.
-    val perDocFp = spans.groupBy("fp", "doc_id").agg(count(lit(1)).as("cnt"))
-    val spread = perDocFp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
-    perDocFp.join(spread, Seq("fp"))
-      .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("n_spans"),
-        sum(when(col("ndocs") > 1, col("cnt")).otherwise(lit(0L))).as("cross_doc_spans"))
-      .select(col("doc_id"), col("n_spans"), col("cross_doc_spans"),
-        (col("cross_doc_spans").cast("double") / col("n_spans")).as("dup_frac"))
+    // Third formulation (round-17 triage). History: the r15 shape
+    // attached the fp's document spread with a COUNT WINDOW over the fp
+    // partition — fast (1.4 s at sf1) but a boilerplate fingerprint
+    // present in most docs buffers ~ndocs rows in ONE window task
+    // (round-16 advice, the unsplittable straggler). The r16 rewrite
+    // joined a groupBy(fp) spread back onto the (fp, doc) rows — skew-
+    // safe but measured 2.8× the window on the interleaved same-host
+    // A/B (3.9–4.1 s vs 1.36–1.52 s at sf1: the fat fp-keyed join moves
+    // every (fp, doc) row through a second exchange, and the shared
+    // sub-plan is NOT runtime-reused). This shape needs neither:
+    //
+    //   cross_doc_spans(d) = n_spans(d) − Σ cnt(d, f) over fps with
+    //                        ndocs(f) == 1   (the "uniq" complement)
+    //
+    //  - n_spans comes from the WORD COUNT alone (shingle count is
+    //    max(1, W−n+1) for W ≥ 1 by WordShingles' contract, 0 for
+    //    empty) — a pure projection, no second explode pass;
+    //  - the uniq side flows spans → agg(fp, doc) → agg(fp) where BOTH
+    //    aggregates are map-combinable, so a corpus-hot fp collapses
+    //    map-side instead of stragglering a window or skewing a join;
+    //    only single-doc fps survive the filter, and they aggregate to
+    //    ≤ one row per doc before the final doc-keyed join (unique
+    //    keys — skew-free by construction).
+    val nSpansOf = {
+      val w = size(graft.plans.GraftExpressions.shingles(
+        spark, col(textCol), 1, distinct = false))
+      when(w === 0, lit(0L)).when(w < n, lit(1L))
+        .otherwise((w - (n - 1)).cast("long"))
+    }
+    val nSpans = df.select(col(idCol).as("doc_id"), nSpansOf.as("__ns"))
+      .groupBy("doc_id").agg(sum(col("__ns")).as("n_spans"))
+      .filter(col("n_spans") > 0)
+    val uniqPerDoc = spans.groupBy("fp", "doc_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("fp").agg(count(lit(1)).as("ndocs"),
+        min(col("doc_id")).as("doc_id"), sum(col("cnt")).as("cnt"))
+      .filter(col("ndocs") === 1)
+      .groupBy("doc_id").agg(sum(col("cnt")).as("uniq_spans"))
+    nSpans.join(uniqPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("uniq_spans"), lit(0L))).as("cross_doc_spans"))
+      .withColumn("dup_frac",
+        col("cross_doc_spans").cast("double") / col("n_spans"))
   }
 }

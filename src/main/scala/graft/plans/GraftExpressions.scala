@@ -90,7 +90,7 @@ case class VectorDot(left: Expression, right: Expression)
   * (Carter-Wegman), so cost is O(elements + k) not O(elements*k).
   * Output: array<long> of length k. */
 case class MinHashSig(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -100,6 +100,24 @@ case class MinHashSig(child: Expression, k: Int)
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
+
+  // round-17 codegen port (same reference-object pattern as
+  // NearestCentroid): the kernel loop was already primitive, but the
+  // CodegenFallback wrapper materialized the incoming row and paid an
+  // interpreted eval dispatch per row inside otherwise-generated spans
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftMinhash", this, classOf[MinHashSig].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${ev.isNull} ? null : $ref.compute(${c.value});
+      """)
+  }
+
+  def compute(arr: ArrayData): ArrayData =
+    nullSafeEval(arr).asInstanceOf[ArrayData]
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -128,7 +146,7 @@ case class MinHashSig(child: Expression, k: Int)
 /** 64-bit SimHash over a string array in one pass: per-token xxh64,
   * ±1 vote per bit, sign of votes → bit. */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -138,6 +156,20 @@ case class SimHash64(child: Expression)
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
+
+  // round-17 codegen port — see MinHashSig
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSimhash", this, classOf[SimHash64].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      long ${ev.value} = ${ev.isNull} ? 0L : $ref.compute(${c.value});
+      """)
+  }
+
+  def compute(arr: ArrayData): Long =
+    nullSafeEval(arr).asInstanceOf[Long]
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -170,7 +202,21 @@ case class SimHash64(child: Expression)
   * `aggregate(zip_with(...))` composition whose per-element interpreted
   * lambdas dominated the ANN pipelines. */
 case class LshSignBits(child: Expression, nbits: Int, offset: Int = 0)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  // round-17 codegen port — see MinHashSig
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftLshBits", this, classOf[LshSignBits].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      long ${ev.value} = ${ev.isNull} ? 0L : $ref.compute(${c.value});
+      """)
+  }
+
+  def compute(arr: ArrayData): Long =
+    nullSafeEval(arr).asInstanceOf[Long]
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -215,7 +261,21 @@ case class LshSignBits(child: Expression, nbits: Int, offset: Int = 0)
   * `x_dedup_simhash` pipeline; the xxh64 variant stays as the
   * (marginally faster) non-portable path. */
 case class Md5SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  // round-17 codegen port — see MinHashSig
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSimhashMd5", this, classOf[Md5SimHash64].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      long ${ev.value} = ${ev.isNull} ? 0L : $ref.compute(${c.value});
+      """)
+  }
+
+  def compute(arr: ArrayData): Long =
+    nullSafeEval(arr).asInstanceOf[Long]
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -262,7 +322,21 @@ case class Md5SimHash64(child: Expression)
   * ARITHMETIC_OVERFLOW under ANSI mode (Spark 4 default), but
   * wraparound is exactly what a polynomial hash wants. */
 case class RollingHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  // round-17 codegen port — see MinHashSig
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRollingHash", this, classOf[RollingHash64].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      long ${ev.value} = ${ev.isNull} ? 0L : $ref.compute(${c.value});
+      """)
+  }
+
+  def compute(arr: ArrayData): Long =
+    nullSafeEval(arr).asInstanceOf[Long]
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -388,7 +462,22 @@ final class BpeCountKernel(merges: Array[(String, String)]) extends Serializable
   * interpreted per-element evaluation dominated the dedup pipelines.
   */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  // round-17 codegen port — see MinHashSig
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftShingles", this, classOf[WordShingles].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${ev.isNull} ? null : $ref.compute(${c.value});
+      """)
+  }
+
+  def compute(s: UTF8String): ArrayData =
+    nullSafeEval(s).asInstanceOf[ArrayData]
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -457,7 +546,23 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   * the ssjoin literature and the large-scale dedup pipelines this
   * mirrors. */
 case class WordShingleHashes(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  // round-17 codegen port — see MinHashSig
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftShingleHashes", this,
+      classOf[WordShingleHashes].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${ev.isNull} ? null : $ref.compute(${c.value});
+      """)
+  }
+
+  def compute(s: UTF8String): ArrayData =
+    nullSafeEval(s).asInstanceOf[ArrayData]
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -507,7 +612,22 @@ case class WordShingleHashes(child: Expression, n: Int)
   * array per element — O(n²) allocations per bucket that dominated the
   * inverted-index dedup under concurrent executors. */
 case class OrderedPairs(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  // round-17 codegen port — see MinHashSig
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftOrderedPairs", this, classOf[OrderedPairs].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${ev.isNull} ? null : $ref.compute(${c.value});
+      """)
+  }
+
+  def compute(arr: ArrayData): ArrayData =
+    nullSafeEval(arr).asInstanceOf[ArrayData]
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -553,7 +673,23 @@ case class OrderedPairs(child: Expression)
   * per-call hash set, no allocations (vs ArrayIntersect, which builds a
   * hash set per row and dominated near-dup verification at 1M+ pairs). */
 case class SortedIntersectCount(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
+
+  // round-17 codegen port — see MinHashSig
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftIntersect", this,
+      classOf[SortedIntersectCount].getName)
+    val l = left.genCode(ctx); val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = ${l.isNull} || ${r.isNull};
+      int ${ev.value} = ${ev.isNull} ? -1 : $ref.compute(${l.value}, ${r.value});
+      """)
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Int =
+    nullSafeEval(a, b).asInstanceOf[Int]
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {

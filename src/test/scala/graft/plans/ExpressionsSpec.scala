@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
@@ -455,5 +456,51 @@ class ExpressionsSpec extends AnyFunSuite {
         .select(GraftExpressions.pqAdc(spark, $"c", $"l", ks = 7)).collect()
     }
     assert(chain(e3).exists(c => Option(c.getMessage).exists(_.contains("expected 7"))))
+  }
+
+  test("round-17 text-kernel codegen ports: generated code == interpreted eval") {
+    // every kernel un-fallbacked this round (MinHashSig, SimHash64,
+    // Md5SimHash64, LshSignBits, RollingHash64, WordShingles,
+    // WordShingleHashes, OrderedPairs, SortedIntersectCount,
+    // BpeTokenCount) computed over one projection in BOTH execution
+    // modes — CODEGEN_ONLY makes a generation failure a test failure
+    // instead of a silent interpreted fallback. Includes null text and
+    // null vector rows (the generated null branch).
+    val df = texts.unionByName(Seq((9L, null.asInstanceOf[String])).toDF("id", "text"))
+      .withColumn("vec",
+        when($"id" === 9L, lit(null).cast("array<float>"))
+          .otherwise(array((0 until 8).map(i => ($"id" + i).cast("float")): _*)))
+    def run(codegen: Boolean): Seq[Row] = {
+      val prevW = spark.conf.get("spark.sql.codegen.wholeStage")
+      val prevF = spark.conf.get("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+        spark.conf.set("spark.sql.codegen.factoryMode",
+          if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+        df.select($"id",
+            TextFunctions.shingleSet($"text", 3).as("sh"),
+            TextFunctions.shingleHashes($"text", 3).as("shh"),
+            TextFunctions.minhashSignature(TextFunctions.shingleSet($"text", 3), 16).as("mh"),
+            TextFunctions.simhash64(TextFunctions.tokens($"text")).as("sx"),
+            TextFunctions.simhashMd5(TextFunctions.tokens($"text")).as("sm"),
+            TextFunctions.rollingHash($"text").as("rh"),
+            TextFunctions.bpeTokenCount($"text").as("bpe"),
+            GraftExpressions.lshBits(spark, $"vec", 12).as("lsh"),
+            GraftExpressions.intersectCount(spark,
+              TextFunctions.shingleSet($"text", 3),
+              TextFunctions.shingleSet(reverse($"text"), 3)).as("ic"),
+            GraftExpressions.orderedPairs(spark,
+              TextFunctions.shingleHashes($"text", 2)).as("op"))
+          .orderBy("id").collect().toSeq
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", prevW)
+        spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+      }
+    }
+    val gen = run(true); val interp = run(false)
+    assert(gen.map(_.toString) == interp.map(_.toString))
+    // null text propagates null through every string-rooted kernel
+    val nullRow = gen.find(_.getLong(0) == 9L).get
+    assert((1 to 7).forall(nullRow.isNullAt))
   }
 }
