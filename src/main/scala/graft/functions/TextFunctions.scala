@@ -92,14 +92,30 @@ object TextFunctions {
   def markerCount(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => markers.map(m => w === lit(m)).reduce(_ || _)))
 
+  /** The fused one-pass profile every marker/quality consumer shares
+    * ([[graft.plans.TextMarkerStats]]): words + lengths + punct + cjk +
+    * marker counts in a single compiled scan. Call sites that project
+    * several of these per row build IDENTICAL expression trees, which
+    * whole-stage codegen's subexpression elimination collapses to one
+    * kernel call — where the declarative stack re-ran an interpreted
+    * `filter(split(lower(text)))` per component (round-17 bench
+    * attribution: the most expensive per-doc surface in the contract). */
+  private def markerStats(text: Column): Column =
+    graft.plans.GraftExpressions.textMarkerStats(
+      org.apache.spark.sql.SparkSession.active, text,
+      org.apache.spark.sql.functions.typedlit(
+        LangMarkers.map { case (c, ws) => (c, ws) }))
+
   /** Heuristic language id: argmax of marker counts with a CJK-ratio
     * override; deterministic tie-break by language code order; "und"
     * when nothing matches. */
   def langId(text: Column): Column = {
-    val ws = words(text)
-    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
-    val scores = LangMarkers.map { case (code, ms) => (code, markerCount(ws, ms)) }
-    val best = scores.sortBy(_._1).foldLeft((lit("und"), lit(0))) {
+    val st = markerStats(text)
+    val cjk = st.getField("cjk")
+    val scores = LangMarkers.zipWithIndex.map { case ((code, _), i) =>
+      (code, element_at(st.getField("marker"), i + 1))
+    }
+    val best = scores.sortBy(_._1).foldLeft((lit("und"), lit(0): Column)) {
       case ((bc, bs), (code, s)) => (when(s > bs, lit(code)).otherwise(bc), greatest(s, bs))
     }._1
     when(cjk * 2 > length(text), lit("zh")).otherwise(best)
@@ -109,11 +125,11 @@ object TextFunctions {
   /** Quality components: word count, mean word length, punctuation
     * ratio, stopword ratio — the classic cheap pretraining filters. */
   def qualityComponents(text: Column): Seq[(String, Column)] = {
-    val ws = words(text)
-    val nW = size(ws)
+    val st = markerStats(text)
+    val nW = st.getField("n_words")
     val nC = length(text)
-    val punct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
-    val stop = markerCount(ws, LangMarkers.flatMap(_._2))
+    val punct = st.getField("punct")
+    val stop = st.getField("stop")
     // zero-guard every ratio: an empty or whitespace-only document has
     // nW = 0 (and "" has nC = 0), which under ANSI mode is a RUNTIME
     // DIVIDE_BY_ZERO that kills the whole job — empty docs are
@@ -121,7 +137,7 @@ object TextFunctions {
     Seq(
       "n_words" -> nW,
       "mean_word_len" -> when(nW > 0,
-        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nW)
+        st.getField("sum_word_len").cast("double") / nW)
         .otherwise(lit(0.0)),
       "punct_ratio" -> when(nC > 0, punct.cast("double") / nC).otherwise(lit(0.0)),
       "stopword_ratio" -> when(nW > 0, stop.cast("double") / nW).otherwise(lit(0.0)))
@@ -169,8 +185,10 @@ object TextFunctions {
     }._1
 
   // ------------------------------------------------------- token counts
-  /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(words(text))
+  /** Whitespace token count — via the fused [[markerStats]] kernel (one
+    * compiled scan; shares its subexpression with langId/quality when
+    * projected together). */
+  def wsTokenCount(text: Column): Column = markerStats(text).getField("n_words")
 
   /** Trained-BPE token count (Sennrich arXiv:1508.07909): tokenize via
     * the same compiled lowercase/`\s+` tokenizer as everything else,

@@ -454,6 +454,143 @@ final class BpeCountKernel(merges: Array[(String, String)]) extends Serializable
   }
 }
 
+/** One-pass text profiling for the quality/language stack: word count,
+  * summed code-point word length, punctuation count, CJK count, total
+  * stopword hits, and per-language marker-word counts — everything
+  * [[graft.functions.TextFunctions.qualityScore]]/`langId`/
+  * `wsTokenCount` need, in ONE scan of the string. Replaces a stack of
+  * interpreted higher-order built-ins (`filter(split(lower(text)))`
+  * per call site, `regexp_extract_all` twice, an `aggregate` lambda,
+  * and 26-way OR-chains inside `filter` lambdas) that round-17 bench
+  * attribution measured as the single most expensive per-document
+  * surface in the contract (x_text_stats ~48 s at sf10 — marker/regex
+  * bound, not tokenizer bound).
+  *
+  * Semantics are EXACTLY the declarative composition's (the oracle
+  * twins replay it in SQL, so this must be bit-identical):
+  * words = lowercase, split on Java `\s`, drop empties; word length in
+  * code points; punct = occurrences of [.,;:!?] in the RAW text; cjk =
+  * code points in [0x4e00, 0x9fff] of the raw text; marker counts =
+  * exact-equality hits per language set (lowercased words); stop = hits
+  * against the union of all sets. Marker tables arrive as a foldable
+  * literal `array<struct<code string, words array<string>>>`. Output:
+  * `struct<n_words int, sum_word_len bigint, punct int, cjk int,
+  * stop int, marker array<int>>` (marker in literal order). */
+case class TextMarkerStats(text: Expression, markersExpr: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = markersExpr
+  override def prettyName: String = "graft_text_marker_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("cjk", IntegerType, nullable = false),
+    StructField("stop", IntegerType, nullable = false),
+    StructField("marker", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!markersExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_text_marker_stats expects a FOLDABLE marker table (a literal)")
+    else (text.dataType, markersExpr.dataType) match {
+      case (StringType, ArrayType(StructType(Array(c, w)), _))
+          if c.dataType == StringType &&
+            w.dataType.isInstanceOf[ArrayType] &&
+            w.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (t, m) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_text_marker_stats expects (string, array<struct<string, array<string>>>), got ($t, $m)")
+    }
+
+  @transient private lazy val kernel: TextMarkerStatsKernel = {
+    val arr = markersExpr.eval(null).asInstanceOf[ArrayData]
+    val sets = new Array[java.util.HashSet[String]](arr.numElements())
+    var i = 0
+    while (i < sets.length) {
+      val row = arr.getStruct(i, 2)
+      val ws = row.getArray(1)
+      val s = new java.util.HashSet[String]()
+      var j = 0
+      while (j < ws.numElements()) { s.add(ws.getUTF8String(j).toString); j += 1 }
+      sets(i) = s
+      i += 1
+    }
+    new TextMarkerStatsKernel(sets)
+  }
+
+  override def nullSafeEval(t: Any, m: Any): Any =
+    kernel.profile(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftTextStats", kernel,
+      classOf[TextMarkerStatsKernel].getName)
+    val t = text.genCode(ctx)
+    ev.copy(code = code"""
+      ${t.code}
+      boolean ${ev.isNull} = ${t.isNull};
+      InternalRow ${ev.value} = ${ev.isNull} ? null : $kRef.profile(${t.value});
+      """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TextMarkerStats =
+    copy(text = l, markersExpr = r)
+}
+
+/** Executor-side loop of [[TextMarkerStats]]. Public top-level class
+  * only because generated code references it by name; not user API. */
+final class TextMarkerStatsKernel(
+    sets: Array[java.util.HashSet[String]]) extends Serializable {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def profile(t: UTF8String): InternalRow = {
+    // raw-text pass: punct + cjk (case folding can change string length
+    // in pathological Unicode, so these counts must NOT come from the
+    // lowered copy the tokenizer uses)
+    val raw = t.toString
+    var punct = 0; var cjk = 0
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?') punct += 1
+      else if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      i += 1
+    }
+    // lowered pass: words, code-point lengths, marker hits — the same
+    // tokenizer contract as WordShingles (Java \s class, lower() first)
+    val low = t.toLowerCase.toString
+    var nWords = 0
+    var sumLen = 0L
+    var stop = 0
+    val markers = new Array[Int](sets.length)
+    i = 0
+    val n = low.length
+    while (i < n) {
+      while (i < n && isWs(low.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(low.charAt(i))) i += 1
+      if (i > start) {
+        nWords += 1
+        sumLen += low.codePointCount(start, i)
+        val w = low.substring(start, i)
+        var hit = false
+        var s = 0
+        while (s < sets.length) {
+          if (sets(s).contains(w)) { markers(s) += 1; hit = true }
+          s += 1
+        }
+        if (hit) stop += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumLen, punct, cjk, stop,
+        new GenericArrayData(markers.map(m => m: Any))))
+  }
+}
+
 /** One-pass word-n-gram shingler: lowercase, split on `\s+`, join each
   * sliding window of `n` words with single spaces; documents shorter
   * than `n` words yield one whole-document shingle; `distinct` keeps
@@ -1876,6 +2013,8 @@ object GraftExpressions {
       { es: Seq[Expression] => RollingHash64(es(0)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_count",
       { es: Seq[Expression] => BpeTokenCount(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_text_marker_stats",
+      { es: Seq[Expression] => TextMarkerStats(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       { es: Seq[Expression] =>
         val k = es(2).eval(InternalRow.empty).asInstanceOf[Int]
@@ -1961,6 +2100,9 @@ object GraftExpressions {
   def bpeCount(spark: SparkSession, tokens: Column, merges: Column): Column = {
     register(spark); call_function("graft_bpe_count", tokens, merges)
   }
+  def textMarkerStats(spark: SparkSession, text: Column, markers: Column): Column = {
+    register(spark); call_function("graft_text_marker_stats", text, markers)
+  }
   def topK(spark: SparkSession, sim: Column, id: Column, k: Int): Column = {
     register(spark)
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
@@ -2038,6 +2180,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => RollingHash64(es(0)))
     inject("graft_bpe_count", classOf[BpeTokenCount],
       es => BpeTokenCount(es(0), es(1)))
+    inject("graft_text_marker_stats", classOf[TextMarkerStats],
+      es => TextMarkerStats(es(0), es(1)))
     inject("graft_lsh_bits", classOf[LshSignBits],
       es => LshSignBits(es(0), intArg(es, 1), if (es.length > 2) intArg(es, 2) else 0))
     inject("graft_topk", classOf[TopKPairs],
