@@ -174,7 +174,11 @@ object Bench {
       "x_lm_score",
       // round-16: DSIR importance weights — the LM shape plus a second
       // filtered model pass (certified 1.20/2.20/10.84 s at sf0.1/1/10)
-      "x_domain_weights")
+      "x_domain_weights",
+      // round-17: the fused TextMarkerStats kernel's two heaviest
+      // consumers (6.6×/2× wins this round) — the lane watches the
+      // kernel's constant from here
+      "x_text_stats", "x_quality_filter")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scale/sf1")
     val sf1Failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // tri-state so a round-over-round consumer can tell "opted out"
