@@ -143,6 +143,22 @@ object TextFunctions {
       "stopword_ratio" -> when(nW > 0, stop.cast("double") / nW).otherwise(lit(0.0)))
   }
 
+  /** Fused quality/language GATE — `qualityScore(text) >= minQ [AND
+    * langId(text) === wantLang]` as one boolean expression with ONE
+    * kernel call ([[graft.plans.TextQualityGate]]). Use this in
+    * `.filter(...)` positions: FilterExec does no subexpression
+    * elimination, so the composed predicate inlined into a filter
+    * evaluates a kernel call per struct-field access (16 call sites in
+    * the round-18 GateShapeProbe dump) where a Project collapses them
+    * to one. Pass `wantLang = null` for a quality-only gate. */
+  def qualityGate(text: Column, minQ: Double, wantLang: String): Column =
+    graft.plans.GraftExpressions.textQualityGate(
+      org.apache.spark.sql.SparkSession.active, text,
+      org.apache.spark.sql.functions.typedlit(
+        LangMarkers.map { case (c, ws) => (c, ws) }),
+      lit(minQ),
+      if (wantLang == null) lit(null).cast("string") else lit(wantLang))
+
   /** Composite quality score in [0,1]: length band + stopword presence
     * − punctuation excess. Fixed weights; deterministic arithmetic. */
   def qualityScore(text: Column): Column = {

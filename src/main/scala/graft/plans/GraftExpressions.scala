@@ -591,6 +591,155 @@ final class TextMarkerStatsKernel(
   }
 }
 
+/** Fused quality/language GATE: `qualityScore(text) >= minQ [AND
+  * langId(text) = wantLang]` as ONE boolean expression making ONE
+  * kernel call. Exists because FilterExec does NO subexpression
+  * elimination: after PushPredicateThroughNonJoin inlines the q/lang
+  * aliases into a filter condition, every struct-field access of the
+  * composed predicate carries its own [[TextMarkerStats]] subtree —
+  * the shipping x_quality_filter predicate generated SIXTEEN
+  * `.profile(` call sites (GateShapeProbe, round 18), where the same
+  * expressions in a Project or HashAggregate collapse to one under
+  * CSE. A filter is exactly where the gate runs in every ingest
+  * pipeline, so the one-call form is a dedicated expression.
+  *
+  * Semantics are EXACTLY the declarative composition's
+  * ([[graft.functions.TextFunctions.qualityScore]] `>= minQ` AND
+  * [[graft.functions.TextFunctions.langId]] `=== wantLang`) — the
+  * stats come from the SAME [[TextMarkerStatsKernel]], and the
+  * score/argmax arithmetic replays the composed expression tree's
+  * double ops in order (spec-pinned equal on hostile rows and the
+  * fixture corpus by TextMarkerStatsSpec; the DuckDB oracle twins
+  * replay the composition independently). `wantLang` null ⇒ quality
+  * check only.
+  *
+  * Null text is NOT null-propagated, because the composition never
+  * is: every quality component and the langId argmax is CASE-wrapped
+  * with a non-null ELSE, so `qualityScore(null)` evaluates to
+  * `((0.1 + 0.0) - 0.0) + 0.2` and `langId(null)` to `"und"` — a
+  * null document PASSES a quality-only gate with minQ ≤ ~0.3. The
+  * gate precomputes that constant through the same double ops
+  * (0.1 + 0.2 is 0.30000000000000004, so the boundary matters). */
+case class TextQualityGate(text: Expression, markersExpr: Expression,
+    minQExpr: Expression, wantLangExpr: Expression) extends Expression {
+
+  override def children: Seq[Expression] =
+    Seq(text, markersExpr, minQExpr, wantLangExpr)
+  override def dataType: DataType = BooleanType
+  // the composed predicate is never null (see class doc)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_text_quality_gate"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!markersExpr.foldable || !minQExpr.foldable || !wantLangExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_text_quality_gate expects FOLDABLE markers/minQ/lang")
+    else (text.dataType, minQExpr.dataType, wantLangExpr.dataType) match {
+      case (StringType, DoubleType, StringType | NullType) =>
+        TextMarkerStats(text, markersExpr).checkInputDataTypes()
+      case (t, q, l) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_text_quality_gate expects (string, markers, double, string), got ($t, _, $q, $l)")
+    }
+
+  @transient private lazy val kernel: TextQualityGateKernel = {
+    val arr = markersExpr.eval(null).asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sets = new Array[java.util.HashSet[String]](n)
+    val codes = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      codes(i) = row.getUTF8String(0).toString
+      val ws = row.getArray(1)
+      val s = new java.util.HashSet[String]()
+      var j = 0
+      while (j < ws.numElements()) { s.add(ws.getUTF8String(j).toString); j += 1 }
+      sets(i) = s
+      i += 1
+    }
+    new TextQualityGateKernel(new TextMarkerStatsKernel(sets), codes,
+      minQExpr.eval(null).asInstanceOf[Double],
+      Option(wantLangExpr.eval(null)).map(_.toString).orNull)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) kernel.gateNull else kernel.gate(t.asInstanceOf[UTF8String])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftQualityGate", kernel,
+      classOf[TextQualityGateKernel].getName)
+    val t = text.genCode(ctx)
+    ev.copy(code = code"""
+      ${t.code}
+      boolean ${ev.value} =
+        ${t.isNull} ? $kRef.gateNull() : $kRef.gate(${t.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): TextQualityGate =
+    copy(text = cs(0), markersExpr = cs(1), minQExpr = cs(2), wantLangExpr = cs(3))
+}
+
+/** Executor-side loop of [[TextQualityGate]] — one
+  * [[TextMarkerStatsKernel.profile]] call, then the composed score and
+  * argmax arithmetic in the declarative tree's exact double-op order. */
+final class TextQualityGateKernel(statsKernel: TextMarkerStatsKernel,
+    codes: Array[String], minQ: Double, wantLang: String) extends Serializable {
+
+  // langId folds over languages SORTED BY CODE with marker indices
+  // from the original table order
+  private val sortedIdx: Array[Int] =
+    codes.indices.sortBy(codes(_)).toArray
+
+  /** The gate's value for NULL text — the composition's CASE ELSE
+    * branches make it a constant: q = ((0.1 + 0.0) - 0.0) + 0.2
+    * (exact double ops), lang = "und". */
+  val gateNullValue: Boolean = {
+    val q = ((0.1 + 0.0) - 0.0) + 0.2
+    (q >= minQ) && (wantLang == null || wantLang == "und")
+  }
+  def gateNull(): Boolean = gateNullValue
+
+  def gate(t: UTF8String): Boolean = {
+    val r = statsKernel.profile(t)
+    val nWords = r.getInt(0)
+    val punct = r.getInt(2)
+    val cjk = r.getInt(3)
+    val stop = r.getInt(4)
+    val nChars = t.numChars() // Spark length() on strings
+    // quality = ((lenScore + least(stopRatio*2, .3)) - least(punctRatio*5, .2)) + .2
+    val lenScore = if (nWords >= 20 && nWords <= 1000) 0.5 else 0.1
+    val stopScore = math.min(
+      if (nWords > 0) (stop.toDouble / nWords.toDouble) * 2.0 else 0.0, 0.3)
+    val punctPen = math.min(
+      if (nChars > 0) (punct.toDouble / nChars.toDouble) * 5.0 else 0.0, 0.2)
+    val q = ((lenScore + stopScore) - punctPen) + 0.2
+    if (!(q >= minQ)) return false
+    if (wantLang == null) return true
+    val lang =
+      if (cjk * 2 > nChars) "zh"
+      else {
+        val markers = r.getArray(5)
+        var bestCode = "und"
+        var bestScore = 0
+        var k = 0
+        while (k < sortedIdx.length) {
+          val idx = sortedIdx(k)
+          val s = markers.getInt(idx)
+          if (s > bestScore) { bestCode = codes(idx); bestScore = s }
+          k += 1
+        }
+        bestCode
+      }
+    lang == wantLang
+  }
+}
+
 /** One-pass word-n-gram shingler: lowercase, split on `\s+`, join each
   * sliding window of `n` words with single spaces; documents shorter
   * than `n` words yield one whole-document shingle; `distinct` keeps
@@ -2015,6 +2164,8 @@ object GraftExpressions {
       { es: Seq[Expression] => BpeTokenCount(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_text_marker_stats",
       { es: Seq[Expression] => TextMarkerStats(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_text_quality_gate",
+      { es: Seq[Expression] => TextQualityGate(es(0), es(1), es(2), es(3)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       { es: Seq[Expression] =>
         val k = es(2).eval(InternalRow.empty).asInstanceOf[Int]
@@ -2103,6 +2254,11 @@ object GraftExpressions {
   def textMarkerStats(spark: SparkSession, text: Column, markers: Column): Column = {
     register(spark); call_function("graft_text_marker_stats", text, markers)
   }
+  def textQualityGate(spark: SparkSession, text: Column, markers: Column,
+      minQ: Column, wantLang: Column): Column = {
+    register(spark)
+    call_function("graft_text_quality_gate", text, markers, minQ, wantLang)
+  }
   def topK(spark: SparkSession, sim: Column, id: Column, k: Int): Column = {
     register(spark)
     call_function("graft_topk", sim, id, org.apache.spark.sql.functions.lit(k))
@@ -2182,6 +2338,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => BpeTokenCount(es(0), es(1)))
     inject("graft_text_marker_stats", classOf[TextMarkerStats],
       es => TextMarkerStats(es(0), es(1)))
+    inject("graft_text_quality_gate", classOf[TextQualityGate],
+      es => TextQualityGate(es(0), es(1), es(2), es(3)))
     inject("graft_lsh_bits", classOf[LshSignBits],
       es => LshSignBits(es(0), intArg(es, 1), if (es.length > 2) intArg(es, 2) else 0))
     inject("graft_topk", classOf[TopKPairs],

@@ -172,7 +172,10 @@ object EventsStream {
       .withColumn("q", TextFunctions.qualityScore(col("text")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .withColumn("tok", TextFunctions.wsTokenCount(col("text")))
-      .filter(col("q") >= minQuality)
+      // fused one-kernel-call gate: the composed `col("q") >=
+      // minQuality` predicate gets inlined into FilterExec (no CSE
+      // there) and re-evaluates the marker kernel per field access
+      .filter(TextFunctions.qualityGate(col("text"), minQuality, null))
       .dropDuplicates("fp")
   }
 

@@ -65,6 +65,52 @@ class TextMarkerStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused quality gate == composed predicate, every threshold x lang") {
+    // composed reference evaluated in a PROJECT (CSE keeps it honest);
+    // thresholds include every EXACT q value in the hostile rows, so
+    // the >= boundary is bit-tested, not just straddled
+    val qVals = rows.filter($"text".isNotNull)
+      .select(TextFunctions.qualityScore($"text").as("q"))
+      .collect().map(_.getDouble(0)).distinct.toSeq
+    val thresholds = qVals ++ Seq(0.0, 0.6, 1.5)
+    val langs = Seq("en", "de", "zh", "und", null)
+    for (minQ <- thresholds; lang <- langs) {
+      val both = rows.select($"id",
+        TextFunctions.qualityGate($"text", minQ, lang).as("gate"),
+        (if (lang == null) TextFunctions.qualityScore($"text") >= minQ
+         else TextFunctions.qualityScore($"text") >= minQ &&
+           TextFunctions.langId($"text") === lang).as("composed"))
+        .collect()
+      both.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2) &&
+          (r.isNullAt(1) || r.getBoolean(1) == r.getBoolean(2)),
+          s"id=${r.getLong(0)} minQ=$minQ lang=$lang: " +
+            s"gate=${r.get(1)} composed=${r.get(2)}")
+      }
+    }
+  }
+
+  test("fused quality gate in a FILTER keeps the composed survivor set") {
+    val viaGate = rows
+      .filter(TextFunctions.qualityGate($"text", 0.6, "en"))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val viaComposed = rows
+      .filter(TextFunctions.qualityScore($"text") >= 0.6 &&
+        TextFunctions.langId($"text") === "en")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(viaGate == viaComposed)
+    // and on real corpus text, per source, at the contract threshold
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val a = docs.filter(TextFunctions.qualityGate(col("text"), 0.6, "en"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.6 &&
+        TextFunctions.langId(col("text")) === "en")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b && a.values.sum > 0)
+  }
+
   test("public functions are unchanged through the rewire") {
     val out = rows.filter($"text".isNotNull).select($"id",
       TextFunctions.wsTokenCount($"text").as("n"),
