@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   *
   * The merge table of record is [[pinnedMerges]], trained once from
   * the fixed fixture slice (documents of /root/testdata/sf0.01,
-  * doc_id < 500, 64 merges) and pinned as source so every query at
+  * doc_id < 500, 78 merges — the ~1.32 tokens/word point, see PinnedBpeMerges) and pinned as source so every query at
   * every scale factor tokenizes identically and the oracle SQL can
   * embed the table as literals. BpeSpec retrains from the same slice
   * and asserts equality, so the pin cannot drift from the trainer. */
@@ -124,7 +124,7 @@ object Bpe {
 
   /** The slice + knobs behind [[pinnedMerges]]. */
   def trainPinned(spark: SparkSession): Seq[(String, String)] =
-    train(sliceVocab(spark, "/root/testdata/sf0.01", 500L), numMerges = 64)
+    train(sliceVocab(spark, "/root/testdata/sf0.01", 500L), numMerges = 78)
 
   /** The merge table of record — see the object doc. Regenerate by
     * running [[graft.tools.BpeTrainTool]] after a fixture change;

@@ -857,6 +857,21 @@ object Similarity {
     cb
   }
 
+  /** Rebuild a (cid, cv) frame from a trained m × ks × d codebook so it
+    * can feed [[pqTopK]]'s `codebookSource`: row j's vector is the
+    * concatenation of subspace entries (the layout [[pqCodebook]]
+    * slices back apart). This is what production MATERIALIZES next to
+    * the encoded corpus — the codebook is the quantizer's whole
+    * identity, and serving reads it from storage, not from a retrain. */
+  def pqCodebookFrame(spark: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val ks = cb(0).length
+    (0 until ks).map { j =>
+      (j.toLong, cb.flatMap(sub => sub(j)).toSeq)
+    }.toDF("cid", "cv")
+  }
+
   /** PQ-ADC approximate top-k (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011): the corpus is PQ-encoded
     * ([[pqEncode]]); each probe precomputes one lookup table per

@@ -38,30 +38,27 @@ object PqRecallProbe {
       val bytes = m * (math.log(ks) / math.log(2)) / 8.0
       println(f"m=$m%2d ks=$ks%3d refine=$r%3d  codeBytes=$bytes%5.1f  compression=${256.0 / (bytes + 8)}%5.1fx  recall@$k=$recall%.3f")
     }
-    // trained-codebook uplift (3 Lloyd iterations), refine = 0 — where
-    // the codes carry the ranking alone
-    for (m <- Seq(8, 16); ks <- Seq(16, 32)) {
-      val trained = Similarity.pqTrain(emb, "vec_id", "embedding", m, ks, iters = 3)
+    // trained-codebook uplift vs the fixed-id rows above: refine = 0
+    // isolates the codes' own ranking power; refine = 10k is the
+    // x_pq_trained_topk contract point (iters matches the contract's 2
+    // for the refined row, 3 for the historical refine-0 uplift row)
+    for (m <- Seq(8, 16); ks <- Seq(16, 32); (it, r) <- Seq((3, 0), (2, 10 * k))) {
+      val trained = Similarity.pqTrain(emb, "vec_id", "embedding", m, ks, iters = it)
       val tTrained = tops(Similarity.pqTopK(emb, probes, "vec_id", "embedding",
-        k = k, m = m, ks = ks, refine = 0,
+        k = k, m = m, ks = ks, refine = r,
         codebookSource = Some(pqCodebookFrame(spark, trained))))
       val rT = bf.map { case (p, truth) =>
         (tTrained.getOrElse(p, Set.empty) & truth).size.toDouble / truth.size
       }.sum / bf.size
-      println(f"TRAINED m=$m%2d ks=$ks%3d refine=0  recall@$k=$rT%.3f")
+      println(f"TRAINED m=$m%2d ks=$ks%3d iters=$it refine=$r%3d  recall@$k=$rT%.3f")
     }
     spark.stop()
   }
 
-  /** Rebuild a (cid, cv) frame from a trained m × ks × d codebook so it
-    * can feed pqTopK's codebookSource: row j's vector is the
-    * concatenation of subspace entries (the layout pqCodebook slices). */
+  /** Promoted to [[graft.operators.Similarity.pqCodebookFrame]]
+    * (round-18: the trained-codebook path became a contract query);
+    * kept here as a delegate for the probe's historical call sites. */
   def pqCodebookFrame(spark: SparkSession,
-      cb: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    val ks = cb(0).length
-    (0 until ks).map { j =>
-      (j.toLong, cb.flatMap(sub => sub(j)).toSeq)
-    }.toDF("cid", "cv")
-  }
+      cb: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame =
+    graft.operators.Similarity.pqCodebookFrame(spark, cb)
 }

@@ -33,6 +33,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "x_contamination_semantic" -> "bounded eval set joined lit(true) through the same guarded assignClusters argmax",
     "x_sim_brute_topk" -> "broadcast probe set vs corpus — the documented brute-force baseline",
     "x_embed_pq_topk" -> "bounded probe set (guarded broadcast) scored against PQ codes by per-row table lookups",
+    "x_pq_trained_topk" -> ("same ADC shape as x_embed_pq_topk with the Lloyd-trained codebook " +
+      "riding as foldable literals — the probe LUT broadcast is the only non-equi join"),
     "x_ivf_pq_topk" -> ("bounded probe routing: probes lit(true)-joined to the broadcast " +
       "centroid table to pick nprobe clusters (Similarity.ivfPqTopK) — the corpus side is " +
       "a pure projection plus a broadcast equi-join on cid"),

@@ -45,9 +45,12 @@ class BpeSpec extends AnyFunSuite {
   test("corpus words land on the expected subword counts") {
     val m = Bpe.pinnedMerges
     // high-frequency corpus words fully merge; rare ones stay subword
+    // (counts re-pinned for the round-18 78-merge table: "window" now
+    // fully merges; "dup" stays subword — the slice keeps ~1.32
+    // tokens/word overall, see PinnedBpeMerges/BpeCapProbe)
     assert(Bpe.tokenCount("customer", m) == 1)
     assert(Bpe.tokenCount("join", m) == 1)
-    assert(Bpe.tokenCount("window", m) == 4)
+    assert(Bpe.tokenCount("window", m) == 1)
     assert(Bpe.tokenCount("dup", m) == 2)
     // out-of-corpus text still tokenizes (chars + any applicable merges)
     assert(Bpe.tokenCount("zzz", m) == 3)
