@@ -173,6 +173,10 @@ object Bench {
       // projection (assign + encode) plus the nprobe-pruned ADC join is
       // the data term
       "x_ivf_pq_topk",
+      // round-18: the trained-codebook PQ query — Lloyd training adds
+      // two corpus passes per iteration (encode + cell means) on top of
+      // the pqTopK shape; all data terms
+      "x_pq_trained_topk",
       // round-16: corpus-trained bigram LM score — model counts + two
       // dictionary joins are all data terms (certified 1.15/1.54/9.95 s
       // at sf0.1/1/10, linear on the top decade)
