@@ -66,7 +66,16 @@ object Sampling {
     * per-stratum semantics there. `orderCol` must be unique per
     * stratum for a deterministic cum (same contract as the window). */
   def packBudget(df: DataFrame, strataCol: String, orderCol: String,
-      tokensCol: String, budget: Long, buckets: Int = 64): DataFrame = {
+      tokensCol: String, budget: Long, buckets: Int = 64): DataFrame =
+    runningSum(df, strataCol, orderCol, tokensCol, buckets)
+      .withColumn("bin", floor((col("__cum") - col(tokensCol)) / budget))
+      .drop("__cum")
+
+  /** The two-phase distributed prefix sum behind [[packBudget]] and
+    * [[packSequences]] — see packBudget's doc for the design. Returns
+    * the input plus an inclusive per-stratum running sum `__cum`. */
+  private def runningSum(df: DataFrame, strataCol: String, orderCol: String,
+      tokensCol: String, buckets: Int): DataFrame = {
     import org.apache.spark.sql.types._
     val rangeable = df.schema(orderCol).dataType match {
       case _: NumericType | DateType | TimestampType | TimestampNTZType => true
@@ -109,8 +118,42 @@ object Sampling {
           .drop("__ps", "__bnds", "__rb", "__run", "__os", "__orb", "__off")
       }
     cum
-      .withColumn("bin", floor((col("__cum") - col(tokensCol)) / budget))
-      .drop("__cum")
+  }
+
+  /** Fixed-length sequence packing — the "make training batches" op a
+    * pretraining run executes AFTER budgeting: within each stratum, in
+    * deterministic `orderCol` order, documents form one token stream
+    * (each doc contributes its token count, already including any EOS
+    * the caller adds) that is cut into consecutive `seqLen`-token
+    * sequences; a document whose span crosses a cut continues in the
+    * next sequence (GPT-style packing, no padding, vs [[packBudget]]'s
+    * first-fit whole-document bins). Returns one row per (stratum,
+    * seq_id): `n_docs` documents overlapping the sequence, `n_starts`
+    * documents beginning in it, `tokens` filled (== seqLen except each
+    * stratum's last). Rides the same two-phase distributed prefix sum
+    * as packBudget — per-stratum parallelism is (strata × buckets),
+    * never one task per web-scale stratum — and the explode adds
+    * ⌈tok/seqLen⌉ rows per document (≈1 for normal docs), aggregated
+    * map-side by (stratum, seq_id). Integer `div` throughout: double
+    * division would silently lose exactness past 2^53 cumulative
+    * tokens (a 100 TB corpus is ~25T tokens — headroom matters). */
+  def packSequences(df: DataFrame, strataCol: String, orderCol: String,
+      tokensCol: String, seqLen: Long, buckets: Int = 64): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen = $seqLen must be positive")
+    runningSum(df, strataCol, orderCol, tokensCol, buckets)
+      .filter(col(tokensCol) > 0) // zero-token rows span no sequence
+      .withColumn("__s", (col("__cum") - col(tokensCol)).cast("long"))
+      .withColumn("__e", (col("__cum") - 1).cast("long"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"__s div ${seqLen}L"), expr(s"__e div ${seqLen}L"))))
+      .groupBy(col(strataCol), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(expr(s"__s div ${seqLen}L") === col("seq_id"), 1).otherwise(0))
+          .cast("long").as("n_starts"),
+        sum(least(col("__e"), (col("seq_id") + 1) * seqLen - 1) -
+            greatest(col("__s"), col("seq_id") * seqLen) + 1)
+          .cast("long").as("tokens"))
   }
 
   /** Weighted source mixing with per-source caps — the

@@ -811,6 +811,41 @@ object ExtQueries {
       |  FROM doc_tok)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Fixed-length sequence packing ([[graft.operators.Sampling
+    * .packSequences]]) — the GPT-style "make training batches" step:
+    * per source, docs in doc_id order form one token stream (trained
+    * BPE count + 1 EOS each; null text packs as the bare EOS on both
+    * engines by construction) cut into consecutive 512-token
+    * sequences; docs crossing a cut continue in the next sequence.
+    * One row per (source, seq_id) with overlapping-doc / boundary /
+    * fill counts. Complements x_pack_budget (whole-document first-fit
+    * bins): this is the op whose output shape IS the training batch
+    * layout. The twin replays the same cumulative stream in SQL. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packSequences(
+        Tables.load(spark, dir, "documents")
+          .withColumn("__tokp1",
+            coalesce(TextFunctions.bpeTokenCount(col("text")), lit(0)) + 1),
+        "source", "doc_id", "__tokp1", 512L)
+      .orderBy("source", "seq_id")
+  val seqPackSql: String =
+    s"""WITH RECURSIVE
+      |${graft.functions.Bpe.oracleCtes("documents")},
+      |dt AS (SELECT d.doc_id, d.source, COALESCE(b.bpe_tokens, 0) + 1 AS tok
+      |       FROM documents d LEFT JOIN bpe_doc b USING (doc_id)),
+      |cs AS (SELECT source, doc_id, tok,
+      |         CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+      |       FROM dt),
+      |ex AS (SELECT source, tok, e - tok AS s, e - 1 AS ei,
+      |         unnest(range((e - tok) // 512, (e - 1) // 512 + 1)) AS seq
+      |       FROM cs WHERE tok > 0)
+      |SELECT source, CAST(seq AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN s // 512 = seq THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+      |  CAST(SUM(LEAST(ei, (seq+1)*512 - 1) - GREATEST(s, seq*512) + 1) AS BIGINT) AS tokens
+      |FROM ex GROUP BY source, seq ORDER BY source, seq_id""".stripMargin
+
   /** Embedding-level eval-set decontamination
     * ([[graft.operators.Similarity.semanticContamination]]): corpus
     * vectors within cosine 0.35 of any eval vector (vec_id ≡ 0 mod 19
@@ -2433,6 +2468,7 @@ object ExtQueries {
     "x_embed_pq_topk" -> (embedPqTopK _),
     "x_ivf_pq_topk" -> (embedIvfPqTopK _),
     "x_pq_trained_topk" -> (pqTrainedTopK _),
+    "x_seq_pack" -> (seqPack _),
     "x_lm_score" -> (lmScore _),
     "x_domain_weights" -> (domainWeights _),
     "x_pipeline_e2e" -> (pipelineE2E _),
@@ -2496,6 +2532,7 @@ object ExtQueries {
     "x_embed_pq_topk" -> embedPqTopKSql,
     "x_ivf_pq_topk" -> embedIvfPqTopKSql,
     "x_pq_trained_topk" -> pqTrainedTopKSql,
+    "x_seq_pack" -> seqPackSql,
     "x_lm_score" -> lmScoreSql,
     "x_domain_weights" -> domainWeightsSql,
     "x_pipeline_e2e" -> pipelineE2ESql,

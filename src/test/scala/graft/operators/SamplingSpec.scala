@@ -128,6 +128,52 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: hand-checked spans, conservation, full fills") {
+    // source a tokens: 22, 22, 20 (stream 0..63); seqLen 16 →
+    // doc1 spans seqs 0-1, doc2 spans 1-2, doc3 spans 2-3 (44..63)
+    val out = Sampling.packSequences(docs, "source", "doc_id", "n_chars", 16L)
+      .select("source", "seq_id", "n_docs", "n_starts", "tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    assert(a.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(a.map(_._3).toSeq == Seq(1L, 2L, 2L, 1L), a.toSeq)   // n_docs
+    assert(a.map(_._4).toSeq == Seq(1L, 1L, 1L, 0L), a.toSeq)   // n_starts
+    assert(a.map(_._5).toSeq == Seq(16L, 16L, 16L, 16L), a.toSeq)
+    // conservation per stratum: filled tokens == token stream length;
+    // every doc starts exactly once; all but the last seq are full
+    val b = out.filter(_._1 == "b").sortBy(_._2)
+    assert(b.map(_._5).sum == 16 + 21 + 28)
+    assert(b.map(_._4).sum == 3)
+    assert(b.dropRight(1).forall(_._5 == 16L) && b.last._5 <= 16L)
+  }
+
+  test("property: sequence packing == the naive window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(271)
+    val rows = (1L to 400L).map { i =>
+      (i, s"s${rnd.nextInt(3)}", 1 + rnd.nextInt(50))
+    }
+    val df = rows.toDF("doc_id", "source", "tok")
+    val L = 64L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("__cum", sum($"tok").over(w))
+      .withColumn("__s", ($"__cum" - $"tok").cast("long"))
+      .withColumn("__e", ($"__cum" - 1).cast("long"))
+      .withColumn("seq_id", explode(sequence(expr(s"__s div ${L}L"), expr(s"__e div ${L}L"))))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"__s div ${L}L") === $"seq_id", 1).otherwise(0)).cast("long").as("n_starts"),
+        sum(least($"__e", ($"seq_id" + 1) * L - 1) - greatest($"__s", $"seq_id" * L) + 1)
+          .cast("long").as("tokens"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    for (b <- Seq(2, 64, 1000)) {
+      val got = Sampling.packSequences(df, "source", "doc_id", "tok", L, buckets = b)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"buckets=$b")
+    }
+  }
+
   test("contamination finds exactly the corpus docs sharing an n-gram") {
     val test = docs.filter($"doc_id" === 1L)
     val corpus = docs.filter($"doc_id" =!= 1L)
