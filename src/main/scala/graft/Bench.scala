@@ -177,6 +177,9 @@ object Bench {
       // two corpus passes per iteration (encode + cell means) on top of
       // the pqTopK shape; all data terms
       "x_pq_trained_topk",
+      // round-18: sequence packing — BPE projection + bucketed prefix
+      // sum + explode/agg, all data terms (1.15/2.10/5.31 s arrival)
+      "x_seq_pack",
       // round-16: corpus-trained bigram LM score — model counts + two
       // dictionary joins are all data terms (certified 1.15/1.54/9.95 s
       // at sf0.1/1/10, linear on the top decade)

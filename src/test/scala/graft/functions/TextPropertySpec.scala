@@ -28,6 +28,22 @@ class TextPropertySpec extends AnyFunSuite {
   }
   private lazy val df = corpus.zipWithIndex.map(_.swap).toDF("id", "text").cache()
 
+  test("fused quality gate == composed predicate on the random corpus") {
+    // the gate's one-kernel-call reimplementation of the composed
+    // arithmetic must hold on arbitrary text, not just the curated
+    // hostile rows (CJK ratios, unicode word lengths, punctuation runs
+    // all feed the score) — and across thresholds that straddle every
+    // score component's contribution
+    for (minQ <- Seq(0.0, 0.3, 0.5, 0.6, 0.8); lang <- Seq("en", "und", null)) {
+      val bad = df.filter(
+        qualityGate(col("text"), minQ, lang) =!=
+          (if (lang == null) qualityScore(col("text")) >= minQ
+           else qualityScore(col("text")) >= minQ && langId(col("text")) === lang))
+        .count()
+      assert(bad == 0, s"minQ=$minQ lang=$lang: $bad rows diverge")
+    }
+  }
+
   test("fingerprint is invariant under case and whitespace shape") {
     val mangled = concat(lit("  "),
       upper(regexp_replace(col("text"), " ", "\t ")), lit(" \n"))
