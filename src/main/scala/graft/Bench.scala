@@ -393,7 +393,15 @@ object Bench {
                     val allRuns = runs ++ rerep.map(_._2).getOrElse(Nil)
                     val combined = allRuns.min
                     val finalRatio = math.max(combined / pm, pm / combined)
-                    val verdict = if (finalRatio <= 1.5) "noise" else "real"
+                    // a KNOWN-equal plan hash means identical code ran —
+                    // a reproducible move can only be the environment
+                    // (host state, page cache, neighbors), never a code
+                    // regression; only an unknown prior (pre-r18
+                    // artifact without hashes) earns "real"
+                    val knownEqual = priorPlan.exists(p => p == plan && p != "na")
+                    val verdict =
+                      if (finalRatio <= 1.5) "noise"
+                      else if (knownEqual) "env" else "real"
                     movedJson(key) = f"""{"prev":$pm%.3f,"min":$combined%.3f,""" +
                       f""""ratio":$finalRatio%.2f,"plan_changed":false,""" +
                       s""""rerep_runs":[${rerep.map(_._2).getOrElse(Nil).map(r => f"$r%.3f").mkString(",")}],""" +
