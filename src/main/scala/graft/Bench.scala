@@ -244,9 +244,15 @@ object Bench {
     //    every round without touching most keys' plans),
     //  * any key whose min moved >1.5x vs the PRIOR round's committed
     //    artifact while its plan hash is unchanged is auto-re-repped
-    //    (4+ fresh-JVM reps) and the verdict (noise | real |
-    //    changed_plan) lands in a `moved` block — the round-over-round
-    //    diff needs zero hand triage.
+    //    (4+ fresh-JVM reps) and the verdict lands in a `moved` block —
+    //    the round-over-round diff needs zero hand triage. Verdicts:
+    //    noise (re-rep pulled it back inside 1.5x) | env (reproducible,
+    //    but the plan hashes are KNOWN-equal — identical code cannot
+    //    regress, so it is host state) | real (reproducible and the
+    //    plan comparison is UNKNOWN: pre-r18 prior without hashes, or a
+    //    hash that failed to render) | changed_plan (attributable to a
+    //    code change) | rerep_failed (the adjudicating fork died —
+    //    explicitly NOT a verdict).
     val isoReps = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REPS", "3").toInt.max(1)
     val isoFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     var isoStatus = "ok"
@@ -396,11 +402,16 @@ object Bench {
                     // a KNOWN-equal plan hash means identical code ran —
                     // a reproducible move can only be the environment
                     // (host state, page cache, neighbors), never a code
-                    // regression; only an unknown prior (pre-r18
-                    // artifact without hashes) earns "real"
+                    // regression; "real" is reserved for an UNKNOWN
+                    // comparison (hash-less prior, or a hash that failed
+                    // to render this round). A dead re-rep fork records
+                    // rerep_failed — explicitly not a verdict — and the
+                    // key lands in isoFailed so the top-line count shows
+                    // the lane did not fully adjudicate.
                     val knownEqual = priorPlan.exists(p => p == plan && p != "na")
                     val verdict =
-                      if (finalRatio <= 1.5) "noise"
+                      if (rerep.isEmpty) { isoFailed += key; "rerep_failed" }
+                      else if (finalRatio <= 1.5) "noise"
                       else if (knownEqual) "env" else "real"
                     movedJson(key) = f"""{"prev":$pm%.3f,"min":$combined%.3f,""" +
                       f""""ratio":$finalRatio%.2f,"plan_changed":false,""" +
@@ -435,11 +446,22 @@ object Bench {
     println(f"""{"metric":"per_query","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     if (sf1Results.nonEmpty)
       println(f"""{"metric":"per_query_sf1","unit":"sec","queries":${toJsonMap(sf1Results)},"failed":${sf1Failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sf1Dir"}""")
+    // a NARROWED run (smoke modes: contract lane skipped, or the
+    // isolated lane restricted to a key subset) must never clobber the
+    // committed full artifacts — a partial BENCH_ISOLATED.json would
+    // poison the next full run's prior-based mover adjudication (every
+    // missing key loses its prior and publishes unadjudicated). Partial
+    // runs write *.partial.json siblings instead.
+    val narrowed = sys.env.getOrElse("SPARK_GRAFT_MAIN", "1") == "0" ||
+      sys.env.contains("SPARK_GRAFT_ISOLATED_KEYS")
+    val suffix = if (narrowed) ".partial.json" else ".json"
+    if (narrowed) System.err.println(
+      "[bench] narrowed run: writing *.partial.json artifacts, committed files untouched")
     try {
-      val p = java.nio.file.Paths.get("BENCH_QUERIES.json")
+      val p = java.nio.file.Paths.get("BENCH_QUERIES" + suffix)
       java.nio.file.Files.write(p, qs.getBytes("UTF-8"))
       if (sf1Results.nonEmpty)
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES_SF1.json"),
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES_SF1" + suffix),
           toJsonMap(sf1Results).getBytes("UTF-8"))
       // Round-16 (judge ask #7): the driver's BENCH_r{N}.json captures a
       // ~2 KB stdout TAIL — a 127-key per-query line is ~4 KB, so the
@@ -455,7 +477,7 @@ object Bench {
         f"""{"metric":"full","sf":"$sfDir","total":$total%.3f,"unit":"sec",""" +
           s""""nqueries":${results.size},"nfailed":${failed.size},""" +
           s""""queries":$qs,"failed":$failedJson,"sf1":$sf1Json}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL" + suffix),
         full.getBytes("UTF-8"))
       // the isolated lane's own artifact — per-key fresh-JVM reps array
       // + min + plan hash, plus the mover-adjudication block; the
@@ -474,14 +496,14 @@ object Bench {
       val iso =
         s"""{"status":"$isoStatus","dir":"$sf1Dir","reps":$isoReps,"commit":"$commit",""" +
           s""""protocol":"fresh JVM per key via graft.tools.TimeOne (local[8]), min of $isoReps reps; """ +
-          s"""keys whose min moved >1.5x vs the prior artifact with an unchanged plan hash are auto-re-repped (4+ reps) and adjudicated in `moved`",""" +
+          s"""keys whose min moved >1.5x vs the prior artifact are auto-re-repped (4+ reps) and adjudicated in `moved`: noise | env (plan hashes KNOWN-equal - host state, not code) | real (plan comparison unknown) | changed_plan | rerep_failed",""" +
           s""""queries":$isoQs,""" +
           s""""moved":${movedJson.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
           s""""failed":${isoFailed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ISOLATED.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_ISOLATED" + suffix),
         iso.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] per-query file write failed: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size},"sf1":"$sf1Status","sf1_total":$sf1Total%.3f,"sf1_nqueries":${sf1Results.size},"sf1_nfailed":${sf1Failed.size},"sf1_dir":"$sf1Dir","isolated":"$isoStatus","isolated_nqueries":${isoResults.size},"isolated_nfailed":${isoFailed.size},"isolated_nmoved":${movedJson.size},"per_query_file":"BENCH_FULL.json","isolated_file":"BENCH_ISOLATED.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${failed.size},"sf1":"$sf1Status","sf1_total":$sf1Total%.3f,"sf1_nqueries":${sf1Results.size},"sf1_nfailed":${sf1Failed.size},"sf1_dir":"$sf1Dir","isolated":"$isoStatus","isolated_nqueries":${isoResults.size},"isolated_nfailed":${isoFailed.size},"isolated_nmoved":${movedJson.size},"per_query_file":"BENCH_FULL$suffix","isolated_file":"BENCH_ISOLATED$suffix"}""")
     spark.stop()
   }
 }

@@ -504,21 +504,8 @@ case class TextMarkerStats(text: Expression, markersExpr: Expression)
         s"graft_text_marker_stats expects (string, array<struct<string, array<string>>>), got ($t, $m)")
     }
 
-  @transient private lazy val kernel: TextMarkerStatsKernel = {
-    val arr = markersExpr.eval(null).asInstanceOf[ArrayData]
-    val sets = new Array[java.util.HashSet[String]](arr.numElements())
-    var i = 0
-    while (i < sets.length) {
-      val row = arr.getStruct(i, 2)
-      val ws = row.getArray(1)
-      val s = new java.util.HashSet[String]()
-      var j = 0
-      while (j < ws.numElements()) { s.add(ws.getUTF8String(j).toString); j += 1 }
-      sets(i) = s
-      i += 1
-    }
-    new TextMarkerStatsKernel(sets)
-  }
+  @transient private lazy val kernel: TextMarkerStatsKernel =
+    new TextMarkerStatsKernel(TextMarkerStats.parseMarkers(markersExpr)._2)
 
   override def nullSafeEval(t: Any, m: Any): Any =
     kernel.profile(t.asInstanceOf[UTF8String])
@@ -536,6 +523,32 @@ case class TextMarkerStats(text: Expression, markersExpr: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TextMarkerStats =
     copy(text = l, markersExpr = r)
+}
+
+object TextMarkerStats {
+  /** Parse the foldable marker-table literal into (codes, word-sets) —
+    * the ONE place the literal's layout is interpreted, shared by
+    * [[TextMarkerStats]] and [[TextQualityGate]] so the fused gate can
+    * never desync from the stats kernel on a layout change. */
+  private[plans] def parseMarkers(
+      markersExpr: Expression): (Array[String], Array[java.util.HashSet[String]]) = {
+    val arr = markersExpr.eval(null).asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sets = new Array[java.util.HashSet[String]](n)
+    val codes = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      codes(i) = row.getUTF8String(0).toString
+      val ws = row.getArray(1)
+      val s = new java.util.HashSet[String]()
+      var j = 0
+      while (j < ws.numElements()) { s.add(ws.getUTF8String(j).toString); j += 1 }
+      sets(i) = s
+      i += 1
+    }
+    (codes, sets)
+  }
 }
 
 /** Executor-side loop of [[TextMarkerStats]]. Public top-level class
@@ -643,21 +656,7 @@ case class TextQualityGate(text: Expression, markersExpr: Expression,
     }
 
   @transient private lazy val kernel: TextQualityGateKernel = {
-    val arr = markersExpr.eval(null).asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sets = new Array[java.util.HashSet[String]](n)
-    val codes = new Array[String](n)
-    var i = 0
-    while (i < n) {
-      val row = arr.getStruct(i, 2)
-      codes(i) = row.getUTF8String(0).toString
-      val ws = row.getArray(1)
-      val s = new java.util.HashSet[String]()
-      var j = 0
-      while (j < ws.numElements()) { s.add(ws.getUTF8String(j).toString); j += 1 }
-      sets(i) = s
-      i += 1
-    }
+    val (codes, sets) = TextMarkerStats.parseMarkers(markersExpr)
     new TextQualityGateKernel(new TextMarkerStatsKernel(sets), codes,
       minQExpr.eval(null).asInstanceOf[Double],
       Option(wantLangExpr.eval(null)).map(_.toString).orNull)

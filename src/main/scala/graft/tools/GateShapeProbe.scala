@@ -11,14 +11,17 @@ import graft.functions.TextFunctions
   * its predicate in FilterExec — and after PushPredicateThroughNonJoin
   * inlines the q/lang aliases into the filter condition, the two
   * conjuncts each carry their own kernel subtree. This probe counts
-  * `.profile(` call sites in the generated code of each candidate
-  * shape and times them, to pick the one-call formulation:
+  * `.profile(`/`.gate(` call sites in the generated code of each
+  * candidate shape and times them:
   *
-  *  - `current`  — select(q, lang) then filter (the shipping shape)
+  *  - `composed` — select(q, lang) then filter: the PRE-round-18
+  *    shipping shape, kept for the A/B record (16 call sites)
   *  - `condagg`  — no Filter at all: the gate becomes a conditional
-  *    SUM inside the aggregate, then HAVING n_docs > 0
-  *  - `onecall`  — gate collapsed into a single boolean expression
-  *    over ONE shared kernel subtree (one getField chain)
+  *    SUM inside the aggregate, then HAVING n_docs > 0 (1 call —
+  *    HashAggregate does CSE)
+  *  - `current`  — whatever ExtQueries.qualityFilter ships, which
+  *    since round 18 is the fused one-call TextQualityGate
+  *  - `textstats` — the Project-CSE reference point
   */
 object GateShapeProbe {
   def main(args: Array[String]): Unit = {
