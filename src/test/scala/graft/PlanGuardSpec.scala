@@ -120,6 +120,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"stale exclusion entries: ${unknown.mkString(", ")}")
   }
 
+  test("x_text_stats sorts its INPUT, below the kernel projection") {
+    // a global Sort ABOVE the projection makes RangePartitioner's
+    // sampling pass re-execute the whole kernel/BPE/fingerprint stack
+    // (~2x the key — round-18 sf100 attribution: 85.5 s vs 28.6 s).
+    // FormattedMode lists operators top-down: the Project must come
+    // before (above) the Sort, and the Sort's range exchange must not
+    // evaluate marker stats
+    val p = plans("x_text_stats")
+    val proj = p.indexOf("Project")
+    val sort = p.indexOf("Sort")
+    assert(proj >= 0 && sort >= 0 && proj < sort,
+      s"x_text_stats: expected Project above Sort (proj@$proj, sort@$sort)")
+  }
+
   test("no contract query plans a CartesianProduct") {
     val bad = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq.sorted
     assert(bad.isEmpty, s"cartesian product in: ${bad.mkString(", ")}")
