@@ -41,8 +41,14 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // SPARK_GRAFT_SHUFFLE sizes shuffle partitions (default 8, the
+    // artifact protocol's value): at deep octaves a fixed 8 makes
+    // high-cardinality aggregations spill (34M keys/task at sf100) —
+    // sizing partitions to data is exactly what a real cluster does,
+    // so the knob lets a probe separate plan shape from task sizing
     val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       // INT96 (the deprecated default) writes NO comparable column
       // stats — footer row-group skipping and the file-stats index
       // are blind to timestamps without this
