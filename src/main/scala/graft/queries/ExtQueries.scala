@@ -787,6 +787,45 @@ object ExtQueries {
       |WHERE w IS NOT NULL AND rn <= ceil(w / 7.0 * 60)
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-scaled source mixing — the multinomial α-sampling of
+    * multilingual/multi-domain pretraining (XLM-R, mT5: sample source
+    * i proportional to nᵢ^α, α < 1 upweights small sources): per-source
+    * weights nᵢ^0.5 drive [[graft.operators.Sampling.mixSources]]
+    * toward a half-corpus budget. Determinism across engines is
+    * engineered, not hoped for: weights are `floor(sqrt(n)·1e6)` —
+    * `sqrt` because IEEE requires it correctly rounded on BOTH engines
+    * (`pow(x, 0.5)` is not), floor-to-integer-valued doubles so the
+    * weight SUM is exact in any accumulation order (Scala Map
+    * iteration vs SQL SUM would otherwise differ in ulps and could
+    * flip a ceil boundary). The per-source counts collect is bounded
+    * by |sources| — a hand-curated list, never data-scale. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val weights = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1e6)
+    }
+    graft.operators.Sampling.mixSources(docs, "source", "text", "doc_id",
+        weights, totalRows = (total + 1) / 2)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+  val mixTemperatureSql: String =
+    """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS w FROM cnt),
+      |tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS sumw FROM w),
+      |tgt AS (SELECT CAST(CEIL(COUNT(*) / 2.0) AS DOUBLE) AS t FROM documents),
+      |sel AS (
+      |  SELECT d.doc_id, d.source,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY md5(d.text), d.doc_id) AS rn
+      |  FROM documents d)
+      |SELECT doc_id, source FROM sel
+      |JOIN w USING (source) CROSS JOIN tot CROSS JOIN tgt
+      |WHERE rn <= CEIL(w.w / tot.sumw * tgt.t)
+      |ORDER BY doc_id""".stripMargin
+
   /** Token-budget packing profile: per source, how many 2500-TOKEN
     * context bins the corpus packs into (streaming first-fit
     * approximation — running sum, no global sort). Budgets count
@@ -2483,6 +2522,7 @@ object ExtQueries {
     "x_split_hash" -> (splitHash _),
     "x_sample_stratified" -> (sampleStratified _),
     "x_mix_sources" -> (mixSources _),
+    "x_mix_temperature" -> (mixTemperature _),
     "x_pack_budget" -> (packBudget _),
     "x_shard_layout" -> (shardLayoutQ _),
     "x_contamination" -> (contamination _),
@@ -2547,6 +2587,7 @@ object ExtQueries {
     "x_split_hash" -> splitHashSql,
     "x_sample_stratified" -> sampleStratifiedSql,
     "x_mix_sources" -> mixSourcesSql,
+    "x_mix_temperature" -> mixTemperatureSql,
     "x_pack_budget" -> packBudgetSql,
     "x_shard_layout" -> shardLayoutSql,
     "x_contamination" -> contaminationSql,
