@@ -259,9 +259,44 @@ object Bench {
     // per key: (min, runs, planHash)
     type IsoRow = (Double, Seq[Double], String)
     val movedJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Build fingerprint: SHA-256 over every .class file (sorted relative
+    // path + bytes) under the compiled-classes dir. The TimeOne plan hash
+    // digests only the canonicalized optimized LOGICAL plan — executor-
+    // side kernel bodies (TextMarkerStatsKernel et al.), codegen, and
+    // physical planning can all change without moving it — so an equal
+    // plan hash alone is "plan_unchanged" EVIDENCE, never proof that
+    // identical code ran. Only plan hash + build fingerprint both
+    // known-equal licenses the 'env' verdict (r18 ADVICE #1).
+    val buildFingerprint: String = try {
+      val classesDir = java.nio.file.Paths.get(
+        System.getProperty("user.dir"), "target/scala-2.13/classes")
+      if (!java.nio.file.Files.isDirectory(classesDir)) "na"
+      else {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val files = {
+          val s = java.nio.file.Files.walk(classesDir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(p => p.toString.endsWith(".class"))
+              .toSeq
+              .sortBy(p => classesDir.relativize(p).toString)
+          } finally s.close()
+        }
+        files.foreach { p =>
+          md.update(classesDir.relativize(p).toString.getBytes("UTF-8"))
+          md.update(java.nio.file.Files.readAllBytes(p))
+        }
+        files.size + "x" +
+          md.digest().take(8).map(b => f"$b%02x").mkString
+      }
+    } catch { case _: Throwable => "na" }
     // prior round's committed artifact, read BEFORE this run overwrites
-    // it: key -> (min, planHash). Tolerates both the pre-r18 scalar
-    // form ("k":1.234) and the object form ("k":{"min":...,"plan":...}).
+    // it: key -> (min, planHash), plus the artifact-level build
+    // fingerprint. Tolerates both the pre-r18 scalar form ("k":1.234)
+    // and the object form ("k":{"min":...,"plan":...}).
+    val priorBuild: java.util.concurrent.atomic.AtomicReference[Option[String]] =
+      new java.util.concurrent.atomic.AtomicReference(None)
     val prior: Map[String, (Double, Option[String])] = try {
       val p = java.nio.file.Paths.get("BENCH_ISOLATED.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -269,6 +304,10 @@ object Bench {
         import org.json4s._
         val j = org.json4s.jackson.JsonMethods.parse(
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        (j \ "build") match {
+          case JString(s) if s != "na" => priorBuild.set(Some(s))
+          case _ =>
+        }
         def num(v: JValue): Option[Double] = v match {
           case JDouble(d) => Some(d); case JDecimal(d) => Some(d.toDouble)
           case JInt(i) => Some(i.toDouble); case JLong(l) => Some(l.toDouble)
@@ -399,20 +438,29 @@ object Bench {
                     val allRuns = runs ++ rerep.map(_._2).getOrElse(Nil)
                     val combined = allRuns.min
                     val finalRatio = math.max(combined / pm, pm / combined)
-                    // a KNOWN-equal plan hash means identical code ran —
-                    // a reproducible move can only be the environment
-                    // (host state, page cache, neighbors), never a code
-                    // regression; "real" is reserved for an UNKNOWN
+                    // 'env' (host state, page cache, neighbors — never a
+                    // code regression) requires proof that IDENTICAL CODE
+                    // ran: plan hash known-equal AND build fingerprint
+                    // known-equal. A plan hash alone digests only the
+                    // optimized logical plan — kernel bodies/codegen can
+                    // change under it (r18 ADVICE #1) — so plan-equal
+                    // with a differing or unknown build adjudicates
+                    // "unattributed" (could be a kernel edit, could be
+                    // env); "real" is reserved for an unknown PLAN
                     // comparison (hash-less prior, or a hash that failed
                     // to render this round). A dead re-rep fork records
                     // rerep_failed — explicitly not a verdict — and the
                     // key lands in isoFailed so the top-line count shows
                     // the lane did not fully adjudicate.
                     val knownEqual = priorPlan.exists(p => p == plan && p != "na")
+                    val buildEqual = priorBuild.get()
+                      .exists(b => b == buildFingerprint && buildFingerprint != "na")
                     val verdict =
                       if (rerep.isEmpty) { isoFailed += key; "rerep_failed" }
                       else if (finalRatio <= 1.5) "noise"
-                      else if (knownEqual) "env" else "real"
+                      else if (knownEqual && buildEqual) "env"
+                      else if (knownEqual) "unattributed"
+                      else "real"
                     movedJson(key) = f"""{"prev":$pm%.3f,"min":$combined%.3f,""" +
                       f""""ratio":$finalRatio%.2f,"plan_changed":false,""" +
                       s""""rerep_runs":[${rerep.map(_._2).getOrElse(Nil).map(r => f"$r%.3f").mkString(",")}],""" +
@@ -494,9 +542,9 @@ object Bench {
           s""""runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"plan":"$plan"}"""
       }.mkString("{", ",", "}")
       val iso =
-        s"""{"status":"$isoStatus","dir":"$sf1Dir","reps":$isoReps,"commit":"$commit",""" +
+        s"""{"status":"$isoStatus","dir":"$sf1Dir","reps":$isoReps,"commit":"$commit","build":"$buildFingerprint",""" +
           s""""protocol":"fresh JVM per key via graft.tools.TimeOne (local[8]), min of $isoReps reps; """ +
-          s"""keys whose min moved >1.5x vs the prior artifact are auto-re-repped (4+ reps) and adjudicated in `moved`: noise | env (plan hashes KNOWN-equal - host state, not code) | real (plan comparison unknown) | changed_plan | rerep_failed",""" +
+          s"""keys whose min moved >1.5x vs the prior artifact are auto-re-repped (4+ reps) and adjudicated in `moved`: noise | env (plan hash AND build fingerprint both KNOWN-equal - identical code ran, so host state) | unattributed (plan equal but build differs/unknown - kernel bodies may have changed under an unmoved logical plan) | real (plan comparison unknown) | changed_plan | rerep_failed",""" +
           s""""queries":$isoQs,""" +
           s""""moved":${movedJson.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
           s""""failed":${isoFailed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""

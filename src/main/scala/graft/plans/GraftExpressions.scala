@@ -647,6 +647,13 @@ case class TextQualityGate(text: Expression, markersExpr: Expression,
     if (!markersExpr.foldable || !minQExpr.foldable || !wantLangExpr.foldable)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "graft_text_quality_gate expects FOLDABLE markers/minQ/lang")
+    else if (minQExpr.eval(null) == null)
+      // a null threshold would silently unbox to 0.0 in the kernel and
+      // pass nearly every row, while the composed predicate
+      // `qualityScore(t) >= NULL` filters everything — reject it here
+      // (reachable only via SQL: graft_text_quality_gate(t, m, NULL, l))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_text_quality_gate requires a non-null minQ threshold")
     else (text.dataType, minQExpr.dataType, wantLangExpr.dataType) match {
       case (StringType, DoubleType, StringType | NullType) =>
         TextMarkerStats(text, markersExpr).checkInputDataTypes()

@@ -290,21 +290,28 @@ object ExtQueries {
       .select(col("probe_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("probe_id", "rank")
   }
-  val simIvfTopKSql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  val simIvfTopKSql: String = {
+    // zero-norm guard mirroring Spark's cosOf (0.0, never 0/0 → inf/NaN),
+    // same CASE shape as the IVF×PQ twin's cosExpr — a zero vector among
+    // centroids/probes/corpus cannot desync the engines
+    val cosExpr = (a: String, b: String) =>
+      s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) > 0
+         | THEN list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+         | ELSE 0.0 END""".stripMargin.replace("\n", "")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
       |asg AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT e.vec_id, c.cid,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |        list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        ${cosExpr("e.v", "c.cv")} DESC,
       |        c.cid) AS rn
       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
       |probe_clusters AS (
       |  SELECT vec_id AS probe_id, cid FROM (
       |    SELECT e.vec_id, c.cid,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |        list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        ${cosExpr("e.v", "c.cv")} DESC,
       |        c.cid) AS rn
       |    FROM e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE rn <= 2),
       |cand AS (
@@ -313,13 +320,14 @@ object ExtQueries {
       |  WHERE a.vec_id <> pc.probe_id),
       |scored AS (
       |  SELECT c.probe_id, c.corpus_id,
-      |    list_dot_product(p.v, x.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(x.v, x.v))) AS sim
+      |    ${cosExpr("p.v", "x.v")} AS sim
       |  FROM cand c JOIN e p ON p.vec_id = c.probe_id JOIN e x ON x.vec_id = c.corpus_id)
       |SELECT probe_id, CAST(rank AS INT) AS rank, corpus_id, round(sim, 6) AS sim_r FROM (
       |  SELECT probe_id, corpus_id, sim,
       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, corpus_id) AS rank
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
 
   // ---- quality filter pipeline -----------------------------------------
   /** The canonical pretraining data filter: quality score + language id
@@ -800,7 +808,13 @@ object ExtQueries {
     * flip a ceil boundary). The per-source counts collect is bounded
     * by |sources| — a hand-curated list, never data-scale. */
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    // NULL-source rows are excluded EXPLICITLY on both engines (here and
+    // the twin's WHERE source IS NOT NULL): a null key would otherwise
+    // become a null map key in the broadcast weight literal, where
+    // element_at/typedlit semantics diverge from SQL join-USING — the
+    // contract must not rest on the fixture's implicit NOT NULL
     val docs = Tables.load(spark, dir, "documents")
+      .filter(col("source").isNotNull)
     val counts = docs.groupBy("source").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
@@ -813,14 +827,15 @@ object ExtQueries {
       .orderBy("doc_id")
   }
   val mixTemperatureSql: String =
-    """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    """WITH nn AS (SELECT * FROM documents WHERE source IS NOT NULL),
+      |cnt AS (SELECT source, COUNT(*) AS n FROM nn GROUP BY source),
       |w AS (SELECT source, floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS w FROM cnt),
       |tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS sumw FROM w),
-      |tgt AS (SELECT CAST(CEIL(COUNT(*) / 2.0) AS DOUBLE) AS t FROM documents),
+      |tgt AS (SELECT CAST(CEIL(COUNT(*) / 2.0) AS DOUBLE) AS t FROM nn),
       |sel AS (
       |  SELECT d.doc_id, d.source,
       |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY md5(d.text), d.doc_id) AS rn
-      |  FROM documents d)
+      |  FROM nn d)
       |SELECT doc_id, source FROM sel
       |JOIN w USING (source) CROSS JOIN tot CROSS JOIN tgt
       |WHERE rn <= CEIL(w.w / tot.sumw * tgt.t)
@@ -926,8 +941,7 @@ object ExtQueries {
       |c AS (SELECT * FROM e WHERE vec_id % 19 <> 0 OR vec_id >= 2000),
       |s AS (
       |  SELECT c.vec_id, ev.vec_id AS eval_id,
-      |    list_dot_product(c.v, ev.v) /
-      |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.v, ev.v))) AS sim
+      |    CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.v, ev.v)) > 0 THEN list_dot_product(c.v, ev.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.v, ev.v))) ELSE 0.0 END AS sim
       |  FROM c, ev),
       |m AS (
       |  SELECT vec_id, eval_id, sim,
@@ -1066,7 +1080,7 @@ object ExtQueries {
       |      x -> floor(x / greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0, 1e-30) + 0.5)) AS qv
       |  FROM embeddings),
       |c AS (SELECT label,
-      |    list_dot_product(dv, qv) / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv))) AS cos
+      |    CASE WHEN sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv)) > 0 THEN list_dot_product(dv, qv) / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv))) ELSE 0.0 END AS cos
       |  FROM q)
       |SELECT label, COUNT(*) AS n,
       |  round(CAST(SUM(CAST(cos AS DECIMAL(20,14))) AS DOUBLE) / COUNT(*), 6) AS avg_cos_r,
@@ -1990,13 +2004,13 @@ object ExtQueries {
       |  WHERE vec_id < (SELECT GREATEST(16, COUNT(*) // 5000) FROM e)),
       |asg AS (SELECT vec_id, cid FROM (
       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+      |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)) > 0 THEN list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) ELSE 0.0 END DESC, c.cid) AS rn
       |  FROM e CROSS JOIN cent c) WHERE rn = 1),
       |dropped AS (
       |  SELECT DISTINCT b.vec_id
       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
       |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-      |  WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95)
+      |  WHERE CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) > 0 THEN list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) ELSE 0.0 END >= 0.95)
       |SELECT asg.vec_id, asg.cid, asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
       |FROM asg ORDER BY asg.vec_id""".stripMargin
 
@@ -2042,7 +2056,7 @@ object ExtQueries {
       |  WHERE (rn - 1) % CAST(CEIL(CAST(k AS DOUBLE) / c) AS BIGINT) = 0),
       |fmraw AS (SELECT cid, gid FROM (
       |  SELECT r.cid, a.gid, ROW_NUMBER() OVER (PARTITION BY r.cid ORDER BY
-      |    list_dot_product(r.cv, a.gv) / (sqrt(list_dot_product(r.cv, r.cv)) * sqrt(list_dot_product(a.gv, a.gv))) DESC, a.gid) AS rn
+      |    CASE WHEN sqrt(list_dot_product(r.cv, r.cv)) * sqrt(list_dot_product(a.gv, a.gv)) > 0 THEN list_dot_product(r.cv, a.gv) / (sqrt(list_dot_product(r.cv, r.cv)) * sqrt(list_dot_product(a.gv, a.gv))) ELSE 0.0 END DESC, a.gid) AS rn
       |  FROM ranked r CROSS JOIN anchors a) WHERE rn = 1),
       |finemap AS (
       |  SELECT f.cid,
@@ -2051,17 +2065,17 @@ object ExtQueries {
       |  FROM fmraw f JOIN ranked r ON r.cid = f.cid),
       |coarse AS (SELECT vec_id, gid FROM (
       |  SELECT e.vec_id, a.gid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |    list_dot_product(e.v, a.gv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.gv, a.gv))) DESC, a.gid) AS rn
+      |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.gv, a.gv)) > 0 THEN list_dot_product(e.v, a.gv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.gv, a.gv))) ELSE 0.0 END DESC, a.gid) AS rn
       |  FROM e CROSS JOIN anchors a) WHERE rn = 1),
       |asg AS (SELECT vec_id, cid FROM (
       |  SELECT co.vec_id, f.cid, ROW_NUMBER() OVER (PARTITION BY co.vec_id ORDER BY
-      |    list_dot_product(e.v, f.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.cv, f.cv))) DESC, f.cid) AS rn
+      |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.cv, f.cv)) > 0 THEN list_dot_product(e.v, f.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(f.cv, f.cv))) ELSE 0.0 END DESC, f.cid) AS rn
       |  FROM coarse co JOIN e ON e.vec_id = co.vec_id JOIN finemap f ON f.gid = co.gid) WHERE rn = 1),
       |dropped AS (
       |  SELECT DISTINCT b.vec_id
       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
       |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-      |  WHERE list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.95)
+      |  WHERE CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)) > 0 THEN list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) ELSE 0.0 END >= 0.95)
       |SELECT asg.vec_id, asg.cid, asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
       |FROM asg ORDER BY asg.vec_id""".stripMargin
 
@@ -2213,7 +2227,7 @@ object ExtQueries {
       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
       |asg AS (SELECT vec_id AS doc_id, cid FROM (
       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |    list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+      |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)) > 0 THEN list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) ELSE 0.0 END DESC, c.cid) AS rn
       |  FROM e CROSS JOIN cent c) WHERE rn = 1),
       |member AS (SELECT d.doc_id, a.cid, d.text FROM documents d JOIN asg a USING (doc_id)),
       |sizes AS (SELECT cid, COUNT(*) AS n_docs FROM member GROUP BY cid),
@@ -2281,7 +2295,7 @@ object ExtQueries {
       |  FROM (SELECT doc_id, score FROM lexscore ORDER BY score DESC, doc_id LIMIT 50)),
       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |scored AS (SELECT c.vec_id AS doc_id,
-      |    list_dot_product(c.v, p.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.v, p.v))) AS sim
+      |    CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.v, p.v)) > 0 THEN list_dot_product(c.v, p.v) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.v, p.v))) ELSE 0.0 END AS sim
       |  FROM e c, e p WHERE p.vec_id = 7 AND c.vec_id <> 7),
       |sem AS (SELECT doc_id, CAST(rank AS INT) AS r_sem FROM (
       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank FROM scored)

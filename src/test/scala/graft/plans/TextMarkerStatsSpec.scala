@@ -111,6 +111,19 @@ class TextMarkerStatsSpec extends AnyFunSuite {
     assert(a == b && a.values.sum > 0)
   }
 
+  test("gate rejects a null minQ at analysis instead of unboxing to 0.0") {
+    // via SQL a foldable NULL threshold is reachable; the kernel's
+    // `asInstanceOf[Double]` would silently unbox it to 0.0 (gate passes
+    // ~everything) while the composed predicate `q >= NULL` drops every
+    // row — checkInputDataTypes must fail the plan, not pick a side
+    val markers = typedlit(TextFunctions.LangMarkers.map { case (c, w) => (c, w) })
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      rows.select(GraftExpressions.textQualityGate(spark, $"text", markers,
+        lit(null).cast("double"), lit("en"))).collect()
+    }
+    assert(err.getMessage.contains("non-null minQ"))
+  }
+
   test("public functions are unchanged through the rewire") {
     val out = rows.filter($"text".isNotNull).select($"id",
       TextFunctions.wsTokenCount($"text").as("n"),
