@@ -389,6 +389,12 @@ object Bench {
               Seq("-cp", cp, "graft.tools.TimeOne", key)): _*)
           pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
           pb.environment().put("SPARK_GRAFT_REPS", reps.toString)
+          // the artifact protocol is local[8]: TimeOne's pool is
+          // env-tunable for hand-run thread-scaling probes (round-19
+          // ask #1), so pin the lane's children to 8 or an inherited
+          // SPARK_GRAFT_CPUS from the driver would silently shift
+          // every committed row's protocol
+          pb.environment().put("SPARK_GRAFT_CPUS", "8")
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
           pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
           val proc = pb.start()

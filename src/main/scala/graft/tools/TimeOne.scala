@@ -46,7 +46,15 @@ object TimeOne {
     // high-cardinality aggregations spill (34M keys/task at sf100) —
     // sizing partitions to data is exactly what a real cluster does,
     // so the knob lets a probe separate plan shape from task sizing
-    val spark = SparkSession.builder().master("local[8]")
+    // SPARK_GRAFT_CPUS sizes the local worker pool (default 8, the
+    // artifact protocol's value — BENCH_ISOLATED/BENCH_SF100 rows are
+    // local[8] numbers). The round-19 thread-scaling probe varies this
+    // (8/16/32) to separate "fixed-box constant factor" from "hidden
+    // serial term" on keys whose deep-octave slope runs above
+    // proportional: wall ≈ c/threads + floor proves the work is
+    // parallel and a real cluster's extra executors absorb it.
+    val spark = SparkSession.builder().master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       // INT96 (the deprecated default) writes NO comparable column
