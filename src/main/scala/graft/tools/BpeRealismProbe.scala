@@ -77,6 +77,20 @@ object BpeRealismProbe {
     val m512 = trained.take(512)
     require(m512.size >= 512,
       s"GenText slice trained only ${trained.size} merges — enlarge slice/vocab")
+    // dump the trained table for the DuckDB-side oracle-tractability
+    // measurement (tools/bpe_oracle_ceiling.py: the twin CTE is
+    // distinct-words × merges, so the richer pin grows the ORACLE too)
+    locally {
+      val f = new java.io.File("target/scale/bpe_text_merges.tsv")
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try trained.foreach { case (a, b) => w.println(s"$a\t$b") }
+      finally w.close()
+      println(s"[bperealism] merges dumped: ${f.getPath}")
+    }
+    if (sys.env.get("SPARK_GRAFT_BPE_DUMP_ONLY").contains("1")) {
+      spark.stop(); return
+    }
 
     // ---- 2. kernel-cost curve: same scan, growing merge table
     val textDocs = graft.Tables.load(spark, textDir, "documents")
