@@ -222,8 +222,17 @@ object OpsQueries {
     val ds = GraftDataset(out)
     val li = Tables.load(spark, dir, "lineitem")
     // hash-repartition first: worst-case (scattered) arrival order, so
-    // ONLY the writer's clustering can make the stats selective
-    DatasetWriter(ds, WriteMode.Overwrite, rowGroupSize = Some(200L))
+    // ONLY the writer's clustering can make the stats selective.
+    // Row-group rows scale with the table (footer count, no count job):
+    // a fixed 200 meant ~25 KB groups — ~1,800 row groups at sf0.1 and
+    // 5.7 s of parquet flush overhead on a 1.4 s write (measured,
+    // OPTIMIZATION_r19.md) — while the skip PROOF only needs enough
+    // groups that a 3-month window leaves some outside its bounds.
+    // rows/150 keeps ~90+ groups at every sf ≥ 0.01 and the 200 floor
+    // keeps sf0.001 at its proven-green layout.
+    val liRows = graft.sources.ParquetMeta.metadataRowCount(li).getOrElse(li.count())
+    DatasetWriter(ds, WriteMode.Overwrite,
+        rowGroupSize = Some(math.max(200L, liRows / 150)))
       .withClusterBy("l_shipdate")
       .write(spark, li.repartition(4, col("l_orderkey")))
 
@@ -281,7 +290,14 @@ object OpsQueries {
     val ds = GraftDataset(out)
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_partkey", "l_suppkey", "l_quantity")
-    DatasetWriter(ds, WriteMode.Overwrite, rowGroupSize = Some(200L))
+    // Scale-adaptive row groups (see w14): rows/400 — gentler than w14
+    // because only 3 narrow dictionary-friendly columns land here, so
+    // the same block bytes hold far more rows; the 200 floor keeps the
+    // small fixtures at their proven-green layout and the ≥8-groups
+    // require below stays the honesty gate.
+    val liRows = graft.sources.ParquetMeta.metadataRowCount(li).getOrElse(li.count())
+    DatasetWriter(ds, WriteMode.Overwrite,
+        rowGroupSize = Some(math.max(200L, liRows / 400)))
       .write(spark, graft.ds.ZOrder.arrange(li, Seq("l_partkey", "l_suppkey"),
         bits = 10, numPartitions = Some(4)))
 
