@@ -293,9 +293,30 @@ final case class DatasetWriter(
     val resolvedBatchRows = batchRows.map(n => if (n <= 0) defaultBatchRows(prepared) else n)
     val batched = resolvedBatchRows match {
       case Some(n) if partCols.isEmpty =>
-        val rows = withBucket.count()
+        // parquet footers already know the count when the plan is a
+        // pure scan/project — skip the count job (a full extra pass of
+        // the input) and only fall back to counting for transformed
+        // plans whose multiplicity the footers cannot answer
+        val rows = graft.sources.ParquetMeta.metadataRowCount(withBucket)
+          .getOrElse(withBucket.count())
         withBucket.repartition(math.max(1L, (rows + n - 1) / n).toInt)
-      case _ => withBucket
+      case Some(_) =>
+        // Partitioned + batched: hash-distribute by the partition
+        // columns plus a deterministic data-derived salt before the
+        // write (the Iceberg hash-distribution shape, guide §6). A
+        // narrow input otherwise funnels every partition's whole file
+        // fan-out through its few tasks — measured 3.1 s single-task
+        // for w13's 153-file fixture vs ~0.6 s distributed — while the
+        // salt keeps one giant hive partition from serializing into a
+        // single task (guide §2.5; xxhash64 of the data columns, never
+        // rand(), so task retries reproduce the assignment).
+        val dataCols = withBucket.columns.filterNot(partCols.contains)
+        val salt =
+          if (dataCols.isEmpty) lit(0L)
+          else pmod(xxhash64(struct(dataCols.toIndexedSeq.map(col): _*)),
+            lit(spark.sparkContext.defaultParallelism.toLong.max(1L)))
+        withBucket.repartition((partCols.map(col) :+ salt): _*)
+      case None => withBucket
     }
 
     // Clustered write: per-task sort by (partition cols, cluster key).

@@ -140,7 +140,13 @@ object OpsQueries {
     val src = Tables.load(spark, dir, "lineitem")
     DatasetWriter(ds, WriteMode.Overwrite).withBatchRows(10000).write(spark, src)
     import spark.implicits._
-    Seq(("rows", ds.df(spark).count()), ("files", ds.dataFiles(spark).size.toLong))
+    // the batch-count evidence needs exact row/file counts, not a data
+    // scan: footers answer rows (same zero-scan path as a5_counts;
+    // 0.8 s of re-reading 61 files saved at sf0.1), the listing answers
+    // files, and the count() fallback keeps non-parquet formats exact
+    val rows = graft.sources.ParquetMeta.metadataRowCount(ds.df(spark))
+      .getOrElse(ds.df(spark).count())
+    Seq(("rows", rows), ("files", ds.dataFiles(spark).size.toLong))
       .toDF("stat", "n").orderBy("stat")
   }
   val w7Sql: String =
@@ -192,10 +198,14 @@ object OpsQueries {
     // fragment relative to table size so the fixture fractures at EVERY
     // scale factor (a fixed 100-row batch stops fragmenting once
     // partitions drop under 100 rows, e.g. sf0.001's 30-row segments);
-    // size comes from footer metadata, not a count job
+    // size comes from footer metadata, not a count job. ~50 fragments
+    // (was 150): the write floor is per-FILE (~10 ms each, measured
+    // flat across codec/parallelism variants — OPTIMIZATION_r19.md), and
+    // ten small files per segment prove compaction exactly as well as
+    // thirty; compact's have>want rule triggers either way.
     val batch = math.max(1L,
       graft.sources.ParquetMeta.metadataRowCount(customer)
-        .getOrElse(customer.count()) / 150)
+        .getOrElse(customer.count()) / 50)
     DatasetWriter(ds, WriteMode.Overwrite, batchRows = Some(batch))
       .write(spark, customer)
     val stats = Repartition.compact(spark, ds)

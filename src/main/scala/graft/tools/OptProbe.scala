@@ -64,6 +64,156 @@ object OptProbe {
           }
           graft.tools.Hygiene.sweepTmp()
         }
+      case "stream" =>
+        // decompose the x_stream_* per-key cost: staging + N micro-batches
+        // x (trigger planning + state checkpoint + sink). Variants pin
+        // which slice of the ~0.86 s/batch overhead belongs to the
+        // foreachBatch delta sink vs Spark's own checkpoint floor.
+        val base = java.nio.file.Files.createTempDirectory("graft_q_sprobe").toString
+        val staged = base + "/src"
+        t("stage 3 slices") {
+          val df = graft.Tables.load(spark, dir, "events")
+          df.repartitionByRange(3, col("ts"), col("event_id"))
+            .sortWithinPartitions(col("ts"), col("event_id"))
+            .write.parquet(staged)
+          val parts = new java.io.File(staged).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          parts.zipWithIndex.foreach { case (f, i) =>
+            require(f.setLastModified(1000000L * (i + 1))) }
+        }
+        def runVariant(tag: String, width: Int, sink: String): Unit = {
+          val key = "spark.sql.shuffle.partitions"
+          val prev = spark.conf.get(key)
+          spark.conf.set(key, width.toString)
+          try t(s"stream $tag (width=$width sink=$sink)") {
+            val agg = graft.streaming.EventsStream.windowedAgg(
+              graft.streaming.EventsStream.readEvents(spark, staged))
+            val q = sink match {
+              case "delta" => graft.streaming.EventsStream.startDeltaSink(
+                agg, s"$base/sink_$tag", s"$base/ckpt_$tag")
+              case "noop" => agg.writeStream.outputMode("append")
+                .option("checkpointLocation", s"$base/ckpt_$tag")
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .format("noop").start()
+            }
+            q.awaitTermination()
+          } finally spark.conf.set(key, prev)
+        }
+        runVariant("warm", 8, "delta")   // discard: streaming engine init
+        runVariant("delta8", 8, "delta")
+        runVariant("noop8", 8, "noop")
+        runVariant("delta4", 4, "delta")
+        runVariant("noop2", 2, "noop")
+        runVariant("delta8b", 8, "delta") // repeat for noise read
+      case "writes" =>
+        import graft.ds._
+        // w13: fragmented write vs compact vs readback
+        locally {
+          val dst = java.nio.file.Files.createTempDirectory("graft_q_w13p").toString + "/ds"
+          val ds = GraftDataset(dst, partitioning = Seq("c_mktsegment"))
+          val customer = graft.Tables.load(spark, dir, "customer")
+          val batch = math.max(1L,
+            graft.sources.ParquetMeta.metadataRowCount(customer)
+              .getOrElse(customer.count()) / 150)
+          t("w13 fragmented write") {
+            DatasetWriter(ds, WriteMode.Overwrite, batchRows = Some(batch))
+              .write(spark, customer)
+          }
+          println(s"[probe] w13 files after write: ${ds.dataFiles(spark).size}")
+          t("w13 compact")(Repartition.compact(spark, ds))
+          t("w13 readback") {
+            force(spark.read.parquet(dst)
+              .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+              .orderBy("c_custkey"))
+          }
+        }
+        // w7: count-batched write decomposition
+        locally {
+          val out = java.nio.file.Files.createTempDirectory("graft_q_w7p").toString + "/ds"
+          val ds = GraftDataset(out)
+          val src = graft.Tables.load(spark, dir, "lineitem")
+          t("w7 count job")(src.count())
+          t("w7 batched write") {
+            DatasetWriter(ds, WriteMode.Overwrite).withBatchRows(10000).write(spark, src)
+          }
+          t("w7 readback count")(ds.df(spark).count())
+          t("w7 dataFiles")(ds.dataFiles(spark).size)
+        }
+        // w16: bloom delta decomposition
+        locally {
+          val out = java.nio.file.Files.createTempDirectory("graft_q_w16p").toString + "/ds"
+          val ds = GraftDataset(out)
+          val cust = graft.Tables.load(spark, dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+          val w = DatasetWriter(ds).withDeltaSubset("c_custkey").withBloomIndex
+          t("w16 seed write")(w.write(spark, cust.filter(col("c_custkey") % 2 === 0)))
+          t("w16 delta overlap")(w.withMode(WriteMode.Delta).write(spark, cust))
+          t("w16 delta rerun")(w.withMode(WriteMode.Delta).write(spark, cust))
+          val shifted = cust.select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+            col("c_name"), col("c_acctbal"))
+          t("w16 delta allnew")(w.withMode(WriteMode.Delta).write(spark, shifted))
+          t("w16 readback") {
+            force(spark.read.parquet(out)
+              .agg(count(lit(1)).as("n_rows"), countDistinct(col("c_custkey")).as("dk")))
+          }
+        }
+      case "w13raw" =>
+        // isolate: raw Spark partitioned+maxRecordsPerFile write vs the
+        // DatasetWriter wrapper, and the effect of the salt repartition
+        val customer = graft.Tables.load(spark, dir, "customer")
+        for (i <- 1 to 2) {
+          val d1 = java.nio.file.Files.createTempDirectory("graft_q_r1").toString + "/ds"
+          t(s"raw write, no repartition ($i)") {
+            customer.write.partitionBy("c_mktsegment")
+              .option("maxRecordsPerFile", "100").option("compression", "zstd")
+              .parquet(d1)
+          }
+          val d2 = java.nio.file.Files.createTempDirectory("graft_q_r2").toString + "/ds"
+          t(s"raw write, salted repartition ($i)") {
+            val dataCols = customer.columns.filterNot(_ == "c_mktsegment")
+            customer.repartition(col("c_mktsegment"),
+                pmod(xxhash64(struct(dataCols.toIndexedSeq.map(col): _*)), lit(8L)))
+              .write.partitionBy("c_mktsegment")
+              .option("maxRecordsPerFile", "100").option("compression", "zstd")
+              .parquet(d2)
+          }
+          val d3 = java.nio.file.Files.createTempDirectory("graft_q_r3").toString + "/ds"
+          t(s"raw write, snappy ($i)") {
+            customer.write.partitionBy("c_mktsegment")
+              .option("maxRecordsPerFile", "100").option("compression", "snappy")
+              .parquet(d3)
+          }
+          val d4 = java.nio.file.Files.createTempDirectory("graft_q_r4").toString + "/ds"
+          t(s"dataset writer ($i)") {
+            graft.ds.DatasetWriter(
+              graft.ds.GraftDataset(d4, partitioning = Seq("c_mktsegment")),
+              graft.ds.WriteMode.Overwrite, batchRows = Some(100L))
+              .write(spark, customer)
+          }
+          graft.tools.Hygiene.sweepTmp()
+        }
+      case "corr" =>
+        val li = graft.Tables.load(spark, dir, "lineitem")
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        t("scan only (4 cols)")(force(li.select(cols.map(col): _*)))
+        def latD(c: String) = round(col(c).cast("double") * 10000, 0).cast("decimal(38,0)")
+        def lat18(c: String) = round(col(c).cast("double") * 10000, 0).cast("decimal(18,0)")
+        def latDouble(c: String) = round(col(c).cast("double") * 10000, 0)
+        val pairs = for { i <- cols.indices; j <- i + 1 until cols.size } yield (i, j)
+        def aggs(f: String => org.apache.spark.sql.Column) =
+          (count(lit(1)).as("__n") +:
+            cols.indices.flatMap(i => Seq(sum(f(cols(i))).as(s"__s_$i"),
+              sum(f(cols(i)) * f(cols(i))).as(s"__ss_$i")))) ++
+            pairs.zipWithIndex.map { case ((i, j), p) =>
+              sum(f(cols(i)) * f(cols(j))).as(s"__sp_$p") }
+        for (r <- 1 to 2) {
+          t(s"agg decimal38 ($r)") { val a = aggs(latD); force(li.agg(a.head, a.tail: _*)) }
+          t(s"agg decimal18 ($r)") { val a = aggs(lat18); force(li.agg(a.head, a.tail: _*)) }
+          t(s"agg double ($r)") { val a = aggs(latDouble); force(li.agg(a.head, a.tail: _*)) }
+          t(s"full corrMatrix ($r)") {
+            force(graft.operators.Profiling.corrMatrix(li, cols, 4, listwise = true))
+          }
+        }
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
