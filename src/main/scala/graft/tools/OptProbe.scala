@@ -214,6 +214,39 @@ object OptProbe {
             force(graft.operators.Profiling.corrMatrix(li, cols, 4, listwise = true))
           }
         }
+      case "pctab" =>
+        val li = graft.Tables.load(spark, dir, "lineitem")
+        for (r <- 1 to 3) {
+          t(s"builtin percentile ($r)") {
+            force(li.agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")))
+          }
+          t(s"exactPercentiles ($r)") {
+            force(graft.operators.Sketches.exactPercentiles(
+              li, "l_extendedprice", Seq(0.5, 0.9, 0.99)))
+            spark.catalog.clearCache()
+          }
+        }
+      case "pct" =>
+        val li = graft.Tables.load(spark, dir, "lineitem")
+        println(s"[probe] distinct extendedprice: " +
+          li.select(countDistinct(col("l_extendedprice"))).collect()(0).getLong(0) +
+          s" of ${li.count()}")
+        for (r <- 1 to 2) {
+          t(s"percentile raw ($r)") {
+            force(li.agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")))
+          }
+          t(s"percentile freq ($r)") {
+            val counts = li.groupBy(col("l_extendedprice").as("__v"))
+              .agg(count(lit(1)).as("__c"))
+            force(counts.agg(expr("percentile(__v, array(0.5D, 0.9D, 0.99D), __c)")))
+          }
+          t(s"counts+sort floor ($r)") {
+            // codegen floor: distinct counts then range-sorted cumsum-free pass
+            val counts = li.groupBy(col("l_extendedprice").as("__v"))
+              .agg(count(lit(1)).as("__c"))
+            force(counts.repartitionByRange(8, col("__v")).sortWithinPartitions("__v"))
+          }
+        }
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

@@ -54,7 +54,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "x_hybrid_search" -> "broadcast single-probe cosine side (Similarity.cosineTopK) + 1-row BM25 stats broadcast",
     "x_profile" -> ("per-column exact-distinct 1-row frames cross-joined into the wide " +
       "aggregate row (Profiling.profile) — the no-Expand shape from SCALE_CURVE.md catch 4"),
-    "x_sketch_stats" -> "same: two 1-row exact-distinct frames crossed into the 1-row HLL frame"
+    "x_sketch_stats" -> "same: two 1-row exact-distinct frames crossed into the 1-row HLL frame",
+    "a6_percentiles" -> ("3-row broadcast rank table range-matched against the cumulative " +
+      "value-count frame (Sketches.exactPercentiles) — the bounded side is |qs| rows")
   )
 
   /** Queries whose defining predicate must be PUSHED to the parquet
