@@ -53,10 +53,10 @@ object Sampling {
     * stratum — payload included — through one task (the catch-3 shape
     * from SCALE_CURVE.md; one web source can be 90% of the corpus).
     * Instead, numeric/timestamp order keys are range-bucketed by
-    * per-stratum `percentile_approx` boundaries — bucketing needs only
-    * ORDER-CONSISTENCY (monotone in the key), not balance, so the
-    * sketch's approximation error shifts work between buckets but
-    * never changes any row's cumulative sum — the running sum runs at
+    * per-stratum equal-width (min/max) boundaries — bucketing needs
+    * only ORDER-CONSISTENCY (monotone in the key), not balance, so a
+    * skewed key distribution shifts work between buckets but never
+    * changes any row's cumulative sum — the running sum runs at
     * (strata × `buckets`) parallelism, and each bucket adds a
     * broadcast offset (cumulative bucket totals, computed by a window
     * over the tiny per-(stratum, bucket) aggregate). Output is
@@ -87,17 +87,36 @@ object Sampling {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         df.withColumn("__cum", sum(col(tokensCol)).over(w))
       } else {
-        val qs = (1 until buckets).map(i => i.toDouble / buckets)
+        // Equal-width per-stratum buckets from min/max, NOT sampled
+        // percentiles: bucketing needs only ORDER-CONSISTENCY (monotone
+        // in the key), never balance, and the old percentile_approx
+        // boundary pass was a per-row GK-sketch update outside codegen
+        // PLUS a 63-element array fold per row to place the bucket —
+        // both replaced by a codegen'd min/max aggregate and one
+        // subtract/divide/floor per row (the same trade measured 3× on
+        // a6's percentile path, OPTIMIZATION_r19.md). A skewed order-
+        // key distribution only unbalances buckets (slower, still
+        // correct); the degenerate all-one-value stratum collapses to
+        // one bucket — exactly the window formulation's semantics.
+        // Monotone double view of the order key (date/timestamp via
+        // the timestamp cast; long→double ties past 2^53 only merge
+        // adjacent buckets, which bucketing tolerates by construction).
+        val oNum = (df.schema(orderCol).dataType match {
+          case _: NumericType => col(orderCol)
+          case _ => col(orderCol).cast("timestamp")
+        }).cast("double")
         val bnd = df.groupBy(col(strataCol).as("__ps"))
-          .agg(percentile_approx(col(orderCol), typedLit(qs), lit(1000)).as("__bnds"))
-        // rb = #boundaries strictly below the key; a null key compares
-        // null > b -> null -> 0, landing in bucket 0 exactly where the
-        // window's nulls-first ordering puts it
+          .agg(min(oNum).as("__bmn"), max(oNum).as("__bmx"))
+        // a null key lands in bucket 0 (null arithmetic -> null ->
+        // coalesce 0), exactly where the window's nulls-first
+        // ordering puts it
+        val width = (col("__bmx") - col("__bmn")) / buckets
         val withRb = df.join(broadcast(bnd), col(strataCol) <=> col("__ps"), "left")
           .withColumn("__rb", coalesce(
-            aggregate(col("__bnds"), lit(0),
-              (acc, b) => acc + when(col(orderCol) > b, 1).otherwise(0)),
-            lit(0)))
+            when(col("__bmx") <= col("__bmn"), lit(0L)).otherwise(
+              least(lit(buckets - 1L), greatest(lit(0L),
+                floor((oNum - col("__bmn")) / width)))),
+            lit(0L)))
         val wRun = Window.partitionBy(col(strataCol), col("__rb"))
           .orderBy(col(orderCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -115,7 +134,7 @@ object Sampling {
           .join(broadcast(offs),
             col(strataCol) <=> col("__os") && col("__rb") === col("__orb"), "left")
           .withColumn("__cum", col("__run") + coalesce(col("__off"), lit(0L)))
-          .drop("__ps", "__bnds", "__rb", "__run", "__os", "__orb", "__off")
+          .drop("__ps", "__bmn", "__bmx", "__rb", "__run", "__os", "__orb", "__off")
       }
     cum
   }
