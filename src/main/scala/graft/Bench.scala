@@ -93,6 +93,9 @@ object Bench {
         failed: scala.collection.mutable.LinkedHashSet[String]): Seq[(String, Double)] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
+        // label the jobs (guide §1.5) so event logs / the UI attribute
+        // every stage to its contract key; thread-local, cleared after
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val samples = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           // a failed rep must NOT contribute a fast-fail duration to the
@@ -113,6 +116,7 @@ object Bench {
           (dt, ok)
         }
         val good = samples.filter(_._2).map(_._1)
+        spark.sparkContext.setJobDescription(null)
         if (good.isEmpty) { failed += name; name -> samples.map(_._1).min }
         else name -> good.min
       }
