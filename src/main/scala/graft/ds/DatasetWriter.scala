@@ -64,11 +64,14 @@ final case class DatasetWriter(
     // whole domain and neither the sidecar nor footer stats can
     // discriminate. Spark's parquet reader consumes them automatically
     // for pushed = / IN predicates — nothing to configure at read
-    // time. Parquet is ADAPTIVE about materializing them: a chunk
-    // whose dictionary encoding holds (repetitive keys) gets exact
-    // dictionary-page filtering and no bloom; the bloom lands exactly
-    // when the dictionary falls back (near-unique keys — content
-    // hashes, uuids — the regime the flag exists for). Parquet-only
+    // time. Contracted columns are written PLAIN (dictionary encoding
+    // disabled per column): parquet-mr drops the bloom whenever a
+    // chunk stays fully dictionary-encoded, and that depends on the
+    // dictionary PAGE-SIZE threshold, not the data — the same unique
+    // key keeps its filters at one scale and silently loses them one
+    // scale down. Declaring the column here IS the statement that it
+    // is a high-cardinality lookup key (dictionary was ineffective
+    // anyway), so the contract always materializes. Parquet-only
     // (other formats ignore the options)
     rowGroupBloom: Seq[(String, Option[Long])] = Nil,
     // explicit contract OPT-OUT — see [[withoutRowGroupBloom]]

@@ -56,11 +56,27 @@ object RowGroupBloom {
   def delete(fs: FileSystem, dsPath: String): Boolean =
     fs.delete(sidecar(dsPath), false)
 
-  /** Fold the contracted parquet options onto a writer. */
+  /** Fold the contracted parquet options onto a writer.
+    *
+    * Dictionary encoding is explicitly DISABLED for each bloom column:
+    * parquet-mr drops a chunk's bloom filter whenever the chunk ends up
+    * fully dictionary-encoded (the dictionary page is already an exact
+    * membership filter), and whether that happens depends on the
+    * dictionary PAGE-SIZE threshold, not on the data's semantics — a
+    * unique-key column small enough to fit its dictionary under 1 MB
+    * (e.g. a tiny scale factor) silently loses the very filters the
+    * contract paid for, while the same column one scale up falls back
+    * to plain and keeps them. A bloom-contracted column is by design a
+    * high-cardinality point-lookup key where dictionary encoding is
+    * ineffective anyway, so plain encoding is forced and the bloom
+    * materializes at every scale (results are unchanged — this is an
+    * encoding choice; RowGroupBloomSpec pins presence at a
+    * dictionary-friendly row count). */
   def applyOptions[T](w: org.apache.spark.sql.DataFrameWriter[T],
       rgb: Seq[(String, Option[Long])]): org.apache.spark.sql.DataFrameWriter[T] =
     rgb.foldLeft(w) { case (acc, (c, ndv)) =>
       val e = acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.enable.dictionary#$c", "false")
       ndv.fold(e)(n => e.option(s"parquet.bloom.filter.expected.ndv#$c", n.toString))
     }
 }

@@ -525,15 +525,25 @@ object OpsQueries {
     val ds = GraftDataset(out)
     // a globally-unique derived document key (the content-hash / uuid
     // id shape): dictionary encoding is INEFFECTIVE on all-unique
-    // values, parquet falls back to plain — which is precisely when it
-    // materializes the bloom (dict-effective chunks get exact
-    // dictionary-page filtering instead and need no bloom)
+    // values, and the bloom contract writes the column plain so the
+    // filters materialize at EVERY scale — left to parquet's adaptive
+    // rule, a tiny fixture's dictionary stays under the page-size
+    // threshold and the bloom silently vanishes (bloom_proven flipped
+    // to 0 at sf0.001 until round 19 made the encoding explicit)
     val li = Tables.load(spark, dir, "lineitem")
       .select(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("doc_key"),
         col("l_quantity"))
+    // No repartition: the scan's natural splits parallelize the write
+    // with zero shuffle (one file per split, each in unclustered md5
+    // order — min/max still span the whole domain per row group). The
+    // old repartition(1) funneled the whole write through one task; it
+    // was load-bearing only while bloom materialization rode parquet's
+    // adaptive dictionary-fallback rule — with the contract forcing
+    // plain encoding (round 19), blooms land in every file at every
+    // scale, so the proof no longer needs a single-file layout.
     DatasetWriter(ds, WriteMode.Overwrite)
       .withRowGroupBloom("doc_key")
-      .write(spark, li.repartition(1))
+      .write(spark, li)
     val offsets = graft.sources.ParquetMeta.footerBlocks(spark, ds.dataFiles(spark))(
       b => graft.sources.ParquetMeta.blockColumn(b, "doc_key").getBloomFilterOffset)
     val proven = offsets.nonEmpty && offsets.forall(_ >= 0)

@@ -166,21 +166,39 @@ class RowGroupBloomSpec extends AnyFunSuite {
     assert(RowGroupBloom.load(fs, ds.path).isEmpty)
   }
 
-  test("dict-effective columns stay bloom-less: parquet's adaptive rule") {
-    // a REPETITIVE key keeps its dictionary encoding, and parquet then
-    // deliberately omits the bloom — the dictionary page already gives
-    // the reader EXACT row-group membership. This pins the adaptive
-    // semantics so nobody reads a missing offset as a broken flag: the
-    // bloom materializes exactly when the dictionary falls back
-    // (near-unique keys), which is the regime the flag exists for.
+  test("the contract materializes blooms even where a dictionary would hold") {
+    // Round-19 semantics change (w21 oracle gap at sf0.001): parquet's
+    // adaptive rule drops the bloom whenever a chunk stays fully
+    // dictionary-encoded, and THAT depends on the 1 MB dictionary
+    // page-size threshold, not the data — a unique key small enough to
+    // fit its dictionary (a tiny scale factor) silently lost the very
+    // filters the contract paid for. The contract now writes declared
+    // columns PLAIN, so the bloom lands at every scale and row count.
+    // (a) dictionary-friendly row count of a UNIQUE key — the w21 @
+    // sf0.001 shape that used to come back bloom-less:
+    val tiny = GraftDataset(tmpDir("graft_rgbloom_tiny"))
+    DatasetWriter(tiny, WriteMode.Overwrite)
+      .withRowGroupBloom("doc_id")
+      .write(spark, (0 until 6000)
+        .map(i => (f"doc-${(i * 2654435761L) % 1000003}%08d", i.toLong))
+        .toDF("doc_id", "n").repartition(1))
+    assert(bloomOffsets(tiny).nonEmpty && bloomOffsets(tiny).forall(_ >= 0),
+      "a tiny unique-key write must still carry its contracted blooms")
+    // (b) even a REPETITIVE key gets the bloom once contracted — the
+    // caller declared it a lookup key; predictability beats the
+    // adaptive page-size heuristic:
     val ds = GraftDataset(tmpDir("graft_rgbloom_dict"))
     val df = (0 until 20000).map(i => (s"cat-${i % 50}", i.toLong)).toDF("doc_id", "n")
     DatasetWriter(ds, WriteMode.Overwrite)
       .withRowGroupBloom("doc_id")
       .write(spark, df.repartition(2))
-    assert(bloomOffsets(ds).forall(_ < 0),
-      "a 50-value column must stay dictionary-encoded with no bloom")
-    // and lookups are still exact (dictionary filtering path)
+    assert(bloomOffsets(ds).nonEmpty && bloomOffsets(ds).forall(_ >= 0),
+      "a contracted column carries blooms regardless of cardinality")
+    // and lookups stay exact (bloom has no false negatives)
     assert(spark.read.parquet(ds.path).filter(col("doc_id") === "cat-7").count() == 400)
+    // (c) UNcontracted columns keep dictionary encoding untouched: the
+    // plain-encoding override is scoped to the declared columns only
+    val plainN = spark.read.parquet(ds.path).filter(col("n") === 7L).count()
+    assert(plainN == 1)
   }
 }
