@@ -1048,6 +1048,29 @@ object Int128Math {
       .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
     Decimal(BigDecimal(new java.math.BigDecimal(bi)), 38, 0)
   }
+  /** (hi, lo) as the exact signed 128-bit UNSCALED value of a
+    * decimal(38, scale) — [[SumDec128]]'s eval. */
+  def dec128Scaled(hi: Long, lo: Long, scale: Int): Decimal = {
+    val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    Decimal(BigDecimal(new java.math.BigDecimal(bi, scale)), 38, scale)
+  }
+  /** Unscaled long of a Decimal, 0 for NULL (the additive identity —
+    * [[SumDec128]] tracks nullness in a separate count slot). LOUD on
+    * an unscaled value past 2^63 (`longValueExact` throws): for the
+    * price-scale decimals this serves, a single row needing >63 bits
+    * (|v| > ~9.2e12 at scale 6) is data corruption, never silently
+    * truncated. */
+  def unscaledOrZero(d: Decimal): Long =
+    if (d == null) 0L
+    else if (d.precision <= Decimal.MAX_LONG_DIGITS) d.toUnscaledLong
+    else d.toJavaBigDecimal.unscaledValue().longValueExact()
+  /** New hi word after adding the sign-extended long x: signed hi
+    * extension plus the unsigned carry out of the lo addition. */
+  def addHiL(hi: Long, lo: Long, x: Long): Long = {
+    val nl = lo + x
+    hi + (x >> 63) + (((lo & x) | ((lo | x) & ~nl)) >>> 63)
+  }
 }
 
 /** Exact Σ x·y over int64 lattice values, accumulated in 128 bits
@@ -1111,6 +1134,93 @@ case class SumProd128(x: Expression, y: Expression)
 
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): SumProd128 =
     copy(x = cs(0), y = cs(1))
+}
+
+/** Exact SUM over a DecimalType column, accumulated as the 128-bit
+  * integer sum of UNSCALED values (two long buffer slots + a non-null
+  * count) and emitted as decimal(38, scale).
+  *
+  * The point is the PER-ROW COST of the TPC-H oracle-parity aggregates
+  * (`SUM(CAST(x AS DECIMAL(22,6)))`): the HALF_UP cast is the shared
+  * cross-engine contract and stays, but Spark's builtin Sum buffers a
+  * DecimalType(p+10) — stored as java.math.BigDecimal once p > 18 — so
+  * every row pays a BigDecimal add plus a CheckOverflow precision walk.
+  * Measured on the q1 shape (OptProbe `dec`, sf0.1 warm): as-is 1.69 s,
+  * cast-kept-sums-in-double 0.90 s, all-double 0.28 s — the BigDecimal
+  * SUM is half the key. Here the cast's unscaled value rides two
+  * codegen'd long adds with carry; the one BigInteger materializes per
+  * GROUP at eval. HashAggregate-eligible (all-long buffer) where the
+  * builtin's wide-decimal buffer already was, so plan shape is
+  * unchanged — only per-row cost drops.
+  *
+  * Equivalence contract (pinned bit-exact by ExpressionsSpec):
+  * the unscaled integer sum in 128 bits is EXACT, as is the builtin's
+  * decimal sum, so the emitted decimal (and any downstream double
+  * cast) is identical; empty/all-NULL groups yield NULL (SUM
+  * semantics) via the count slot. Exactness bound |Σ| < 2^127 ≈
+  * 1.7e38 unscaled — beyond the builtin's own (p+10)-digit overflow
+  * horizon for every declared query. A single input past 2^63
+  * unscaled throws loudly (never silently truncates) — see
+  * [[Int128Math.unscaledOrZero]]. */
+case class SumDec128(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate {
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+
+  private def scale: Int = child.dataType match {
+    case d: DecimalType => d.scale
+    case _ => 0
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: DecimalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sumdec128 requires a DecimalType input, got ${other.catalogString}")
+    }
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DecimalType(38, scale)
+  override def prettyName: String = "graft_sumdec128"
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, cnt)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
+
+  private def call(name: String, args: Seq[Expression], dt: DataType = LongType,
+      argTypes: Seq[DataType] = Nil) =
+    StaticInvoke(Int128Math.getClass, dt, name, args,
+      inputTypes = if (argTypes.nonEmpty) argTypes else Seq.fill(args.size)(LongType),
+      propagateNull = false, returnNullable = false)
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    // one extraction per row: the same `unscaledOrZero(child)` subtree
+    // feeds both the hi and lo slots, so the aggregate codegen's
+    // subexpression elimination evaluates it once (the SumProd128
+    // lesson); NULL contributes the additive identity 0 and is tracked
+    // by the count slot instead of a branch.
+    val x = call("unscaledOrZero", Seq(child),
+      argTypes = Seq(child.dataType))
+    Seq(
+      call("addHiL", Seq(hi, lo, x)),
+      call("addLo", Seq(lo, x)),
+      Add(cnt, If(IsNull(child), Literal(0L), Literal(1L))))
+  }
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    call("mergeHi", Seq(hi.left, lo.left, hi.right, lo.right)),
+    call("addLo", Seq(lo.left, lo.right)),
+    Add(cnt.left, cnt.right))
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(cnt, Literal(0L)),
+      Literal(null, DecimalType(38, scale)),
+      call("dec128Scaled", Seq(hi, lo, Literal(scale)), DecimalType(38, scale),
+        argTypes = Seq(LongType, LongType, IntegerType)))
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): SumDec128 =
+    copy(child = cs(0))
 }
 
 /** Exact bounded-heap top-k aggregate: keeps the best `k`
@@ -2264,6 +2374,9 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_sumprod128",
       { es: Seq[Expression] => SumProd128(es(0), es(1)).toAggregateExpression() },
       "built-in")
+    reg.createOrReplaceTempFunction("graft_sumdec128",
+      { es: Seq[Expression] => SumDec128(es(0)).toAggregateExpression() },
+      "built-in")
     reg.createOrReplaceTempFunction("graft_topk",
       { es: Seq[Expression] =>
         val k = es(2).eval(InternalRow.empty).asInstanceOf[Int]
@@ -2315,6 +2428,9 @@ object GraftExpressions {
   }
   def sumProd128(spark: SparkSession, x: Column, y: Column): Column = {
     register(spark); call_function("graft_sumprod128", x, y)
+  }
+  def sumDec128(spark: SparkSession, x: Column): Column = {
+    register(spark); call_function("graft_sumdec128", x)
   }
   def minhash(spark: SparkSession, shingles: Column, k: Int): Column = {
     register(spark)
@@ -2445,6 +2561,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => LshSignBits(es(0), intArg(es, 1), if (es.length > 2) intArg(es, 2) else 0))
     inject("graft_sumprod128", classOf[SumProd128],
       es => SumProd128(es(0), es(1)).toAggregateExpression())
+    inject("graft_sumdec128", classOf[SumDec128],
+      es => SumDec128(es(0)).toAggregateExpression())
     inject("graft_topk", classOf[TopKPairs],
       es => TopKPairs(es(0), es(1), intArg(es, 2)).toAggregateExpression())
     inject("graft_bloom_contains", classOf[BloomMightContain],

@@ -19,10 +19,19 @@ import graft.Tables
   */
 object SqlSurface {
 
+  /** Exact decimal SUM via [[graft.plans.GraftExpressions.sumDec128]]:
+    * the HALF_UP cast (the cross-engine parity contract) is unchanged,
+    * the accumulation is the exact 128-bit unscaled-integer sum instead
+    * of per-row BigDecimal adds — bit-identical emitted value (pinned
+    * by ExpressionsSpec), ~2× on the q1 aggregate shape (OptProbe
+    * `dec`). Uses the active session for one-time function
+    * registration; every caller here runs on it. */
+  private def sdec(c: Column): Column =
+    graft.plans.GraftExpressions.sumDec128(SparkSession.active, c)
   /** Exact cross-engine sum of a 2-decimal double column. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def dsum(c: Column): Column = sdec(c.cast("decimal(18,2)")).cast("double")
   /** Exact cross-engine sum of a derived product (≤4 true decimals). */
-  private def dsum6(c: Column): Column = sum(c.cast("decimal(22,6)")).cast("double")
+  private def dsum6(c: Column): Column = sdec(c.cast("decimal(22,6)")).cast("double")
 
   // ---------------------------------------------------------------- q1
   /** TPC-H Q1-style pricing summary: filter → groupBy → 8 aggregates →

@@ -214,6 +214,51 @@ object OptProbe {
             force(graft.operators.Profiling.corrMatrix(li, cols, 4, listwise = true))
           }
         }
+      case "dec" =>
+        // q1-shape decimal aggregation: how much of the key is the
+        // HALF_UP cast (oracle-parity contract) vs the BigDecimal SUM
+        // (replaceable by a 128-bit unscaled accumulator)?
+        val li = graft.Tables.load(spark, dir, "lineitem")
+        val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val charge = disc * (lit(1.0) + col("l_tax"))
+        def gby(aggs: Seq[org.apache.spark.sql.Column]) =
+          li.groupBy("l_returnflag", "l_linestatus").agg(aggs.head, aggs.tail: _*)
+        val asIs = Seq(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("a"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("b"),
+          sum(disc.cast("decimal(22,6)")).cast("double").as("c"),
+          sum(charge.cast("decimal(22,6)")).cast("double").as("d"),
+          count(lit(1)).as("n"))
+        val castOnly = Seq(
+          sum(col("l_quantity").cast("decimal(18,2)").cast("double")).as("a"),
+          sum(col("l_extendedprice").cast("decimal(18,2)").cast("double")).as("b"),
+          sum(disc.cast("decimal(22,6)").cast("double")).as("c"),
+          sum(charge.cast("decimal(22,6)").cast("double")).as("d"),
+          count(lit(1)).as("n"))
+        val dbl = Seq(sum(col("l_quantity")).as("a"), sum(col("l_extendedprice")).as("b"),
+          sum(disc).as("c"), sum(charge).as("d"), count(lit(1)).as("n"))
+        t("scan only (5 cols)")(force(li.select("l_quantity", "l_extendedprice",
+          "l_discount", "l_tax", "l_returnflag")))
+        def sdec(c: org.apache.spark.sql.Column) =
+          graft.plans.GraftExpressions.sumDec128(spark, c)
+        val dec128 = Seq(
+          sdec(col("l_quantity").cast("decimal(18,2)")).cast("double").as("a"),
+          sdec(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("b"),
+          sdec(disc.cast("decimal(22,6)")).cast("double").as("c"),
+          sdec(charge.cast("decimal(22,6)")).cast("double").as("d"),
+          count(lit(1)).as("n"))
+        // bit-identity gate before any timing matters
+        val lhs = gby(asIs).orderBy("l_returnflag", "l_linestatus").collect()
+        val rhs = gby(dec128).orderBy("l_returnflag", "l_linestatus").collect()
+        require(lhs.sameElements(rhs),
+          s"sumDec128 mismatch:\n${lhs.mkString("\n")}\nvs\n${rhs.mkString("\n")}")
+        println("[probe] sumDec128 == builtin: OK")
+        for (r <- 1 to 3) {
+          t(s"q1 as-is decimal sums ($r)")(force(gby(asIs)))
+          t(s"q1 sumDec128 sums   ($r)")(force(gby(dec128)))
+          t(s"cast-only, double sums ($r)")(force(gby(castOnly)))
+          t(s"all-double sums ($r)")(force(gby(dbl)))
+        }
       case "sp128" =>
         val li = graft.Tables.load(spark, dir, "lineitem")
         def lat(c: String) = round(col(c).cast("double") * 10000, 0).cast("long")

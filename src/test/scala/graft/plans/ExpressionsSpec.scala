@@ -555,4 +555,52 @@ class ExpressionsSpec extends AnyFunSuite {
       else assert(v.compareTo(w) == 0, s"group $k: got $v want $w")
     }
   }
+
+  test("sumDec128 is bit-identical to the builtin decimal SUM (dsum/dsum6 contract)") {
+    import org.apache.spark.sql.functions._
+    // adversarial doubles through the HALF_UP cast: tie-rounding values
+    // (2.675 etc.), negatives, nulls (SUM-skip), tiny/huge magnitudes;
+    // 64 slices force merge paths; grouped + global + all-NULL and
+    // empty groups pin the NULL contract.
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 60000).map { i =>
+      val v: java.lang.Double =
+        if (i % 89 == 0) null
+        else if (i % 7 == 0) java.lang.Double.valueOf((i % 1000) + 0.675)
+        else if (i % 11 == 0) java.lang.Double.valueOf(-(i % 997) - 0.005)
+        else java.lang.Double.valueOf(rnd.nextDouble() * 200000.0 - 100000.0)
+      (i.toLong, v)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 64),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType, true))))
+    for (dt <- Seq("decimal(18,2)", "decimal(22,6)", "decimal(38,0)")) {
+      val got = df.agg(
+        GraftExpressions.sumDec128(spark, col("v").cast(dt)).cast("double").as("s"),
+        GraftExpressions.sumDec128(spark, col("v").cast(dt)).as("d")).collect().head
+      val want = df.agg(
+        sum(col("v").cast(dt)).cast("double").as("s"),
+        sum(col("v").cast(dt)).as("d")).collect().head
+      assert(got.getDouble(0) == want.getDouble(0), s"$dt double: got $got want $want")
+      assert(got.getDecimal(1).compareTo(want.getDecimal(1)) == 0,
+        s"$dt decimal: got ${got.getDecimal(1)} want ${want.getDecimal(1)}")
+      // grouped with map-side partial merges; group 0 made all-NULL to
+      // pin SUM's NULL (not 0) on a non-empty group
+      val g = df.withColumn("k", pmod(col("id"), lit(13L)))
+        .withColumn("v", when(pmod(col("id"), lit(13L)) === 0, lit(null)).otherwise(col("v")))
+      val gGot = g.groupBy("k")
+        .agg(GraftExpressions.sumDec128(spark, col("v").cast(dt)).cast("double").as("s"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      val gWant = g.groupBy("k").agg(sum(col("v").cast(dt)).cast("double").as("s"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      assert(gGot == gWant, s"$dt grouped: got $gGot want $gWant")
+      assert(gGot(0L) == null, "all-NULL group must sum to NULL")
+    }
+    // empty input: NULL like SUM
+    val empty = df.filter(lit(false))
+      .agg(GraftExpressions.sumDec128(spark, col("v").cast("decimal(22,6)"))).collect().head
+    assert(empty.isNullAt(0))
+  }
 }
